@@ -1,0 +1,25 @@
+"""donkey_ray — a Ray-Data-native inverted-index build + BM25 query engine.
+
+A from-scratch engine (NOT a port) with the capability shape of the
+aaalgo/donkey content-based search-engine generator (extract -> durable
+store -> index build -> top-k query -> rerank, with checkpoint/resume),
+re-grounded per BASELINE.json's north rule as a fulltext BM25 engine over
+a Parquet corpus of source code (repo, path, commit, lang, content).
+
+See SURVEY.md for the blueprint. The reference checkout at /root/reference
+was empty at survey time (SURVEY.md section 0); donkey parallels cited in
+docstrings are file-level public knowledge, tagged [PK].
+
+Layout:
+  functions/  pure kernels: varbyte codec, tokenizers, BM25 math, hashing,
+              text statistics, minhash/simhash
+  sources/    corpus readers / adapters (Parquet in, schema validation)
+  stages/     Ray Data stage callables (actor classes for map_batches /
+              map_groups): postings extraction, segment encode, query scoring
+  pipelines/  end-to-end pipelines: build, query, dedup, ann, analyze
+  state/      manifest / lineage / stats (checkpoint + resume)
+  synth.py    deterministic synthetic corpus generator (FIXTURES.md)
+  oracle.py   brute-force pinned-spec BM25 oracle (SURVEY.md section 5)
+"""
+
+__version__ = "0.1.0"

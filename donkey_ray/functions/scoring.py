@@ -1,0 +1,51 @@
+"""Pinned BM25 scoring spec (SURVEY.md section 2B) — single source of truth.
+
+Engine, oracle and DuckDB oracle SQL all derive from these constants:
+  k1 = 1.2, b = 0.75
+  idf(t)     = ln((N - df + 0.5) / (df + 0.5) + 1)        (Lucene-style, >= 0)
+  score(d,q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+Ties broken by ascending doc_id. Query terms are DEDUPLICATED (a duplicated
+query term counts once). All math in float64.
+
+Donkey parallel [PK]: donkey's object-level rerank aggregates per-feature
+match scores (src/donkey.cpp search path, file-level, see SURVEY.md
+section 0); BM25 is the north rule's mandated scorer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(df, n_docs: float):
+    """Lucene-style non-negative idf; df may be scalar or ndarray."""
+    df = np.asarray(df, dtype=np.float64)
+    return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def tf_weight(tf, dl, avgdl: float):
+    """tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)); tf, dl may be ndarrays."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def bm25_scores(tf, dl, df, n_docs: float, avgdl: float):
+    """Per-posting BM25 contribution for one term (vectorized)."""
+    return idf(df, n_docs) * tf_weight(tf, dl, avgdl)
+
+
+def bm25_upper_bound(max_tf: float, min_dl: float, df, n_docs: float, avgdl: float) -> float:
+    """Block upper bound: score is increasing in tf, decreasing in dl, so
+    score(tf, dl) <= score(max_tf, min_dl) for every posting in the block.
+    Used by block-max WAND pruning (must never under-estimate)."""
+    return float(idf(df, n_docs) * tf_weight(max_tf, min_dl, avgdl))
+
+
+def topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, doc_id asc) — pinned tie-break."""
+    order = np.lexsort((doc_ids, -scores))
+    return order[:k]

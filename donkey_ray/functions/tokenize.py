@@ -1,0 +1,119 @@
+"""Per-language tokenizers + registry (SURVEY.md B12, B24).
+
+This is the engine's user-extension surface — the analogue of donkey's
+compile-time Extractor plugin specialization (src/donkey.h, [PK] file-level,
+see SURVEY.md section 0): ``register_tokenizer(lang, factory)`` plugs a new
+language in at runtime.
+
+Pinned tokenization spec (oracle and engine share this module):
+
+* ``SimpleTokenizer`` (natural text: en/es/zh/fr/de and unknown langs):
+  lowercase, then maximal runs of ``[a-z0-9]+``. SQL equivalent (used by
+  the DuckDB oracles): ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+
+* ``CodeTokenizer`` (source code: py/c/cpp/java/js/go/rs/...):
+  extract identifiers ``[A-Za-z_][A-Za-z0-9_]*`` and integer literals
+  ``[0-9]+``; split identifiers on '_' and on camelCase boundaries;
+  lowercase all parts; drop empties. Keywords are ordinary identifiers
+  (they survive as-is, e.g. ``return``, ``if``).
+
+Both return the token sequence in document order (duplicates preserved);
+document length dl = len(tokens).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
+# camelCase splitter: ACRONYMTail | Capitalized/lower runs | digit runs
+_CAMEL_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+")
+
+
+class SimpleTokenizer:
+    """Whitespace/punct tokenizer for natural-language text."""
+
+    name = "simple"
+
+    def tokenize(self, text: str) -> list[str]:
+        return _SIMPLE_RE.findall(text.lower())
+
+    def tokenize_column(self, col: pa.Array) -> tuple[pa.Array, np.ndarray]:
+        """Vectorized column path: returns (list<string> tokens, dl int64).
+
+        Uses Arrow kernels (utf8_lower + split_pattern_regex) — zero Python
+        per-row work. Equivalent to tokenize() per row.
+        """
+        lower = pc.utf8_lower(col)
+        toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        # splitting leaves '' at boundaries; drop them
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        dl = np.bincount(parents, minlength=len(col)).astype(np.int64)
+        return flat, parents, dl
+
+
+class CodeTokenizer:
+    """Identifier-splitting tokenizer for source code."""
+
+    name = "code"
+
+    def tokenize(self, text: str) -> list[str]:
+        out: list[str] = []
+        for ident in _IDENT_RE.findall(text):
+            if "_" in ident:
+                for part in ident.split("_"):
+                    if part:
+                        out.extend(m.lower() for m in _CAMEL_RE.findall(part))
+            else:
+                out.extend(m.lower() for m in _CAMEL_RE.findall(ident))
+        return out
+
+    def tokenize_column(self, col: pa.Array):
+        """Row loop (regex work is C-level); returns same shape as Simple."""
+        flats: list[str] = []
+        parents_l: list[int] = []
+        dl = np.zeros(len(col), dtype=np.int64)
+        for i, v in enumerate(col):
+            s = v.as_py()
+            if s is None:
+                continue
+            toks = self.tokenize(s)
+            dl[i] = len(toks)
+            flats.extend(toks)
+            parents_l.extend([i] * len(toks))
+        return pa.array(flats, type=pa.string()), np.asarray(parents_l, dtype=np.int64), dl
+
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register_tokenizer(lang: str, factory) -> None:
+    """Extension point: map a lang code to a tokenizer factory/class."""
+    _REGISTRY[lang] = factory
+
+
+for _lang in ("en", "es", "zh", "fr", "de", "text", "simple"):
+    register_tokenizer(_lang, SimpleTokenizer)
+for _lang in ("py", "c", "cpp", "java", "js", "go", "rs", "rb", "code"):
+    register_tokenizer(_lang, CodeTokenizer)
+
+DEFAULT_TOKENIZER = "simple"
+
+
+def get_tokenizer(lang: str):
+    """Instantiate the tokenizer registered for ``lang`` (default simple)."""
+    return _REGISTRY.get(lang, SimpleTokenizer)()
+
+
+def term_frequencies(tokens: list[str]) -> Counter:
+    return Counter(tokens)

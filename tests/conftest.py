@@ -1,0 +1,35 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus():
+    from donkey_ray.synth import make_corpus
+
+    return make_corpus(100, seed=42)
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    from donkey_ray.synth import make_corpus
+
+    return make_corpus(1000, seed=42)

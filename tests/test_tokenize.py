@@ -1,0 +1,66 @@
+import numpy as np
+import pyarrow as pa
+
+from donkey_ray.functions.tokenize import (
+    CodeTokenizer,
+    SimpleTokenizer,
+    get_tokenizer,
+    register_tokenizer,
+)
+
+
+def test_simple_golden():
+    t = SimpleTokenizer()
+    assert t.tokenize("Hello, World! 42") == ["hello", "world", "42"]
+    assert t.tokenize("") == []
+    assert t.tokenize("  ...  ") == []
+    assert t.tokenize("a-b_c") == ["a", "b", "c"]
+
+
+def test_code_golden():
+    t = CodeTokenizer()
+    assert t.tokenize("return foo_bar;") == ["return", "foo", "bar"]
+    assert t.tokenize("getHTTPResponse2") == ["get", "http", "response2"]
+    assert t.tokenize("camelCaseVar = snake_case_var(x, 42);") == [
+        "camel", "case", "var", "snake", "case", "var", "x", "42",
+    ]
+    assert t.tokenize("__init__") == ["init"]
+    assert t.tokenize("X") == ["x"]
+    assert t.tokenize("if (a>b) return TRUE;") == ["if", "a", "b", "return", "true"]
+
+
+def test_registry():
+    assert isinstance(get_tokenizer("en"), SimpleTokenizer)
+    assert isinstance(get_tokenizer("py"), CodeTokenizer)
+    assert isinstance(get_tokenizer("unknown-lang"), SimpleTokenizer)
+
+    class Custom(SimpleTokenizer):
+        pass
+
+    register_tokenizer("klingon", Custom)
+    assert isinstance(get_tokenizer("klingon"), Custom)
+
+
+def _check_column_path(tok, texts):
+    col = pa.array(texts, pa.string())
+    flat, parents, dl = tok.tokenize_column(col)
+    flat = flat.to_pylist()
+    for i, text in enumerate(texts):
+        expect = tok.tokenize(text)
+        got = [flat[j] for j in np.flatnonzero(parents == i)]
+        assert got == expect, (text, got, expect)
+        assert dl[i] == len(expect)
+
+
+def test_simple_column_path_matches_row_path():
+    _check_column_path(
+        SimpleTokenizer(),
+        ["Hello, World!", "", "a-b_c 42", "the the the", "...", "Zoë 7x"],
+    )
+
+
+def test_code_column_path_matches_row_path():
+    _check_column_path(
+        CodeTokenizer(),
+        ["return foo_bar;", "", "getHTTPResponse2 camelCase", "x = 1;"],
+    )
