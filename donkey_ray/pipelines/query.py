@@ -1,0 +1,85 @@
+"""Query serving pipeline (SURVEY.md section 3.2.2).
+
+Queries are a Dataset; scoring is an actor pool (one QueryEngine per
+actor, built once in __init__) parallelized OVER QUERIES — each actor can
+read any term-partition (shared storage), so a multi-term query never
+needs a cross-actor merge. Scale path for 10^12 docs: shard dictionaries
+per actor + route queries by term partition (documented in SURVEY.md
+section 4); at the current tier the whole dictionary fits per actor.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages.score import QueryEngine
+
+
+class QueryScorerStage:
+    """map_batches actor: QUERIES-schema batches -> RESULTS-schema batches."""
+
+    def __init__(self, index_dir: str, mode: str = "wand") -> None:
+        self.engine = QueryEngine(index_dir, mode=mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        for row in batch.to_pylist():
+            hits = self.engine.topk(row["text"], int(row["k"]))
+            for r, (d, s) in enumerate(hits, start=1):
+                qids.append(int(row["query_id"]))
+                ranks.append(r)
+                docs.append(d)
+                scores.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def score_queries(
+    index_dir: str,
+    queries: ray.data.Dataset | pa.Table,
+    *,
+    mode: str = "wand",
+    concurrency=None,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    if isinstance(queries, pa.Table):
+        queries = ray.data.from_arrow(queries)
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, cpus))
+    return queries.map_batches(
+        QueryScorerStage,
+        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def hydrate_results(results: ray.data.Dataset, index_dir: str) -> ray.data.Dataset:
+    """Join results to the docs table (SURVEY.md B20) — broadcast the tiny
+    results side into a lookup against the docs parquet, never a shuffle."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ..util import dataset_to_table
+
+    res = dataset_to_table(results)
+    docs = pads.dataset(os.path.join(index_dir, "docs"))
+    wanted = pc.unique(res.column("doc_id"))
+    hits = docs.to_table(
+        columns=["doc_id", "repo", "path", "lang"],
+        filter=pads.field("doc_id").isin(wanted),
+    )
+    return res.join(hits, keys="doc_id", join_type="left outer")

@@ -1,0 +1,155 @@
+"""Segment encoder: one hash-partition of postings -> on-disk segment
+(SURVEY.md B13/B15/B17; donkey analogue [PK]: batch index build,
+src/index-kgraph.cpp — see SURVEY.md section 0).
+
+Runs as ``groupby('part').map_groups`` — each group is every posting whose
+(possibly salted) term hash routes to this partition. Encoding is
+deterministic (sorted (term, doc_id), fixed codec), the segment file name
+is deterministic, and the write is atomic (tmp + rename), so task retries
+and build resumes are exactly-once at the partition level.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import schemas
+from ..functions.codec import delta_encode, varbyte_encode
+from ..state import manifest as mf
+
+
+def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE) -> tuple[pa.Table, dict]:
+    """Pure kernel: postings rows for ONE partition -> (segment table, stats).
+
+    Sorts by (term asc, doc_id asc); each contiguous term run becomes one
+    segment row with delta-varbyte doc_ids, varbyte tf/dl streams and
+    per-block (last_doc, max_tf, min_dl) block-max metadata.
+    """
+    order = pa.compute.sort_indices(
+        group,
+        sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
+    )
+    g = group.take(order)
+    terms = g.column("term").to_numpy(zero_copy_only=False)
+    doc_ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = g.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    n = len(terms)
+    if n == 0:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "doc_ids": pa.array([], pa.binary()),
+                "tfs": pa.array([], pa.binary()),
+                "dls": pa.array([], pa.binary()),
+                "block_last_doc": pa.array([], pa.list_(pa.int64())),
+                "block_max_tf": pa.array([], pa.list_(pa.int32())),
+                "block_min_dl": pa.array([], pa.list_(pa.int32())),
+            }
+        )
+        return empty, {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
+
+    starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+
+    out_terms: list[str] = []
+    out_df: list[int] = []
+    out_docs: list[bytes] = []
+    out_tfs: list[bytes] = []
+    out_dls: list[bytes] = []
+    out_bld: list[list[int]] = []
+    out_bmt: list[list[int]] = []
+    out_bmd: list[list[int]] = []
+    for s, e in zip(starts, ends):
+        ids = doc_ids[s:e]
+        tf = tfs[s:e]
+        dl = dls[s:e]
+        out_terms.append(str(terms[s]))
+        out_df.append(int(e - s))
+        out_docs.append(varbyte_encode(delta_encode(ids.astype(np.uint64))))
+        out_tfs.append(varbyte_encode(tf.astype(np.uint64)))
+        out_dls.append(varbyte_encode(dl.astype(np.uint64)))
+        bstarts = np.arange(0, e - s, block_size)
+        bends = np.minimum(bstarts + block_size, e - s)
+        out_bld.append(ids[bends - 1].tolist())
+        out_bmt.append(np.maximum.reduceat(tf, bstarts).astype(np.int32).tolist())
+        out_bmd.append(np.minimum.reduceat(dl, bstarts).astype(np.int32).tolist())
+
+    seg = pa.table(
+        {
+            "term": pa.array(out_terms, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+            "doc_ids": pa.array(out_docs, pa.binary()),
+            "tfs": pa.array(out_tfs, pa.binary()),
+            "dls": pa.array(out_dls, pa.binary()),
+            "block_last_doc": pa.array(out_bld, pa.list_(pa.int64())),
+            "block_max_tf": pa.array(out_bmt, pa.list_(pa.int32())),
+            "block_min_dl": pa.array(out_bmd, pa.list_(pa.int32())),
+        }
+    )
+    stats = {
+        "n_terms": len(out_terms),
+        "n_postings": int(n),
+        "sum_tf": int(tfs.sum()),
+    }
+    return seg, stats
+
+
+class SegmentWriter:
+    """map_groups callable: write one partition's segment + manifest entry.
+
+    Returns the manifest entry as a 1-row table (collected by the driver
+    into the global manifest/stats)."""
+
+    def __init__(self, out_dir: str, block_size: int = schemas.BLOCK_SIZE) -> None:
+        self.out_dir = out_dir
+        self.block_size = block_size
+        self.__name__ = "SegmentWriter"  # map_groups wraps fn and reads this
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32())})
+        t0 = time.monotonic()
+        part = int(group.column("part")[0].as_py())
+        seg, stats = encode_partition_table(group, self.block_size)
+        seg_path = mf.segment_path(self.out_dir, part)
+        os.makedirs(os.path.dirname(seg_path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(seg_path), prefix=f".tmp-part-{part:05d}-"
+        )
+        os.close(fd)
+        try:
+            pq.write_table(seg, tmp, row_group_size=8192, compression="zstd")
+            os.replace(tmp, seg_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        entry = {
+            "part": part,
+            "n_terms": stats["n_terms"],
+            "n_postings": stats["n_postings"],
+            "sum_tf": stats["sum_tf"],
+            "n_bytes": os.path.getsize(seg_path),
+            "sha256": mf.file_sha256(seg_path),
+            "wall_s": round(time.monotonic() - t0, 4),
+        }
+        mf.write_partition_manifest(self.out_dir, entry)
+        return pa.table(
+            {
+                "part": pa.array([entry["part"]], pa.int32()),
+                "n_terms": pa.array([entry["n_terms"]], pa.int64()),
+                "n_postings": pa.array([entry["n_postings"]], pa.int64()),
+                "sum_tf": pa.array([entry["sum_tf"]], pa.int64()),
+                "n_bytes": pa.array([entry["n_bytes"]], pa.int64()),
+                "sha256": pa.array([entry["sha256"]], pa.string()),
+                "wall_s": pa.array([entry["wall_s"]], pa.float64()),
+            }
+        )

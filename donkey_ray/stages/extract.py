@@ -1,0 +1,189 @@
+"""Extraction stages: doc metadata + exploded postings (SURVEY.md B6-B8, B12).
+
+Donkey analogue [PK]: ``Extractor::extract(raw) -> Object`` (plugin header,
+see SURVEY.md section 0) — here the 'features' are (term, tf) pairs and the
+extractor is the per-lang tokenizer registry. Stateful setup (compiled
+regexes, hot-term table) happens once per actor in ``__init__``; per-batch
+work is vectorized Arrow/numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_term_hash
+from ..functions.tokenize import get_tokenizer
+
+
+def _doc_ids_for_batch(batch: pa.Table, id_col: str | None) -> np.ndarray:
+    if id_col and id_col in batch.column_names:
+        return batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    repo = batch.column("repo").to_pylist()
+    path = batch.column("path").to_pylist()
+    commit = batch.column("commit").to_pylist()
+    mask = (1 << 63) - 1
+    out = np.empty(len(repo), dtype=np.int64)
+    for i in range(len(repo)):
+        h = hashlib.sha256()
+        h.update(repo[i].encode())
+        h.update(b"\x00")
+        h.update(path[i].encode())
+        h.update(b"\x00")
+        h.update(commit[i].encode())
+        out[i] = int.from_bytes(h.digest()[:8], "big") & mask
+    return out
+
+
+def doc_meta(batch: pa.Table, *, id_col: str | None = None) -> pa.Table:
+    """Corpus batch -> DOCS-schema batch (sha256 carried, content dropped).
+
+    Embarrassingly parallel; preserves the per-row sha256(content)
+    invariant (BASELINE.json input_hint)."""
+    doc_ids = _doc_ids_for_batch(batch, id_col)
+    content = batch.column("content")
+    sha = pa.array(
+        [hashlib.sha256(v.encode()).hexdigest() if v is not None else None
+         for v in content.to_pylist()],
+        pa.string(),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "repo": batch.column("repo"),
+            "path": batch.column("path"),
+            "commit": batch.column("commit"),
+            "lang": batch.column("lang"),
+            "content_sha256": sha,
+            "n_chars": pc.utf8_length(content).cast(pa.int64()),
+        }
+    )
+
+
+class PostingsExtractor:
+    """Actor-pool stage: corpus batches -> exploded (term, doc_id, tf, dl,
+    part) postings batches (SURVEY.md B12/B15/B18).
+
+    Partition routing: part = blake2b(term) % P, except hot (high-df) terms
+    which are salted by the TOP ``salt_bits`` bits of doc_id so each salted
+    run covers a contiguous doc_id range (merge = range concat, B17/B18).
+    The hot-term routing table is built once per actor in __init__.
+    """
+
+    def __init__(
+        self,
+        num_partitions: int,
+        hot_terms=None,
+        salt_bits: int = 4,
+        id_col: str | None = None,
+        emit_part: bool = True,
+    ) -> None:
+        import ray
+
+        self.num_partitions = int(num_partitions)
+        self.salt_bits = int(salt_bits)
+        self.id_col = id_col
+        self.emit_part = emit_part
+        if hot_terms is not None and isinstance(hot_terms, ray.ObjectRef):
+            hot_terms = ray.get(hot_terms)
+        self.hot_parts: dict[str, np.ndarray] = {}
+        for t in hot_terms or ():
+            salts = np.empty(1 << self.salt_bits, dtype=np.int32)
+            for s in range(1 << self.salt_bits):
+                salts[s] = int.from_bytes(
+                    hashlib.blake2b(
+                        t.encode() + b"#" + int(s).to_bytes(8, "big"), digest_size=8
+                    ).digest(),
+                    "big",
+                ) % self.num_partitions
+            self.hot_parts[t] = salts
+        self._part_cache: dict[str, int] = {}
+        self._tokenizers = {}
+
+    def _tokenizer(self, lang: str):
+        tok = self._tokenizers.get(lang)
+        if tok is None:
+            tok = self._tokenizers[lang] = get_tokenizer(lang)
+        return tok
+
+    def _cold_part(self, term: str) -> int:
+        p = self._part_cache.get(term)
+        if p is None:
+            if len(self._part_cache) > 2_000_000:
+                self._part_cache.clear()
+            p = self._part_cache[term] = stable_term_hash(term) % self.num_partitions
+        return p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = _doc_ids_for_batch(batch, self.id_col)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        content = batch.column("content")
+
+        term_arrs: list[pa.Array] = []
+        row_arrs: list[np.ndarray] = []
+        dl_batch = np.zeros(batch.num_rows, dtype=np.int64)
+        for lang in np.unique(langs):
+            idx = np.flatnonzero(langs == lang)
+            sub = content.take(pa.array(idx))
+            flat, parents, dl = self._tokenizer(str(lang)).tokenize_column(sub)
+            term_arrs.append(flat)
+            row_arrs.append(idx[parents])
+            dl_batch[idx] = dl
+
+        if not term_arrs or sum(len(a) for a in term_arrs) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int32()),
+                    "dl": pa.array([], pa.int32()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+
+        tokens = pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                     for a in term_arrs]
+                ),
+                "row": pa.array(np.concatenate(row_arrs), pa.int64()),
+            }
+        )
+        # vectorized tf per (row, term): Arrow hash-groupby
+        grouped = tokens.group_by(["row", "term"], use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        rows = grouped.column("row").to_numpy(zero_copy_only=False)
+        terms = grouped.column("term")
+        tf = grouped.column("term_count").to_numpy(zero_copy_only=False).astype(np.int32)
+
+        out_doc_ids = doc_ids[rows]
+        out_dl = dl_batch[rows].astype(np.int32)
+
+        cols = {
+            "term": terms,
+            "doc_id": pa.array(out_doc_ids, pa.int64()),
+            "tf": pa.array(tf, pa.int32()),
+            "dl": pa.array(out_dl, pa.int32()),
+        }
+        if self.emit_part:
+            # route per unique term (cached); salt hot terms by doc_id top bits
+            term_np = terms.to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(term_np, return_inverse=True)
+            base = np.fromiter(
+                (self._cold_part(t) for t in uniq), dtype=np.int32, count=len(uniq)
+            )
+            part = base[inv]
+            if self.hot_parts:
+                salts = (out_doc_ids >> (63 - self.salt_bits)).astype(np.int64)
+                for j, t in enumerate(uniq):
+                    table = self.hot_parts.get(t)
+                    if table is not None:
+                        m = inv == j
+                        part[m] = table[salts[m]]
+            cols["part"] = pa.array(part, pa.int32())
+        return pa.table(cols)

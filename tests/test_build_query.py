@@ -1,0 +1,188 @@
+"""End-to-end conformance (SURVEY.md section 5.3/5.4): build + query must be
+rank- AND score-identical to the brute-force oracle, deterministic across
+partition counts, and resumable."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from donkey_ray.oracle import BM25Oracle
+from donkey_ray.pipelines.build import build_index
+from donkey_ray.pipelines.query import score_queries
+from donkey_ray.stages.score import QueryEngine
+from donkey_ray.synth import COMMON_TOKEN, make_corpus, make_queries
+from donkey_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    corpus = make_corpus(300, seed=42)
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    import ray.data
+
+    meta = build_index(
+        ray.data.from_arrow(corpus),
+        out,
+        num_partitions=8,
+        query_lang="code",
+        sample_mod=4,  # small corpus: sample 1/4 so hot detection fires
+    )
+    oracle = BM25Oracle.from_corpus(corpus)
+    return corpus, out, meta, oracle
+
+
+def test_meta_stats_match_oracle(built):
+    _, _, meta, oracle = built
+    assert meta["n_docs"] == oracle.n_docs
+    assert meta["total_len"] == oracle.total_len
+    assert abs(meta["avgdl"] - oracle.avgdl) < 1e-12
+
+
+def test_hot_term_detected_and_salted(built):
+    _, out, meta, _ = built
+    assert COMMON_TOKEN in meta["hot_terms"]
+    engine = QueryEngine(out)
+    # the salted hot term should appear in more than one partition run
+    runs = engine.dictionary[COMMON_TOKEN]
+    assert len(runs) >= 2
+    assert engine.term_df(COMMON_TOKEN) == 300  # appears in every doc
+
+
+def test_docs_sha256_invariant(built):
+    corpus, out, _, _ = built
+    import hashlib
+
+    expect = sorted(
+        hashlib.sha256(c.encode()).hexdigest()
+        for c in corpus["content"].to_pylist()
+    )
+    docs = pads.dataset(os.path.join(out, "docs")).to_table(
+        columns=["content_sha256"]
+    )
+    got = sorted(docs.column("content_sha256").to_pylist())
+    assert got == expect
+
+
+@pytest.mark.parametrize("mode", ["exact", "wand"])
+def test_topk_identical_to_oracle(built, mode):
+    _, out, _, oracle = built
+    engine = QueryEngine(out, mode=mode)
+    queries = make_queries(60)
+    for row in queries.to_pylist():
+        got = engine.topk(row["text"], int(row["k"]))
+        want = oracle.topk(row["text"], int(row["k"]), lang="code")
+        assert [d for d, _ in got] == [d for d, _ in want], (mode, row["text"])
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-9
+        )
+
+
+def test_wand_equals_exact_on_many_queries(built):
+    _, out, _, _ = built
+    ex = QueryEngine(out, mode="exact")
+    wd = QueryEngine(out, mode="wand")
+    queries = make_queries(120)
+    for row in queries.to_pylist():
+        assert wd.topk(row["text"], int(row["k"])) == pytest.approx(
+            ex.topk(row["text"], int(row["k"]))
+        )
+
+
+def test_score_queries_pipeline(built, ray_session):
+    _, out, _, oracle = built
+    q = make_queries(20)
+    from donkey_ray.util import dataset_to_table
+
+    res = dataset_to_table(score_queries(out, q, batch_size=8))
+    want = oracle.run_queries(q, lang="code")
+    got = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    want = want.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+    np.testing.assert_allclose(
+        got.column("score").to_pylist(), want.column("score").to_pylist(), atol=1e-9
+    )
+
+
+def test_partition_count_invariance(ray_session, tmp_path):
+    """Different P (and hot detection on/off) -> identical query results."""
+    import ray.data
+
+    corpus = make_corpus(150, seed=7)
+    oracle = BM25Oracle.from_corpus(corpus)
+    queries = make_queries(30)
+    for i, (P, detect) in enumerate([(2, False), (13, True)]):
+        out = str(tmp_path / f"idx{i}")
+        build_index(
+            ray.data.from_arrow(corpus), out,
+            num_partitions=P, detect_hot=detect, sample_mod=4, query_lang="code",
+        )
+        engine = QueryEngine(out)
+        for row in queries.to_pylist():
+            got = engine.topk(row["text"], int(row["k"]))
+            want = oracle.topk(row["text"], int(row["k"]), lang="code")
+            assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_resume_skips_done_partitions(ray_session, tmp_path):
+    import ray.data
+
+    corpus = make_corpus(120, seed=11)
+    out = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(corpus), out, num_partitions=6,
+                detect_hot=False, query_lang="code")
+    seg_hashes = {
+        p: mf.file_sha256(p) for p in glob.glob(os.path.join(out, "segments", "*"))
+    }
+    # simulate a crash after partition 2: drop _SUCCESS, meta, and the
+    # manifests+segments of partitions 3..5
+    os.unlink(os.path.join(out, "_SUCCESS"))
+    os.unlink(mf.meta_path(out))
+    for part in (3, 4, 5):
+        os.unlink(mf.manifest_path(out, part))
+        os.unlink(mf.segment_path(out, part))
+    meta2 = build_index(ray.data.from_arrow(corpus), out, num_partitions=6,
+                        detect_hot=False, query_lang="code")
+    assert meta2["parts_skipped_on_resume"] == [0, 1, 2]
+    after = {
+        p: mf.file_sha256(p) for p in glob.glob(os.path.join(out, "segments", "*"))
+    }
+    assert after == seg_hashes  # byte-identical final index
+
+
+def test_resume_rejects_corrupt_segment(ray_session, tmp_path):
+    import ray.data
+
+    corpus = make_corpus(80, seed=13)
+    out = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(corpus), out, num_partitions=4,
+                detect_hot=False, query_lang="code")
+    target = mf.segment_path(out, 1)
+    good = mf.file_sha256(target)
+    with open(target, "ab") as f:
+        f.write(b"corruption")
+    os.unlink(os.path.join(out, "_SUCCESS"))
+    meta2 = build_index(ray.data.from_arrow(corpus), out, num_partitions=4,
+                        detect_hot=False, query_lang="code")
+    assert 1 not in meta2["parts_skipped_on_resume"]
+    assert mf.file_sha256(target) == good  # rebuilt cleanly
+
+
+def test_completed_build_is_noop(ray_session, tmp_path):
+    import time
+
+    import ray.data
+
+    corpus = make_corpus(80, seed=17)
+    out = str(tmp_path / "idx")
+    m1 = build_index(ray.data.from_arrow(corpus), out, num_partitions=4,
+                     query_lang="code", detect_hot=False)
+    t0 = time.monotonic()
+    m2 = build_index(ray.data.from_arrow(corpus), out, num_partitions=4,
+                     query_lang="code", detect_hot=False)
+    assert time.monotonic() - t0 < 1.0  # manifest short-circuit, no Ray work
+    assert m1["n_postings"] == m2["n_postings"]
