@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in donkey_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,171 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from donkey_ray import driver_api as api
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: BM25 index build + pinned query serving on sf0.001."""
+    return api.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # inverted-index / BM25 engine (SURVEY.md section 2B)
+        "bm25_topk": api.q_bm25_topk,
+        "term_df": api.q_term_df,
+        "doc_token_counts": api.q_doc_token_counts,
+        "corpus_stats": api.q_corpus_stats,
+        "top_terms": api.q_top_terms,
+        "content_sha256": api.q_content_sha256,
+        "filter_project": api.q_filter_project,
+        # training-data ops: dedup family
+        "exact_dedup": api.q_exact_dedup,
+        "ngram_jaccard": api.q_ngram_jaccard,
+        "minhash_neardup": api.q_minhash_neardup,
+        "simhash_fingerprints": api.q_simhash_fingerprints,
+        # similarity search over embeddings
+        "ann_topk": api.q_ann_topk,
+        "embedding_neardup": api.q_embedding_neardup,
+        # text analysis
+        "quality_scores": api.q_quality_scores,
+        "lang_id": api.q_lang_id,
+        "doc_fingerprints": api.q_doc_fingerprints,
+        # generic columnar aggregation
+        "lineitem_agg": api.q_lineitem_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # NOTE: column names and float rounding mirror donkey_ray.driver_api
+    # exactly (driver hash-compares values after sorting columns by name).
+    return {
+        "bm25_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        "term_df": f"""
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)
+GROUP BY term
+""",
+        "doc_token_counts": f"""
+SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+""",
+        "corpus_stats": f"""
+SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len,
+       round(sum(dl)::DOUBLE / count(*), 6) AS avgdl
+FROM (SELECT len({_TOKS}) AS dl FROM documents)
+""",
+        "top_terms": f"""
+SELECT term, df FROM (
+  SELECT term, count(*)::BIGINT AS df,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+  FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY term)
+WHERE rn <= 20
+""",
+        "content_sha256": """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+""",
+        "filter_project": """
+SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
+""",
+        "exact_dedup": """
+SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS doc_id,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+""",
+        "ngram_jaccard": f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
+""",
+        "ann_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.v, q.qv) AS cs
+      FROM q CROSS JOIN e),
+r AS (SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+      FROM s)
+SELECT query_id, rank::INT AS rank, vec_id, round(cs, 6) AS cos_sim
+FROM r WHERE rank <= 10
+""",
+        "embedding_neardup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+""",
+        "quality_scores": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+    / len(toks), 6) END AS stopword_ratio,
+  CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+    list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+    / len(toks), 6) END AS mean_token_len
+FROM t
+""",
+        "lang_id": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+  len(list_filter(toks, x -> x IN ('the','a','of','and','is')))     AS c_en,
+  len(list_filter(toks, x -> x IN ('el','la','de','y','es')))       AS c_es,
+  len(list_filter(toks, x -> x IN ('le','la','de','et','est')))     AS c_fr,
+  len(list_filter(toks, x -> x IN ('de','shi','le','he','zai')))    AS c_zh
+  FROM t)
+SELECT doc_id, CASE
+  WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'unknown'
+  WHEN c_de = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+  WHEN c_en = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+  WHEN c_es = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+  WHEN c_fr = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+  ELSE 'zh' END AS pred_lang
+FROM c
+""",
+        "lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    }

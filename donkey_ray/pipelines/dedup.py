@@ -1,0 +1,294 @@
+"""Deduplication pipelines (SURVEY.md B21 + training-data ops):
+exact sha256, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Partitioning notes (scale path, 10^12 rows):
+  - exact: shuffle only the (hash, id) projection, never the payload; the
+    winner set is re-applied as a broadcast semi-join filter.
+  - minhash/simhash: candidate generation is a groupby on band keys (bounded
+    group sizes by construction); verification joins shingle sets per pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions import minhash as mh
+from ..functions.hashing import sha256_hex_column
+from ..functions.textstats import shingle_hashes
+from ..util import dataset_to_table
+
+
+def add_content_hash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "content_sha256", sha256_hex_column(batch.column(text_col))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exact_dedup_groups(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(content_sha256, doc_id=min id, n_dups) per distinct content.
+
+    Shuffles only the 2-column (hash, id) projection (SURVEY.md B21)."""
+    hashed = add_content_hash(ds, text_col).select_columns(["content_sha256", id_col])
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col)
+        return pa.table(
+            {
+                "content_sha256": group.column("content_sha256").slice(0, 1),
+                "doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
+                "n_dups": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return hashed.groupby("content_sha256").map_groups(keep_min, batch_format="pyarrow")
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Rows of ``ds`` surviving exact dedup (keep min id per content hash),
+    applied as a broadcast winner-set filter — the full rows never shuffle."""
+    winners = dataset_to_table(
+        exact_dedup_groups(ds, text_col=text_col, id_col=id_col)
+    ).column("doc_id")
+    winner_ref = ray.put(set(winners.to_pylist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        win = ray.get(winner_ref)
+        mask = pa.array([v in win for v in batch.column(id_col).to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Exact all-pairs n-gram Jaccard >= threshold.
+
+    doc pairs are generated from the inverted shingle index (only docs
+    sharing at least one shingle are compared): flat_map shingles ->
+    groupby(shingle) -> per-group pair emission -> groupby(pair) counts ->
+    jaccard from |A|,|B| broadcast. SQL-expressible (the DuckDB oracle
+    mirrors it exactly)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import shingles as mk
+
+        ids_out, sh_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            for s in mk(text or "", n):
+                ids_out.append(did)
+                sh_out.append(s)
+        return pa.table(
+            {"shingle": pa.array(sh_out, pa.string()),
+             "doc_id": pa.array(ids_out, pa.int64())}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-doc distinct shingle counts (small: one row per doc) -> broadcast
+    sizes_tbl = dataset_to_table(exploded.groupby("doc_id").count())
+    sizes = dict(
+        zip(sizes_tbl.column("doc_id").to_pylist(), sizes_tbl.column("count()").to_pylist())
+    )
+    sizes_ref = ray.put(sizes)
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())})
+
+    pairs = exploded.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
+    inter = pairs.groupby(["a", "b"]).count()
+
+    def score(batch: pa.Table) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        c = batch.column("count()").to_pylist()
+        jac = [ci / (sz[x] + sz[y] - ci) for x, y, ci in zip(a, b, c)]
+        out = pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return inter.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_neardup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """MinHash+LSH candidate pairs verified by exact shingle Jaccard.
+
+    shingle -> 128-perm minhash -> 16x8 LSH bands -> band-bucket groupby ->
+    candidate pairs -> exact-jaccard verification (shingle sets fetched via
+    a broadcast doc->shingles map; scale path = repartition join)."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        band_out, id_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            hs = shingle_hashes(text or "", n)
+            if hs.size == 0:
+                continue
+            for key in mh.band_keys(mh.minhash_signature(hs)):
+                band_out.append(key)
+                id_out.append(did)
+        return pa.table(
+            {"band": pa.array(band_out, pa.binary()),
+             "doc_id": pa.array(id_out, pa.int64())}
+        )
+
+    bands = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())})
+
+    cand = bands.groupby("band").map_groups(emit_pairs, batch_format="pyarrow")
+    cand_tbl = dataset_to_table(cand)
+    if cand_tbl.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    uniq_pairs = {
+        (a, b) for a, b in zip(cand_tbl.column("a").to_pylist(), cand_tbl.column("b").to_pylist())
+    }
+    needed = sorted({d for p in uniq_pairs for d in p})
+
+    # shingle sets for candidate docs only (broadcast; candidates are sparse)
+    def doc_hashes(batch: pa.Table) -> pa.Table:
+        want = set(needed)
+        out_id, out_h = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            if did in want:
+                out_id.append(did)
+                out_h.append(shingle_hashes(text or "", n).tolist())
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "hashes": pa.array(out_h, pa.list_(pa.uint64()))}
+        )
+
+    htbl = dataset_to_table(
+        ds.map_batches(doc_hashes, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    hmap = {
+        d: np.asarray(h, dtype=np.uint64)
+        for d, h in zip(htbl.column("doc_id").to_pylist(), htbl.column("hashes").to_pylist())
+    }
+    rows = [
+        (a, b, mh.jaccard(hmap[a], hmap[b]))
+        for a, b in sorted(uniq_pairs)
+        if a in hmap and b in hmap
+    ]
+    rows = [(a, b, j) for a, b, j in rows if j >= threshold]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def simhash_fingerprints(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(doc_id, simhash) 64-bit fingerprints."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [mh.simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_neardup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """Pairs with Hamming(simhash) <= max_hamming via 4x16-bit band buckets
+    (any pair within Hamming 3 shares at least one of 4 bands)."""
+    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        band_out, id_out, h_out = [], [], []
+        for did, h in zip(batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()):
+            for key in mh.simhash_bands(int(h), 4):
+                band_out.append(key)
+                id_out.append(did)
+                h_out.append(h)
+        return pa.table(
+            {"band": pa.array(band_out, pa.uint64()),
+             "doc_id": pa.array(id_out, pa.int64()),
+             "simhash": pa.array(h_out, pa.uint64())}
+        )
+
+    bands = fps.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit_checked(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        hs = group.column("simhash").to_pylist()
+        seen = sorted(set(zip(ids, hs)))
+        out = []
+        for i in range(len(seen)):
+            for j in range(i + 1, len(seen)):
+                d = mh.hamming64(int(seen[i][1]), int(seen[j][1]))
+                if d <= max_hamming:
+                    out.append((seen[i][0], seen[j][0], d))
+        return pa.table(
+            {
+                "doc_a": pa.array([o[0] for o in out], pa.int64()),
+                "doc_b": pa.array([o[1] for o in out], pa.int64()),
+                "hamming": pa.array([o[2] for o in out], pa.int32()),
+            }
+        )
+
+    pairs = bands.groupby("band").map_groups(emit_checked, batch_format="pyarrow")
+    # a pair can match in multiple bands -> dedup
+    return pairs.groupby(["doc_a", "doc_b"]).min("hamming")

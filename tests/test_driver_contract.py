@@ -1,0 +1,103 @@
+"""Simulate the driver's correctness gate: run every queries() entry at
+sf0.01 and compare to its oracle_sql via DuckDB — row count, schema
+(column names), and order-insensitive exact values (floats pre-rounded by
+both sides)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        from donkey_ray.util import dataset_to_table
+
+        result = dataset_to_table(result)
+    if isinstance(result, pa.Table):
+        result = result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def test_every_oracle_has_a_query(contract):
+    qs, sqls = contract
+    assert set(sqls) <= set(qs)
+
+
+NAMES = [
+    "bm25_topk", "term_df", "doc_token_counts", "corpus_stats", "top_terms",
+    "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
+    "ann_topk", "embedding_neardup", "quality_scores", "lang_id",
+    "lineitem_agg",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(contract, oracle_con, name):
+    qs, sqls = contract
+    got = _canon(_to_df(qs[name](SF_DIR)))
+    want = _canon(oracle_con.execute(sqls[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for col in got.columns:
+        g, w = got[col], want[col]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                g.astype(float), w.astype(float), check_names=False,
+                rtol=0, atol=0, obj=f"{name}.{col}",
+            )
+        else:
+            assert g.astype(str).tolist() == w.astype(str).tolist(), f"{name}.{col}"
+
+
+def test_rows_only_queries_run(contract):
+    qs, sqls = contract
+    rows_only = set(qs) - set(sqls)
+    assert rows_only == {"minhash_neardup", "simhash_fingerprints", "doc_fingerprints"}
+    for name in sorted(rows_only):
+        df = _to_df(qs[name](SF_DIR))
+        assert len(df) >= 0 and len(df.columns) >= 2
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = _to_df(e.entry())
+    assert {"query_id", "rank", "doc_id", "score"} <= set(df.columns)
+    assert len(df) > 0

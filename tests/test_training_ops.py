@@ -1,0 +1,187 @@
+"""Training-data pipeline ops: dedup family, ANN, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from donkey_ray.functions import minhash as mh
+from donkey_ray.functions.textstats import fingerprint, lang_id, quality_metrics, shingles
+from donkey_ray.util import dataset_to_table
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different content about spark and ray data",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "der hund und die katze ist hier",
+        "el perro y la casa es grande",
+        "short",
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(tbl), texts
+
+
+def test_exact_dedup(docs_ds):
+    from donkey_ray.pipelines.dedup import exact_dedup, exact_dedup_groups
+
+    ds, texts = docs_ds
+    groups = dataset_to_table(exact_dedup_groups(ds))
+    assert groups.num_rows == len(set(texts))
+    by_hash = {r["content_sha256"]: r for r in groups.to_pylist()}
+    import hashlib
+
+    h0 = hashlib.sha256(texts[0].encode()).hexdigest()
+    assert by_hash[h0]["doc_id"] == 0 and by_hash[h0]["n_dups"] == 2
+    survivors = dataset_to_table(exact_dedup(ds))
+    assert sorted(survivors.column("doc_id").to_pylist()) == [0, 1, 2, 4, 5, 6, 7]
+
+
+def test_ngram_jaccard_pairs_match_bruteforce(docs_ds):
+    from donkey_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds, texts = docs_ds
+    got = dataset_to_table(ngram_jaccard_pairs(ds, n=1, threshold=0.5))
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in got.to_pylist()
+    }
+    # brute force over distinct-token sets
+    sets = [set(shingles(t, 1)) for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if sets[i] and sets[j]:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if jac >= 0.5:
+                    want[(i, j)] = jac
+    assert got_pairs.keys() == want.keys()
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k])
+    assert (0, 3) in want  # exact dup pair found
+
+
+def test_minhash_neardup(docs_ds):
+    from donkey_ray.pipelines.dedup import minhash_neardup_pairs
+
+    ds, texts = docs_ds
+    got = dataset_to_table(minhash_neardup_pairs(ds, n=3, threshold=0.5))
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got.to_pylist()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs  # near dup shares most 3-gram shingles
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(3)
+    a = np.unique(rng.integers(0, 2**60, 400, dtype=np.uint64))
+    b = np.concatenate([a[:300], np.unique(rng.integers(0, 2**60, 100, dtype=np.uint64))])
+    b = np.unique(b)
+    true = mh.jaccard(np.sort(a), np.sort(b))
+    est = mh.estimate_jaccard(mh.minhash_signature(a), mh.minhash_signature(b))
+    assert abs(true - est) < 0.15
+
+
+def test_simhash_neardup(docs_ds):
+    from donkey_ray.pipelines.dedup import simhash_neardup_pairs
+
+    ds, texts = docs_ds
+    got = dataset_to_table(simhash_neardup_pairs(ds, max_hamming=10))
+    pairs = {(r["doc_a"], r["doc_b"]): r["min(hamming)"] for r in got.to_pylist()}
+    assert pairs[(0, 3)] == 0  # identical text -> identical simhash
+    assert (0, 1) in pairs  # near-dup within small hamming distance
+
+
+def test_ann_brute_force(ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.ann import brute_force_topk, embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 16))
+    vecs[7] = vecs[3] * 2.0  # same direction -> cos 1.0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    q = np.asarray(
+        pa.Table.from_arrays([tbl.column("embedding")], ["e"]).column("e").to_pylist(),
+        dtype=np.float64,
+    )[[3]]
+    res = brute_force_topk(ds, q, k=5)
+    rows = res.to_pylist()
+    assert rows[0]["rank"] == 1 and rows[0]["vec_id"] == 3
+    assert rows[1]["vec_id"] == 7 and rows[1]["cos_sim"] == pytest.approx(1.0)
+    # compare against direct numpy on float32-roundtripped vectors
+    v32 = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    vn = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = vn @ qn.T
+    order = np.lexsort((np.arange(100), -sims[:, 0]))[:5]
+    assert [r["vec_id"] for r in rows] == list(order)
+
+    pairs = embedding_neardup_pairs(ds, threshold=0.999)
+    assert (3, 7) in {(r["vec_a"], r["vec_b"]) for r in pairs.to_pylist()}
+
+
+def test_analyze_pipelines(docs_ds):
+    from donkey_ray.pipelines.analyze import (
+        corpus_stats,
+        doc_fingerprints,
+        doc_token_counts,
+        language_id,
+        quality_scores,
+        term_df,
+    )
+
+    ds, texts = docs_ds
+    counts = {r["doc_id"]: r["n_tokens"]
+              for r in dataset_to_table(doc_token_counts(ds)).to_pylist()}
+    assert counts[0] == 9 and counts[7] == 0 and counts[6] == 1
+
+    dfs = {r["term"]: r["df"] for r in dataset_to_table(term_df(ds)).to_pylist()}
+    assert dfs["the"] == 3  # docs 0,1,3
+    assert dfs["fox"] == 3
+
+    stats = corpus_stats(ds).to_pylist()[0]
+    assert stats["n_docs"] == 8
+    assert stats["total_len"] == sum(counts.values())
+
+    qs = {r["doc_id"]: r for r in dataset_to_table(quality_scores(ds)).to_pylist()}
+    m0 = quality_metrics(texts[0])
+    assert qs[0]["n_tokens"] == m0["n_tokens"]
+    assert qs[0]["stopword_ratio"] == pytest.approx(round(m0["stopword_ratio"], 6))
+
+    langs = {r["doc_id"]: r["pred_lang"]
+             for r in dataset_to_table(language_id(ds)).to_pylist()}
+    assert langs[0] == "en" and langs[4] == "de" and langs[5] == "es"
+    assert langs[7] == "unknown"
+
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in dataset_to_table(doc_fingerprints(ds)).to_pylist()}
+    assert fps[0] == fps[3] == fingerprint(texts[0])
+    assert fps[0] != fps[1]
+
+
+def test_fingerprint_order_sensitive():
+    assert fingerprint("a b c") != fingerprint("c b a")
+    assert fingerprint("") == 0
+
+
+def test_lang_id_tiebreak():
+    # token 'de' is a marker for es, fr AND zh (count 1 each); the pinned
+    # priority order (de, en, es, fr, zh) resolves the tie to 'es'
+    assert lang_id("de") == "es"
+    assert lang_id("xyz qqq") == "unknown"
