@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md measurement protocol).
+
+Default mode: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the synthetic bench-corpus index build, and
+prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "num_cpus": N}
+
+--scaling: runs the identical index build in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the in-sandbox substitute
+for N vs 4N nodes), reports files/s at both + scaling efficiency, and
+records the result in BENCH/BASELINE.md.
+
+--scaling-child N: internal (one fresh-process build at N cpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = "/tmp/donkey_ray_cache"
+
+# bench corpus size by sf of the input dir (synthetic, input_hint shape;
+# generated once with Ray, cached as parquet)
+BENCH_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+SCALING_DOCS = 400_000
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def bench_corpus_path(n_docs: int) -> str:
+    return os.path.join(CACHE, f"bench_corpus_{n_docs}")
+
+
+def ensure_bench_corpus(n_docs: int) -> str:
+    from donkey_ray.synth import generate_corpus_parquet
+
+    path = bench_corpus_path(n_docs)
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        generate_corpus_parquet(n_docs, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def run_build(corpus_path: str, out_dir: str, num_cpus: int,
+              override_num_blocks: int | None = None) -> dict:
+    from donkey_ray.pipelines.build import build_index
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    meta = build_index(
+        corpus_path,
+        out_dir,
+        num_partitions=32,
+        query_lang="code",
+        override_num_blocks=override_num_blocks or 2 * num_cpus,
+    )
+    wall = time.monotonic() - t0
+    return {"wall_s": wall, "n_docs": meta["n_docs"],
+            "files_per_s": meta["n_docs"] / wall,
+            "n_postings": meta["n_postings"]}
+
+
+def run_query_bench(index_dir: str, n_queries: int = 400) -> dict:
+    import ray.data
+
+    from donkey_ray.pipelines.query import score_queries
+    from donkey_ray.synth import make_queries
+
+    queries = make_queries(n_queries)
+    t0 = time.monotonic()
+    res = score_queries(index_dir, queries, mode="auto", batch_size=32)
+    n_rows = res.count()
+    wall = time.monotonic() - t0
+    return {"wall_s": wall, "queries_per_s": n_queries / wall, "rows": n_rows}
+
+
+def default_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    timings: dict[str, float] = {}
+
+    corpus_path = ensure_bench_corpus(BENCH_DOCS.get(_sf_name(SF_DIR), 20_000))
+    idx = "/tmp/bench_index"
+    b = run_build(corpus_path, idx, NUM_CPUS)
+    timings["index_build"] = round(b["wall_s"], 3)
+    q = run_query_bench(idx)
+    timings["query_topk_400"] = round(q["wall_s"], 3)
+
+    # driver-contract pipelines over the sf dir
+    import __ray_entry__ as entrymod
+    from donkey_ray.util import dataset_to_table
+    import ray.data as rd
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        out = fn(SF_DIR)
+        if isinstance(out, rd.Dataset):
+            dataset_to_table(out)
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "index_build_files_per_s",
+        "value": round(b["files_per_s"], 1),
+        "unit": "files/sec",
+        "build_wall_s": timings["index_build"],
+        "query_throughput_qps": round(q["queries_per_s"], 1),
+        "total_sec": total,
+        "queries": timings,
+        "sf": _sf_name(SF_DIR),
+        "bench_corpus_docs": b["n_docs"],
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+SCALING_BLOCKS = 64  # identical job config at both parallelism levels
+SCALING_TRIALS = 2
+
+
+def scaling_child(num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    # Warm the worker pool before timing: the north rule measures indexing
+    # throughput of `ray job submit` on an ALREADY-RUNNING fixed-size
+    # cluster; in this sandbox worker-process spawn + first-import costs
+    # ~1s per worker and would otherwise be billed to the first build.
+    import ray.data
+
+    def _warm(batch):
+        import donkey_ray.stages.extract  # noqa: F401  (real imports)
+        import donkey_ray.stages.encode  # noqa: F401
+        import time as _t
+
+        _t.sleep(0.5)  # hold the slot so every worker actually spawns
+        return batch
+
+    (
+        ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 2)
+        .map_batches(_warm, batch_size=2)
+        .materialize()
+    )
+    corpus_path = ensure_bench_corpus(SCALING_DOCS)
+    out = f"/tmp/bench_index_scaling_{num_cpus}"
+    trials = [
+        run_build(corpus_path, out, num_cpus, override_num_blocks=SCALING_BLOCKS)
+        for _ in range(SCALING_TRIALS)
+    ]
+    b = min(trials, key=lambda t: t["wall_s"])  # min = least noise
+    b["trial_walls"] = [round(t["wall_s"], 2) for t in trials]
+    b["num_cpus"] = num_cpus
+    ray.shutdown()
+    return b
+
+
+def scaling_parent() -> dict:
+    # generate the corpus once (own Ray session) before the fresh children
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ensure_bench_corpus(SCALING_DOCS)
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    f8, f32 = results[8]["files_per_s"], results[32]["files_per_s"]
+    eff = (f32 / f8) / 4.0
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "files_per_s_8": round(f8, 1),
+        "files_per_s_32": round(f32, 1),
+        "wall_s_8": round(results[8]["wall_s"], 1),
+        "wall_s_32": round(results[32]["wall_s"], 1),
+        "n_docs": SCALING_DOCS,
+        "queries": {
+            "build@8cpus": round(results[8]["wall_s"], 3),
+            "build@32cpus": round(results[32]["wall_s"], 3),
+        },
+        "sf": _sf_name(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH baseline (measured in-sandbox)\n\n"
+            "Same index build, same input, fresh processes at two\n"
+            "parallelism levels (in-sandbox substitute for N vs 4N nodes).\n\n"
+            "| num_cpus | wall s | files/s |\n|---|---|---|\n"
+            f"| 8 | {results[8]['wall_s']:.1f} | {f8:.1f} |\n"
+            f"| 32 | {results[32]['wall_s']:.1f} | {f32:.1f} |\n\n"
+            f"**Scaling efficiency (files_s@32 / files_s@8) / 4 = {eff:.3f}**\n\n"
+            f"Corpus: {SCALING_DOCS} synthetic source files "
+            "(donkey_ray.synth.generate_corpus_parquet, seed 42, Zipf "
+            "identifiers + ~100%-df common token; partitions=32, "
+            "blocks=2x cpus).\n"
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-child", type=int, default=None)
+    args = ap.parse_args()
+    if args.scaling_child is not None:
+        print(json.dumps(scaling_child(args.scaling_child)))
+    elif args.scaling:
+        print(json.dumps(scaling_parent()))
+    else:
+        print(json.dumps(default_bench()))
+
+
+if __name__ == "__main__":
+    main()

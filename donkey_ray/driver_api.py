@@ -62,8 +62,9 @@ def ensure_index(sf_dir: str) -> str:
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    # documents is a small single-file table: don't over-split it
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=list(columns)
+        f"{sf_dir}/documents.parquet", columns=list(columns), override_num_blocks=8
     )
 
 
@@ -83,7 +84,7 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
             "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
         }
     )
-    res = dataset_to_table(score_queries(index_dir, queries, mode="wand"))
+    res = dataset_to_table(score_queries(index_dir, queries, mode="auto"))
     res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     return _round_col(res, "score")
 
@@ -172,7 +173,8 @@ def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 def _embeddings(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=8,
     )
 
 
@@ -224,4 +226,4 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
             "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
         }
     )
-    return score_queries(index_dir, queries, mode="wand")
+    return score_queries(index_dir, queries, mode="auto")

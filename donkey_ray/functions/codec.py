@@ -71,6 +71,73 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varbyte_encode_all(values) -> tuple[bytes, np.ndarray]:
+    """Encode all values in one vectorized pass; returns (buffer, offs)
+    where offs[i] is the byte offset of value i (len n+1). Slicing
+    buffer[offs[i]:offs[j]] yields the encoding of values[i:j]."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nb = np.ones(v.size, dtype=np.int64)
+    rest = v >> _U7
+    while rest.any():
+        nb += (rest > 0)
+        rest = rest >> _U7
+    offs = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=offs[1:])
+    out = np.zeros(offs[-1], dtype=np.uint8)
+    starts = offs[:-1]
+    for g in range(10):
+        mask = nb > g
+        if not mask.any():
+            break
+        pos = starts[mask] + g
+        byte = ((v[mask] >> np.uint64(7 * g)) & _M7F).astype(np.uint8)
+        cont = (nb[mask] - 1 > g).astype(np.uint8)
+        out[pos] = byte | (cont << 7)
+    return out.tobytes(), offs
+
+
+def varbyte_encode_segments(values, seg_starts) -> list[bytes]:
+    """[varbyte_encode(run) for run in runs] in one vectorized pass."""
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    buf, offs = varbyte_encode_all(values)
+    n = offs.size - 1
+    byte_bounds = offs[np.append(seg_starts, n)]
+    return [buf[byte_bounds[i]: byte_bounds[i + 1]] for i in range(len(seg_starts))]
+
+
+def decode_blocked_deltas(buf: bytes, n: int, block_size: int) -> np.ndarray:
+    """Decode a delta stream whose deltas RESET at every block boundary
+    (the first value of each block is absolute) -> absolute int64 values.
+
+    This layout makes each block independently decodable (lazy block-max
+    WAND skips decode of pruned blocks)."""
+    d = varbyte_decode(buf)
+    assert d.size == n, (d.size, n)
+    if n == 0:
+        return d.astype(np.int64)
+    c = np.cumsum(d, dtype=np.uint64)
+    bs = np.arange(0, n, block_size)
+    pre = np.concatenate((np.zeros(1, dtype=np.uint64), c[bs[1:] - 1]))
+    lens = np.diff(np.append(bs, n))
+    corr = np.repeat(pre, lens)
+    return (c - corr).astype(np.int64)
+
+
+def delta_encode_segments(sorted_vals, seg_starts) -> np.ndarray:
+    """Per-run delta encode in one pass: within each run the first value is
+    absolute, the rest are diffs (runs are ascending-sorted)."""
+    v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    d = np.empty_like(v)
+    d[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=d[1:])
+    d[seg_starts] = v[seg_starts]
+    return d
+
+
 def delta_encode(sorted_vals) -> np.ndarray:
     """Ascending-sorted unique uint64 -> deltas (first absolute)."""
     v = np.ascontiguousarray(sorted_vals, dtype=np.uint64)

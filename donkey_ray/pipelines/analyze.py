@@ -57,12 +57,11 @@ def term_df(ds: ray.data.Dataset, *, text_col: str = "text",
         return pa.table({"term": dedup.column("term")})
 
     exploded = ds.map_batches(explode_distinct, batch_format="pyarrow", zero_copy_batch=True)
-    counts = exploded.groupby("term").count()
+    from ..stages.exchange import partitioned_aggregate
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["term", "df"])
-
-    return counts.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_aggregate(
+        exploded, ["term"], [("term", "count")], rename={"term_count": "df"}
+    )
 
 
 def corpus_stats(ds: ray.data.Dataset, *, text_col: str = "text",

@@ -29,7 +29,7 @@ import ray.data
 from ..functions.hashing import deterministic_sample_mask
 from ..sources.corpus import read_corpus
 from ..stages.encode import SegmentWriter
-from ..stages.extract import PostingsExtractor, doc_meta
+from ..stages.extract import PostingsExtractor, doc_meta, extract_postings
 from ..state import manifest as mf
 
 DEFAULT_PARTITIONS = 16
@@ -59,34 +59,50 @@ def detect_hot_terms(
     partition routing."""
     extractor = PostingsExtractor(1, id_col=id_col, emit_part=False)
 
-    def sample_postings(batch: pa.Table) -> pa.Table:
+    def sample_partial_df(batch: pa.Table) -> pa.Table:
+        """Per-batch partial df over the deterministic sample, pre-filtered
+        to candidate-hot terms so only a tiny table reaches the driver.
+
+        A term qualifies in a batch if it appears in >= hot_df_ratio of the
+        batch's sampled docs (and >= 2 of them). Genuinely hot terms appear
+        at ~their global rate in every batch, so they always qualify; the
+        filter only prunes the cold tail. The hot set is a routing
+        heuristic — correctness never depends on it (runs are merged at
+        query time)."""
         from ..stages.extract import _doc_ids_for_batch
 
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df_part": pa.array([], pa.int64())})
         ids = _doc_ids_for_batch(batch, id_col)
         mask = deterministic_sample_mask(ids, sample_mod)
-        if not mask.any():
-            return pa.table({"term": pa.array([], pa.string()),
-                             "doc_id": pa.array([], pa.int64())})
-        sub = batch.filter(pa.array(mask))
-        out = extractor(sub)
-        return out.select(["term", "doc_id"])
-
-    sampled = ds.map_batches(sample_postings, batch_format="pyarrow", zero_copy_batch=True)
-    counts = sampled.groupby("term").count()
-    # expected sample size is deterministic given the data; avoids a second
-    # pass over the sample
-    n_sample_docs = max(n_docs // sample_mod, 1)
-    thresh = max(2.0, hot_df_ratio * n_sample_docs)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
+        n_sampled = int(mask.sum())
+        if n_sampled == 0:
+            return empty
+        out = extractor(batch.filter(pa.array(mask)))
+        counts = (
+            out.select(["term"])
+            .group_by(["term"], use_threads=False)
+            .aggregate([("term", "count")])
+        )
         import pyarrow.compute as pc
 
-        return batch.filter(pc.greater_equal(batch.column("count()"), int(thresh)))
+        cutoff = max(2, int(np.ceil(hot_df_ratio * n_sampled)))
+        return pa.table(
+            {
+                "term": counts.column("term"),
+                "df_part": counts.column("term_count").cast(pa.int64()),
+            }
+        ).filter(pc.greater_equal(counts.column("term_count"), cutoff))
 
-    rows = counts.map_batches(
-        only_hot, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # hot set is tiny by construction
-    hot = sorted(r["term"] for r in rows)
+    partials = ds.map_batches(
+        sample_partial_df, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # candidate-hot only: tiny
+    n_sample_docs = max(n_docs // sample_mod, 1)
+    thresh = max(2.0, hot_df_ratio * n_sample_docs)
+    totals: dict[str, int] = {}
+    for r in partials:
+        totals[r["term"]] = totals.get(r["term"], 0) + int(r["df_part"])
+    hot = sorted(t for t, c in totals.items() if c >= thresh)
     return hot, n_sample_docs
 
 
@@ -100,15 +116,23 @@ def build_index(
     sample_mod: int = 64,
     hot_df_ratio: float = 0.25,
     detect_hot: bool = True,
-    batch_size: int = 256,
+    batch_size: int = 512,
     concurrency=None,
     verify_resume_checksum: bool = True,
     query_lang: str | None = None,
+    override_num_blocks: int | None = None,
 ) -> dict:
-    """Build (or resume) an inverted index at ``out_dir``. Returns meta."""
+    """Build (or resume) an inverted index at ``out_dir``. Returns meta.
+
+    Block sizing: per-task and per-shuffle-object overheads grow with block
+    COUNT, so blocks are kept at ~2x cluster CPUs (larger data -> bigger
+    blocks, not more of them) unless overridden."""
     t_start = time.monotonic()
     if isinstance(corpus, str):
-        ds = read_corpus(corpus)
+        if override_num_blocks is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            override_num_blocks = max(2 * cpus, 8)
+        ds = read_corpus(corpus, override_num_blocks=override_num_blocks)
         if id_col is None and "doc_id" in ds.schema().names:
             id_col = "doc_id"
     else:
@@ -166,21 +190,21 @@ def build_index(
     skipped = sorted(done)
     if len(done) < num_partitions:
         hot_ref = ray.put(hot_terms) if hot_terms else None
-        if concurrency is None:
-            # actor pool sized to the cluster; autoscales down when idle
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-            concurrency = (1, max(2, cpus))
+        # task pool (not actors): extract_postings caches the configured
+        # extractor per worker process, giving actor-like state amortization
+        # without actor-pool startup latency
         extract_kwargs = dict(
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
-            concurrency=concurrency,
         )
+        if concurrency is not None:
+            extract_kwargs["concurrency"] = concurrency
         postings = ds.map_batches(
-            PostingsExtractor,
-            fn_constructor_kwargs=dict(
+            functools.partial(
+                extract_postings,
                 num_partitions=num_partitions,
-                hot_terms=hot_ref,
+                hot_ref=hot_ref,
                 salt_bits=salt_bits,
                 id_col=id_col,
             ),
@@ -209,8 +233,11 @@ def build_index(
     all_entries = {**{p: e for p, e in done.items()}, **new_entries}
     total_len = int(sum(e["sum_tf"] for e in all_entries.values()))
     n_postings = int(sum(e["n_postings"] for e in all_entries.values()))
+    from .. import schemas
+
     meta = {
-        "format_version": 1,
+        "format_version": 2,
+        "block_size": schemas.BLOCK_SIZE,
         "n_docs": int(n_docs),
         "total_len": total_len,
         "n_postings": n_postings,

@@ -19,6 +19,7 @@ import ray.data
 from ..functions import minhash as mh
 from ..functions.hashing import sha256_hex_column
 from ..functions.textstats import shingle_hashes
+from ..stages.exchange import keyed_partition_map, partitioned_aggregate
 from ..util import dataset_to_table
 
 
@@ -36,20 +37,15 @@ def exact_dedup_groups(
 ) -> ray.data.Dataset:
     """(content_sha256, doc_id=min id, n_dups) per distinct content.
 
-    Shuffles only the 2-column (hash, id) projection (SURVEY.md B21)."""
+    Shuffles only the 2-column (hash, id) projection (SURVEY.md B21);
+    per-partition C++ hash aggregation via keyed exchange."""
     hashed = add_content_hash(ds, text_col).select_columns(["content_sha256", id_col])
-
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col)
-        return pa.table(
-            {
-                "content_sha256": group.column("content_sha256").slice(0, 1),
-                "doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
-                "n_dups": pa.array([group.num_rows], pa.int64()),
-            }
-        )
-
-    return hashed.groupby("content_sha256").map_groups(keep_min, batch_format="pyarrow")
+    return partitioned_aggregate(
+        hashed,
+        ["content_sha256"],
+        [(id_col, "min"), (id_col, "count")],
+        rename={f"{id_col}_min": "doc_id", f"{id_col}_count": "n_dups"},
+    )
 
 
 def exact_dedup(
@@ -103,28 +99,65 @@ def ngram_jaccard_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
-    # per-doc distinct shingle counts (small: one row per doc) -> broadcast
-    sizes_tbl = dataset_to_table(exploded.groupby("doc_id").count())
+    # per-doc distinct shingle counts (one row per doc, partial-agg) -> broadcast
+    sizes_tbl = dataset_to_table(
+        partitioned_aggregate(
+            exploded, ["doc_id"], [("shingle", "count")],
+            rename={"shingle_count": "n"},
+        )
+    )
     sizes = dict(
-        zip(sizes_tbl.column("doc_id").to_pylist(), sizes_tbl.column("count()").to_pylist())
+        zip(sizes_tbl.column("doc_id").to_pylist(), sizes_tbl.column("n").to_pylist())
     )
     sizes_ref = ray.put(sizes)
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())})
+    def emit_pairs_partition(part: pa.Table) -> pa.Table:
+        """All shingles of this hash partition: sort, slice runs, emit the
+        per-run doc pairs, and pre-count pairs locally (C++ group_by) so
+        the final exchange only sums small partials."""
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "partial": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        order = pa.compute.sort_indices(
+            part, sort_keys=[("shingle", "ascending"), ("doc_id", "ascending")]
+        )
+        g = part.take(order)
+        sh = g.column("shingle").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(sh[1:] != sh[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(sh)]))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = ids[s:e]
+            ai, bi = np.triu_indices(e - s, k=1)
+            a_out.append(run[ai])
+            b_out.append(run[bi])
+        if not a_out:
+            return empty
+        pairs = pa.table(
+            {"a": pa.array(np.concatenate(a_out), pa.int64()),
+             "b": pa.array(np.concatenate(b_out), pa.int64())}
+        )
+        cnt = pairs.group_by(["a", "b"], use_threads=False).aggregate([("a", "count")])
+        return pa.table(
+            {"a": cnt.column("a"), "b": cnt.column("b"),
+             "partial": cnt.column("a_count").cast(pa.int64())}
+        )
 
-    pairs = exploded.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
-    inter = pairs.groupby(["a", "b"]).count()
+    partial_pairs = keyed_partition_map(exploded, ["shingle"], emit_pairs_partition)
+    inter = partitioned_aggregate(
+        partial_pairs, ["a", "b"], [("partial", "sum")], rename={"partial_sum": "c"}
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         sz = ray.get(sizes_ref)
         a = batch.column("a").to_pylist()
         b = batch.column("b").to_pylist()
-        c = batch.column("count()").to_pylist()
+        c = batch.column("c").to_pylist()
         jac = [ci / (sz[x] + sz[y] - ci) for x, y, ci in zip(a, b, c)]
         out = pa.table(
             {
@@ -170,14 +203,34 @@ def minhash_neardup_pairs(
 
     bands = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())})
+    def emit_pairs_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        order = pa.compute.sort_indices(
+            part, sort_keys=[("band", "ascending"), ("doc_id", "ascending")]
+        )
+        g = part.take(order)
+        bands_np = g.column("band").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(bands_np[1:] != bands_np[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            run = np.unique(ids[s:e])
+            if len(run) < 2:
+                continue
+            ai, bi = np.triu_indices(len(run), k=1)
+            a_out.append(run[ai])
+            b_out.append(run[bi])
+        if not a_out:
+            return empty
+        t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                      "b": pa.array(np.concatenate(b_out), pa.int64())})
+        return t.group_by(["a", "b"], use_threads=False).aggregate([])
 
-    cand = bands.groupby("band").map_groups(emit_pairs, batch_format="pyarrow")
+    cand = keyed_partition_map(bands, ["band"], emit_pairs_partition)
     cand_tbl = dataset_to_table(cand)
     if cand_tbl.num_rows == 0:
         return ray.data.from_arrow(
@@ -271,16 +324,31 @@ def simhash_neardup_pairs(
 
     bands = fps.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_checked(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        hs = group.column("simhash").to_pylist()
-        seen = sorted(set(zip(ids, hs)))
+    def emit_checked_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int32())})
+        if part.num_rows == 0:
+            return empty
+        order = pa.compute.sort_indices(
+            part, sort_keys=[("band", "ascending"), ("doc_id", "ascending")]
+        )
+        g = part.take(order)
+        bands_np = g.column("band").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        starts = np.concatenate(([0], np.flatnonzero(bands_np[1:] != bands_np[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(ids)]))
         out = []
-        for i in range(len(seen)):
-            for j in range(i + 1, len(seen)):
-                d = mh.hamming64(int(seen[i][1]), int(seen[j][1]))
-                if d <= max_hamming:
-                    out.append((seen[i][0], seen[j][0], d))
+        for s, e in zip(starts, ends):
+            uniq = sorted(set(zip(ids[s:e].tolist(), hs[s:e].tolist())))
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    d = mh.hamming64(int(uniq[i][1]), int(uniq[j][1]))
+                    if d <= max_hamming:
+                        out.append((uniq[i][0], uniq[j][0], d))
+        if not out:
+            return empty
         return pa.table(
             {
                 "doc_a": pa.array([o[0] for o in out], pa.int64()),
@@ -289,6 +357,9 @@ def simhash_neardup_pairs(
             }
         )
 
-    pairs = bands.groupby("band").map_groups(emit_checked, batch_format="pyarrow")
-    # a pair can match in multiple bands -> dedup
-    return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    pairs = keyed_partition_map(bands, ["band"], emit_checked_partition)
+    # a pair can match in multiple bands -> dedup (min over identical values)
+    return partitioned_aggregate(
+        pairs, ["doc_a", "doc_b"], [("hamming", "min")],
+        rename={"hamming_min": "min(hamming)"},
+    )

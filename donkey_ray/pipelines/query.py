@@ -20,7 +20,7 @@ from ..stages.score import QueryEngine
 class QueryScorerStage:
     """map_batches actor: QUERIES-schema batches -> RESULTS-schema batches."""
 
-    def __init__(self, index_dir: str, mode: str = "wand") -> None:
+    def __init__(self, index_dir: str, mode: str = "auto") -> None:
         self.engine = QueryEngine(index_dir, mode=mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -46,15 +46,19 @@ def score_queries(
     index_dir: str,
     queries: ray.data.Dataset | pa.Table,
     *,
-    mode: str = "wand",
+    mode: str = "auto",
     concurrency=None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
+    n_queries = queries.num_rows if isinstance(queries, pa.Table) else None
     if isinstance(queries, pa.Table):
         queries = ray.data.from_arrow(queries)
     if concurrency is None:
+        # actors sized to the number of query batches (engine init — dict
+        # load — is paid per actor; more actors than batches is pure waste)
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, cpus))
+        n_batches = max(1, (n_queries or 512) // batch_size)
+        concurrency = (1, max(1, min(cpus, n_batches, 8)))
     return queries.map_batches(
         QueryScorerStage,
         fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode),

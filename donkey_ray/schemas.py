@@ -45,8 +45,10 @@ POSTINGS = pa.schema(
 )
 
 # On-disk index segment row (one row per (term-run) within a partition).
-# doc_ids: delta+varbyte; tfs/dls: varbyte (see functions/codec.py).
-# block_*: per-128-posting block-max metadata for WAND.
+# doc_ids: delta+varbyte with the delta RESET at each 128-posting block
+# (first value of a block is absolute), so any block decodes on its own;
+# tfs/dls: varbyte. block_*: per-block block-max metadata + byte offsets
+# (len n_blocks+1) enabling lazy per-block decode in block-max WAND.
 SEGMENT = pa.schema(
     [
         ("term", pa.string()),
@@ -57,6 +59,9 @@ SEGMENT = pa.schema(
         ("block_last_doc", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int32())),
         ("block_min_dl", pa.list_(pa.int32())),
+        ("block_doc_boff", pa.list_(pa.int64())),
+        ("block_tf_boff", pa.list_(pa.int64())),
+        ("block_dl_boff", pa.list_(pa.int64())),
     ]
 )
 

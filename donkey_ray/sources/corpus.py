@@ -15,7 +15,12 @@ from .. import schemas
 CORPUS_COLUMNS = [f.name for f in schemas.CORPUS]
 
 
-def read_corpus(path: str, *, langs: list[str] | None = None) -> ray.data.Dataset:
+def read_corpus(
+    path: str,
+    *,
+    langs: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
     """Read a Parquet corpus (repo, path, commit, lang, content).
 
     Column pruning happens at the read; an optional lang filter is pushed
@@ -31,6 +36,8 @@ def read_corpus(path: str, *, langs: list[str] | None = None) -> ray.data.Datase
 
         expr = field("lang").isin(langs)
         kwargs["filter"] = expr
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(path, columns=CORPUS_COLUMNS + extra, **kwargs)
 
 

@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .. import schemas
-from ..functions.codec import delta_encode, varbyte_encode
+from ..functions.codec import delta_encode_segments, varbyte_encode_all
 from ..state import manifest as mf
 
 
@@ -53,6 +53,9 @@ def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE
                 "block_last_doc": pa.array([], pa.list_(pa.int64())),
                 "block_max_tf": pa.array([], pa.list_(pa.int32())),
                 "block_min_dl": pa.array([], pa.list_(pa.int32())),
+                "block_doc_boff": pa.array([], pa.list_(pa.int64())),
+                "block_tf_boff": pa.array([], pa.list_(pa.int64())),
+                "block_dl_boff": pa.array([], pa.list_(pa.int64())),
             }
         )
         return empty, {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
@@ -60,28 +63,48 @@ def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE
     starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
     ends = np.concatenate((starts[1:], [n]))
 
-    out_terms: list[str] = []
-    out_df: list[int] = []
+    out_terms = [str(t) for t in terms[starts]]
+    out_df = (ends - starts).tolist()
+    # global block starts: every block_size postings WITHIN each run; the
+    # doc-id delta stream resets at every block start so each block is
+    # independently decodable (lazy WAND)
+    blk_starts_per_run = [
+        s + np.arange(0, e - s, block_size, dtype=np.int64)
+        for s, e in zip(starts, ends)
+    ]
+    all_blk_starts = np.concatenate(blk_starts_per_run)
+    # one vectorized codec pass over ALL runs per stream (hot path)
+    doc_buf, doc_offs = varbyte_encode_all(
+        delta_encode_segments(doc_ids.astype(np.uint64), all_blk_starts)
+    )
+    tf_buf, tf_offs = varbyte_encode_all(tfs.astype(np.uint64))
+    dl_buf, dl_offs = varbyte_encode_all(dls.astype(np.uint64))
+
     out_docs: list[bytes] = []
     out_tfs: list[bytes] = []
     out_dls: list[bytes] = []
     out_bld: list[list[int]] = []
     out_bmt: list[list[int]] = []
     out_bmd: list[list[int]] = []
-    for s, e in zip(starts, ends):
+    out_doc_boff: list[list[int]] = []
+    out_tf_boff: list[list[int]] = []
+    out_dl_boff: list[list[int]] = []
+    for (s, e), bstarts in zip(zip(starts, ends), blk_starts_per_run):
         ids = doc_ids[s:e]
         tf = tfs[s:e]
         dl = dls[s:e]
-        out_terms.append(str(terms[s]))
-        out_df.append(int(e - s))
-        out_docs.append(varbyte_encode(delta_encode(ids.astype(np.uint64))))
-        out_tfs.append(varbyte_encode(tf.astype(np.uint64)))
-        out_dls.append(varbyte_encode(dl.astype(np.uint64)))
-        bstarts = np.arange(0, e - s, block_size)
-        bends = np.minimum(bstarts + block_size, e - s)
+        rel = bstarts - s
+        bends = np.minimum(rel + block_size, e - s)
+        out_docs.append(doc_buf[doc_offs[s]: doc_offs[e]])
+        out_tfs.append(tf_buf[tf_offs[s]: tf_offs[e]])
+        out_dls.append(dl_buf[dl_offs[s]: dl_offs[e]])
         out_bld.append(ids[bends - 1].tolist())
-        out_bmt.append(np.maximum.reduceat(tf, bstarts).astype(np.int32).tolist())
-        out_bmd.append(np.minimum.reduceat(dl, bstarts).astype(np.int32).tolist())
+        out_bmt.append(np.maximum.reduceat(tf, rel).astype(np.int32).tolist())
+        out_bmd.append(np.minimum.reduceat(dl, rel).astype(np.int32).tolist())
+        bounds = np.append(bstarts, e)
+        out_doc_boff.append((doc_offs[bounds] - doc_offs[s]).tolist())
+        out_tf_boff.append((tf_offs[bounds] - tf_offs[s]).tolist())
+        out_dl_boff.append((dl_offs[bounds] - dl_offs[s]).tolist())
 
     seg = pa.table(
         {
@@ -93,6 +116,9 @@ def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE
             "block_last_doc": pa.array(out_bld, pa.list_(pa.int64())),
             "block_max_tf": pa.array(out_bmt, pa.list_(pa.int32())),
             "block_min_dl": pa.array(out_bmd, pa.list_(pa.int32())),
+            "block_doc_boff": pa.array(out_doc_boff, pa.list_(pa.int64())),
+            "block_tf_boff": pa.array(out_tf_boff, pa.list_(pa.int64())),
+            "block_dl_boff": pa.array(out_dl_boff, pa.list_(pa.int64())),
         }
     )
     stats = {

@@ -1,0 +1,131 @@
+"""Keyed exchange helpers: hash-partitioned local aggregation.
+
+``groupby(key).map_groups(fn)`` in Ray Data emits ONE BLOCK PER GROUP;
+with many small groups (terms, shingles, LSH bands) that floods the
+pipeline with tiny blocks and per-block overhead dominates. The pattern
+here keeps the shuffle but bounds block count:
+
+  map_batches(add __part = stable_hash(key) % P)
+    -> groupby('__part').map_groups(partition_fn)   # P blocks total
+
+inside ``partition_fn`` every row of a key is co-located, so a plain
+vectorized pyarrow ``Table.group_by`` / sort+run-slice does the per-key
+work at C++ speed. P is O(cluster CPUs), independent of group count.
+
+This is also the scale story: P grows with the cluster, per-partition
+work stays batched, and skewed keys can be salted upstream (the posting
+builder does exactly that).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C1
+    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable (process-independent) uint64 hash per value."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t):
+        return _mix64(col.cast(pa.uint64()).to_numpy(zero_copy_only=False))
+    import hashlib
+
+    # strings/binary: hash unique values once, then scatter
+    enc = col.dictionary_encode()
+    dic = enc.dictionary
+    vals = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(
+                    v if isinstance(v, bytes) else str(v).encode(),
+                    digest_size=8,
+                ).digest(),
+                "big",
+            )
+            for v in dic.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(dic),
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return vals[idx]
+
+
+def add_partition_column(
+    batch: pa.Table, keys: list[str], num_partitions: int, col: str = "__part"
+) -> pa.Table:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        h = _mix64(h ^ _hash_column(batch.column(k)))
+    return batch.append_column(
+        col, pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+    )
+
+
+def default_num_partitions() -> int:
+    # capped: exchange partitions are blocks, and per-block overhead beats
+    # extra parallelism beyond ~32 on one node; callers override for scale
+    return min(32, max(8, 2 * int(ray.cluster_resources().get("CPU", 4))))
+
+
+def keyed_partition_map(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    partition_fn: Callable[[pa.Table], pa.Table],
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hash-partition by ``keys`` then apply ``partition_fn`` to each whole
+    partition (the '__part' column is dropped before the call). All rows
+    of a key are co-located; group count does not affect block count."""
+    P = num_partitions or default_num_partitions()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return add_partition_column(batch, keys, P)
+
+    def run(group: pa.Table) -> pa.Table:
+        if "__part" in group.column_names:
+            group = group.drop_columns(["__part"])
+        return partition_fn(group)
+
+    run.__name__ = partition_fn.__name__ if hasattr(partition_fn, "__name__") else "partition_fn"
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("__part").map_groups(run, batch_format="pyarrow")
+
+
+def partitioned_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggregations: list[tuple[str, str]],
+    *,
+    num_partitions: int | None = None,
+    rename: dict[str, str] | None = None,
+) -> ray.data.Dataset:
+    """Distributed group-by built from per-partition pyarrow group_by
+    (C++ hash aggregation) — e.g. [('doc_id', 'min'), ('doc_id', 'count')].
+    Column names follow pyarrow ('doc_id_min'), optionally renamed."""
+
+    def agg(part: pa.Table) -> pa.Table:
+        out = part.group_by(keys, use_threads=False).aggregate(aggregations)
+        if rename:
+            out = out.rename_columns([rename.get(c, c) for c in out.column_names])
+        return out
+
+    agg.__name__ = "partitioned_aggregate"
+    return keyed_partition_map(ds, keys, agg, num_partitions=num_partitions)

@@ -63,6 +63,34 @@ def doc_meta(batch: pa.Table, *, id_col: str | None = None) -> pa.Table:
     )
 
 
+# per-worker-process extractor cache: tasks get actor-like amortization of
+# setup (hot-term routing table, compiled regexes) without actor-pool
+# startup latency. Keyed by config; hot set resolved from the object store
+# once per process.
+_EXTRACTOR_CACHE: dict = {}
+
+
+def extract_postings(batch: pa.Table, *, num_partitions: int, hot_ref=None,
+                     salt_bits: int = 4, id_col: str | None = None) -> pa.Table:
+    key = (
+        num_partitions,
+        hot_ref.hex() if hot_ref is not None else None,
+        salt_bits,
+        id_col,
+    )
+    ex = _EXTRACTOR_CACHE.get(key)
+    if ex is None:
+        import ray
+
+        hot = ray.get(hot_ref) if hot_ref is not None else None
+        ex = PostingsExtractor(
+            num_partitions, hot_terms=hot, salt_bits=salt_bits, id_col=id_col
+        )
+        _EXTRACTOR_CACHE.clear()  # one live config per worker is enough
+        _EXTRACTOR_CACHE[key] = ex
+    return ex(batch)
+
+
 class PostingsExtractor:
     """Actor-pool stage: corpus batches -> exploded (term, doc_id, tf, dl,
     part) postings batches (SURVEY.md B12/B15/B18).

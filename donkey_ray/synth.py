@@ -96,6 +96,79 @@ def make_corpus(n_rows: int, seed: int = 42, lines_lo: int = 5, lines_hi: int = 
     )
 
 
+def _corpus_rows_for_indices(
+    idx, seed: int, lines_lo: int, lines_hi: int
+) -> pa.Table:
+    """Rows for specific doc indices — deterministic per (seed, i), so
+    generation parallelizes over index ranges with identical output
+    regardless of batching (used by the Ray-parallel bench generator)."""
+    vocab = np.asarray(_vocab())
+    probs = _zipf_probs(VOCAB_SIZE, ZIPF_S)
+    cum = np.cumsum(probs)
+    repos, paths, commits, lang_col, contents = [], [], [], [], []
+    for i in idx:
+        i = int(i)
+        rng = np.random.default_rng((seed, i))
+        lang = LANGS[int(rng.integers(len(LANGS)))]
+        repo = f"org{i % 7}/repo{i % 23}"
+        w1 = _WORDS[int(rng.integers(len(_WORDS)))]
+        w2 = _WORDS[int(rng.integers(len(_WORDS)))]
+        path = f"src/{w1}/{w2}_{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}:{path}:{seed}".encode()).hexdigest()
+        n_lines = int(rng.integers(lines_lo, lines_hi + 1))
+        kws = _KW[lang]
+        idents = vocab[np.searchsorted(cum, rng.random(3 * n_lines))]
+        nums = rng.integers(0, 1000, size=n_lines)
+        lines = [
+            f"{kws[j % len(kws)]} {idents[3*j]} = {idents[3*j+1]}({idents[3*j+2]}, {nums[j]});"
+            for j in range(n_lines)
+        ]
+        lines.append(f"{kws[0]} {COMMON_TOKEN};")
+        repos.append(repo)
+        paths.append(path)
+        commits.append(commit)
+        lang_col.append(lang)
+        contents.append("\n".join(lines))
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(lang_col, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
+def generate_corpus_parquet(
+    n_rows: int,
+    out_path: str,
+    *,
+    seed: int = 42,
+    lines_lo: int = 30,
+    lines_hi: int = 60,
+    override_num_blocks: int | None = None,
+) -> str:
+    """Ray-parallel deterministic corpus generation to a Parquet directory
+    (bench scale; driver-side make_corpus is the small-fixture path)."""
+    import ray
+    import ray.data
+
+    if override_num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        override_num_blocks = max(2 * cpus, 8)
+
+    def gen(batch) -> pa.Table:
+        return _corpus_rows_for_indices(batch["id"], seed, lines_lo, lines_hi)
+
+    (
+        ray.data.range(n_rows, override_num_blocks=override_num_blocks)
+        .map_batches(gen, batch_format="numpy", batch_size=4096)
+        .write_parquet(out_path)
+    )
+    return out_path
+
+
 def make_queries(n: int = 200, seed: int = 42) -> pa.Table:
     """Pinned query mix (FIXTURES.md section 2): 1-term common, 1-term rare,
     2-4-term conjunctions, absent term, duplicate-term."""
