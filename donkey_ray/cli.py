@@ -1,0 +1,151 @@
+"""CLI entry points (donkey analogue [PK]: console tools / server main,
+src/console.cpp + src/server.cpp — file-level, SURVEY.md section 0).
+
+Usage (ray job submit compatible — each command owns its Ray session):
+  python -m donkey_ray.cli build  --input corpus.parquet --output idxdir
+                                  [--partitions P] [--query-lang code]
+  python -m donkey_ray.cli query  --index idxdir --queries q.parquet
+                                  [--k 10] [--output results.parquet]
+                                  [--text "free form query"] [--hydrate]
+  python -m donkey_ray.cli stats  --index idxdir
+  python -m donkey_ray.cli synth  --rows N --output corpus.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def cmd_build(args) -> int:
+    _ray_init()
+    from .pipelines.build import build_index
+
+    meta = build_index(
+        args.input,
+        args.output,
+        num_partitions=args.partitions,
+        query_lang=args.query_lang,
+        salt_bits=args.salt_bits,
+        detect_hot=not args.no_hot_detection,
+    )
+    print(json.dumps(meta, indent=1))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ray_init()
+    import pyarrow as pa
+
+    from .pipelines.query import hydrate_results, score_queries
+    from .stages.score import QueryEngine
+    from .util import dataset_to_table
+
+    if args.text is not None:
+        engine = QueryEngine(args.index, mode=args.mode)
+        hits = engine.topk(args.text, args.k)
+        res = pa.table(
+            {
+                "query_id": pa.array([0] * len(hits), pa.int64()),
+                "rank": pa.array(range(1, len(hits) + 1), pa.int32()),
+                "doc_id": pa.array([d for d, _ in hits], pa.int64()),
+                "score": pa.array([s for _, s in hits], pa.float64()),
+            }
+        )
+    else:
+        if not args.queries:
+            print("error: provide --text or --queries", file=sys.stderr)
+            return 2
+        import ray.data
+
+        queries = ray.data.read_parquet(args.queries)
+        res = dataset_to_table(
+            score_queries(args.index, queries, mode=args.mode)
+        )
+    if args.hydrate:
+        res = hydrate_results(res, args.index)
+    if args.output:
+        import pyarrow.parquet as pq
+
+        pq.write_table(res, args.output)
+        print(f"wrote {res.num_rows} rows to {args.output}")
+    else:
+        for row in res.to_pylist():
+            print(json.dumps(row))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .state import manifest as mf
+
+    meta = mf.load_meta(args.index)
+    done = mf.validated_done_parts(
+        args.index, meta["num_partitions"], verify_checksum=False
+    )
+    meta["partitions_on_disk"] = len(done)
+    print(json.dumps(meta, indent=1))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    _ray_init()
+    from .synth import generate_corpus_parquet
+
+    generate_corpus_parquet(args.rows, args.output, seed=args.seed)
+    print(f"wrote {args.rows} synthetic corpus rows to {args.output}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="donkey_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from a parquet corpus")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--partitions", type=int, default=16)
+    b.add_argument("--query-lang", default="code")
+    b.add_argument("--salt-bits", type=int, default=4)
+    b.add_argument("--no-hot-detection", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="run top-k BM25 queries against an index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", help="parquet with (query_id, text, k)")
+    q.add_argument("--text", help="single ad-hoc query text")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
+    q.add_argument("--output")
+    q.add_argument("--hydrate", action="store_true",
+                   help="join results back to repo/path metadata")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats", help="print index metadata")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    g = sub.add_parser("synth", help="generate a deterministic synthetic corpus")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

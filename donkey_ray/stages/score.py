@@ -139,53 +139,65 @@ class _Run:
 class QueryEngine:
     """Loads index meta + per-partition dictionaries; serves top-k."""
 
-    def __init__(self, index_dir: str, *, mode: str = "auto", cache_parts: int = 64) -> None:
-        if not mf.is_complete(index_dir):
-            raise FileNotFoundError(f"index at {index_dir} is not complete")
-        self.index_dir = index_dir
-        self.meta = mf.load_meta(index_dir)
-        self.n_docs = int(self.meta["n_docs"])
-        self.avgdl = float(self.meta["avgdl"])
+    def __init__(self, index_dir: str | list[str], *, mode: str = "auto",
+                 cache_parts: int = 64) -> None:
+        """``index_dir`` may be a LIST of index dirs: federated exact BM25
+        over the union corpus (incremental builds are queried without
+        compaction — donkey's multi-segment search analogue). Stats are
+        summed; runs across indexes are extra disjoint iterators."""
+        dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        for d in dirs:
+            if not mf.is_complete(d):
+                raise FileNotFoundError(f"index at {d} is not complete")
+        self.index_dirs = dirs
+        self.index_dir = dirs[0]
+        metas = [mf.load_meta(d) for d in dirs]
+        self.meta = metas[0]
+        self.n_docs = int(sum(m["n_docs"] for m in metas))
+        total_len = sum(m["total_len"] for m in metas)
+        self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
         self.block_size = int(self.meta.get("block_size", schemas.BLOCK_SIZE))
         self.mode = mode
         self.query_lang = self.meta.get("query_lang", "simple")
         self._tok = get_tokenizer(self.query_lang)
-        self._cache: OrderedDict[int, pa.Table] = OrderedDict()
+        self._cache: OrderedDict[tuple[int, int], pa.Table] = OrderedDict()
         self._cache_parts = cache_parts
         self.blocks_decoded = 0  # instrumentation (pruning effectiveness)
-        # dictionary: term -> list[(part, row_idx, df)]
-        self.dictionary: dict[str, list[tuple[int, int, int]]] = {}
-        for part in self.meta["parts_built"]:
-            path = mf.segment_path(index_dir, part)
-            if not os.path.exists(path):
-                continue
-            cols = pq.read_table(path, columns=["term", "df"])
-            terms = cols.column("term").to_pylist()
-            dfs = cols.column("df").to_pylist()
-            for i, (t, d) in enumerate(zip(terms, dfs)):
-                self.dictionary.setdefault(t, []).append((part, i, int(d)))
+        # dictionary: term -> list[(index_idx, part, row_idx, df)]
+        self.dictionary: dict[str, list[tuple[int, int, int, int]]] = {}
+        for ix, (d, m) in enumerate(zip(dirs, metas)):
+            for part in m["parts_built"]:
+                path = mf.segment_path(d, part)
+                if not os.path.exists(path):
+                    continue
+                cols = pq.read_table(path, columns=["term", "df"])
+                terms = cols.column("term").to_pylist()
+                dfs = cols.column("df").to_pylist()
+                for i, (t, df) in enumerate(zip(terms, dfs)):
+                    self.dictionary.setdefault(t, []).append((ix, part, i, int(df)))
 
-    def _part_table(self, part: int) -> pa.Table:
-        t = self._cache.get(part)
+    def _part_table(self, ix: int, part: int) -> pa.Table:
+        key = (ix, part)
+        t = self._cache.get(key)
         if t is None:
-            t = pq.read_table(mf.segment_path(self.index_dir, part))
-            self._cache[part] = t
+            t = pq.read_table(mf.segment_path(self.index_dirs[ix], part))
+            self._cache[key] = t
             while len(self._cache) > self._cache_parts:
                 self._cache.popitem(last=False)
         else:
-            self._cache.move_to_end(part)
+            self._cache.move_to_end(key)
         return t
 
     def _run_rows(self, term: str) -> list[dict]:
         rows = []
-        for part, row, _df in self.dictionary.get(term, ()):
-            tbl = self._part_table(part)
+        for ix, part, row, _df in self.dictionary.get(term, ()):
+            tbl = self._part_table(ix, part)
             rows.append({name: tbl.column(name)[row].as_py()
                          for name in tbl.column_names})
         return rows
 
     def term_df(self, term: str) -> int:
-        return sum(df for _, _, df in self.dictionary.get(term, ()))
+        return sum(df for _, _, _, df in self.dictionary.get(term, ()))
 
     # auto mode: below this many candidate postings the vectorized
     # decode-everything scorer beats WAND's block bookkeeping; above it,

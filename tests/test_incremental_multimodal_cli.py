@@ -1,0 +1,158 @@
+"""Incremental (federated + compacted) indexes, multimodal stages, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from donkey_ray.oracle import BM25Oracle
+from donkey_ray.pipelines.build import build_index
+from donkey_ray.pipelines.incremental import merge_indexes
+from donkey_ray.stages.score import QueryEngine
+from donkey_ray.synth import make_corpus, make_queries
+from donkey_ray.util import dataset_to_table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def two_indexes(ray_session, tmp_path_factory):
+    import ray.data
+
+    base = tmp_path_factory.mktemp("incr")
+    full = make_corpus(200, seed=23)
+    a, b = full.slice(0, 120), full.slice(120)
+    ia, ib = str(base / "ia"), str(base / "ib")
+    build_index(ray.data.from_arrow(a), ia, num_partitions=4,
+                query_lang="code", detect_hot=False)
+    build_index(ray.data.from_arrow(b), ib, num_partitions=4,
+                query_lang="code", detect_hot=False)
+    oracle = BM25Oracle.from_corpus(full)
+    return ia, ib, oracle, base
+
+
+def test_federated_query_matches_union_oracle(two_indexes):
+    ia, ib, oracle, _ = two_indexes
+    eng = QueryEngine([ia, ib])
+    assert eng.n_docs == 200
+    for row in make_queries(40).to_pylist():
+        got = eng.topk(row["text"], int(row["k"]))
+        want = oracle.topk(row["text"], int(row["k"]), lang="code")
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], atol=1e-9
+        )
+
+
+def test_compaction_matches_union_oracle(two_indexes, ray_session):
+    ia, ib, oracle, base = two_indexes
+    merged_dir = str(base / "merged")
+    meta = merge_indexes([ia, ib], merged_dir, num_partitions=6)
+    assert meta["n_docs"] == 200
+    eng = QueryEngine(merged_dir)
+    for row in make_queries(30).to_pylist():
+        got = eng.topk(row["text"], int(row["k"]))
+        want = oracle.topk(row["text"], int(row["k"]), lang="code")
+        assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_multimodal_image_pipeline(ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.ann import brute_force_topk
+    from donkey_ray.stages.multimodal import decode_images, image_features
+
+    rng = np.random.default_rng(9)
+    media = [rng.bytes(100 + i) for i in range(20)]
+    media[5] = media[0]  # identical bytes -> identical fake pixels
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "media": pa.array(media, pa.binary()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    decoded = dataset_to_table(decode_images(ds, height=16, width=16,
+                                             concurrency=(1, 2), batch_size=8))
+    assert decoded.num_rows == 20
+    assert decoded.column("pixels").type.list_size == 16 * 16 * 3
+    px = {r["doc_id"]: r["pixels"] for r in decoded.to_pylist()}
+    assert px[0] == px[5]
+    assert px[0] != px[1]
+
+    feats = dataset_to_table(image_features(ds, height=16, width=16,
+                                            concurrency=(1, 2), batch_size=8))
+    fmap = {r["doc_id"]: r["feature"] for r in feats.to_pylist()}
+    assert len(fmap[0]) == 19
+    assert fmap[0] == fmap[5]
+
+    # features feed directly into the similarity-search pipeline
+    fd = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(20), pa.int64()),
+                  "embedding": pa.array([fmap[i] for i in range(20)],
+                                        pa.list_(pa.float32()))})
+    )
+    res = brute_force_topk(fd, np.asarray([fmap[0]], dtype=np.float64), k=3)
+    rows = res.to_pylist()
+    assert {rows[0]["vec_id"], rows[1]["vec_id"]} == {0, 5}  # cos 1.0 pair
+
+
+def test_audio_frame_sample(ray_session):
+    import ray.data
+
+    from donkey_ray.stages.multimodal import AudioFrameSampleStage
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([b"aaa", b""], pa.binary()),
+        }
+    )
+    out = dataset_to_table(
+        ray.data.from_arrow(tbl).map_batches(
+            AudioFrameSampleStage,
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+            batch_size=8,
+        )
+    )
+    assert set(out.column("doc_id").to_pylist()) == {1}  # empty media skipped
+    assert all(len(s) > 0 for s in out.column("samples").to_pylist())
+
+
+def test_cli_end_to_end(tmp_path):
+    env = {**os.environ, "PYTHONPATH": REPO}
+    corpus = tmp_path / "corpus.parquet"
+    idx = tmp_path / "idx"
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(make_corpus(60, seed=3), str(corpus))
+    r = subprocess.run(
+        [sys.executable, "-m", "donkey_ray.cli", "build", "--input", str(corpus),
+         "--output", str(idx), "--partitions", "4", "--no-hot-detection"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout[r.stdout.index("{"):])
+    assert meta["n_docs"] == 60
+
+    r = subprocess.run(
+        [sys.executable, "-m", "donkey_ray.cli", "query", "--index", str(idx),
+         "--text", "return", "--k", "3"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(l) for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 3 and lines[0]["rank"] == 1
+
+    r = subprocess.run(
+        [sys.executable, "-m", "donkey_ray.cli", "stats", "--index", str(idx)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=120,
+    )
+    assert r.returncode == 0
+    assert json.loads(r.stdout[r.stdout.index("{"):])["partitions_on_disk"] == 4
