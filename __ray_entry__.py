@@ -28,6 +28,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # inverted-index / BM25 engine (SURVEY.md section 2B)
         "bm25_topk": api.q_bm25_topk,
+        "bm25_topk_wand": api.q_bm25_topk_wand,
+        "bm25_topk_incremental": api.q_bm25_topk_incremental,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
         "corpus_stats": api.q_corpus_stats,
@@ -54,6 +56,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # NOTE: column names and float rounding mirror donkey_ray.driver_api
     # exactly (driver hash-compares values after sorting columns by name).
+    sqls = _oracle_sqls()
+    # WAND-forced and federated-incremental variants must produce results
+    # identical to the plain engine -> same oracle
+    sqls["bm25_topk_wand"] = sqls["bm25_topk"]
+    sqls["bm25_topk_incremental"] = sqls["bm25_topk"]
+    return sqls
+
+
+def _oracle_sqls() -> dict[str, str]:
     return {
         "bm25_topk": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -89,6 +89,72 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_bm25_topk_wand(sf_dir: str) -> pa.Table:
+    """Same pinned queries, WAND forced — the driver gate itself proves
+    block-max pruning is rank/score-identical (oracle SQL shared with
+    q_bm25_topk)."""
+    index_dir = ensure_index(sf_dir)
+    res = dataset_to_table(
+        score_queries(index_dir, _pinned_queries_table(), mode="wand")
+    )
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
+def q_bm25_topk_incremental(sf_dir: str) -> pa.Table:
+    """Split the corpus by doc_id parity, build TWO delta indexes, query
+    them FEDERATED (no compaction). Exact BM25 over the union — identical
+    to the single-index oracle SQL."""
+    from .stages.score import QueryEngine
+
+    outs = []
+    for parity in (0, 1):
+        out = _index_dir(sf_dir) + f"-half{parity}"
+        ds = documents_as_corpus(sf_dir)
+
+        def keep(batch: pa.Table, parity=parity) -> pa.Table:
+            ids = batch.column("doc_id")
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(ids, 1), parity)
+            )
+
+        build_index(
+            ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+            out,
+            num_partitions=4,
+            id_col="doc_id",
+            query_lang="simple",
+            sample_mod=16,
+        )
+        outs.append(out)
+    engine = QueryEngine(outs)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, k in PINNED_QUERIES:
+        for r, (d, s) in enumerate(engine.topk(text, k), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(round(s, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+def _pinned_queries_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+
+
 def q_term_df(sf_dir: str) -> ray.data.Dataset:
     return analyze.term_df(_docs(sf_dir))
 

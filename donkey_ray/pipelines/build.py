@@ -49,7 +49,6 @@ def detect_hot_terms(
     id_col: str | None,
     sample_mod: int,
     hot_df_ratio: float,
-    n_docs: int,
 ) -> tuple[list[str], int]:
     """Deterministic ~1/sample_mod sample -> per-term df -> terms whose
     sampled df exceeds hot_df_ratio of the sample size (SURVEY.md B18).
@@ -91,21 +90,27 @@ def detect_hot_terms(
         # driver-side total threshold do the filtering
         floor = 2 if n_sampled >= 8 else 1
         cutoff = max(floor, int(np.ceil(hot_df_ratio * n_sampled)))
-        return pa.table(
+        cand = pa.table(
             {
                 "term": counts.column("term"),
                 "df_part": counts.column("term_count").cast(pa.int64()),
             }
         ).filter(pc.greater_equal(counts.column("term_count"), cutoff))
+        # sentinel row carries this batch's sample size to the driver
+        return pa.concat_tables([
+            cand,
+            pa.table({"term": pa.array(["\x00__sampled__"], pa.string()),
+                      "df_part": pa.array([n_sampled], pa.int64())}),
+        ])
 
     partials = ds.map_batches(
         sample_partial_df, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()  # candidate-hot only: tiny
-    n_sample_docs = max(n_docs // sample_mod, 1)
-    thresh = max(2.0, hot_df_ratio * n_sample_docs)
     totals: dict[str, int] = {}
     for r in partials:
         totals[r["term"]] = totals.get(r["term"], 0) + int(r["df_part"])
+    n_sample_docs = max(totals.pop("\x00__sampled__", 0), 1)
+    thresh = max(2.0, hot_df_ratio * n_sample_docs)
     hot = sorted(t for t, c in totals.items() if c >= thresh)
     return hot, n_sample_docs
 
@@ -125,6 +130,7 @@ def build_index(
     verify_resume_checksum: bool = True,
     query_lang: str | None = None,
     override_num_blocks: int | None = None,
+    combine: bool = False,
 ) -> dict:
     """Build (or resume) an inverted index at ``out_dir``. Returns meta.
 
@@ -147,9 +153,15 @@ def build_index(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    # ---- docs pass (per-row sha256 invariant; no tokenization) ----
+    # ---- docs pass (sha256 invariant) + hot-term detection, CONCURRENT:
+    # two independent dataset executions share the cluster; the docs pass
+    # alone does not saturate it, so overlapping hides the sample pass ----
     docs_done = os.path.join(out_dir, "_DOCS_SUCCESS")
-    if not os.path.exists(docs_done):
+    hot_file = os.path.join(out_dir, "hot_terms.json")
+
+    def _run_docs_pass() -> None:
+        if os.path.exists(docs_done):
+            return
         # a crashed docs pass leaves partial files without the marker;
         # start clean so rerun can't duplicate rows
         if os.path.exists(_docs_dir(out_dir)):
@@ -163,21 +175,17 @@ def build_index(
         )
         docs.write_parquet(_docs_dir(out_dir))
         mf.atomic_write_bytes(docs_done, b"")
-    n_docs = _count_docs(out_dir)
 
-    # ---- hot-term detection (deterministic sample) ----
-    hot_file = os.path.join(out_dir, "hot_terms.json")
-    if os.path.exists(hot_file):
-        import json
+    def _run_hot_pass() -> list[str]:
+        if os.path.exists(hot_file):
+            import json
 
-        with open(hot_file) as f:
-            hot_info = json.load(f)
-        hot_terms = hot_info["hot_terms"]
-    else:
-        if detect_hot and n_docs >= sample_mod:
+            with open(hot_file) as f:
+                return json.load(f)["hot_terms"]
+        if detect_hot:
             hot_terms, n_sample = detect_hot_terms(
                 ds, id_col=id_col, sample_mod=sample_mod,
-                hot_df_ratio=hot_df_ratio, n_docs=n_docs,
+                hot_df_ratio=hot_df_ratio,
             )
         else:
             hot_terms, n_sample = [], 0
@@ -186,6 +194,16 @@ def build_index(
             {"hot_terms": hot_terms, "n_sample_docs": n_sample,
              "sample_mod": sample_mod, "hot_df_ratio": hot_df_ratio},
         )
+        return hot_terms
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        docs_future = pool.submit(_run_docs_pass)
+        hot_future = pool.submit(_run_hot_pass)
+        docs_future.result()
+        hot_terms = hot_future.result()
+    n_docs = _count_docs(out_dir)
 
     # ---- postings pass + partition shuffle + segment encode ----
     done = mf.validated_done_parts(
@@ -211,6 +229,7 @@ def build_index(
                 hot_ref=hot_ref,
                 salt_bits=salt_bits,
                 id_col=id_col,
+                combine=combine,
             ),
             **extract_kwargs,
         )

@@ -24,46 +24,75 @@ from ..functions.codec import delta_encode_segments, varbyte_encode_all
 from ..state import manifest as mf
 
 
-def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE) -> tuple[pa.Table, dict]:
-    """Pure kernel: postings rows for ONE partition -> (segment table, stats).
-
-    Sorts by (term asc, doc_id asc); each contiguous term run becomes one
-    segment row with delta-varbyte doc_ids, varbyte tf/dl streams and
-    per-block (last_doc, max_tf, min_dl) block-max metadata.
-    """
-    order = pa.compute.sort_indices(
-        group,
-        sort_keys=[("term", "ascending"), ("doc_id", "ascending")],
+def _empty_segment() -> tuple[pa.Table, dict]:
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "df": pa.array([], pa.int64()),
+            "doc_ids": pa.array([], pa.binary()),
+            "tfs": pa.array([], pa.binary()),
+            "dls": pa.array([], pa.binary()),
+            "block_last_doc": pa.array([], pa.list_(pa.int64())),
+            "block_max_tf": pa.array([], pa.list_(pa.int32())),
+            "block_min_dl": pa.array([], pa.list_(pa.int32())),
+            "block_doc_boff": pa.array([], pa.list_(pa.int64())),
+            "block_tf_boff": pa.array([], pa.list_(pa.int64())),
+            "block_dl_boff": pa.array([], pa.list_(pa.int64())),
+        }
     )
-    g = group.take(order)
-    terms = g.column("term").to_numpy(zero_copy_only=False)
-    doc_ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    tfs = g.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-    dls = g.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+    return empty, {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
 
-    n = len(terms)
+
+def decode_combined_runs(group: pa.Table):
+    """Combined-run rows (term, n, docs, tfs, dls) -> per-posting arrays
+    (terms repeated per posting via codes, doc_ids, tfs, dls). One
+    vectorized codec pass per stream for ALL runs (delta resets at run
+    starts)."""
+    from ..functions.codec import varbyte_decode
+
+    run_terms = group.column("term").to_numpy(zero_copy_only=False)
+    run_n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(len(run_n) + 1, dtype=np.int64)
+    np.cumsum(run_n, out=starts[1:])
+    run_starts = starts[:-1]
+
+    deltas = varbyte_decode(b"".join(group.column("docs").to_pylist()))
+    c = np.cumsum(deltas, dtype=np.uint64)
+    prefix = c[run_starts] - deltas[run_starts]
+    doc_ids = (c - np.repeat(prefix, run_n)).astype(np.int64)
+    tfs = varbyte_decode(b"".join(group.column("tfs").to_pylist())).astype(np.int64)
+    dls = varbyte_decode(b"".join(group.column("dls").to_pylist())).astype(np.int64)
+
+    uniq, run_codes = np.unique(run_terms, return_inverse=True)
+    codes = np.repeat(run_codes, run_n)
+    return uniq, codes, doc_ids, tfs, dls
+
+
+def encode_partition_arrays(
+    uniq_terms: np.ndarray,
+    codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_size: int = schemas.BLOCK_SIZE,
+) -> tuple[pa.Table, dict]:
+    """Pure kernel: per-posting arrays (term codes into sorted uniq_terms)
+    -> (segment table, stats). Sorts by (term, doc_id)."""
+    order = np.lexsort((doc_ids, codes))
+    codes_s = codes[order]
+    terms = uniq_terms  # sorted ascending by np.unique (ASCII == utf8 order)
+    doc_ids = doc_ids[order]
+    tfs = tfs[order].astype(np.int64)
+    dls = dls[order].astype(np.int64)
+
+    n = len(codes_s)
     if n == 0:
-        empty = pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "df": pa.array([], pa.int64()),
-                "doc_ids": pa.array([], pa.binary()),
-                "tfs": pa.array([], pa.binary()),
-                "dls": pa.array([], pa.binary()),
-                "block_last_doc": pa.array([], pa.list_(pa.int64())),
-                "block_max_tf": pa.array([], pa.list_(pa.int32())),
-                "block_min_dl": pa.array([], pa.list_(pa.int32())),
-                "block_doc_boff": pa.array([], pa.list_(pa.int64())),
-                "block_tf_boff": pa.array([], pa.list_(pa.int64())),
-                "block_dl_boff": pa.array([], pa.list_(pa.int64())),
-            }
-        )
-        return empty, {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
+        return _empty_segment()
 
-    starts = np.concatenate(([0], np.flatnonzero(terms[1:] != terms[:-1]) + 1))
+    starts = np.concatenate(([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
     ends = np.concatenate((starts[1:], [n]))
 
-    out_terms = [str(t) for t in terms[starts]]
+    out_terms = [str(t) for t in terms[codes_s[starts]]]
     out_df = (ends - starts).tolist()
     # global block starts: every block_size postings WITHIN each run; the
     # doc-id delta stream resets at every block start so each block is
@@ -129,6 +158,36 @@ def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE
     return seg, stats
 
 
+def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE) -> tuple[pa.Table, dict]:
+    """Raw posting rows (term, doc_id, tf, dl[, part]) -> segment.
+
+    Kept for the uncombined path (merge_indexes, tests); delegates to the
+    array core."""
+    if group.num_rows == 0:
+        return _empty_segment()
+    terms = group.column("term").to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(terms, return_inverse=True)
+    return encode_partition_arrays(
+        uniq,
+        codes.astype(np.int64),
+        group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        group.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
+        group.column("dl").to_numpy(zero_copy_only=False).astype(np.int64),
+        block_size,
+    )
+
+
+def encode_partition_any(group: pa.Table, block_size: int = schemas.BLOCK_SIZE) -> tuple[pa.Table, dict]:
+    """Dispatch on wire format: combined runs (map-side combiner) or raw
+    posting rows."""
+    if "docs" in group.column_names:
+        if group.num_rows == 0:
+            return _empty_segment()
+        uniq, codes, doc_ids, tfs, dls = decode_combined_runs(group)
+        return encode_partition_arrays(uniq, codes, doc_ids, tfs, dls, block_size)
+    return encode_partition_table(group, block_size)
+
+
 class SegmentWriter:
     """map_groups callable: write one partition's segment + manifest entry.
 
@@ -145,7 +204,7 @@ class SegmentWriter:
             return pa.table({"part": pa.array([], pa.int32())})
         t0 = time.monotonic()
         part = int(group.column("part")[0].as_py())
-        seg, stats = encode_partition_table(group, self.block_size)
+        seg, stats = encode_partition_any(group, self.block_size)
         seg_path = mf.segment_path(self.out_dir, part)
         os.makedirs(os.path.dirname(seg_path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(

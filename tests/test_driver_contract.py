@@ -61,7 +61,8 @@ def test_every_oracle_has_a_query(contract):
 
 
 NAMES = [
-    "bm25_topk", "term_df", "doc_token_counts", "corpus_stats", "top_terms",
+    "bm25_topk", "bm25_topk_wand", "bm25_topk_incremental", "term_df",
+    "doc_token_counts", "corpus_stats", "top_terms",
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
     "ann_topk", "embedding_neardup", "quality_scores", "lang_id",
     "lineitem_agg",
