@@ -73,14 +73,114 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> ray.data.Dataset:
     """Exact all-pairs n-gram Jaccard >= threshold.
 
-    doc pairs are generated from the inverted shingle index (only docs
-    sharing at least one shingle are compared): flat_map shingles ->
-    groupby(shingle) -> per-group pair emission -> groupby(pair) counts ->
-    jaccard from |A|,|B| broadcast. SQL-expressible (the DuckDB oracle
-    mirrors it exactly)."""
+    With ``prefix_filter`` (default, PPJoin-style): J(A,B) >= t implies the
+    pair shares a shingle among the floor((1-t)|A|)+1 GLOBALLY RAREST
+    shingles of each doc, so candidate pairs are generated only from those
+    prefix lists — ubiquitous shingles ('the', common keywords) never
+    explode into all-pairs. Candidates are then verified with the exact
+    Jaccard (broadcast shingle-hash sets; candidates are sparse).
+    Result set is IDENTICAL to the brute-force inverted-index variant
+    (prefix_filter=False), which the DuckDB oracle mirrors."""
+    if prefix_filter:
+        return _ngram_jaccard_prefix(
+            ds, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+        )
+    return _ngram_jaccard_bruteforce(
+        ds, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+    )
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POPCOUNT8[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
+
+
+def _ngram_jaccard_dense(
+    ds: ray.data.Dataset,
+    vocab: list[str],
+    *,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Tiny-vocab fast path (vocab <= 64): each doc's shingle set is ONE
+    uint64 bitmask; all-pairs exact Jaccard via vectorized AND+popcount
+    tiles — no candidate generation at all. Distributed: each batch of
+    docs forms a tile against the broadcast global mask vector."""
+    from ..functions.textstats import shingles as mk
+
+    bit = {s: i for i, s in enumerate(sorted(vocab))}
+
+    def masks(batch: pa.Table) -> pa.Table:
+        ids_out, m_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            m = 0
+            for s in mk(text or "", n):
+                m |= 1 << bit[s]
+            ids_out.append(did)
+            m_out.append(m)
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "mask": pa.array(np.array(m_out, dtype=np.uint64), pa.uint64())}
+        )
+
+    mtbl = dataset_to_table(
+        ds.map_batches(masks, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    all_ids = mtbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    all_masks = mtbl.column("mask").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(all_ids)
+    all_ids, all_masks = all_ids[order], all_masks[order]
+    all_sizes = _popcount64(all_masks)
+    glob_ref = ray.put((all_ids, all_masks, all_sizes))
+    mds = ray.data.from_arrow(mtbl)
+
+    def tile(batch: pa.Table) -> pa.Table:
+        gids, gmasks, gsizes = ray.get(glob_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ms = batch.column("mask").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sz = _popcount64(ms)
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            keep = gids > ids[i]  # each unordered pair once (a < b)
+            inter = _popcount64(ms[i] & gmasks[keep])
+            union = sz[i] + gsizes[keep] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            m = jac >= threshold
+            a_out.append(np.full(int(m.sum()), ids[i], dtype=np.int64))
+            b_out.append(gids[keep][m])
+            j_out.append(jac[m])
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "jaccard": pa.array(np.concatenate(j_out), pa.float64()),
+            }
+        )
+
+    return mds.map_batches(tile, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=256)
+
+
+def _ngram_jaccard_bruteforce(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Inverted-shingle-index all-pairs variant (the SQL oracle's twin)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         from ..functions.textstats import shingles as mk
@@ -169,6 +269,151 @@ def ngram_jaccard_pairs(
         return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
 
     return inter.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ngram_jaccard_prefix(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Prefix-filtered exact Jaccard (see ngram_jaccard_pairs)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import shingles as mk
+
+        ids_out, sh_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            for s in mk(text or "", n):
+                ids_out.append(did)
+                sh_out.append(s)
+        return pa.table(
+            {"shingle": pa.array(sh_out, pa.string()),
+             "doc_id": pa.array(ids_out, pa.int64())}
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    # global shingle df (small: vocab-sized) -> broadcast rarity order
+    df_tbl = dataset_to_table(
+        partitioned_aggregate(
+            exploded, ["shingle"], [("doc_id", "count")], rename={"doc_id_count": "df"}
+        )
+    )
+    df_map = dict(
+        zip(df_tbl.column("shingle").to_pylist(), df_tbl.column("df").to_pylist())
+    )
+    if len(df_map) <= 64:
+        # degenerate tiny vocab: candidate generation cannot prune (most
+        # pairs genuinely qualify) — dense bitset all-pairs is exact and
+        # orders of magnitude faster
+        return _ngram_jaccard_dense(
+            ds, list(df_map), text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold,
+        )
+    df_ref = ray.put(df_map)
+
+    def prefix_postings(batch: pa.Table) -> pa.Table:
+        """Per doc: keep only the floor((1-t)|A|)+1 rarest shingles."""
+        from ..functions.textstats import shingles as mk
+
+        dfm = ray.get(df_ref)
+        ids_out, sh_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            sh = mk(text or "", n)
+            if not sh:
+                continue
+            plen = int((1.0 - threshold) * len(sh)) + 1
+            sh.sort(key=lambda s: (dfm.get(s, 0), s))
+            for s in sh[:plen]:
+                ids_out.append(did)
+                sh_out.append(s)
+        return pa.table(
+            {"shingle": pa.array(sh_out, pa.string()),
+             "doc_id": pa.array(ids_out, pa.int64())}
+        )
+
+    prefixes = ds.map_batches(
+        prefix_postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def cand_pairs_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        order = pa.compute.sort_indices(
+            part, sort_keys=[("shingle", "ascending"), ("doc_id", "ascending")]
+        )
+        g = part.take(order)
+        sh = g.column("shingle").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(sh[1:] != sh[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(sh)]))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = ids[s:e]
+            ai, bi = np.triu_indices(e - s, k=1)
+            a_out.append(run[ai])
+            b_out.append(run[bi])
+        if not a_out:
+            return empty
+        t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                      "b": pa.array(np.concatenate(b_out), pa.int64())})
+        return t.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    cand = keyed_partition_map(prefixes, ["shingle"], cand_pairs_partition)
+    # distinct candidate pairs (a pair may share several prefix shingles)
+    cand = partitioned_aggregate(cand, ["a", "b"], [("a", "count")],
+                                 rename={"a_count": "_dup"})
+
+    # verification: exact Jaccard over broadcast shingle-hash sets.
+    # candidates are sparse by construction; sets ship once per worker.
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        ids_out, hs_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            ids_out.append(did)
+            hs_out.append(shingle_hashes(text or "", n).tolist())
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "hashes": pa.array(hs_out, pa.list_(pa.uint64()))}
+        )
+
+    sets_tbl = dataset_to_table(
+        ds.map_batches(doc_sets, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    hmap = {
+        d: np.asarray(h, dtype=np.uint64)
+        for d, h in zip(sets_tbl.column("doc_id").to_pylist(),
+                        sets_tbl.column("hashes").to_pylist())
+    }
+    hmap_ref = ray.put(hmap)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        hm = ray.get(hmap_ref)
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        rows = [(x, y, mh.jaccard(hm[x], hm[y])) for x, y in zip(a, b)]
+        rows = [r for r in rows if r[2] >= threshold]
+        return pa.table(
+            {
+                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def minhash_neardup_pairs(

@@ -185,3 +185,33 @@ def test_lang_id_tiebreak():
     # priority order (de, en, es, fr, zh) resolves the tie to 'es'
     assert lang_id("de") == "es"
     assert lang_id("xyz qqq") == "unknown"
+
+
+def test_ngram_jaccard_prefix_equals_bruteforce(ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 25)))
+        for _ in range(120)
+    ]
+    texts[7] = texts[3]  # exact dup
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl)
+    for n, t in [(1, 0.5), (1, 0.3), (2, 0.5)]:
+        fast = dataset_to_table(
+            ngram_jaccard_pairs(ds, n=n, threshold=t, prefix_filter=True))
+        slow = dataset_to_table(
+            ngram_jaccard_pairs(ds, n=n, threshold=t, prefix_filter=False))
+        fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in fast.to_pylist()}
+        sp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in slow.to_pylist()}
+        assert fp.keys() == sp.keys(), (n, t, fp.keys() ^ sp.keys())
+        for k in fp:
+            assert fp[k] == pytest.approx(sp[k])
+        assert (3, 7) in fp
