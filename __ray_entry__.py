@@ -30,6 +30,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": api.q_bm25_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
+        "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
+        "sample_docs": api.q_sample_docs,
+        "events_window": api.q_events_window,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
         "corpus_stats": api.q_corpus_stats,
@@ -93,6 +96,41 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        "bm25_topk_hydrated": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT r.query_id::BIGINT AS query_id, r.rank::INT AS rank, r.doc_id,
+       round(r.score, 6) AS score, d.source AS repo,
+       CAST(d.doc_id AS VARCHAR) AS path, d.lang AS lang
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id WHERE r.rank <= r.k
+""",
+        "events_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(value)::BIGINT AS n_events,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
+FROM events GROUP BY 1, 2
 """,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df
@@ -187,8 +225,8 @@ FROM c
 """,
         "lineitem_agg": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
+       CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_price_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,

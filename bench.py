@@ -163,6 +163,24 @@ def scaling_child(num_cpus: int) -> dict:
         .map_batches(_warm, batch_size=2)
         .materialize()
     )
+    # ... and the shuffle machinery (sort/groupby paths lazy-import heavy
+    # deps in reduce workers; an unwarmed first shuffle costs ~30s here)
+    import pyarrow as _pa
+
+    def _key(batch: _pa.Table) -> _pa.Table:
+        ids = batch.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        return _pa.table({"k": _pa.array((ids % 7).astype("int32"))})
+
+    def _noop_group(g: _pa.Table) -> _pa.Table:
+        return g.slice(0, 1)
+
+    (
+        ray.data.range(50_000, override_num_blocks=16)
+        .map_batches(_key, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(_noop_group, batch_format="pyarrow")
+        .materialize()
+    )
     corpus_path = ensure_bench_corpus(SCALING_DOCS)
     out = f"/tmp/bench_index_scaling_{num_cpus}"
     b = run_build(corpus_path, out, num_cpus, override_num_blocks=SCALING_BLOCKS)

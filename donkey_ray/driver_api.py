@@ -266,6 +266,78 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     return _round_col(tbl, "cos_sim")
 
 
+def q_bm25_topk_hydrated(sf_dir: str) -> pa.Table:
+    """Top-k results joined back to doc metadata (SURVEY.md B20 —
+    broadcast-small-side hydrate, never a shuffle join)."""
+    from .pipelines.query import hydrate_results
+
+    index_dir = ensure_index(sf_dir)
+    res = dataset_to_table(score_queries(index_dir, _pinned_queries_table()))
+    hyd = hydrate_results(res, index_dir)
+    hyd = hyd.select(["query_id", "rank", "doc_id", "score", "repo", "path", "lang"])
+    hyd = hyd.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(hyd, "score")
+
+
+def q_sample_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic hash sample (SURVEY.md B22): ~1/8 of documents by
+    splitmix64(doc_id) — identical output at any parallelism. Rows-only
+    driver check (the mix function is not reasonably SQL-expressible)."""
+    from .functions.hashing import deterministic_sample_mask
+
+    ds = _docs(sf_dir, columns=("doc_id", "text"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(deterministic_sample_mask(ids, 8)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windowed aggregate over the events stream table:
+    (window_start, event_type) -> count + sum(value). Windows are derived
+    per batch (epoch-truncation), aggregated with the partial-agg keyed
+    exchange — the batch-analytics shape of a streaming window."""
+    from .stages.exchange import partitioned_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"],
+        override_num_blocks=8,
+    )
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // 3_600_000_000) * 3_600_000_000
+        return pa.table(
+            {
+                "window_start": pa.array(hour, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            }
+        )
+
+    win = ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    agg = dataset_to_table(
+        partitioned_aggregate(
+            win,
+            ["window_start", "event_type"],
+            [("value", "count"), ("value", "sum")],
+            rename={"value_count": "n_events", "value_sum": "sum_value"},
+        )
+    )
+    # quantize float sums to integer x100: double sums differ by 1 ulp
+    # between engines depending on summation order, and round(x, 2) can
+    # land on different adjacent doubles; integer quantization is stable
+    i = agg.column_names.index("sum_value")
+    return agg.set_column(
+        i, "sum_value_x100",
+        pc.round(pc.multiply(agg.column("sum_value"), 100.0)).cast(pa.int64()),
+    )
+
+
 def q_lineitem_agg(sf_dir: str) -> pa.Table:
     """Generic columnar aggregate op (partial-agg groupby) on lineitem."""
     ds = ray.data.read_parquet(
@@ -278,8 +350,13 @@ def q_lineitem_agg(sf_dir: str) -> pa.Table:
         ray.data.aggregate.Count(alias_name="count_order"),
     )
     tbl = dataset_to_table(agg)
-    tbl = _round_col(tbl, "sum_qty", 2)
-    return _round_col(tbl, "sum_price", 2)
+    for col, name in (("sum_qty", "sum_qty_x100"), ("sum_price", "sum_price_x100")):
+        i = tbl.column_names.index(col)
+        tbl = tbl.set_column(
+            i, name,
+            pc.round(pc.multiply(tbl.column(col), 100.0)).cast(pa.int64()),
+        )
+    return tbl
 
 
 def flagship(sf_dir: str = "/root/testdata/sf0.001"):

@@ -31,11 +31,9 @@ def read_corpus(
     extra = [c for c in ("doc_id",) if c in frag.schema.names]
     kwargs = {}
     if langs:
-        import pyarrow.compute as pc  # noqa: F401
         from pyarrow.dataset import field
 
-        expr = field("lang").isin(langs)
-        kwargs["filter"] = expr
+        kwargs["filter"] = field("lang").isin(langs)
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
     return ray.data.read_parquet(path, columns=CORPUS_COLUMNS + extra, **kwargs)

@@ -61,7 +61,8 @@ def test_every_oracle_has_a_query(contract):
 
 
 NAMES = [
-    "bm25_topk", "bm25_topk_wand", "bm25_topk_incremental", "term_df",
+    "bm25_topk", "bm25_topk_wand", "bm25_topk_incremental",
+    "bm25_topk_hydrated", "events_window", "term_df",
     "doc_token_counts", "corpus_stats", "top_terms",
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
     "ann_topk", "embedding_neardup", "quality_scores", "lang_id",
@@ -90,7 +91,10 @@ def test_query_matches_oracle(contract, oracle_con, name):
 def test_rows_only_queries_run(contract):
     qs, sqls = contract
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {"minhash_neardup", "simhash_fingerprints", "doc_fingerprints"}
+    assert rows_only == {
+        "minhash_neardup", "simhash_fingerprints", "doc_fingerprints",
+        "sample_docs",
+    }
     for name in sorted(rows_only):
         df = _to_df(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) >= 2
