@@ -47,9 +47,23 @@ def _index_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, f"idx-{key}")
 
 
+CURRENT_FORMAT_VERSION = 2
+
+
 def ensure_index(sf_dir: str) -> str:
-    """Build (once; resumable) the BM25 index over the documents corpus."""
+    """Build (once; resumable) the BM25 index over the documents corpus.
+    A cached index from an older segment format is rebuilt, not trusted."""
+    import shutil
+
+    from .state import manifest as mf
+
     out = _index_dir(sf_dir)
+    if mf.is_complete(out):
+        try:
+            if mf.load_meta(out).get("format_version") != CURRENT_FORMAT_VERSION:
+                shutil.rmtree(out)
+        except (OSError, ValueError):
+            shutil.rmtree(out, ignore_errors=True)
     build_index(
         documents_as_corpus(sf_dir),
         out,
