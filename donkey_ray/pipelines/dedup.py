@@ -3,12 +3,17 @@ exact sha256, n-gram Jaccard, MinHash+LSH, SimHash.
 
 Partitioning notes (scale path, 10^12 rows):
   - exact: shuffle only the (hash, id) projection, never the payload; the
-    winner set is re-applied as a broadcast semi-join filter.
-  - minhash/simhash: candidate generation is a groupby on band keys (bounded
-    group sizes by construction); verification joins shingle sets per pair.
+    winner set is re-applied as a broadcast semi-join filter (pc.is_in),
+    or as a hash-partitioned semi-join when the winner set itself is big.
+  - minhash/jaccard: candidate generation is a groupby on band/shingle
+    keys (bounded group sizes by construction); pair VERIFICATION is a
+    two-stage keyed cogroup join (pairs x per-doc shingle sets) — no
+    whole-corpus map is ever built on the driver or broadcast.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -19,7 +24,11 @@ import ray.data
 from ..functions import minhash as mh
 from ..functions.hashing import sha256_hex_column
 from ..functions.textstats import shingle_hashes
-from ..stages.exchange import keyed_partition_map, partitioned_aggregate
+from ..stages.exchange import (
+    keyed_cogroup_map,
+    keyed_partition_map,
+    partitioned_aggregate,
+)
 from ..util import dataset_to_table
 
 
@@ -52,18 +61,170 @@ def exact_dedup(
     ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
     """Rows of ``ds`` surviving exact dedup (keep min id per content hash),
-    applied as a broadcast winner-set filter — the full rows never shuffle."""
+    applied as a broadcast winner-set ``pc.is_in`` filter — the full rows
+    never shuffle. The winner set is an Arrow array shipped once per worker
+    (ray.put); use ``exact_dedup_semijoin`` when the winner set itself is
+    too large to broadcast (winner count ~ n_distinct_docs)."""
     winners = dataset_to_table(
         exact_dedup_groups(ds, text_col=text_col, id_col=id_col)
-    ).column("doc_id")
-    winner_ref = ray.put(set(winners.to_pylist()))
+    ).column("doc_id").combine_chunks()
+    winner_ref = ray.put(winners)
 
     def keep(batch: pa.Table) -> pa.Table:
         win = ray.get(winner_ref)
-        mask = pa.array([v in win for v in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=win))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exact_dedup_semijoin(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Scale-path exact dedup: hash-partitioned semi-join of the full rows
+    against the winner-id set (one keyed exchange each side, no broadcast;
+    winner-set size is unbounded). Same output rows as ``exact_dedup``."""
+    winners = exact_dedup_groups(ds, text_col=text_col, id_col=id_col)
+
+    def winner_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"__win_id": batch.column("doc_id").cast(pa.int64())})
+
+    win_ds = winners.map_batches(
+        winner_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def semi(rows: pa.Table, win: pa.Table) -> pa.Table:
+        return rows.filter(
+            pc.is_in(rows.column(id_col), value_set=win.column("__win_id").combine_chunks())
+        )
+
+    return keyed_cogroup_map(ds, win_ds, [id_col], ["__win_id"], semi)
+
+
+def doc_shingle_sets(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3,
+) -> ray.data.Dataset:
+    """(doc_id, hashes:list<uint64>) — each doc's sorted distinct shingle
+    hash set (empty list for docs with < n tokens)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids_out, hs_out = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            ids_out.append(did)
+            hs_out.append(shingle_hashes(text or "", n))
+        if hs_out:
+            lens = np.fromiter((len(h) for h in hs_out), dtype=np.int64,
+                               count=len(hs_out))
+            values = np.concatenate(hs_out) if lens.sum() else np.empty(0, np.uint64)
+            hashes = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()),
+                pa.array(values, pa.uint64()),
+            )
+        else:
+            hashes = pa.array([], pa.list_(pa.uint64()))
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()), "hashes": hashes}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _list_column_slices(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<uint64> column -> (values, offsets) numpy views (no to_pylist)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, offsets
+
+
+def _set_lookup(sets: pa.Table):
+    """Sorted-id lookup structure over a (doc_id, hashes) partition."""
+    ids = sets.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    values, offsets = _list_column_slices(sets.column("hashes"))
+    return ids[order], order, values, offsets
+
+
+def _gather_lists(lookup, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For each key (doc_id) return its hash-set slice, concatenated:
+    (values, out_offsets). Vectorized gather over the partition's buffers."""
+    sorted_ids, order, values, offsets = lookup
+    pos = np.searchsorted(sorted_ids, keys)
+    if len(sorted_ids) == 0 or not np.array_equal(sorted_ids[np.minimum(pos, len(sorted_ids) - 1)], keys):
+        missing = keys[(pos >= len(sorted_ids)) | (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] != keys)]
+        raise KeyError(f"doc ids missing from shingle-set side: {missing[:5]}")
+    rows = order[pos]
+    starts = offsets[rows]
+    lens = offsets[rows + 1] - starts
+    total = int(lens.sum())
+    out_offsets = np.concatenate(([0], np.cumsum(lens)))
+    if total == 0:
+        return np.empty(0, np.uint64), out_offsets
+    rel = np.arange(total, dtype=np.int64) - np.repeat(out_offsets[:-1], lens)
+    return values[np.repeat(starts, lens) + rel], out_offsets
+
+
+def _verify_pairs_distributed(
+    cand: ray.data.Dataset,
+    sets: ray.data.Dataset,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs WITHOUT materializing
+    any whole-corpus state: a two-stage keyed cogroup join. Stage A
+    co-locates each pair with doc_a's shingle set (key a == doc_id);
+    stage B re-keys by b, attaches doc_b's set and scores the pair in
+    the partition task. Per-task memory = one hash partition of pairs +
+    one hash partition of doc sets."""
+
+    def attach_a(pairs: pa.Table, part_sets: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "hashes": pa.array([], pa.list_(pa.uint64()))})
+        if pairs.num_rows == 0:
+            return empty
+        a = pairs.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        lookup = _set_lookup(part_sets)
+        values, out_off = _gather_lists(lookup, a)
+        hashes = pa.ListArray.from_arrays(
+            pa.array(out_off, pa.int32()), pa.array(values, pa.uint64())
+        )
+        return pa.table({"a": pairs.column("a"), "b": pairs.column("b"),
+                         "hashes": hashes})
+
+    stage_a = keyed_cogroup_map(cand, sets, ["a"], ["doc_id"], attach_a)
+
+    def verify_b(pairs: pa.Table, part_sets: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if pairs.num_rows == 0:
+            return empty
+        a = pairs.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pairs.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ha_vals, ha_off = _list_column_slices(pairs.column("hashes"))
+        lookup = _set_lookup(part_sets)
+        hb_vals, hb_off = _gather_lists(lookup, b)
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            jac[i] = mh.jaccard(
+                ha_vals[ha_off[i]: ha_off[i + 1]],
+                hb_vals[hb_off[i]: hb_off[i + 1]],
+            )
+        keep = jac >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return keyed_cogroup_map(stage_a, sets, ["b"], ["doc_id"], verify_b)
 
 
 def ngram_jaccard_pairs(
@@ -329,7 +490,11 @@ def _ngram_jaccard_prefix(
             sh = mk(text or "", n)
             if not sh:
                 continue
-            plen = int((1.0 - threshold) * len(sh)) + 1
+            # prefix length |A| - ceil(t*|A|) + 1 with guarded arithmetic:
+            # naive int((1-t)*|A|)+1 under-counts by 1 when t*|A| is
+            # integral in exact math (float error truncates), silently
+            # missing threshold-boundary pairs
+            plen = len(sh) - math.ceil(threshold * len(sh) - 1e-9) + 1
             sh.sort(key=lambda s: (dfm.get(s, 0), s))
             for s in sh[:plen]:
                 ids_out.append(did)
@@ -375,45 +540,14 @@ def _ngram_jaccard_prefix(
     cand = partitioned_aggregate(cand, ["a", "b"], [("a", "count")],
                                  rename={"a_count": "_dup"})
 
-    # verification: exact Jaccard over broadcast shingle-hash sets.
-    # candidates are sparse by construction; sets ship once per worker.
-    def doc_sets(batch: pa.Table) -> pa.Table:
-        ids_out, hs_out = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            ids_out.append(did)
-            hs_out.append(shingle_hashes(text or "", n).tolist())
-        return pa.table(
-            {"doc_id": pa.array(ids_out, pa.int64()),
-             "hashes": pa.array(hs_out, pa.list_(pa.uint64()))}
-        )
+    def drop_dup(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
 
-    sets_tbl = dataset_to_table(
-        ds.map_batches(doc_sets, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    hmap = {
-        d: np.asarray(h, dtype=np.uint64)
-        for d, h in zip(sets_tbl.column("doc_id").to_pylist(),
-                        sets_tbl.column("hashes").to_pylist())
-    }
-    hmap_ref = ray.put(hmap)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        hm = ray.get(hmap_ref)
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        rows = [(x, y, mh.jaccard(hm[x], hm[y])) for x, y in zip(a, b)]
-        rows = [r for r in rows if r[2] >= threshold]
-        return pa.table(
-            {
-                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-            }
-        )
-
-    return cand.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    cand = cand.map_batches(drop_dup, batch_format="pyarrow", zero_copy_batch=True)
+    # verification: exact Jaccard via the distributed cogroup join — no
+    # whole-corpus shingle map is built or broadcast anywhere
+    sets = doc_shingle_sets(ds, text_col=text_col, id_col=id_col, n=n)
+    return _verify_pairs_distributed(cand, sets, threshold)
 
 
 def minhash_neardup_pairs(
@@ -426,9 +560,9 @@ def minhash_neardup_pairs(
 ) -> ray.data.Dataset:
     """MinHash+LSH candidate pairs verified by exact shingle Jaccard.
 
-    shingle -> 128-perm minhash -> 16x8 LSH bands -> band-bucket groupby ->
-    candidate pairs -> exact-jaccard verification (shingle sets fetched via
-    a broadcast doc->shingles map; scale path = repartition join)."""
+    shingle -> 128-perm minhash -> 32x4 LSH bands -> band-bucket groupby ->
+    candidate pairs -> exact-jaccard verification via the distributed
+    cogroup join (pairs x per-doc shingle sets; nothing driver-side)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
         band_out, id_out = [], []
@@ -476,55 +610,16 @@ def minhash_neardup_pairs(
         return t.group_by(["a", "b"], use_threads=False).aggregate([])
 
     cand = keyed_partition_map(bands, ["band"], emit_pairs_partition)
-    cand_tbl = dataset_to_table(cand)
-    if cand_tbl.num_rows == 0:
-        return ray.data.from_arrow(
-            pa.table({"doc_a": pa.array([], pa.int64()),
-                      "doc_b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-        )
-    uniq_pairs = {
-        (a, b) for a, b in zip(cand_tbl.column("a").to_pylist(), cand_tbl.column("b").to_pylist())
-    }
-    needed = sorted({d for p in uniq_pairs for d in p})
+    # distinct candidate pairs (a pair can collide in several bands)
+    cand = partitioned_aggregate(cand, ["a", "b"], [("a", "count")],
+                                 rename={"a_count": "_dup"})
 
-    # shingle sets for candidate docs only (broadcast; candidates are sparse)
-    def doc_hashes(batch: pa.Table) -> pa.Table:
-        want = set(needed)
-        out_id, out_h = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            if did in want:
-                out_id.append(did)
-                out_h.append(shingle_hashes(text or "", n).tolist())
-        return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()),
-             "hashes": pa.array(out_h, pa.list_(pa.uint64()))}
-        )
+    def drop_dup(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
 
-    htbl = dataset_to_table(
-        ds.map_batches(doc_hashes, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    hmap = {
-        d: np.asarray(h, dtype=np.uint64)
-        for d, h in zip(htbl.column("doc_id").to_pylist(), htbl.column("hashes").to_pylist())
-    }
-    rows = [
-        (a, b, mh.jaccard(hmap[a], hmap[b]))
-        for a, b in sorted(uniq_pairs)
-        if a in hmap and b in hmap
-    ]
-    rows = [(a, b, j) for a, b, j in rows if j >= threshold]
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-                "jaccard": pa.array([r[2] for r in rows], pa.float64()),
-            }
-        )
-    )
+    cand = cand.map_batches(drop_dup, batch_format="pyarrow", zero_copy_batch=True)
+    sets = doc_shingle_sets(ds, text_col=text_col, id_col=id_col, n=n)
+    return _verify_pairs_distributed(cand, sets, threshold)
 
 
 def simhash_fingerprints(

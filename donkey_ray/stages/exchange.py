@@ -109,6 +109,84 @@ def keyed_partition_map(
     return tagged.groupby("__part").map_groups(run, batch_format="pyarrow")
 
 
+def keyed_cogroup_map(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_keys: list[str],
+    right_keys: list[str],
+    cogroup_fn: Callable[[pa.Table, pa.Table], pa.Table],
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed hash cogroup (the repartition-join primitive): both
+    sides are hash-partitioned on their key columns through ONE exchange,
+    then ``cogroup_fn(left_part, right_part)`` runs once per partition
+    with every row of a key value co-located on both sides.
+
+    This is the scale-safe replacement for broadcasting one side as a
+    driver-built map: neither side is ever materialized whole; per-task
+    state is one partition of each side. Key columns must hash-agree
+    across sides (same value -> same partition), which holds because the
+    hash is per-value (``_hash_column``) and both sides' key columns are
+    combined in order.
+
+    The two sides may have arbitrary (different) schemas; non-key columns
+    are padded with nulls on the other side internally and split back
+    before ``cogroup_fn`` is called.
+    """
+    P = num_partitions or default_num_partitions()
+    lschema = left.schema()
+    rschema = right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    for name in set(lnames) & set(rnames):
+        if ltypes[name] != rtypes[name]:
+            raise ValueError(
+                f"cogroup column {name!r} has conflicting types: "
+                f"{ltypes[name]} vs {rtypes[name]}"
+            )
+    all_fields = [(n, ltypes[n]) for n in lnames]
+    all_fields += [(n, rtypes[n]) for n in rnames if n not in ltypes]
+
+    def pad(batch: pa.Table, keys: list[str], side: int) -> pa.Table:
+        batch = add_partition_column(batch, keys, P)
+        cols = {}
+        for name, typ in all_fields:
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+            else:
+                cols[name] = pa.nulls(batch.num_rows, typ)
+        cols["__part"] = batch.column("__part")
+        cols["__side"] = pa.array(
+            np.full(batch.num_rows, side, dtype=np.int8), pa.int8()
+        )
+        return pa.table(cols)
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        return pad(batch, left_keys, 0)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        return pad(batch, right_keys, 1)
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def run(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        group = group.drop_columns(["__part", "__side"])
+        import pyarrow.compute as _pc
+
+        lmask = _pc.equal(side, 0)
+        lpart = group.filter(lmask).select(lnames)
+        rpart = group.filter(_pc.invert(lmask)).select(rnames)
+        return cogroup_fn(lpart, rpart)
+
+    run.__name__ = getattr(cogroup_fn, "__name__", "cogroup_fn")
+    return lt.union(rt).groupby("__part").map_groups(run, batch_format="pyarrow")
+
+
 def partitioned_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],

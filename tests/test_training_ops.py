@@ -187,6 +187,73 @@ def test_lang_id_tiebreak():
     assert lang_id("xyz qqq") == "unknown"
 
 
+def test_ngram_jaccard_threshold_boundary(ray_session):
+    """Regression: t=0.9 with a 10-shingle/9-shingle pair at exactly
+    J=0.9. Naive plen = int((1-t)*|sh|)+1 truncates (0.1*10 -> 0.999...)
+    and misses the boundary pair; the guarded ceil formula finds it.
+    Filler docs push vocab > 64 so the PREFIX path (not the dense-bitset
+    fast path) is exercised."""
+    import ray.data
+
+    from donkey_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    texts = [
+        " ".join(f"w{i}" for i in range(10)),  # A: 10 distinct shingles
+        " ".join(f"w{i}" for i in range(9)),   # B: 9 -> J(A,B) = 9/10
+    ]
+    texts += [f"fill{i}x fill{i}y" for i in range(40)]  # 80 unique fillers
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl)
+    fast = dataset_to_table(
+        ngram_jaccard_pairs(ds, n=1, threshold=0.9, prefix_filter=True))
+    slow = dataset_to_table(
+        ngram_jaccard_pairs(ds, n=1, threshold=0.9, prefix_filter=False))
+    fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in fast.to_pylist()}
+    sp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in slow.to_pylist()}
+    assert (0, 1) in fp and fp[(0, 1)] == pytest.approx(0.9)
+    assert fp == pytest.approx(sp)
+
+
+def test_exact_dedup_semijoin_matches_broadcast(docs_ds):
+    from donkey_ray.pipelines.dedup import exact_dedup, exact_dedup_semijoin
+
+    ds, texts = docs_ds
+    broadcast = dataset_to_table(exact_dedup(ds))
+    joined = dataset_to_table(exact_dedup_semijoin(ds))
+    key = lambda t: sorted(t.to_pylist(), key=lambda r: r["doc_id"])
+    assert key(joined) == key(broadcast)
+    assert sorted(joined.column("doc_id").to_pylist()) == [0, 1, 2, 4, 5, 6, 7]
+
+
+def test_keyed_cogroup_map(ray_session):
+    """Cogroup co-locates equal key values from both sides regardless of
+    partition count, with nothing materialized driver-side."""
+    import ray.data
+
+    from donkey_ray.stages.exchange import keyed_cogroup_map
+
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3, 4, 5] * 20, pa.int64()),
+         "v": pa.array(range(100), pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"kk": pa.array([2, 4, 6], pa.int64()),
+         "w": pa.array([20, 40, 60], pa.int64())}))
+
+    def fn(lp: pa.Table, rp: pa.Table) -> pa.Table:
+        keep = rp.column("kk").combine_chunks()
+        import pyarrow.compute as pc
+        out = lp.filter(pc.is_in(lp.column("k"), value_set=keep))
+        return out
+
+    for P in (2, 7):
+        got = dataset_to_table(
+            keyed_cogroup_map(left, right, ["k"], ["kk"], fn, num_partitions=P))
+        assert sorted(got.column("k").to_pylist()) == [2] * 20 + [4] * 20
+
+
 def test_ngram_jaccard_prefix_equals_bruteforce(ray_session):
     import ray.data
 
