@@ -64,6 +64,22 @@ def salted_partition(term: str, doc_id: int, num_partitions: int, salt_bits: int
     ) % num_partitions
 
 
+def salted_parts(term: str, num_partitions: int, salt_bits: int) -> list[int]:
+    """Every partition a hot term's salted runs can land in (the query-side
+    inverse of the extractor's salt routing table) — sorted, deduplicated."""
+    parts = set()
+    for salt in range(1 << salt_bits):
+        parts.add(
+            int.from_bytes(
+                hashlib.blake2b(
+                    term.encode() + b"#" + salt.to_bytes(8, "big"), digest_size=8
+                ).digest(),
+                "big",
+            ) % num_partitions
+        )
+    return sorted(parts)
+
+
 def deterministic_sample_mask(doc_ids: np.ndarray, mod: int) -> np.ndarray:
     """Fully deterministic ~1/mod sample by doc_id (SURVEY.md B22)."""
     ids = np.asarray(doc_ids, dtype=np.uint64)

@@ -3,9 +3,10 @@
 Queries are a Dataset; scoring is an actor pool (one QueryEngine per
 actor, built once in __init__) parallelized OVER QUERIES — each actor can
 read any term-partition (shared storage), so a multi-term query never
-needs a cross-actor merge. Scale path for 10^12 docs: shard dictionaries
-per actor + route queries by term partition (documented in SURVEY.md
-section 4); at the current tier the whole dictionary fits per actor.
+needs a cross-actor merge. The dictionary is SHARDED AND LAZY
+(stages/score._SegmentShard): an actor touches only the row groups of
+the partitions its query terms hash to, so per-actor memory is
+independent of corpus vocabulary (the 10^12-doc serving path).
 """
 
 from __future__ import annotations

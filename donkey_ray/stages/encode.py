@@ -212,7 +212,10 @@ class SegmentWriter:
         )
         os.close(fd)
         try:
-            pq.write_table(seg, tmp, row_group_size=8192, compression="zstd")
+            # 1024 terms/row-group: the serving shard (_SegmentShard) prunes
+            # term lookups to one row group via min/max stats, so smaller
+            # groups = finer dictionary pruning + cheaper on-hit fetch
+            pq.write_table(seg, tmp, row_group_size=1024, compression="zstd")
             os.replace(tmp, seg_path)
         finally:
             if os.path.exists(tmp):

@@ -4,6 +4,10 @@ src/donkey.cpp search path — SURVEY.md section 0).
 
 ``QueryEngine`` is the per-actor state (donkey's in-RAM index handle):
 built once per ``QueryScorerStage`` actor, reused for every query batch.
+Its dictionary is sharded and lazy (``_SegmentShard``): terms are routed
+to candidate partitions by the build-time hash (+ salt table for hot
+terms) and resolved by row-group-pruned binary search, so per-actor
+memory never scales with corpus vocabulary.
 
 A term's postings may live in several runs (salted hot terms land in
 multiple partitions); each run is an independent block-max iterator of
@@ -136,8 +140,101 @@ class _Run:
         return self.blk_docs, self.idf * scoring.tf_weight(tf, dl, avgdl)
 
 
+class _SegmentShard:
+    """Lazy sharded-dictionary access for ONE segment file (SURVEY.md A5
+    serving path at scale).
+
+    Segment rows are term-sorted on disk, so a term lookup is: (1) prune
+    to one parquet row group via the term column's min/max statistics,
+    (2) binary-search the (cached) term column of that row group, (3)
+    fetch the full row group only on a hit. Per-shard memory is bounded
+    by the row-group LRU caches — NEVER proportional to the partition's
+    vocabulary, so actors stay small at 10^9+-term corpora."""
+
+    def __init__(self, path: str, *, cache_groups: int = 16) -> None:
+        self.pf = pq.ParquetFile(path)
+        md = self.pf.metadata
+        self.n_groups = md.num_row_groups if md.num_rows else 0
+        self._term_ci = None
+        self.rg_min: list[str | None] = []
+        self.rg_max: list[str | None] = []
+        if self.n_groups:
+            rg0 = md.row_group(0)
+            for i in range(rg0.num_columns):
+                if rg0.column(i).path_in_schema == "term":
+                    self._term_ci = i
+                    break
+            for g in range(self.n_groups):
+                st = md.row_group(g).column(self._term_ci).statistics
+                if st is not None and st.has_min_max:
+                    self.rg_min.append(st.min)
+                    self.rg_max.append(st.max)
+                else:
+                    self.rg_min.append(None)
+                    self.rg_max.append(None)
+        self._terms_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._group_cache: OrderedDict[int, pa.Table] = OrderedDict()
+        self._cache_groups = cache_groups
+
+    def _lru(self, cache: OrderedDict, g: int, load):
+        v = cache.get(g)
+        if v is None:
+            v = cache[g] = load()
+            while len(cache) > self._cache_groups:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(g)
+        return v
+
+    def _candidate_group(self, term: str) -> int | None:
+        lo, hi = 0, self.n_groups - 1
+        if hi < 0:
+            return None
+        if any(m is None for m in self.rg_max):
+            # stats missing (shouldn't happen with our writer): scan
+            for g in range(self.n_groups):
+                terms = self._group_terms(g)
+                if len(terms) and terms[0] <= term <= terms[-1]:
+                    return g
+            return None
+        import bisect
+
+        g = bisect.bisect_left(self.rg_max, term)
+        if g >= self.n_groups or self.rg_min[g] > term:
+            return None
+        return g
+
+    def _group_terms(self, g: int) -> np.ndarray:
+        return self._lru(
+            self._terms_cache, g,
+            lambda: self.pf.read_row_group(g, columns=["term"])
+            .column("term").to_numpy(zero_copy_only=False),
+        )
+
+    def find(self, term: str) -> dict | None:
+        """Full segment row for ``term`` (postings + block metadata), or
+        None. Costs at most one row-group term-column read + (on hit)
+        one full row-group read, both LRU-cached."""
+        g = self._candidate_group(term)
+        if g is None:
+            return None
+        terms = self._group_terms(g)
+        i = int(np.searchsorted(terms, term))
+        if i >= len(terms) or terms[i] != term:
+            return None
+        tbl = self._lru(self._group_cache, g, lambda: self.pf.read_row_group(g))
+        return {name: tbl.column(name)[i].as_py() for name in tbl.column_names}
+
+
 class QueryEngine:
-    """Loads index meta + per-partition dictionaries; serves top-k."""
+    """Index handle with a SHARDED, lazily-loaded dictionary; serves top-k.
+
+    No global term dictionary is ever built: a term's candidate
+    partitions are recomputed from the routing hash (cold terms: one
+    partition; hot terms: the salted partition set from the build
+    manifest), and each partition shard resolves the term by row-group-
+    pruned binary search (_SegmentShard). Per-actor memory is O(LRU
+    caches), independent of corpus vocabulary."""
 
     def __init__(self, index_dir: str | list[str], *, mode: str = "auto",
                  cache_parts: int = 64) -> None:
@@ -152,7 +249,17 @@ class QueryEngine:
         self.index_dirs = dirs
         self.index_dir = dirs[0]
         metas = [mf.load_meta(d) for d in dirs]
+        self.metas = metas
         self.meta = metas[0]
+        # federated correctness requires ONE segment format + ONE query
+        # tokenizer across all member indexes; differing members would
+        # silently mis-decode doc ids / tokenize inconsistently
+        for key in ("block_size", "format_version", "query_lang"):
+            vals = {m.get(key) for m in metas}
+            if len(vals) > 1:
+                raise ValueError(
+                    f"federated indexes disagree on {key}: {sorted(map(str, vals))}"
+                )
         self.n_docs = int(sum(m["n_docs"] for m in metas))
         total_len = sum(m["total_len"] for m in metas)
         self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
@@ -160,44 +267,60 @@ class QueryEngine:
         self.mode = mode
         self.query_lang = self.meta.get("query_lang", "simple")
         self._tok = get_tokenizer(self.query_lang)
-        self._cache: OrderedDict[tuple[int, int], pa.Table] = OrderedDict()
+        self._hot = [set(m.get("hot_terms", ())) for m in metas]
+        self._parts_built = [set(m["parts_built"]) for m in metas]
+        self._shards: dict[tuple[int, int], _SegmentShard | None] = {}
         self._cache_parts = cache_parts
+        # small term->runs LRU (bounded; helps repeated query terms)
+        self._runs_cache: OrderedDict[str, list[dict]] = OrderedDict()
         self.blocks_decoded = 0  # instrumentation (pruning effectiveness)
-        # dictionary: term -> list[(index_idx, part, row_idx, df)]
-        self.dictionary: dict[str, list[tuple[int, int, int, int]]] = {}
-        for ix, (d, m) in enumerate(zip(dirs, metas)):
-            for part in m["parts_built"]:
-                path = mf.segment_path(d, part)
-                if not os.path.exists(path):
-                    continue
-                cols = pq.read_table(path, columns=["term", "df"])
-                terms = cols.column("term").to_pylist()
-                dfs = cols.column("df").to_pylist()
-                for i, (t, df) in enumerate(zip(terms, dfs)):
-                    self.dictionary.setdefault(t, []).append((ix, part, i, int(df)))
 
-    def _part_table(self, ix: int, part: int) -> pa.Table:
+    def _shard(self, ix: int, part: int) -> _SegmentShard | None:
         key = (ix, part)
-        t = self._cache.get(key)
-        if t is None:
-            t = pq.read_table(mf.segment_path(self.index_dirs[ix], part))
-            self._cache[key] = t
-            while len(self._cache) > self._cache_parts:
-                self._cache.popitem(last=False)
-        else:
-            self._cache.move_to_end(key)
-        return t
+        if key not in self._shards:
+            path = mf.segment_path(self.index_dirs[ix], part)
+            self._shards[key] = (
+                _SegmentShard(path) if os.path.exists(path) else None
+            )
+            # bound the number of open shards (file handles + caches)
+            while len(self._shards) > max(self._cache_parts, 4):
+                self._shards.pop(next(iter(self._shards)))
+        return self._shards[key]
 
-    def _run_rows(self, term: str) -> list[dict]:
-        rows = []
-        for ix, part, row, _df in self.dictionary.get(term, ()):
-            tbl = self._part_table(ix, part)
-            rows.append({name: tbl.column(name)[row].as_py()
-                         for name in tbl.column_names})
-        return rows
+    def _candidate_parts(self, ix: int, term: str) -> list[int]:
+        from ..functions.hashing import salted_parts, stable_term_hash
+
+        m = self.metas[ix]
+        P = int(m["num_partitions"])
+        if term in self._hot[ix]:
+            return salted_parts(term, P, int(m.get("salt_bits", 4)))
+        return [stable_term_hash(term) % P]
+
+    def term_runs(self, term: str) -> list[dict]:
+        """All posting runs of ``term`` across indexes/salted partitions
+        (disjoint doc sets), resolved via the sharded dictionary."""
+        runs = self._runs_cache.get(term)
+        if runs is not None:
+            self._runs_cache.move_to_end(term)
+            return runs
+        runs = []
+        for ix in range(len(self.index_dirs)):
+            for part in self._candidate_parts(ix, term):
+                if part not in self._parts_built[ix]:
+                    continue
+                shard = self._shard(ix, part)
+                if shard is None:
+                    continue
+                row = shard.find(term)
+                if row is not None:
+                    runs.append(row)
+        self._runs_cache[term] = runs
+        while len(self._runs_cache) > 1024:
+            self._runs_cache.popitem(last=False)
+        return runs
 
     def term_df(self, term: str) -> int:
-        return sum(df for _, _, _, df in self.dictionary.get(term, ()))
+        return sum(int(r["df"]) for r in self.term_runs(term))
 
     # auto mode: below this many candidate postings the vectorized
     # decode-everything scorer beats WAND's block bookkeeping; above it,
@@ -206,25 +329,27 @@ class QueryEngine:
 
     def topk(self, text: str, k: int) -> list[tuple[int, float]]:
         terms = sorted(set(self._tok.tokenize(text)))
-        terms = [t for t in terms if t in self.dictionary]
-        if not terms or k <= 0:
+        runs_by_term = {t: r for t in terms if (r := self.term_runs(t))}
+        if not runs_by_term or k <= 0:
             return []
         mode = self.mode
         if mode == "auto":
-            total = sum(self.term_df(t) for t in terms)
+            total = sum(
+                int(row["df"]) for rs in runs_by_term.values() for row in rs
+            )
             mode = "exact" if total <= self.AUTO_EXACT_MAX_POSTINGS else "wand"
         if mode == "exact":
-            return self._topk_exact(terms, k)
-        return self._topk_wand(terms, k)
+            return self._topk_exact(runs_by_term, k)
+        return self._topk_wand(runs_by_term, k)
 
     # ---- exact: decode-everything vectorized scoring ----
-    def _topk_exact(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def _topk_exact(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
-        for term in terms:
-            df = self.term_df(term)
+        for term, rows in runs_by_term.items():
+            df = sum(int(r["df"]) for r in rows)
             w_idf = float(scoring.idf(df, self.n_docs))
-            for row in self._run_rows(term):
+            for row in rows:
                 n = int(row["df"])
                 ids = decode_blocked_deltas(row["doc_ids"], n, self.block_size)
                 tfs = varbyte_decode(row["tfs"]).astype(np.float64)
@@ -239,18 +364,18 @@ class QueryEngine:
         return [(int(uniq[i]), float(sums[i])) for i in order]
 
     # ---- block-max WAND with lazy block decode ----
-    def _topk_wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+    def _topk_wand(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:
         runs: list[_Run] = []
-        for term in terms:
-            df = self.term_df(term)
+        for term, rows in runs_by_term.items():
+            df = sum(int(r["df"]) for r in rows)
             w_idf = float(scoring.idf(df, self.n_docs))
-            for row in self._run_rows(term):
+            for row in rows:
                 if int(row["df"]) > 0:
                     runs.append(_Run(w_idf, row, self.avgdl, self.block_size))
         if not runs:
             return []
         try:
-            if len(terms) == 1:
+            if len(runs_by_term) == 1:
                 # all runs belong to one term -> doc sets are disjoint
                 # (salted runs cover disjoint doc_id ranges): fully
                 # vectorized block-at-a-time across the union of blocks

@@ -48,7 +48,7 @@ def test_hot_term_detected_and_salted(built):
     assert COMMON_TOKEN in meta["hot_terms"]
     engine = QueryEngine(out)
     # the salted hot term should appear in more than one partition run
-    runs = engine.dictionary[COMMON_TOKEN]
+    runs = engine.term_runs(COMMON_TOKEN)
     assert len(runs) >= 2
     assert engine.term_df(COMMON_TOKEN) == 300  # appears in every doc
 
@@ -126,6 +126,26 @@ def test_partition_count_invariance(ray_session, tmp_path):
             got = engine.topk(row["text"], int(row["k"]))
             want = oracle.topk(row["text"], int(row["k"]), lang="code")
             assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_federated_rejects_mismatched_indexes(built, tmp_path):
+    """Indexes built with differing query_lang (or segment format) must be
+    refused for federated querying — silently mixing tokenizers/codecs
+    would corrupt results."""
+    import json
+    import shutil
+
+    _, out, _, _ = built
+    clone = str(tmp_path / "clone")
+    shutil.copytree(out, clone)
+    mp = mf.meta_path(clone)
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["query_lang"] = "simple"
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="query_lang"):
+        QueryEngine([out, clone])
 
 
 def test_resume_skips_done_partitions(ray_session, tmp_path):
