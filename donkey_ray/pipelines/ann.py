@@ -23,10 +23,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Zero-copy-ish (batch, dim) matrix from a list/fixed_size_list
+    embedding column: flatten + reshape, no per-row Python."""
     col = batch.column(vec_col)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0:
+        return flat.reshape(0, 0)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        if not (lens == lens[0]).all():
+            raise ValueError(f"ragged embedding column {vec_col!r}")
+    if flat.size % n:
+        raise ValueError(f"ragged embedding column {vec_col!r}")
+    return flat.reshape(n, flat.size // n)
 
 
 def brute_force_topk(
@@ -98,41 +111,78 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.99,
     n_planes: int = 8,
+    n_tables: int = 8,
     exact: bool = True,
 ) -> pa.Table:
     """Pairs with cosine >= threshold.
 
-    exact=True: all-pairs via a single gram matrix (test scale / oracle
-    comparison). exact=False: LSH random-hyperplane buckets (scale path) —
-    candidates only within a bucket, so pairs straddling a hyperplane can
-    be missed (documented recall<1)."""
+    exact=True: distributed blocked tiles — the normalized matrix is
+    broadcast ONCE (ray.put, O(n*dim)) and every batch computes its
+    (batch x n) tile of the gram matrix in a worker task; no O(n^2)
+    driver-side matrix ever exists. exact=False: multi-table
+    random-hyperplane LSH (scale path beyond broadcastable n*dim):
+    candidates only within a (table, bucket) group; recall is
+    1-(1-p^k)^L with p = 1-theta/pi — tested >= 0.95 at the default
+    (k=8 planes, L=8 tables, cos 0.99) in pytest."""
     if exact:
-        tbl = dataset_to_table(ds.select_columns([id_col, vec_col]))
-        ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64))
-        sims = m @ m.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        mask = sims[ai, bi] >= threshold
-        order = np.lexsort((ids[bi[mask]], ids[ai[mask]]))
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[ai[mask]][order], pa.int64()),
-                "vec_b": pa.array(ids[bi[mask]][order], pa.int64()),
-                "cos_sim": pa.array(sims[ai, bi][mask][order], pa.float64()),
-            }
+        mt = dataset_to_table(ds.select_columns([id_col, vec_col]))
+        gids = mt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        gm = _normalize(_batch_matrix(mt, vec_col))
+        order = np.argsort(gids)
+        gids, gm = gids[order], gm[order]
+        glob_ref = ray.put((gids, gm))
+
+        def tile(batch: pa.Table) -> pa.Table:
+            g_ids, g_m = ray.get(glob_ref)
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            bm = _normalize(_batch_matrix(batch, vec_col))
+            sims = bm @ g_m.T  # (batch, n) tile
+            sel = (sims >= threshold) & (g_ids[None, :] > bids[:, None])
+            ai, bi = np.nonzero(sel)
+            return pa.table(
+                {
+                    "vec_a": pa.array(bids[ai], pa.int64()),
+                    "vec_b": pa.array(g_ids[bi], pa.int64()),
+                    "cos_sim": pa.array(sims[ai, bi], pa.float64()),
+                }
+            )
+
+        out = dataset_to_table(
+            ds.map_batches(tile, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=512)
         )
+        order = np.lexsort(
+            (out.column("vec_b").to_numpy(zero_copy_only=False),
+             out.column("vec_a").to_numpy(zero_copy_only=False))
+        )
+        return out.take(pa.array(order))
 
     def buckets(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, vec_col)
-        # deterministic hyperplanes: same seed in every task
-        planes = np.random.default_rng(42).standard_normal((n_planes, m.shape[1]))
-        signs = (m @ planes.T) > 0
-        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        # deterministic hyperplanes: same seed in every task; one plane
+        # block per table so tables are independent
+        planes = np.random.default_rng(42).standard_normal(
+            (n_tables, n_planes, m.shape[1])
+        )
+        keys_out, id_out, vec_out = [], [], []
+        ids = batch.column(id_col).cast(pa.int64())
+        for t in range(n_tables):
+            signs = (m @ planes[t].T) > 0
+            keys = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+            keys_out.append(keys | (np.int64(t) << 32))
+            id_out.append(ids)
+            vec_out.append(batch.column(vec_col))
         return pa.table(
             {
-                "bucket": pa.array(keys, pa.int64()),
-                "vec_id": batch.column(id_col).cast(pa.int64()),
-                "vec": batch.column(vec_col),
+                "bucket": pa.array(np.concatenate(keys_out), pa.int64()),
+                "vec_id": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                     for a in id_out]
+                ),
+                "vec": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                     for a in vec_out]
+                ),
             }
         )
 
@@ -144,10 +194,10 @@ def embedding_neardup_pairs(
             return pa.table({"vec_a": pa.array([], pa.int64()),
                              "vec_b": pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.float64())})
-        m = _normalize(np.asarray(group.column("vec").to_pylist(), dtype=np.float64))
+        m = _normalize(_batch_matrix(group, "vec"))
         sims = m @ m.T
         ai, bi = np.triu_indices(len(ids), k=1)
-        mask = sims[ai, bi] >= threshold
+        mask = (sims[ai, bi] >= threshold) & (ids[ai] != ids[bi])
         a, b = ids[ai[mask]], ids[bi[mask]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(

@@ -136,6 +136,36 @@ def test_ann_brute_force(ray_session):
     assert (3, 7) in {(r["vec_a"], r["vec_b"]) for r in pairs.to_pylist()}
 
 
+def test_embedding_neardup_lsh_recall(ray_session):
+    """The multi-table LSH path must recover >= 95% of true cos>=0.99
+    pairs at the default (8 planes x 8 tables) — the scale-path recall
+    gate for the approximate variant."""
+    import ray.data
+
+    from donkey_ray.pipelines.ann import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 32))
+    vecs = [base]
+    # plant 60 near-dups: tiny perturbations of the first 60 vectors
+    planted = base[:60] + 0.02 * rng.standard_normal((60, 32))
+    vecs.append(planted)
+    m = np.vstack(vecs)
+    tbl = pa.table(
+        {"vec_id": pa.array(range(len(m)), pa.int64()),
+         "embedding": pa.array(m.tolist(), pa.list_(pa.float64()))}
+    )
+    ds = ray.data.from_arrow(tbl)
+    exact = embedding_neardup_pairs(ds, threshold=0.99, exact=True)
+    approx = embedding_neardup_pairs(ds, threshold=0.99, exact=False)
+    want = {(r["vec_a"], r["vec_b"]) for r in exact.to_pylist()}
+    got = {(r["vec_a"], r["vec_b"]) for r in approx.to_pylist()}
+    assert want, "fixture must contain true near-dup pairs"
+    assert got <= want  # LSH never invents pairs (same exact cosine check)
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, recall
+
+
 def test_analyze_pipelines(docs_ds):
     from donkey_ray.pipelines.analyze import (
         corpus_stats,
