@@ -10,14 +10,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.textstats import (
-    LANG_MARKERS,
-    LANG_PRIORITY,
-    STOPWORDS,
-    fingerprint,
-    lang_id,
-    quality_metrics,
-)
+from ..functions.textstats import LANG_MARKERS, LANG_PRIORITY, STOPWORDS
 from ..functions.tokenize import SimpleTokenizer
 
 _TOK = SimpleTokenizer()
@@ -83,23 +76,45 @@ def corpus_stats(ds: ray.data.Dataset, *, text_col: str = "text",
     )
 
 
+def _tokenized(batch: pa.Table, text_col: str):
+    """Shared vectorized tokenize over a batch: (flat terms, parent row
+    indices, per-row dl)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _TOK.tokenize_column(col)
+
+
 def quality_scores(ds: ray.data.Dataset, *, text_col: str = "text",
                    id_col: str = "doc_id") -> ray.data.Dataset:
     """(doc_id, n_tokens, stopword_ratio, mean_token_len), ratios rounded
-    to 6 dp (same rounding as the SQL oracle)."""
+    to 6 dp (same rounding as the SQL oracle). Fully vectorized: Arrow
+    tokenize + is_in/utf8_length kernels + bincount segment sums — the
+    semantics are pinned by functions.textstats.quality_metrics."""
+    stop_set = pa.array(list(STOPWORDS), pa.string())
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        ms = [quality_metrics(t or "") for t in batch.column(text_col).to_pylist()]
+        flat, parents, dl = _tokenized(batch, text_col)
+        n = batch.num_rows
+        stop_mask = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        stop_counts = np.bincount(parents[stop_mask], minlength=n)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        len_sums = np.bincount(parents, weights=tok_lens, minlength=n)
+        safe = np.maximum(dl, 1).astype(np.float64)
+        nonzero = dl > 0
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array([m["n_tokens"] for m in ms], pa.int64()),
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "n_tokens": pa.array(dl, pa.int64()),
                 "stopword_ratio": pa.array(
-                    [round(m["stopword_ratio"], 6) for m in ms], pa.float64()
+                    np.round(np.where(nonzero, stop_counts / safe, 0.0), 6),
+                    pa.float64(),
                 ),
                 "mean_token_len": pa.array(
-                    [round(m["mean_token_len"], 6) for m in ms], pa.float64()
+                    np.round(np.where(nonzero, len_sums / safe, 0.0), 6),
+                    pa.float64(),
                 ),
             }
         )
@@ -109,15 +124,30 @@ def quality_scores(ds: ray.data.Dataset, *, text_col: str = "text",
 
 def language_id(ds: ray.data.Dataset, *, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
-    """(doc_id, pred_lang) marker-word heuristic (pinned tie-break)."""
+    """(doc_id, pred_lang) marker-word heuristic. Vectorized per-lang
+    is_in + bincount; the pinned tie-break (LANG_PRIORITY order, first
+    max wins) is exactly argmax over the priority-ordered count stack."""
+    marker_sets = {
+        lang: pa.array(list(LANG_MARKERS[lang]), pa.string())
+        for lang in LANG_PRIORITY
+    }
+    lang_arr = np.array(LANG_PRIORITY)
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        preds = [lang_id(t or "") for t in batch.column(text_col).to_pylist()]
+        flat, parents, _dl = _tokenized(batch, text_col)
+        n = batch.num_rows
+        counts = np.empty((len(LANG_PRIORITY), n), dtype=np.int64)
+        for i, lang in enumerate(LANG_PRIORITY):
+            mask = pc.is_in(flat, value_set=marker_sets[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            counts[i] = np.bincount(parents[mask], minlength=n)
+        best = counts.max(axis=0)
+        preds = np.where(best == 0, "unknown", lang_arr[counts.argmax(axis=0)])
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "pred_lang": pa.array(preds, pa.string()),
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "pred_lang": pa.array(preds.tolist(), pa.string()),
             }
         )
 
@@ -126,15 +156,34 @@ def language_id(ds: ray.data.Dataset, *, text_col: str = "text",
 
 def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
                      id_col: str = "doc_id") -> ray.data.Dataset:
-    """(doc_id, fingerprint) rolling-hash document fingerprints."""
+    """(doc_id, fingerprint) rolling-hash document fingerprints.
+
+    Token hashes are computed once per UNIQUE token (dictionary encode +
+    blake2b per dictionary entry); the Horner recurrence itself stays a
+    per-doc loop because each step is a 61-bit modular multiply of the
+    previous state — sequential by definition and >64-bit intermediate,
+    so numpy cannot express it. Semantics pinned by textstats.fingerprint."""
+    from ..functions.textstats import FP_BASE, FP_MOD, token_hash64
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        fps = [fingerprint(t or "") for t in batch.column(text_col).to_pylist()]
+        flat, parents, dl = _tokenized(batch, text_col)
+        n = batch.num_rows
+        enc = (flat.dictionary_encode()
+               if not isinstance(flat, pa.ChunkedArray)
+               else flat.combine_chunks().dictionary_encode())
+        uniq_h = [token_hash64(t) % FP_MOD for t in enc.dictionary.to_pylist()]
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(dl)))
+        fps = np.zeros(n, dtype=np.uint64)
+        for r in range(n):
+            h = 0
+            for j in range(int(starts[r]), int(starts[r + 1])):
+                h = (h * FP_BASE + uniq_h[idx[j]]) % FP_MOD
+            fps[r] = h
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "fingerprint": pa.array(np.array(fps, dtype=np.uint64), pa.uint64()),
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "fingerprint": pa.array(fps, pa.uint64()),
             }
         )
 

@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.codec import decode_blocked_deltas, varbyte_decode
+from ..functions.codec import varbyte_decode
 from ..state import manifest as mf
 from .. import schemas
 
@@ -43,31 +43,45 @@ def segments_as_postings(index_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(paths)
 
     def decode(batch: pa.Table) -> pa.Table:
+        """Vectorized batch decode: ONE varbyte pass per stream for every
+        run in the batch; doc-id deltas re-based at each block start
+        (mirrors stages.encode.decode_combined_runs, plus the in-run
+        block resets the segment format adds)."""
         import numpy as np
 
-        terms_out, ids_out, tf_out, dl_out = [], [], [], []
-        for row in batch.to_pylist():
-            n = int(row["df"])
-            ids = decode_blocked_deltas(row["doc_ids"], n, block_size)
-            tfs = varbyte_decode(row["tfs"]).astype(np.int32)
-            dls = varbyte_decode(row["dls"]).astype(np.int32)
-            terms_out.extend([row["term"]] * n)
-            ids_out.append(ids)
-            tf_out.append(tfs)
-            dl_out.append(dls)
-        if not ids_out:
-            return pa.table(
-                {"term": pa.array([], pa.string()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "tf": pa.array([], pa.int32()),
-                 "dl": pa.array([], pa.int32())}
-            )
+        empty = pa.table(
+            {"term": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int32()),
+             "dl": pa.array([], pa.int32())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(dfs.sum())
+        if total == 0:
+            return empty
+        run_starts = np.concatenate(([0], np.cumsum(dfs)))[:-1]
+        # block starts: every block_size postings WITHIN each run
+        blk_starts = np.concatenate(
+            [rs + np.arange(0, n, block_size, dtype=np.int64)
+             for rs, n in zip(run_starts, dfs) if n > 0]
+        )
+        deltas = varbyte_decode(b"".join(batch.column("doc_ids").to_pylist()))
+        c = np.cumsum(deltas, dtype=np.uint64)
+        prefix = c[blk_starts] - deltas[blk_starts]
+        blk_bounds = np.concatenate((blk_starts, [total]))
+        blk_lens = np.diff(blk_bounds)
+        doc_ids = (c - np.repeat(prefix, blk_lens)).astype(np.int64)
+        tfs = varbyte_decode(b"".join(batch.column("tfs").to_pylist()))
+        dls = varbyte_decode(b"".join(batch.column("dls").to_pylist()))
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "term": pa.array(terms_out, pa.string()),
-                "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
-                "tf": pa.array(np.concatenate(tf_out), pa.int32()),
-                "dl": pa.array(np.concatenate(dl_out), pa.int32()),
+                "term": pa.array(np.repeat(terms, dfs), pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tf": pa.array(tfs.astype(np.int32), pa.int32()),
+                "dl": pa.array(dls.astype(np.int32), pa.int32()),
             }
         )
 
