@@ -95,6 +95,29 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Start the named serving actor and answer queries from stdin
+    (one query text per line; JSON hits per line). The actor outlives
+    this process when --detached is given (donkey server analogue)."""
+    _ray_init()
+    import ray
+
+    from .serve import start_server
+
+    server = start_server(
+        args.index, name=args.name, mode=args.mode, detached=args.detached
+    )
+    print(json.dumps(ray.get(server.ping.remote())))
+    if args.ping_only:
+        return 0
+    for line in sys.stdin:
+        text = line.strip()
+        if not text:
+            continue
+        print(json.dumps(ray.get(server.search.remote(text, args.k))))
+    return 0
+
+
 def cmd_synth(args) -> int:
     _ray_init()
     from .synth import generate_corpus_parquet
@@ -131,6 +154,15 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats", help="print index metadata")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    v = sub.add_parser("serve", help="serve an index from a named Ray actor")
+    v.add_argument("--index", required=True)
+    v.add_argument("--name", default="donkey_index_server")
+    v.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
+    v.add_argument("--k", type=int, default=10)
+    v.add_argument("--detached", action="store_true")
+    v.add_argument("--ping-only", action="store_true")
+    v.set_defaults(fn=cmd_serve)
 
     g = sub.add_parser("synth", help="generate a deterministic synthetic corpus")
     g.add_argument("--rows", type=int, required=True)

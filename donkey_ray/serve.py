@@ -1,0 +1,187 @@
+"""Long-lived query serving (donkey analogue [PK]: the RPC service
+``ping / insert / search / misc`` in api/ + src/service*, the insert
+journal in src/, and the ``sync`` checkpoint — file-level, SURVEY.md
+section 0 / section 2A A2/A3/A7/A8).
+
+Re-grounded Ray-first: the server is a NAMED RAY ACTOR holding a
+QueryEngine (sharded lazy dictionary — per-actor memory independent of
+vocabulary). Donkey's online-insert surface maps to:
+
+  insert(rows)  -> append to an in-memory buffer + durable JSONL journal
+                   (donkey's WAL; replayed on actor restart = recover())
+  flush()       -> build a DELTA INDEX from the buffer (the standard
+                   batch build pipeline), then re-open the engine
+                   FEDERATED over base + deltas (exact BM25 over the
+                   union corpus, no compaction needed)  [donkey 'sync']
+  compact()     -> merge_indexes() all segments into one fresh index
+                   [donkey 'misc reindex']
+  search(text,k)-> engine.topk                              [A5/A6]
+  ping()/stats()-> liveness + index metadata                [A7]
+
+PRECONDITION (same as pipelines/incremental.py): inserted docs must be
+NEW (repo, path, commit) keys — doc_ids are derived from that key, and
+a duplicate would double-count postings across federated members.
+
+Scale shape: one server actor per index replica; the actor itself holds
+only LRU caches (no full dictionary), so replicas are cheap. Query
+routing across many replicas is the caller's load balancer; this module
+provides the single-replica building block Ray can schedule anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray
+
+from .state import manifest as mf
+
+
+class IndexServer:
+    """Serving state for one index (plus its delta chain). Wrap with
+    ``ray.remote`` (see ``start_server``) or use in-process for tests."""
+
+    CORPUS_COLS = ("repo", "path", "commit", "lang", "content")
+
+    def __init__(self, index_dir: str, *, mode: str = "auto") -> None:
+        from .stages.score import QueryEngine
+
+        self.base_dir = index_dir
+        self.mode = mode
+        self._dirs = [index_dir] + self._existing_deltas(index_dir)
+        self.engine = QueryEngine(self._dirs, mode=mode)
+        self._buffer: list[dict] = []
+        self._journal_path = os.path.join(index_dir, "journal.jsonl")
+        self._recover()
+
+    # ---- donkey A3: journal + recover ----
+    def _recover(self) -> None:
+        if not os.path.exists(self._journal_path):
+            return
+        with open(self._journal_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    self._buffer.append(json.loads(line))
+
+    def _journal_append(self, rows: list[dict]) -> None:
+        with open(self._journal_path, "a") as f:
+            for r in rows:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    @staticmethod
+    def _existing_deltas(index_dir: str) -> list[str]:
+        out = []
+        i = 0
+        while True:
+            d = f"{index_dir}_delta_{i}"
+            if not mf.is_complete(d):
+                break
+            out.append(d)
+            i += 1
+        return out
+
+    # ---- donkey A7 surface ----
+    def ping(self) -> dict:
+        return {
+            "status": "ok",
+            "n_docs": self.engine.n_docs,
+            "n_indexes": len(self._dirs),
+            "buffered_inserts": len(self._buffer),
+        }
+
+    def stats(self) -> dict:
+        return {
+            "index_dirs": list(self._dirs),
+            "n_docs": self.engine.n_docs,
+            "avgdl": self.engine.avgdl,
+            "query_lang": self.engine.query_lang,
+            "buffered_inserts": len(self._buffer),
+        }
+
+    def search(self, text: str, k: int = 10) -> list[dict]:
+        return [
+            {"rank": r, "doc_id": d, "score": s}
+            for r, (d, s) in enumerate(self.engine.topk(text, k), start=1)
+        ]
+
+    def search_many(self, queries: list[tuple[str, int]]) -> list[list[dict]]:
+        return [self.search(text, k) for text, k in queries]
+
+    # ---- donkey A2: insert (buffered + journaled) ----
+    def insert(self, rows: list[dict]) -> int:
+        for r in rows:
+            missing = [c for c in self.CORPUS_COLS if c not in r]
+            if missing:
+                raise ValueError(f"insert row missing columns {missing}")
+        self._journal_append(rows)
+        self._buffer.extend(rows)
+        return len(self._buffer)
+
+    # ---- donkey A8: sync -> delta index build + federated reopen ----
+    def flush(self, *, num_partitions: int = 4) -> dict:
+        from .pipelines.build import build_index
+        from .stages.score import QueryEngine
+
+        if not self._buffer:
+            return {"flushed": 0, "n_indexes": len(self._dirs)}
+        import pyarrow as pa
+        import ray.data
+
+        cols = {
+            c: pa.array([r[c] for r in self._buffer], pa.string())
+            for c in self.CORPUS_COLS
+        }
+        delta_dir = f"{self.base_dir}_delta_{len(self._dirs) - 1}"
+        build_index(
+            ray.data.from_arrow(pa.table(cols)),
+            delta_dir,
+            num_partitions=num_partitions,
+            query_lang=self.engine.query_lang,
+            detect_hot=False,  # deltas are small; salting buys nothing
+        )
+        n = len(self._buffer)
+        self._buffer.clear()
+        os.unlink(self._journal_path)
+        self._dirs.append(delta_dir)
+        self.engine = QueryEngine(self._dirs, mode=self.mode)
+        return {"flushed": n, "delta_dir": delta_dir,
+                "n_indexes": len(self._dirs), "n_docs": self.engine.n_docs}
+
+    # ---- donkey 'misc reindex': compaction ----
+    def compact(self, out_dir: str, *, num_partitions: int = 16) -> dict:
+        from .pipelines.incremental import merge_indexes
+        from .stages.score import QueryEngine
+
+        meta = merge_indexes(self._dirs, out_dir, num_partitions=num_partitions)
+        self._dirs = [out_dir]
+        self.base_dir = out_dir
+        self._journal_path = os.path.join(out_dir, "journal.jsonl")
+        self.engine = QueryEngine(self._dirs, mode=self.mode)
+        return meta
+
+
+def start_server(
+    index_dir: str,
+    *,
+    name: str = "donkey_index_server",
+    mode: str = "auto",
+    detached: bool = False,
+) -> "ray.actor.ActorHandle":
+    """Start (or get) the named serving actor. Ray must already be
+    initialised by the caller (CLI / driver) — never here."""
+    try:
+        return ray.get_actor(name)
+    except ValueError:
+        pass
+    opts = {"name": name, "num_cpus": 1}
+    if detached:
+        opts["lifetime"] = "detached"
+    return (
+        ray.remote(IndexServer)
+        .options(**opts)
+        .remote(index_dir, mode=mode)
+    )

@@ -1,0 +1,134 @@
+"""Serve mode (donkey RPC-service analogue): live actor round-trip,
+online insert -> journal -> flush -> federated search, recovery, and
+compaction equivalence."""
+
+import pyarrow as pa
+import pytest
+
+from donkey_ray.oracle import BM25Oracle
+from donkey_ray.pipelines.build import build_index
+from donkey_ray.serve import IndexServer, start_server
+from donkey_ray.synth import make_corpus, make_queries
+
+
+@pytest.fixture(scope="module")
+def served_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    corpus = make_corpus(150, seed=23)
+    out = str(tmp_path_factory.mktemp("serve") / "index")
+    build_index(ray.data.from_arrow(corpus), out, num_partitions=4,
+                query_lang="code", detect_hot=False)
+    return corpus, out
+
+
+def _new_rows(n: int, start: int = 9000) -> list[dict]:
+    # fresh (repo, path, commit) keys -> new doc_ids, disjoint from corpus
+    return [
+        {
+            "repo": "repo-live",
+            "path": f"src/live_{i}.py",
+            "commit": f"c{i:07d}",
+            "lang": "py",
+            "content": f"def served_handler_{i}(x):\n    return zzylivetoken + x\n",
+        }
+        for i in range(start, start + n)
+    ]
+
+
+def test_actor_round_trip(served_index):
+    import ray
+
+    corpus, out = served_index
+    server = start_server(out, name="t_serve_rt")
+    ping = ray.get(server.ping.remote())
+    assert ping["status"] == "ok" and ping["n_docs"] == 150
+
+    from donkey_ray.stages.score import QueryEngine
+
+    engine = QueryEngine(out)
+    for row in make_queries(10).to_pylist():
+        got = ray.get(server.search.remote(row["text"], int(row["k"])))
+        want = engine.topk(row["text"], int(row["k"]))
+        assert [(h["doc_id"], h["score"]) for h in got] == pytest.approx(want)
+        assert [h["rank"] for h in got] == list(range(1, len(got) + 1))
+    ray.kill(server)
+
+
+def test_insert_flush_search(served_index, tmp_path):
+    """Online insert -> flush -> the new doc is immediately searchable,
+    and federated scores equal a from-scratch build over the union."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    corpus, out = served_index
+    base = str(tmp_path / "index")
+    shutil.copytree(out, base)
+
+    srv = IndexServer(base)  # in-process: exercises the same code path
+    assert srv.search("zzylivetoken", 5) == []
+    srv.insert(_new_rows(3))
+    assert srv.ping()["buffered_inserts"] == 3
+    res = srv.flush()
+    assert res["flushed"] == 3 and res["n_docs"] == 153
+    hits = srv.search("zzylivetoken served", 5)
+    assert len(hits) == 3
+
+    # equivalence: one fresh index over corpus + inserted rows
+    rows = _new_rows(3)
+    extra = pa.table(
+        {c: pa.array([r[c] for r in rows], pa.string())
+         for c in ("repo", "path", "commit", "lang", "content")}
+    )
+    union = pa.concat_tables([corpus.select(extra.column_names), extra])
+    fresh = str(tmp_path / "fresh")
+    build_index(ray.data.from_arrow(union), fresh, num_partitions=4,
+                query_lang="code", detect_hot=False)
+    from donkey_ray.stages.score import QueryEngine
+
+    ref = QueryEngine(fresh)
+    for text in ("zzylivetoken", "served handler", "return x"):
+        assert srv.search(text, 10) == [
+            {"rank": r, "doc_id": d, "score": pytest.approx(s)}
+            for r, (d, s) in enumerate(ref.topk(text, 10), start=1)
+        ]
+
+
+def test_journal_recovery(served_index, tmp_path):
+    """Unflushed inserts survive a server restart (journal replay —
+    donkey's WAL recover())."""
+    import shutil
+
+    corpus, out = served_index
+    base = str(tmp_path / "index")
+    shutil.copytree(out, base)
+
+    srv = IndexServer(base)
+    srv.insert(_new_rows(2))
+    del srv  # crash without flush
+
+    srv2 = IndexServer(base)
+    assert srv2.ping()["buffered_inserts"] == 2
+    res = srv2.flush()
+    assert res["flushed"] == 2
+    assert len(srv2.search("zzylivetoken", 5)) == 2
+
+
+def test_compact_preserves_results(served_index, tmp_path):
+    import shutil
+
+    corpus, out = served_index
+    base = str(tmp_path / "index")
+    shutil.copytree(out, base)
+    srv = IndexServer(base)
+    srv.insert(_new_rows(2))
+    srv.flush()
+    before = [srv.search(t, 10) for t in ("zzylivetoken", "return x")]
+    srv.compact(str(tmp_path / "compacted"), num_partitions=4)
+    assert srv.ping()["n_indexes"] == 1
+    after = [srv.search(t, 10) for t in ("zzylivetoken", "return x")]
+    for b, a in zip(before, after):
+        assert [h["doc_id"] for h in b] == [h["doc_id"] for h in a]
+        assert [h["score"] for h in b] == pytest.approx([h["score"] for h in a])
