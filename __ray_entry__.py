@@ -18,6 +18,28 @@ from donkey_ray import driver_api as api
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# SQL building blocks for the hash-based oracles (sample_docs,
+# doc_fingerprints): wrap-around 64-bit multiply and hex->uint64 parse
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _mul64(a: str, c: str) -> str:
+    """(a * c) mod 2^64 via 32-bit limbs — every partial fits HUGEINT."""
+    return (
+        f"((({a} % 4294967296::HUGEINT) * ({c} % 4294967296) + "
+        f"(((({a} // 4294967296::HUGEINT) * ({c} % 4294967296) + "
+        f"({a} % 4294967296::HUGEINT) * ({c} // 4294967296)) % 4294967296::HUGEINT) "
+        f"* 4294967296::HUGEINT)) % {_M64})"
+    )
+
+
+# first 16 hex chars of sha256(s) -> UBIGINT (big-endian top 8 bytes)
+_HEX64 = (
+    "list_aggregate(list_transform(range(1,17), "
+    "i -> (strpos('0123456789abcdef', substr(sha256(s), i, 1))::UBIGINT - 1) "
+    "* (1::UBIGINT << (4*(16-i)))), 'sum')"
+)
+
 
 def entry() -> Any:
     """Flagship: BM25 index build + pinned query serving on sf0.001."""
@@ -155,6 +177,38 @@ WHERE rn <= 20
 """,
         "content_sha256": """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+""",
+        # splitmix64(doc_id) % 8 == 0 — the engine's deterministic-sample
+        # mix, spelled out in SQL: 64-bit multiply = 32-bit limb products
+        # mod 2^64 in HUGEINT (DuckDB UBIGINT arithmetic errors on
+        # overflow instead of wrapping)
+        "sample_docs": f"""
+WITH s0 AS (SELECT doc_id, text,
+        ((doc_id::HUGEINT + 11400714819323198485) % {_M64})::UBIGINT AS z
+        FROM documents),
+s1 AS (SELECT doc_id, text, xor(z, z >> 30)::HUGEINT AS z FROM s0),
+s2 AS (SELECT doc_id, text, {_mul64('z', '13787848793156543929')}::UBIGINT AS z FROM s1),
+s3 AS (SELECT doc_id, text, xor(z, z >> 27)::HUGEINT AS z FROM s2),
+s4 AS (SELECT doc_id, text, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM s3),
+s5 AS (SELECT doc_id, text, xor(z, z >> 31) AS z FROM s4)
+SELECT doc_id, text FROM s5 WHERE z % 8 = 0
+""",
+        # rolling polynomial hash over per-token sha256-top-8-byte hashes
+        # mod 2^61-1 (functions.textstats.fingerprint, pinned): Horner as
+        # a recursive CTE over token position
+        "doc_fingerprints": f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents),
+hs AS (SELECT doc_id,
+        list_transform(toks, s -> ({_HEX64} % 2305843009213693951)::HUGEINT) AS th,
+        len(toks) AS n FROM tok),
+rec AS (
+  SELECT doc_id, 0::HUGEINT AS h, 0 AS i, th, n FROM hs
+  UNION ALL
+  SELECT doc_id, (h * 1000003 + th[i+1]) % 2305843009213693951::HUGEINT,
+         i + 1, th, n
+  FROM rec WHERE i < n)
+SELECT doc_id, h::UBIGINT AS fingerprint FROM rec WHERE i = n
 """,
         "filter_project": """
 SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'

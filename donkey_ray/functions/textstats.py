@@ -68,13 +68,20 @@ def token_hash64(token: str) -> int:
     return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
 
 
+def fp_token_hash64(token: str) -> int:
+    """Token hash for FINGERPRINTS only: top 8 bytes of sha256, big-endian.
+    Pinned to sha256 (not blake2b) so the DuckDB oracle can mirror it
+    exactly (`sha256()` exists in SQL; blake2b does not)."""
+    return int.from_bytes(hashlib.sha256(token.encode()).digest()[:8], "big")
+
+
 def fingerprint(text: str) -> int:
     """Rolling polynomial hash of the token-hash stream mod 2^61-1.
 
     Order-sensitive (document fingerprint, not a bag-of-words hash)."""
     h = 0
     for t in _TOK.tokenize(text):
-        h = (h * FP_BASE + (token_hash64(t) % FP_MOD)) % FP_MOD
+        h = (h * FP_BASE + (fp_token_hash64(t) % FP_MOD)) % FP_MOD
     return h
 
 

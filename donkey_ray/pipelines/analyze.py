@@ -163,7 +163,7 @@ def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
     per-doc loop because each step is a 61-bit modular multiply of the
     previous state — sequential by definition and >64-bit intermediate,
     so numpy cannot express it. Semantics pinned by textstats.fingerprint."""
-    from ..functions.textstats import FP_BASE, FP_MOD, token_hash64
+    from ..functions.textstats import FP_BASE, FP_MOD, fp_token_hash64
 
     def f(batch: pa.Table) -> pa.Table:
         flat, parents, dl = _tokenized(batch, text_col)
@@ -171,7 +171,7 @@ def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
         enc = (flat.dictionary_encode()
                if not isinstance(flat, pa.ChunkedArray)
                else flat.combine_chunks().dictionary_encode())
-        uniq_h = [token_hash64(t) % FP_MOD for t in enc.dictionary.to_pylist()]
+        uniq_h = [fp_token_hash64(t) % FP_MOD for t in enc.dictionary.to_pylist()]
         idx = enc.indices.to_numpy(zero_copy_only=False)
         starts = np.concatenate(([0], np.cumsum(dl)))
         fps = np.zeros(n, dtype=np.uint64)

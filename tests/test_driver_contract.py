@@ -66,7 +66,7 @@ NAMES = [
     "doc_token_counts", "corpus_stats", "top_terms",
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
     "ann_topk", "embedding_neardup", "quality_scores", "lang_id",
-    "lineitem_agg",
+    "lineitem_agg", "sample_docs", "doc_fingerprints",
 ]
 
 
@@ -91,10 +91,7 @@ def test_query_matches_oracle(contract, oracle_con, name):
 def test_rows_only_queries_run(contract):
     qs, sqls = contract
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {
-        "minhash_neardup", "simhash_fingerprints", "doc_fingerprints",
-        "sample_docs",
-    }
+    assert rows_only == {"minhash_neardup", "simhash_fingerprints"}
     for name in sorted(rows_only):
         df = _to_df(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) >= 2
