@@ -353,24 +353,39 @@ def q_events_window(sf_dir: str) -> pa.Table:
 
 
 def q_lineitem_agg(sf_dir: str) -> pa.Table:
-    """Generic columnar aggregate op (partial-agg groupby) on lineitem."""
+    """Generic columnar aggregate on lineitem, map-side combined: each
+    batch pre-aggregates to <= |groups| rows (C++ hash groupby), the
+    driver merges the tiny partials — low-cardinality groupbys never pay
+    an all-to-all shuffle (and never emit the empty shuffle blocks that
+    trip Ray's schema-mismatch warning)."""
+    keys = ["l_returnflag", "l_linestatus"]
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        columns=keys + ["l_quantity", "l_extendedprice"],
     )
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
-        ray.data.aggregate.Sum("l_extendedprice", alias_name="sum_price"),
-        ray.data.aggregate.Count(alias_name="count_order"),
-    )
-    tbl = dataset_to_table(agg)
-    for col, name in (("sum_qty", "sum_qty_x100"), ("sum_price", "sum_price_x100")):
-        i = tbl.column_names.index(col)
-        tbl = tbl.set_column(
-            i, name,
-            pc.round(pc.multiply(tbl.column(col), 100.0)).cast(pa.int64()),
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys, use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_quantity", "count")]
         )
-    return tbl
+
+    partials = dataset_to_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    tbl = partials.group_by(keys, use_threads=False).aggregate(
+        [("l_quantity_sum", "sum"), ("l_extendedprice_sum", "sum"),
+         ("l_quantity_count", "sum")]
+    )
+    out = {k: tbl.column(k) for k in keys}
+    out["sum_qty_x100"] = pc.round(
+        pc.multiply(tbl.column("l_quantity_sum_sum"), 100.0)
+    ).cast(pa.int64())
+    out["sum_price_x100"] = pc.round(
+        pc.multiply(tbl.column("l_extendedprice_sum_sum"), 100.0)
+    ).cast(pa.int64())
+    out["count_order"] = tbl.column("l_quantity_count_sum").cast(pa.int64())
+    return pa.table(out)
 
 
 def flagship(sf_dir: str = "/root/testdata/sf0.001"):

@@ -1,9 +1,10 @@
 """MinHash + SimHash sketches for near-duplicate detection.
 
 MinHash: 128 universal-hash permutations h_i(x) = (a_i*x + b_i) mod p over
-64-bit shingle hashes (p = 2^61-1), seeded deterministically; LSH banding
-16 bands x 8 rows. SimHash: 64-bit sign-of-weighted-bit-sums over token
-hashes, near-dup via 4x16-bit band buckets + Hamming check.
+64-bit shingle hashes (p = 2^31-1, so a_i*x fits uint64 and the whole
+signature vectorizes); LSH banding NUM_BANDS=32 bands x ROWS_PER_BAND=4
+rows. SimHash: 64-bit sign-of-weighted-bit-sums over token hashes,
+near-dup via 4x16-bit band buckets + Hamming check.
 
 All numpy-vectorized over the shingle/token hash arrays.
 """
@@ -48,7 +49,8 @@ def minhash_signature(shingle_hs: np.ndarray) -> np.ndarray:
 
 
 def band_keys(sig: np.ndarray) -> list[bytes]:
-    """16 LSH bucket keys: band index + blake2b of the band's 8 sig values."""
+    """NUM_BANDS LSH bucket keys: band index + blake2b of the band's
+    ROWS_PER_BAND signature values."""
     keys = []
     for band in range(NUM_BANDS):
         chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]

@@ -70,9 +70,12 @@ def score_queries(
     )
 
 
-def hydrate_results(results: ray.data.Dataset, index_dir: str) -> ray.data.Dataset:
+def hydrate_results(
+    results: ray.data.Dataset | pa.Table, index_dir: str
+) -> pa.Table:
     """Join results to the docs table (SURVEY.md B20) — broadcast the tiny
-    results side into a lookup against the docs parquet, never a shuffle."""
+    results side into a lookup against the docs parquet, never a shuffle.
+    Returns a pyarrow Table (results are top-k-small by construction)."""
     import os
 
     import pyarrow.compute as pc

@@ -8,11 +8,11 @@ resize / feature-extract / frame-sample are actor-pool ``map_batches``
 stages: expensive setup (codec contexts, models) belongs in ``__init__``,
 per-batch work operates on binary buffers.
 
-Decoding: if PIL/libav were installed the ``_decode_*_real`` hooks would
-be used; here they raise NotImplementedError and the DETERMINISTIC FAKE
-path (clearly marked) synthesizes pixel/sample arrays from the bytes so
-schemas, batch sizes, actor signatures and output layouts are exercised
-and tested for real.
+Decoding: when PIL is installed, ``_decode_image_real`` decodes + resizes
+for real; in this container (no PIL) the DETERMINISTIC FAKE path (clearly
+marked) synthesizes pixel/sample arrays from the bytes so schemas, batch
+sizes, actor signatures and output layouts are exercised and tested for
+real. Audio decode remains a deterministic fake (no libav anywhere).
 """
 
 from __future__ import annotations
@@ -31,11 +31,22 @@ except ImportError:
     _HAVE_PIL = False
 
 
-def _decode_image_real(buf: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "real image decode requires PIL/opencv (not in this container); "
-        "the deterministic fake path is used instead"
-    )
+def _decode_image_real(buf: bytes, h: int, w: int) -> np.ndarray:
+    """Real decode path (used automatically when PIL is installed):
+    decode any PIL-supported container, convert to RGB, resize to (w, h).
+    Raises ValueError on undecodable bytes — no silent fake fallback on
+    the real path."""
+    from io import BytesIO
+
+    from PIL import Image, UnidentifiedImageError
+
+    try:
+        with Image.open(BytesIO(buf)) as img:
+            return np.asarray(
+                img.convert("RGB").resize((w, h)), dtype=np.uint8
+            )
+    except UnidentifiedImageError as ex:
+        raise ValueError(f"undecodable image bytes ({len(buf)} B)") from ex
 
 
 def _fake_rgb(buf: bytes, h: int, w: int) -> np.ndarray:
@@ -71,7 +82,7 @@ class ImageDecodeStage:
                 continue
             n_bytes[i] = len(buf)
             if _HAVE_PIL:
-                pixels[i] = _decode_image_real(buf)
+                pixels[i] = _decode_image_real(buf, self.h, self.w)
             else:
                 pixels[i] = _fake_rgb(buf, self.h, self.w)
         flat = pixels.reshape(len(bufs), -1)

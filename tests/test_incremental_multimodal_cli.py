@@ -156,3 +156,30 @@ def test_cli_end_to_end(tmp_path):
     )
     assert r.returncode == 0
     assert json.loads(r.stdout[r.stdout.index("{"):])["partitions_on_disk"] == 4
+
+
+def test_image_decode_dispatch_by_availability():
+    """Real PIL decode when installed; deterministic fake otherwise —
+    whichever path is live on this machine is exercised."""
+    import numpy as np
+    import pytest
+
+    from donkey_ray.stages import multimodal as mm
+
+    junk = b"definitely not an image"
+    if mm._HAVE_PIL:
+        import io
+
+        from PIL import Image
+
+        bio = io.BytesIO()
+        Image.new("RGB", (8, 6), (10, 20, 30)).save(bio, "PNG")
+        arr = mm._decode_image_real(bio.getvalue(), 4, 4)
+        assert arr.shape == (4, 4, 3) and arr.dtype == np.uint8
+        assert (arr == np.array([10, 20, 30], dtype=np.uint8)).all()
+        with pytest.raises(ValueError):
+            mm._decode_image_real(junk, 4, 4)
+    else:
+        a = mm._fake_rgb(junk, 4, 4)
+        assert a.shape == (4, 4, 3) and a.dtype == np.uint8
+        assert (a == mm._fake_rgb(junk, 4, 4)).all()  # deterministic
