@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": api.q_simhash_fingerprints,
         # similarity search over embeddings
         "ann_topk": api.q_ann_topk,
+        "ann_ivf_topk": api.q_ann_ivf_topk,
         "embedding_neardup": api.q_embedding_neardup,
         # text analysis
         "quality_scores": api.q_quality_scores,
@@ -86,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
     # identical to the plain engine -> same oracle
     sqls["bm25_topk_wand"] = sqls["bm25_topk"]
     sqls["bm25_topk_incremental"] = sqls["bm25_topk"]
+    # the IVF index at nprobe=n_lists must be brute-force-identical
+    sqls["ann_ivf_topk"] = sqls["ann_topk"]
     return sqls
 
 

@@ -273,6 +273,34 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "cos_sim")
 
 
+def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """Same pinned ANN queries through the persisted IVF index artifact
+    at nprobe = n_lists (exact) — the driver gate itself proves the
+    partitioned index returns brute-force-identical results (oracle SQL
+    shared with q_ann_topk). Smaller-nprobe recall is pytest-gated."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.ivf import build_ivf_index, ivf_topk
+
+    out = os.path.join(
+        CACHE_ROOT, f"ivf-{_hl.sha256(sf_dir.encode()).hexdigest()[:16]}"
+    )
+    build_ivf_index(_embeddings(sf_dir), out, n_lists=16, num_partitions=8)
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = {
+        v: e
+        for v, e in zip(emb.column("vec_id").to_pylist(),
+                        emb.column("embedding").to_pylist())
+    }
+    qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
+    res = ivf_topk(out, qv, k=ANN_K, nprobe=None)
+    return _round_col(res, "cos_sim")
+
+
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
     tbl = embedding_neardup_pairs(
         _embeddings(sf_dir), threshold=NEARDUP_COS_THRESHOLD, exact=True

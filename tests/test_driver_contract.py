@@ -65,8 +65,8 @@ NAMES = [
     "bm25_topk_hydrated", "events_window", "term_df",
     "doc_token_counts", "corpus_stats", "top_terms",
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
-    "ann_topk", "embedding_neardup", "quality_scores", "lang_id",
-    "lineitem_agg", "sample_docs", "doc_fingerprints",
+    "ann_topk", "ann_ivf_topk", "embedding_neardup", "quality_scores",
+    "lang_id", "lineitem_agg", "sample_docs", "doc_fingerprints",
 ]
 
 
