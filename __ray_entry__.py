@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
         "sample_docs": api.q_sample_docs,
         "events_window": api.q_events_window,
+        "events_sessions": api.q_events_sessions,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
         "corpus_stats": api.q_corpus_stats,
@@ -74,8 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": api.q_quality_scores,
         "lang_id": api.q_lang_id,
         "doc_fingerprints": api.q_doc_fingerprints,
-        # generic columnar aggregation
+        # generic columnar aggregation + distributed joins
         "lineitem_agg": api.q_lineitem_agg,
+        "orders_customer_join": api.q_orders_customer_join,
+        "orders_semi_building": api.q_orders_semi_building,
     }
 
 
@@ -156,6 +159,21 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(value)::BIGINT AS n_events,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+WITH o AS (SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, event_id, value,
+        CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess FROM o),
+s AS (SELECT user_id, ts, value,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
+FROM s GROUP BY user_id, sess
 """,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df
@@ -286,5 +304,28 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_price_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "orders_customer_join": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "orders_semi_building": """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+FROM orders o
+WHERE o.o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+        "simhash_fingerprints": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS s FROM documents),
+tf AS (SELECT doc_id, s, count(*)::HUGEINT AS tf FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, ({_HEX64}) AS h FROM tf),
+bits AS (SELECT doc_id, b.b,
+                sum(tf * (2 * ((h >> b.b) & 1)::HUGEINT - 1)) AS acc
+         FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0 END) AS sh
+       FROM bits GROUP BY 1)
+SELECT d.doc_id, coalesce(fp.sh, 0)::UBIGINT AS simhash
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
 """,
     }

@@ -380,6 +380,19 @@ def q_events_window(sf_dir: str) -> pa.Table:
     )
 
 
+def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Session windows (30-min gap) per user over the events stream —
+    the gaps-and-islands computation as one keyed exchange."""
+    from .pipelines.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+        override_num_blocks=8,
+    )
+    return sessionize(ds)
+
+
 def q_lineitem_agg(sf_dir: str) -> pa.Table:
     """Generic columnar aggregate on lineitem, map-side combined: each
     batch pre-aggregates to <= |groups| rows (C++ hash groupby), the
@@ -414,6 +427,45 @@ def q_lineitem_agg(sf_dir: str) -> pa.Table:
     ).cast(pa.int64())
     out["count_order"] = tbl.column("l_quantity_count_sum").cast(pa.int64())
     return pa.table(out)
+
+
+def q_orders_customer_join(sf_dir: str) -> ray.data.Dataset:
+    """Distributed hash join (both sides through one keyed cogroup
+    exchange, Arrow C++ join per partition): orders enriched with
+    customer name/segment."""
+    from .pipelines.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=8,
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"], override_num_blocks=4,
+    )
+    return hash_join(orders, customer, left_on="o_custkey",
+                     right_on="c_custkey", how="inner")
+
+
+def q_orders_semi_building(sf_dir: str) -> ray.data.Dataset:
+    """Distributed SEMI join: orders whose customer is in the BUILDING
+    market segment (right side pre-filtered at the read)."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+        override_num_blocks=8,
+    )
+    building = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+        override_num_blocks=4,
+    )
+    return hash_join(orders, building, left_on="o_custkey",
+                     right_on="c_custkey", how="semi")
 
 
 def flagship(sf_dir: str = "/root/testdata/sf0.001"):

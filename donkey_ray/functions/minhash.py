@@ -15,7 +15,7 @@ import hashlib
 
 import numpy as np
 
-from .textstats import shingle_hashes, token_hash64
+from .textstats import fp_token_hash64, shingle_hashes
 from .tokenize import SimpleTokenizer
 
 NUM_PERMS = 128
@@ -73,7 +73,10 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over token hashes weighted by tf."""
+    """64-bit SimHash over token hashes weighted by tf.
+
+    Token hash pinned to sha256-top-8-bytes (fp_token_hash64) so the
+    DuckDB oracle can mirror the computation exactly in SQL."""
     toks = _TOK.tokenize(text)
     if not toks:
         return 0
@@ -81,7 +84,7 @@ def simhash64(text: str) -> int:
     from collections import Counter
 
     for tok, tf in Counter(toks).items():
-        h = token_hash64(tok)
+        h = fp_token_hash64(tok)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += tf * (2 * bits.astype(np.int64) - 1)
     out = 0

@@ -676,14 +676,19 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> ray.data.Dataset:
-    """Pairs with Hamming(simhash) <= max_hamming via 4x16-bit band buckets
-    (any pair within Hamming 3 shares at least one of 4 bands)."""
+    """Pairs with Hamming(simhash) <= max_hamming via banded buckets.
+
+    Band count is derived from max_hamming (pigeonhole): with B bands, a
+    pair differing in <= B-1 bits always shares an unchanged band, so
+    B = smallest divisor of 64 that is >= max_hamming+1 gives GUARANTEED
+    recall (not probabilistic) at the requested radius."""
+    n_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
     fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         band_out, id_out, h_out = [], [], []
         for did, h in zip(batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()):
-            for key in mh.simhash_bands(int(h), 4):
+            for key in mh.simhash_bands(int(h), n_bands):
                 band_out.append(key)
                 id_out.append(did)
                 h_out.append(h)

@@ -67,6 +67,8 @@ NAMES = [
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
     "ann_topk", "ann_ivf_topk", "embedding_neardup", "quality_scores",
     "lang_id", "lineitem_agg", "sample_docs", "doc_fingerprints",
+    "simhash_fingerprints", "orders_customer_join", "orders_semi_building",
+    "events_sessions",
 ]
 
 
@@ -91,7 +93,7 @@ def test_query_matches_oracle(contract, oracle_con, name):
 def test_rows_only_queries_run(contract):
     qs, sqls = contract
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {"minhash_neardup", "simhash_fingerprints"}
+    assert rows_only == {"minhash_neardup"}
     for name in sorted(rows_only):
         df = _to_df(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) >= 2

@@ -1,0 +1,55 @@
+"""Distributed hash join: every join type vs an in-memory reference,
+invariant across partition counts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from donkey_ray.pipelines.joins import hash_join
+from donkey_ray.util import dataset_to_table
+
+
+@pytest.fixture(scope="module")
+def sides(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 50, 300)
+    left = pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "lv": pa.array(range(300), pa.int64())}
+    )
+    rk = np.unique(rng.integers(0, 80, 60))
+    right = pa.table(
+        {"rk": pa.array(rk, pa.int64()),
+         "rv": pa.array([f"r{v}" for v in rk], pa.string())}
+    )
+    return ray.data.from_arrow(left), ray.data.from_arrow(right), left, right
+
+
+def _rows(tbl: pa.Table) -> list[tuple]:
+    cols = sorted(tbl.column_names)
+    return sorted(zip(*[tbl.column(c).to_pylist() for c in cols]))
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("P", [3, 16])
+def test_hash_join_matches_arrow(sides, how, P):
+    lds, rds, left, right = sides
+    got = dataset_to_table(
+        hash_join(lds, rds, left_on="k", right_on="rk", how=how,
+                  num_partitions=P)
+    )
+    want = left.join(
+        right, keys="k", right_keys="rk",
+        join_type={"inner": "inner", "left": "left outer",
+                   "semi": "left semi", "anti": "left anti"}[how],
+    )
+    assert sorted(got.column_names) == sorted(want.column_names)
+    assert _rows(got) == _rows(want)
+
+
+def test_hash_join_rejects_unknown_type(sides):
+    lds, rds, *_ = sides
+    with pytest.raises(ValueError, match="how"):
+        hash_join(lds, rds, left_on="k", right_on="rk", how="full")
