@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": api.q_sample_docs,
         "events_window": api.q_events_window,
         "events_sessions": api.q_events_sessions,
+        "events_asof_error": api.q_events_asof_error,
+        "top_terms_per_lang": api.q_top_terms_per_lang,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
         "corpus_stats": api.q_corpus_stats,
@@ -174,6 +176,21 @@ s AS (SELECT user_id, ts, value,
 SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM s GROUP BY user_id, sess
+""",
+        "events_asof_error": """
+SELECT e.event_id, e.user_id, e.ts, err.ts AS last_error_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') err
+  ON e.user_id = err.user_id AND e.ts > err.ts
+""",
+        "top_terms_per_lang": f"""
+WITH d AS (SELECT DISTINCT doc_id, lang, unnest({_TOKS}) AS term FROM documents),
+c AS (SELECT lang, term, count(*)::BIGINT AS df FROM d GROUP BY 1, 2),
+r AS (SELECT lang, term, df,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY df DESC, term ASC) AS rank
+      FROM c)
+SELECT lang, term, df, rank::INT AS rank FROM r WHERE rank <= 5
 """,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df

@@ -468,6 +468,89 @@ def q_orders_semi_building(sf_dir: str) -> ray.data.Dataset:
                      right_on="c_custkey", how="semi")
 
 
+def q_events_asof_error(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join: every event gains the timestamp of the same user's
+    most recent STRICTLY-EARLIER 'error' event (null if none) — the
+    time-series enrichment join Ray Data lacks natively, built on the
+    keyed cogroup exchange."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import asof_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"],
+        override_num_blocks=8,
+    )
+    errors = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        filter=pads.field("event_type") == "error",
+        override_num_blocks=4,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["err_user", "err_ts"])
+
+    errors = errors.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(
+        events, errors, left_key="user_id", right_key="err_user",
+        left_ts="ts", right_ts="err_ts", out_col="last_error_ts",
+    )
+
+
+def q_top_terms_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Grouped top-k: the 5 highest-df terms within each lang (df desc,
+    term asc tie-break) — per-group top-k via one keyed exchange, no
+    global sort."""
+    from .stages.exchange import keyed_partition_map, partitioned_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"],
+        override_num_blocks=8,
+    )
+
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        from .functions.tokenize import SimpleTokenizer
+
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parents, _dl = SimpleTokenizer().tokenize_column(col)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {"lang": pa.array(langs[parents], pa.string()), "term": flat,
+             "row": pa.array(parents, pa.int64())}
+        )
+        dedup = t.group_by(["row", "lang", "term"], use_threads=False).aggregate([])
+        return pa.table({"lang": dedup.column("lang"), "term": dedup.column("term")})
+
+    exploded = ds.map_batches(explode_distinct, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    df = partitioned_aggregate(
+        exploded, ["lang", "term"], [("term", "count")], rename={"term_count": "df"}
+    )
+
+    def topk_per_lang(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int32())})
+        srt = part.sort_by([("lang", "ascending"), ("df", "descending"),
+                            ("term", "ascending")])
+        langs = srt.column("lang").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(langs[1:] != langs[:-1]) + 1))
+        rank = np.arange(len(langs)) - np.repeat(
+            starts, np.diff(np.append(starts, len(langs)))
+        )
+        keep = rank < 5
+        out = srt.filter(pa.array(keep))
+        return out.append_column(
+            "rank", pa.array((rank[keep] + 1).astype(np.int32), pa.int32())
+        )
+
+    return keyed_partition_map(df, ["lang"], topk_per_lang)
+
+
 def flagship(sf_dir: str = "/root/testdata/sf0.001"):
     """entry(): build the index and serve the pinned query set."""
     index_dir = ensure_index(sf_dir)

@@ -60,3 +60,67 @@ def hash_join(
         left, right, [left_on], [right_on], do_join,
         num_partitions=num_partitions,
     )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Backward-strict AS-OF join: every left row gains ``out_col`` = the
+    greatest right ``right_ts`` with the same key and right_ts < left_ts
+    (null when no earlier right row exists). Equivalent to DuckDB's
+    ``ASOF LEFT JOIN ... ON key = key AND l.ts > r.ts`` projected to the
+    matched timestamp.
+
+    Distribution: one keyed cogroup exchange on the key; inside a
+    partition, rights are sorted per key and each key-run of left rows
+    is resolved with ONE vectorized searchsorted. The partitioning
+    assumption is only that equal keys co-locate — no global time sort."""
+    import numpy as np
+
+    def per_partition(lp: pa.Table, rp: pa.Table) -> pa.Table:
+        ts_type = lp.schema.field(left_ts).type
+        if lp.num_rows == 0:
+            return lp.append_column(out_col, pa.array([], ts_type))
+        lk = lp.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = lp.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rk = rp.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        rt = rp.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        r_order = np.lexsort((rt, rk))
+        rk, rt = rk[r_order], rt[r_order]
+        out = np.full(len(lk), np.iinfo(np.int64).min, dtype=np.int64)
+        l_order = np.argsort(lk, kind="stable")
+        lk_s = lk[l_order]
+        runs = np.concatenate(([0], np.flatnonzero(lk_s[1:] != lk_s[:-1]) + 1,
+                               [len(lk_s)]))
+        for i in range(len(runs) - 1):
+            sel = l_order[runs[i]: runs[i + 1]]
+            key = lk_s[runs[i]]
+            lo = int(np.searchsorted(rk, key, side="left"))
+            hi = int(np.searchsorted(rk, key, side="right"))
+            if lo == hi:
+                continue
+            seg = rt[lo:hi]
+            pos = np.searchsorted(seg, lt[sel], side="left") - 1
+            ok = pos >= 0
+            out[sel[ok]] = seg[pos[ok]]
+        import pyarrow.compute as pc
+
+        valid = out != np.iinfo(np.int64).min
+        col = pc.if_else(
+            pa.array(valid), pa.array(out, pa.int64()),
+            pa.scalar(None, pa.int64()),
+        ).cast(ts_type)
+        return lp.append_column(out_col, col)
+
+    return keyed_cogroup_map(
+        left, right, [left_key], [right_key], per_partition,
+        num_partitions=num_partitions,
+    )

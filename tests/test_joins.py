@@ -53,3 +53,29 @@ def test_hash_join_rejects_unknown_type(sides):
     lds, rds, *_ = sides
     with pytest.raises(ValueError, match="how"):
         hash_join(lds, rds, left_on="k", right_on="rk", how="full")
+
+
+def test_asof_join_backward_strict(ray_session):
+    """Each left row gets the greatest right ts with same key STRICTLY
+    before its own ts; null when none exists."""
+    import ray.data
+
+    from donkey_ray.pipelines.joins import asof_join
+
+    left = pa.table(
+        {"k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+         "ts": pa.array([10, 20, 30, 15, 5], pa.timestamp("us"))}
+    )
+    right = pa.table(
+        {"rk": pa.array([1, 1, 2, 2], pa.int64()),
+         "rts": pa.array([10, 25, 1, 15], pa.timestamp("us"))}
+    )
+    got = dataset_to_table(
+        asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  left_key="k", right_key="rk", left_ts="ts", right_ts="rts",
+                  out_col="prev")
+    ).sort_by([("k", "ascending"), ("ts", "ascending")])
+    prev = got.column("prev").cast(pa.int64()).to_pylist()
+    # k=1: ts10 -> none (strict); ts20 -> 10; ts30 -> 25
+    # k=2: ts15 -> 1 (15 itself excluded, strict); k=3 -> none
+    assert prev == [None, 10, 25, 1, None]
