@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": api.q_events_window,
         "events_sessions": api.q_events_sessions,
         "events_asof_error": api.q_events_asof_error,
+        "events_quantiles": api.q_events_quantiles,
         "top_terms_per_lang": api.q_top_terms_per_lang,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
@@ -176,6 +177,12 @@ s AS (SELECT user_id, ts, value,
 SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM s GROUP BY user_id, sess
+""",
+        "events_quantiles": """
+SELECT event_type, count(*)::BIGINT AS n,
+       quantile_disc(value, 0.5)::DOUBLE AS p50,
+       quantile_disc(value, 0.95)::DOUBLE AS p95
+FROM events GROUP BY event_type
 """,
         "events_asof_error": """
 SELECT e.event_id, e.user_id, e.ts, err.ts AS last_error_ts

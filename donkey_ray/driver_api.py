@@ -393,6 +393,45 @@ def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
     return sessionize(ds)
 
 
+def q_events_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group quantiles (p50/p95 of value per event_type):
+    one keyed exchange co-locates each group, then a vectorized sort +
+    index pick. Quantile index pinned to DuckDB quantile_disc semantics
+    (ceil(q*n) - 1)."""
+    from .stages.exchange import keyed_partition_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        override_num_blocks=8,
+    )
+
+    def quants(part: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "p50": pa.array([], pa.float64()),
+                          "p95": pa.array([], pa.float64())})
+        if part.num_rows == 0:
+            return empty
+        srt = part.sort_by([("event_type", "ascending"), ("value", "ascending")])
+        types = srt.column("event_type").to_numpy(zero_copy_only=False)
+        vals = srt.column("value").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(types[1:] != types[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(types)]))
+        n = ends - starts
+        i50 = starts + np.maximum(np.ceil(0.5 * n).astype(np.int64) - 1, 0)
+        i95 = starts + np.maximum(np.ceil(0.95 * n).astype(np.int64) - 1, 0)
+        return pa.table(
+            {
+                "event_type": pa.array(types[starts], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "p50": pa.array(vals[i50], pa.float64()),
+                "p95": pa.array(vals[i95], pa.float64()),
+            }
+        )
+
+    return keyed_partition_map(ds, ["event_type"], quants)
+
+
 def q_lineitem_agg(sf_dir: str) -> pa.Table:
     """Generic columnar aggregate on lineitem, map-side combined: each
     batch pre-aggregates to <= |groups| rows (C++ hash groupby), the

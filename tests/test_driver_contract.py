@@ -68,7 +68,8 @@ NAMES = [
     "ann_topk", "ann_ivf_topk", "embedding_neardup", "quality_scores",
     "lang_id", "lineitem_agg", "sample_docs", "doc_fingerprints",
     "simhash_fingerprints", "orders_customer_join", "orders_semi_building",
-    "events_sessions", "events_asof_error", "top_terms_per_lang",
+    "events_sessions", "events_asof_error", "events_quantiles",
+    "top_terms_per_lang",
 ]
 
 
