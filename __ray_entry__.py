@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": api.q_events_sessions,
         "events_asof_error": api.q_events_asof_error,
         "events_quantiles": api.q_events_quantiles,
+        "events_distinct_users": api.q_events_distinct_users,
         "top_terms_per_lang": api.q_top_terms_per_lang,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
@@ -177,6 +178,10 @@ s AS (SELECT user_id, ts, value,
 SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM s GROUP BY user_id, sess
+""",
+        "events_distinct_users": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
 """,
         "events_quantiles": """
 SELECT event_type, count(*)::BIGINT AS n,

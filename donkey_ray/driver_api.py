@@ -432,6 +432,22 @@ def q_events_quantiles(sf_dir: str) -> ray.data.Dataset:
     return keyed_partition_map(ds, ["event_type"], quants)
 
 
+def q_events_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct users per event_type: map-side per-batch dedup then
+    one keyed exchange + Arrow count_distinct. The HLL-sketch variant
+    (pipelines/distinct.approx_distinct_per_group) is the same shape
+    with O(2^p) partials — pytest-gated to ~2% error."""
+    from .pipelines.distinct import exact_distinct_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+        override_num_blocks=8,
+    )
+    return exact_distinct_per_group(
+        ds, group_col="event_type", value_col="user_id", out_col="n_users"
+    )
+
+
 def q_lineitem_agg(sf_dir: str) -> pa.Table:
     """Generic columnar aggregate on lineitem, map-side combined: each
     batch pre-aggregates to <= |groups| rows (C++ hash groupby), the
