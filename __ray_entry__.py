@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": api.q_embedding_neardup,
         # text analysis
         "quality_scores": api.q_quality_scores,
+        "redact_pii": api.q_redact_pii,
+        "quality_filter": api.q_quality_filter,
         "lang_id": api.q_lang_id,
         "doc_fingerprints": api.q_doc_fingerprints,
         # generic columnar aggregation + distributed joins
@@ -308,6 +310,21 @@ SELECT doc_id, len(toks)::BIGINT AS n_tokens,
     list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
     / len(toks), 6) END AS mean_token_len
 FROM t
+""",
+        "redact_pii": r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '[0-9]{6,}', '[NUM]', 'g') AS redacted
+FROM documents
+""",
+        "quality_filter": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, text FROM t
+WHERE len(toks) >= 5 AND
+  round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+        / len(toks), 6) <= 0.5
 """,
         "lang_id": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

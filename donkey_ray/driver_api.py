@@ -223,6 +223,14 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
     return analyze.quality_scores(_docs(sf_dir))
 
 
+def q_redact_pii(sf_dir: str) -> ray.data.Dataset:
+    return analyze.redact_pii(_docs(sf_dir))
+
+
+def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    return analyze.quality_filter(_docs(sf_dir))
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return analyze.language_id(_docs(sf_dir))
 

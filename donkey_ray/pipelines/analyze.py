@@ -154,6 +154,58 @@ def language_id(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Pinned PII patterns (shared with the SQL oracle): emails, then runs of
+# >= 6 digits (order matters — emails may contain digits)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER_RE = r"[0-9]{6,}"
+
+
+def redact_pii(ds: ray.data.Dataset, *, text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """(doc_id, redacted) — emails -> [EMAIL], >=6-digit runs -> [NUM],
+    fully vectorized Arrow regex replace (training-data scrubbing op)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = pc.replace_substring_regex(col, PII_EMAIL_RE, "[EMAIL]")
+        out = pc.replace_substring_regex(out, PII_NUMBER_RE, "[NUM]")
+        return pa.table(
+            {"doc_id": batch.column(id_col).cast(pa.int64()),
+             "redacted": out}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_filter(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.5,
+) -> ray.data.Dataset:
+    """Rows passing the pinned quality gates (training-data filtering):
+    n_tokens >= min_tokens AND stopword_ratio <= max_stopword_ratio.
+    Computed per batch from the same vectorized kernels as
+    quality_scores; the full row streams through untouched."""
+    stop_set = pa.array(list(STOPWORDS), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, parents, dl = _tokenized(batch, text_col)
+        n = batch.num_rows
+        stop_mask = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        stop_counts = np.bincount(parents[stop_mask], minlength=n)
+        safe = np.maximum(dl, 1).astype(np.float64)
+        ratio = np.where(dl > 0, stop_counts / safe, 0.0)
+        keep = (dl >= min_tokens) & (np.round(ratio, 6) <= max_stopword_ratio)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
                      id_col: str = "doc_id") -> ray.data.Dataset:
     """(doc_id, fingerprint) rolling-hash document fingerprints.

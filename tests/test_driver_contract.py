@@ -69,7 +69,8 @@ NAMES = [
     "lang_id", "lineitem_agg", "sample_docs", "doc_fingerprints",
     "simhash_fingerprints", "orders_customer_join", "orders_semi_building",
     "events_sessions", "events_asof_error", "events_quantiles",
-    "events_distinct_users", "top_terms_per_lang",
+    "events_distinct_users", "top_terms_per_lang", "redact_pii",
+    "quality_filter",
 ]
 
 
