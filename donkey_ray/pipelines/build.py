@@ -115,6 +115,55 @@ def detect_hot_terms(
     return hot, n_sample_docs
 
 
+def _docs_pass_fragments(corpus_path: str, out_dir: str, id_col: str | None) -> None:
+    """Fragment-parallel, fragment-RESUMABLE docs pass: the work list is
+    the corpus's parquet fragments; each task reads one fragment, derives
+    DOCS rows, and atomically writes ``docs/frag-<sha16>.parquet``. On
+    re-run, fragments whose output exists are skipped before any task is
+    launched. Runs as a Dataset over the fragment list (streaming,
+    retry-safe: names are deterministic, writes atomic)."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    frag_paths = sorted(pads.dataset(corpus_path).files)
+    docs_dir = _docs_dir(out_dir)
+    os.makedirs(docs_dir, exist_ok=True)
+
+    def out_name(frag: str) -> str:
+        return os.path.join(
+            docs_dir, f"frag-{hashlib.sha256(frag.encode()).hexdigest()[:16]}.parquet"
+        )
+
+    todo = [p for p in frag_paths if not os.path.exists(out_name(p))]
+    if not todo:
+        return
+
+    def process(batch: pa.Table) -> pa.Table:
+        done = []
+        for frag in batch.column("path").to_pylist():
+            tbl = pq.read_table(frag)
+            docs = doc_meta(tbl, id_col=id_col)
+            target = out_name(frag)
+            fd, tmp = tempfile.mkstemp(dir=docs_dir, prefix=".tmp-docs-")
+            os.close(fd)
+            try:
+                pq.write_table(docs, tmp, compression="zstd")
+                os.replace(tmp, target)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            done.append(frag)
+        return pa.table({"path": pa.array(done, pa.string())})
+
+    (
+        ray.data.from_arrow(pa.table({"path": pa.array(todo, pa.string())}))
+        .map_batches(process, batch_format="pyarrow", batch_size=1)
+        .materialize()
+    )
+
+
 def build_index(
     corpus: str | ray.data.Dataset,
     out_dir: str,
@@ -162,18 +211,26 @@ def build_index(
     def _run_docs_pass() -> None:
         if os.path.exists(docs_done):
             return
-        # a crashed docs pass leaves partial files without the marker;
-        # start clean so rerun can't duplicate rows
-        if os.path.exists(_docs_dir(out_dir)):
-            import shutil
+        if isinstance(corpus, str):
+            # fragment-resumable path: one deterministic output file per
+            # input fragment, finished fragments skipped on re-run — a
+            # crashed 100 TB docs pass loses only in-flight fragments,
+            # and NO shuffle is added (each fragment maps independently)
+            _docs_pass_fragments(corpus, out_dir, id_col)
+        else:
+            # in-memory corpus (tests / deltas): all-or-nothing is fine —
+            # a crashed pass leaves partial files without the marker;
+            # start clean so rerun can't duplicate rows
+            if os.path.exists(_docs_dir(out_dir)):
+                import shutil
 
-            shutil.rmtree(_docs_dir(out_dir))
-        docs = ds.map_batches(
-            functools.partial(doc_meta, id_col=id_col),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        docs.write_parquet(_docs_dir(out_dir))
+                shutil.rmtree(_docs_dir(out_dir))
+            docs = ds.map_batches(
+                functools.partial(doc_meta, id_col=id_col),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            docs.write_parquet(_docs_dir(out_dir))
         mf.atomic_write_bytes(docs_done, b"")
 
     def _run_hot_pass() -> list[str]:

@@ -206,3 +206,38 @@ def test_completed_build_is_noop(ray_session, tmp_path):
                      query_lang="code", detect_hot=False)
     assert time.monotonic() - t0 < 1.0  # manifest short-circuit, no Ray work
     assert m1["n_postings"] == m2["n_postings"]
+
+
+def test_docs_pass_fragment_resume(ray_session, tmp_path):
+    """Path-corpus builds write one docs file per input fragment with
+    deterministic names; a re-run after losing the marker skips finished
+    fragments (mtimes unchanged) and rewrites only missing ones."""
+    import time
+
+    import pyarrow.parquet as pq
+
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    full = make_corpus(90, seed=29)
+    for i in range(3):  # 3 fragments
+        pq.write_table(full.slice(i * 30, 30), str(corpus_dir / f"part-{i}.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(str(corpus_dir), out, num_partitions=4, detect_hot=False,
+                query_lang="code")
+    docs_dir = os.path.join(out, "docs")
+    frags = sorted(glob.glob(os.path.join(docs_dir, "frag-*.parquet")))
+    assert len(frags) == 3
+    total = pads.dataset(docs_dir).count_rows()
+    assert total == 90
+    mtimes = {p: os.path.getmtime(p) for p in frags}
+    # crash simulation: lose the docs marker and one fragment output
+    os.unlink(os.path.join(out, "_DOCS_SUCCESS"))
+    os.unlink(os.path.join(out, "_SUCCESS"))
+    os.unlink(frags[1])
+    time.sleep(0.05)
+    build_index(str(corpus_dir), out, num_partitions=4, detect_hot=False,
+                query_lang="code")
+    assert os.path.exists(frags[1])  # rebuilt
+    for p in (frags[0], frags[2]):
+        assert os.path.getmtime(p) == mtimes[p]  # untouched
+    assert pads.dataset(docs_dir).count_rows() == 90
