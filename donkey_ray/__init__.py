@@ -12,12 +12,16 @@ docstrings are file-level public knowledge, tagged [PK].
 
 Layout:
   functions/  pure kernels: varbyte codec, tokenizers, BM25 math, hashing,
-              text statistics, minhash/simhash
+              text statistics, minhash/simhash, HLL sketch
   sources/    corpus readers / adapters (Parquet in, schema validation)
   stages/     Ray Data stage callables (actor classes for map_batches /
-              map_groups): postings extraction, segment encode, query scoring
-  pipelines/  end-to-end pipelines: build, query, dedup, ann, analyze
+              map_groups): postings extraction, segment encode, query
+              scoring (sharded lazy dictionary), keyed exchange/cogroup
+  pipelines/  end-to-end pipelines: build, query, dedup, ann, ivf,
+              analyze, joins (hash + as-of), windows, distinct,
+              incremental
   state/      manifest / lineage / stats (checkpoint + resume)
+  serve.py    named-actor index server (ping/search/insert/flush/compact)
   synth.py    deterministic synthetic corpus generator (FIXTURES.md)
   oracle.py   brute-force pinned-spec BM25 oracle (SURVEY.md section 5)
 """
