@@ -11,8 +11,6 @@ All numpy-vectorized over the shingle/token hash arrays.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 
 from .textstats import fp_token_hash64, shingle_hashes
@@ -48,15 +46,54 @@ def minhash_signature(shingle_hs: np.ndarray) -> np.ndarray:
     return prod.min(axis=1)
 
 
-def band_keys(sig: np.ndarray) -> list[bytes]:
-    """NUM_BANDS LSH bucket keys: band index + blake2b of the band's
-    ROWS_PER_BAND signature values."""
-    keys = []
-    for band in range(NUM_BANDS):
-        chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-        keys.append(bytes([band]) + h)
-    return keys
+_BAND_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def band_keys_matrix(sigs: np.ndarray) -> np.ndarray:
+    """(docs, NUM_PERMS) signatures -> (docs, NUM_BANDS) uint64 bucket
+    keys, fully vectorized: polynomial-combine each band's ROWS_PER_BAND
+    values, salt with the band index, splitmix-finalize. Two docs share a
+    band key iff their band's signature values are equal (modulo 64-bit
+    mix collisions)."""
+    d = sigs.reshape(sigs.shape[0], NUM_BANDS, ROWS_PER_BAND).astype(np.uint64)
+    acc = d[:, :, 0].copy()
+    for j in range(1, ROWS_PER_BAND):
+        acc = acc * np.uint64(0x100000001B3) + d[:, :, j]
+    bands = np.arange(NUM_BANDS, dtype=np.uint64) * _BAND_SALT
+    return _mix64(acc ^ bands[None, :])
+
+
+def band_keys(sig: np.ndarray) -> list[int]:
+    """Per-signature twin of ``band_keys_matrix`` (NUM_BANDS keys)."""
+    return band_keys_matrix(sig[None, :])[0].tolist()
+
+
+def minhash_signature_matrix(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Batched signatures: ``values[offsets[i]:offsets[i+1]]`` is row i's
+    shingle-hash set; returns (rows, NUM_PERMS) uint64. Rows with EMPTY
+    sets get the all-p sentinel (same as minhash_signature). One
+    (perms x total-shingles) product + minimum.reduceat — no per-doc
+    Python."""
+    n_rows = len(offsets) - 1
+    out = np.full((n_rows, NUM_PERMS), _P, dtype=np.uint64)
+    if len(values) == 0:
+        return out
+    x = values.astype(np.uint64) % _P
+    prod = (_A[:, None] * x[None, :] + _B[:, None]) % _P  # (perms, total)
+    lens = np.diff(offsets)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) == 0:
+        return out
+    mins = np.minimum.reduceat(prod, offsets[nz], axis=1)  # (perms, nz)
+    out[nz] = mins.T
+    return out
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -13,7 +13,6 @@ Partitioning notes (scale path, 10^12 rows):
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pyarrow as pa
@@ -23,7 +22,6 @@ import ray.data
 
 from ..functions import minhash as mh
 from ..functions.hashing import sha256_hex_column
-from ..functions.textstats import shingle_hashes
 from ..stages.exchange import (
     keyed_cogroup_map,
     keyed_partition_map,
@@ -107,25 +105,18 @@ def doc_shingle_sets(
     """(doc_id, hashes:list<uint64>) — each doc's sorted distinct shingle
     hash set (empty list for docs with < n tokens)."""
 
+    from ..functions.textstats import shingle_hash_column
+
     def f(batch: pa.Table) -> pa.Table:
-        ids_out, hs_out = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            ids_out.append(did)
-            hs_out.append(shingle_hashes(text or "", n))
-        if hs_out:
-            lens = np.fromiter((len(h) for h in hs_out), dtype=np.int64,
-                               count=len(hs_out))
-            values = np.concatenate(hs_out) if lens.sum() else np.empty(0, np.uint64)
-            hashes = pa.ListArray.from_arrays(
-                pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int32()),
-                pa.array(values, pa.uint64()),
-            )
-        else:
-            hashes = pa.array([], pa.list_(pa.uint64()))
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values, offsets = shingle_hash_column(col, n)
+        hashes = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.uint64())
+        )
         return pa.table(
-            {"doc_id": pa.array(ids_out, pa.int64()), "hashes": hashes}
+            {"doc_id": batch.column(id_col).cast(pa.int64()), "hashes": hashes}
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -270,6 +261,26 @@ def _verify_pairs_distributed(
     return keyed_cogroup_map(stage_a, sets, ["b"], ["doc_id"], verify_b)
 
 
+def _explode_shingle_hashes(
+    batch: pa.Table, text_col: str, id_col: str, n: int
+) -> pa.Table:
+    """(shingle:uint64, doc_id) rows — one per DISTINCT shingle per doc,
+    via the vectorized column kernel (no per-doc Python)."""
+    from ..functions.textstats import shingle_hash_column
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values, offsets = shingle_hash_column(col, n)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "shingle": pa.array(values, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, np.diff(offsets)), pa.int64()),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     *,
@@ -307,34 +318,37 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def _ngram_jaccard_dense(
     ds: ray.data.Dataset,
-    vocab: list[str],
+    vocab: list[int],
     *,
     text_col: str,
     id_col: str,
     n: int,
     threshold: float,
 ) -> ray.data.Dataset:
-    """Tiny-vocab fast path (vocab <= 64): each doc's shingle set is ONE
-    uint64 bitmask; all-pairs exact Jaccard via vectorized AND+popcount
-    tiles — no candidate generation at all. Distributed: each batch of
-    docs forms a tile against the broadcast global mask vector."""
-    from ..functions.textstats import shingles as mk
+    """Tiny-vocab fast path (vocab <= 64 distinct shingle hashes): each
+    doc's shingle set is ONE uint64 bitmask; all-pairs exact Jaccard via
+    vectorized AND+popcount tiles — no candidate generation at all.
+    Distributed: each batch of docs forms a tile against the broadcast
+    global mask vector."""
+    from ..functions.textstats import shingle_hash_column
 
-    bit = {s: i for i, s in enumerate(sorted(vocab))}
+    vocab_arr = np.array(sorted(vocab), dtype=np.uint64)
 
     def masks(batch: pa.Table) -> pa.Table:
-        ids_out, m_out = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            m = 0
-            for s in mk(text or "", n):
-                m |= 1 << bit[s]
-            ids_out.append(did)
-            m_out.append(m)
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values, offsets = shingle_hash_column(col, n)
+        bits = np.searchsorted(vocab_arr, values)
+        words = (np.uint64(1) << bits.astype(np.uint64))
+        m_out = np.bitwise_or.reduceat(
+            np.concatenate((words, [np.uint64(0)])),
+            np.minimum(offsets[:-1], len(words)),
+        )
+        m_out[np.diff(offsets) == 0] = 0  # empty docs: reduceat quirk
         return pa.table(
-            {"doc_id": pa.array(ids_out, pa.int64()),
-             "mask": pa.array(np.array(m_out, dtype=np.uint64), pa.uint64())}
+            {"doc_id": batch.column(id_col).cast(pa.int64()),
+             "mask": pa.array(m_out.astype(np.uint64), pa.uint64())}
         )
 
     mtbl = dataset_to_table(
@@ -384,24 +398,14 @@ def _ngram_jaccard_bruteforce(
     n: int,
     threshold: float,
 ) -> ray.data.Dataset:
-    """Inverted-shingle-index all-pairs variant (the SQL oracle's twin)."""
+    """Inverted-shingle-index all-pairs variant (the SQL oracle's twin —
+    Jaccard values are hash-label-independent, so grouping runs on the
+    64-bit shingle hashes)."""
 
-    def explode(batch: pa.Table) -> pa.Table:
-        from ..functions.textstats import shingles as mk
-
-        ids_out, sh_out = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            for s in mk(text or "", n):
-                ids_out.append(did)
-                sh_out.append(s)
-        return pa.table(
-            {"shingle": pa.array(sh_out, pa.string()),
-             "doc_id": pa.array(ids_out, pa.int64())}
-        )
-
-    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = ds.map_batches(
+        lambda b: _explode_shingle_hashes(b, text_col, id_col, n),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
     # per-doc distinct shingle counts (one row per doc, partial-agg) -> broadcast
     sizes_tbl = dataset_to_table(
@@ -485,22 +489,10 @@ def _ngram_jaccard_prefix(
 ) -> ray.data.Dataset:
     """Prefix-filtered exact Jaccard (see ngram_jaccard_pairs)."""
 
-    def explode(batch: pa.Table) -> pa.Table:
-        from ..functions.textstats import shingles as mk
-
-        ids_out, sh_out = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            for s in mk(text or "", n):
-                ids_out.append(did)
-                sh_out.append(s)
-        return pa.table(
-            {"shingle": pa.array(sh_out, pa.string()),
-             "doc_id": pa.array(ids_out, pa.int64())}
-        )
-
-    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    exploded = ds.map_batches(
+        lambda b: _explode_shingle_hashes(b, text_col, id_col, n),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
     # global shingle df (small: vocab-sized) -> broadcast rarity order
     df_tbl = dataset_to_table(
@@ -508,43 +500,47 @@ def _ngram_jaccard_prefix(
             exploded, ["shingle"], [("doc_id", "count")], rename={"doc_id_count": "df"}
         )
     )
-    df_map = dict(
-        zip(df_tbl.column("shingle").to_pylist(), df_tbl.column("df").to_pylist())
-    )
-    if len(df_map) <= 64:
+    df_keys = df_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
+    df_vals = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(df_keys) <= 64:
         # degenerate tiny vocab: candidate generation cannot prune (most
         # pairs genuinely qualify) — dense bitset all-pairs is exact and
         # orders of magnitude faster
         return _ngram_jaccard_dense(
-            ds, list(df_map), text_col=text_col, id_col=id_col, n=n,
+            ds, df_keys.tolist(), text_col=text_col, id_col=id_col, n=n,
             threshold=threshold,
         )
-    df_ref = ray.put(df_map)
+    order = np.argsort(df_keys)
+    df_ref = ray.put((df_keys[order], df_vals[order]))
 
     def prefix_postings(batch: pa.Table) -> pa.Table:
-        """Per doc: keep only the floor((1-t)|A|)+1 rarest shingles."""
-        from ..functions.textstats import shingles as mk
+        """Per doc: keep only the |A| - ceil(t*|A|) + 1 GLOBALLY RAREST
+        shingles (rarity order = (df, hash); ceil guarded so
+        threshold-boundary pairs are never lost to float truncation).
+        Vectorized: one df gather + one global lexsort + rank masking."""
+        from ..functions.textstats import shingle_hash_column
 
-        dfm = ray.get(df_ref)
-        ids_out, sh_out = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            sh = mk(text or "", n)
-            if not sh:
-                continue
-            # prefix length |A| - ceil(t*|A|) + 1 with guarded arithmetic:
-            # naive int((1-t)*|A|)+1 under-counts by 1 when t*|A| is
-            # integral in exact math (float error truncates), silently
-            # missing threshold-boundary pairs
-            plen = len(sh) - math.ceil(threshold * len(sh) - 1e-9) + 1
-            sh.sort(key=lambda s: (dfm.get(s, 0), s))
-            for s in sh[:plen]:
-                ids_out.append(did)
-                sh_out.append(s)
+        dfk, dfv = ray.get(df_ref)
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values, offsets = shingle_hash_column(col, n)
+        if len(values) == 0:
+            return pa.table({"shingle": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        lens = np.diff(offsets)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        dfs = dfv[np.searchsorted(dfk, values)]
+        # order within each row by (df asc, hash asc); global lexsort
+        o = np.lexsort((values, dfs, rows))
+        rows_s, vals_s = rows[o], values[o]
+        rank = np.arange(len(rows_s)) - np.repeat(offsets[:-1], lens)
+        plen = lens - np.ceil(threshold * lens - 1e-9).astype(np.int64) + 1
+        keep = rank < np.repeat(plen, lens)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"shingle": pa.array(sh_out, pa.string()),
-             "doc_id": pa.array(ids_out, pa.int64())}
+            {"shingle": pa.array(vals_s[keep], pa.uint64()),
+             "doc_id": pa.array(ids[rows_s[keep]], pa.int64())}
         )
 
     prefixes = ds.map_batches(
@@ -602,19 +598,30 @@ def minhash_neardup_pairs(
     cogroup join (pairs x per-doc shingle sets; nothing driver-side)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
-        band_out, id_out = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            hs = shingle_hashes(text or "", n)
-            if hs.size == 0:
-                continue
-            for key in mh.band_keys(mh.minhash_signature(hs)):
-                band_out.append(key)
-                id_out.append(did)
+        """Fully vectorized: batch shingle sets (shingle_hash_column) ->
+        batched signatures (one product + minimum.reduceat) -> banded
+        keys (band_keys_matrix). Docs with no shingles emit no bands."""
+        from ..functions.textstats import shingle_hash_column
+
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values, offsets = shingle_hash_column(col, n)
+        lens = np.diff(offsets)
+        nz = np.flatnonzero(lens > 0)
+        if len(nz) == 0:
+            return pa.table(
+                {"band": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        sig = mh.minhash_signature_matrix(values, offsets)[nz]
+        keys = mh.band_keys_matrix(sig)  # (nz, NUM_BANDS)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)[nz]
         return pa.table(
-            {"band": pa.array(band_out, pa.binary()),
-             "doc_id": pa.array(id_out, pa.int64())}
+            {
+                "band": pa.array(keys.ravel(), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
+            }
         )
 
     bands = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)

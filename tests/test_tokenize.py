@@ -64,3 +64,27 @@ def test_code_column_path_matches_row_path():
         CodeTokenizer(),
         ["return foo_bar;", "", "getHTTPResponse2 camelCase", "x = 1;"],
     )
+
+
+def test_shingle_hash_column_equals_per_row():
+    """The vectorized batch kernel and the per-row pinned twin must
+    produce identical sorted distinct shingle-hash sets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from donkey_ray.functions.textstats import shingle_hash_column, shingle_hashes, shingles
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "short", "a b", "a b c a b c a b c",
+        "x y z w v u t s r q p", "the the the the", "Mixed CASE tokens 42",
+    ]
+    col = pa.array(texts, pa.string())
+    for n in (1, 2, 3, 4):
+        vals, offs = shingle_hash_column(col, n)
+        for i, t in enumerate(texts):
+            want = np.sort(shingle_hashes(t, n))
+            got = vals[offs[i]:offs[i + 1]]
+            assert np.array_equal(want, got), (n, i, t)
+            # cardinality equals the distinct string-shingle count
+            assert len(got) == len(set(shingles(t, n)))
