@@ -293,11 +293,11 @@ def ngram_jaccard_pairs(
     """Exact all-pairs n-gram Jaccard >= threshold.
 
     With ``prefix_filter`` (default, PPJoin-style): J(A,B) >= t implies the
-    pair shares a shingle among the floor((1-t)|A|)+1 GLOBALLY RAREST
+    pair shares a shingle among the |A| - ceil(t|A|) + 1 GLOBALLY RAREST
     shingles of each doc, so candidate pairs are generated only from those
     prefix lists — ubiquitous shingles ('the', common keywords) never
     explode into all-pairs. Candidates are then verified with the exact
-    Jaccard (broadcast shingle-hash sets; candidates are sparse).
+    Jaccard via the distributed cogroup join (_verify_pairs_distributed).
     Result set is IDENTICAL to the brute-force inverted-index variant
     (prefix_filter=False), which the DuckDB oracle mirrors."""
     if prefix_filter:
