@@ -49,3 +49,36 @@ def topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (score desc, doc_id asc) — pinned tie-break."""
     order = np.lexsort((doc_ids, -scores))
     return order[:k]
+
+
+class BM25Scorer:
+    """Default scorer (the pinned spec above) in registry form."""
+
+    name = "bm25"
+    idf = staticmethod(idf)
+    tf_weight = staticmethod(tf_weight)
+
+
+_SCORERS: dict[str, type] = {"bm25": BM25Scorer}
+
+
+def register_scorer(name: str, factory) -> None:
+    """Extension point (the engine's second sanctioned plugin surface,
+    beside the tokenizer registry — donkey's compile-time plugin
+    specialization analogue). A scorer provides:
+
+      idf(df, n_docs) -> float/ndarray          (term weight)
+      tf_weight(tf, dl, avgdl) -> float/ndarray (per-posting weight)
+
+    REQUIREMENT for correctness under block-max WAND pruning:
+    ``tf_weight`` must be non-decreasing in tf and non-increasing in dl
+    (so score(max_tf, min_dl) upper-bounds every posting of a block),
+    and ``idf`` must be non-negative. Any scorer violating this must be
+    served with mode="exact"."""
+    _SCORERS[name] = factory
+
+
+def get_scorer(name: str):
+    if name not in _SCORERS:
+        raise KeyError(f"unknown scorer {name!r}; registered: {sorted(_SCORERS)}")
+    return _SCORERS[name]()

@@ -42,13 +42,14 @@ class _Run:
     """Lazy block-decodable posting iterator for one (term, run)."""
 
     __slots__ = (
-        "idf", "n", "bld", "bub", "doc_buf", "tf_buf", "dl_buf",
+        "scorer", "idf", "n", "bld", "bub", "doc_buf", "tf_buf", "dl_buf",
         "doc_boff", "tf_boff", "dl_boff", "block_size",
         "blk", "blk_docs", "blk_tf", "blk_dl", "pos", "cur_doc", "max_ub",
         "blocks_decoded",
     )
 
-    def __init__(self, idf, row, avgdl, block_size):
+    def __init__(self, idf, row, avgdl, block_size, scorer=None):
+        self.scorer = scorer or scoring.BM25Scorer()
         self.idf = idf
         self.doc_buf = row["doc_ids"]
         self.tf_buf = row["tfs"]
@@ -56,7 +57,7 @@ class _Run:
         self.bld = np.asarray(row["block_last_doc"], dtype=np.int64)
         bmt = np.asarray(row["block_max_tf"], dtype=np.float64)
         bmd = np.asarray(row["block_min_dl"], dtype=np.float64)
-        self.bub = idf * scoring.tf_weight(bmt, bmd, avgdl)
+        self.bub = idf * self.scorer.tf_weight(bmt, bmd, avgdl)
         self.doc_boff = np.asarray(row["block_doc_boff"], dtype=np.int64)
         self.tf_boff = np.asarray(row["block_tf_boff"], dtype=np.int64)
         self.dl_boff = np.asarray(row["block_dl_boff"], dtype=np.int64)
@@ -129,7 +130,7 @@ class _Run:
                 self.dl_buf[self.dl_boff[b]: self.dl_boff[b + 1]]
             ).astype(np.float64)
         return self.idf * float(
-            scoring.tf_weight(self.blk_tf[self.pos], self.blk_dl[self.pos], avgdl)
+            self.scorer.tf_weight(self.blk_tf[self.pos], self.blk_dl[self.pos], avgdl)
         )
 
     def decode_block_scores(self, avgdl: float):
@@ -137,7 +138,7 @@ class _Run:
         b = self.blk
         tf = varbyte_decode(self.tf_buf[self.tf_boff[b]: self.tf_boff[b + 1]])
         dl = varbyte_decode(self.dl_buf[self.dl_boff[b]: self.dl_boff[b + 1]])
-        return self.blk_docs, self.idf * scoring.tf_weight(tf, dl, avgdl)
+        return self.blk_docs, self.idf * self.scorer.tf_weight(tf, dl, avgdl)
 
 
 class _SegmentShard:
@@ -237,7 +238,7 @@ class QueryEngine:
     caches), independent of corpus vocabulary."""
 
     def __init__(self, index_dir: str | list[str], *, mode: str = "auto",
-                 cache_parts: int = 64) -> None:
+                 cache_parts: int = 64, scorer: str = "bm25") -> None:
         """``index_dir`` may be a LIST of index dirs: federated exact BM25
         over the union corpus (incremental builds are queried without
         compaction — donkey's multi-segment search analogue). Stats are
@@ -267,6 +268,9 @@ class QueryEngine:
         self.mode = mode
         self.query_lang = self.meta.get("query_lang", "simple")
         self._tok = get_tokenizer(self.query_lang)
+        # pluggable scorer (functions.scoring.register_scorer); WAND
+        # requires the monotonicity contract documented there
+        self.scorer = scoring.get_scorer(scorer)
         self._hot = [set(m.get("hot_terms", ())) for m in metas]
         self._parts_built = [set(m["parts_built"]) for m in metas]
         self._shards: dict[tuple[int, int], _SegmentShard | None] = {}
@@ -348,14 +352,14 @@ class QueryEngine:
         all_scores: list[np.ndarray] = []
         for term, rows in runs_by_term.items():
             df = sum(int(r["df"]) for r in rows)
-            w_idf = float(scoring.idf(df, self.n_docs))
+            w_idf = float(self.scorer.idf(df, self.n_docs))
             for row in rows:
                 n = int(row["df"])
                 ids = decode_blocked_deltas(row["doc_ids"], n, self.block_size)
                 tfs = varbyte_decode(row["tfs"]).astype(np.float64)
                 dls = varbyte_decode(row["dls"]).astype(np.float64)
                 all_ids.append(ids)
-                all_scores.append(w_idf * scoring.tf_weight(tfs, dls, self.avgdl))
+                all_scores.append(w_idf * self.scorer.tf_weight(tfs, dls, self.avgdl))
         ids = np.concatenate(all_ids)
         sc = np.concatenate(all_scores)
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -368,10 +372,11 @@ class QueryEngine:
         runs: list[_Run] = []
         for term, rows in runs_by_term.items():
             df = sum(int(r["df"]) for r in rows)
-            w_idf = float(scoring.idf(df, self.n_docs))
+            w_idf = float(self.scorer.idf(df, self.n_docs))
             for row in rows:
                 if int(row["df"]) > 0:
-                    runs.append(_Run(w_idf, row, self.avgdl, self.block_size))
+                    runs.append(_Run(w_idf, row, self.avgdl, self.block_size,
+                                     self.scorer))
         if not runs:
             return []
         try:

@@ -241,3 +241,45 @@ def test_docs_pass_fragment_resume(ray_session, tmp_path):
     for p in (frags[0], frags[2]):
         assert os.path.getmtime(p) == mtimes[p]  # untouched
     assert pads.dataset(docs_dir).count_rows() == 90
+
+
+def test_pluggable_scorer(built):
+    """The scorer registry is a real extension point: a custom monotone
+    scorer changes rankings coherently and stays WAND==exact."""
+    import numpy as np
+
+    from donkey_ray.functions import scoring
+
+    class TfOnlyScorer:
+        """idf = 1 for present terms; raw tf saturation weight."""
+
+        name = "tf-only"
+
+        @staticmethod
+        def idf(df, n_docs):
+            return np.ones_like(np.asarray(df, dtype=np.float64))
+
+        @staticmethod
+        def tf_weight(tf, dl, avgdl):
+            tf = np.asarray(tf, dtype=np.float64)
+            return tf / (tf + 1.0)  # increasing in tf, constant in dl
+
+    scoring.register_scorer("tf-only", TfOnlyScorer)
+    _, out, _, _ = built
+    ex = QueryEngine(out, mode="exact", scorer="tf-only")
+    wd = QueryEngine(out, mode="wand", scorer="tf-only")
+    bm = QueryEngine(out, mode="exact")
+    diverged = False
+    for row in make_queries(40).to_pylist():
+        got_ex = ex.topk(row["text"], int(row["k"]))
+        got_wd = wd.topk(row["text"], int(row["k"]))
+        assert got_wd == pytest.approx(got_ex)  # pruning stays exact
+        if [d for d, _ in got_ex] != [d for d, _ in bm.topk(row["text"], int(row["k"]))]:
+            diverged = True
+    assert diverged  # the custom scorer actually changes rankings
+
+
+def test_unknown_scorer_rejected(built):
+    _, out, _, _ = built
+    with pytest.raises(KeyError, match="unknown scorer"):
+        QueryEngine(out, scorer="nope")
