@@ -289,6 +289,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    dense_vocab_max: int | None = None,
 ) -> ray.data.Dataset:
     """Exact all-pairs n-gram Jaccard >= threshold.
 
@@ -302,7 +303,9 @@ def ngram_jaccard_pairs(
     (prefix_filter=False), which the DuckDB oracle mirrors."""
     if prefix_filter:
         return _ngram_jaccard_prefix(
-            ds, text_col=text_col, id_col=id_col, n=n, threshold=threshold
+            ds, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
+            dense_vocab_max=(DENSE_VOCAB_MAX if dense_vocab_max is None
+                             else dense_vocab_max),
         )
     return _ngram_jaccard_bruteforce(
         ds, text_col=text_col, id_col=id_col, n=n, threshold=threshold
@@ -311,9 +314,38 @@ def ngram_jaccard_pairs(
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
+# dense-bitset dispatch ceiling: below this many distinct shingles the
+# all-pairs bitset tiles beat candidate generation (most pairs genuinely
+# qualify and prefix filtering cannot prune); W = vocab/64 words per doc
+DENSE_VOCAB_MAX = 4096
+
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POPCOUNT8[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
+
+
+def _bitset_rows(batch: pa.Table, vocab_arr: np.ndarray, *, text_col: str,
+                 id_col: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, (rows x W) uint64 bitset matrix) for one batch: bit j set
+    iff the doc contains sorted-vocab shingle j. Vectorized scatter."""
+    from ..functions.textstats import shingle_hash_column
+
+    W = (len(vocab_arr) + 63) // 64
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values, offsets = shingle_hash_column(col, n)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.zeros((batch.num_rows, W), dtype=np.uint64)
+    if len(values):
+        rows = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+        bits = np.searchsorted(vocab_arr, values)
+        bits = bits.astype(np.uint64)
+        np.bitwise_or.at(
+            m, (rows, (bits >> np.uint64(6)).astype(np.int64)),
+            np.uint64(1) << (bits & np.uint64(63)),
+        )
+    return ids, m
 
 
 def _ngram_jaccard_dense(
@@ -325,52 +357,50 @@ def _ngram_jaccard_dense(
     n: int,
     threshold: float,
 ) -> ray.data.Dataset:
-    """Tiny-vocab fast path (vocab <= 64 distinct shingle hashes): each
-    doc's shingle set is ONE uint64 bitmask; all-pairs exact Jaccard via
-    vectorized AND+popcount tiles — no candidate generation at all.
-    Distributed: each batch of docs forms a tile against the broadcast
-    global mask vector."""
-    from ..functions.textstats import shingle_hash_column
-
+    """Small-vocab fast path (vocab <= DENSE_VOCAB_MAX distinct shingle
+    hashes): each doc's shingle set is a W-word uint64 bitset (W =
+    ceil(vocab/64)); all-pairs exact Jaccard via vectorized AND+popcount
+    tiles — no candidate generation at all. Distributed: each batch of
+    docs forms a tile against the broadcast global bitset matrix
+    (O(n_docs * W) broadcast; the O(n^2) compute stays in worker tasks)."""
     vocab_arr = np.array(sorted(vocab), dtype=np.uint64)
+    W = (len(vocab_arr) + 63) // 64
 
     def masks(batch: pa.Table) -> pa.Table:
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        values, offsets = shingle_hash_column(col, n)
-        bits = np.searchsorted(vocab_arr, values)
-        words = (np.uint64(1) << bits.astype(np.uint64))
-        m_out = np.bitwise_or.reduceat(
-            np.concatenate((words, [np.uint64(0)])),
-            np.minimum(offsets[:-1], len(words)),
-        )
-        m_out[np.diff(offsets) == 0] = 0  # empty docs: reduceat quirk
+        ids, m = _bitset_rows(batch, vocab_arr, text_col=text_col,
+                              id_col=id_col, n=n)
         return pa.table(
-            {"doc_id": batch.column(id_col).cast(pa.int64()),
-             "mask": pa.array(m_out.astype(np.uint64), pa.uint64())}
+            {"doc_id": pa.array(ids, pa.int64()),
+             "mask": pa.FixedSizeListArray.from_arrays(
+                 pa.array(m.ravel(), pa.uint64()), W)}
         )
 
     mtbl = dataset_to_table(
         ds.map_batches(masks, batch_format="pyarrow", zero_copy_batch=True)
     )
     all_ids = mtbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    all_masks = mtbl.column("mask").to_numpy(zero_copy_only=False).astype(np.uint64)
+    flat = mtbl.column("mask").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.uint64)
+    all_masks = flat.reshape(len(all_ids), W)
     order = np.argsort(all_ids)
     all_ids, all_masks = all_ids[order], all_masks[order]
-    all_sizes = _popcount64(all_masks)
+    all_sizes = _popcount64(all_masks).sum(axis=1)
     glob_ref = ray.put((all_ids, all_masks, all_sizes))
     mds = ray.data.from_arrow(mtbl)
 
     def tile(batch: pa.Table) -> pa.Table:
         gids, gmasks, gsizes = ray.get(glob_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ms = batch.column("mask").to_numpy(zero_copy_only=False).astype(np.uint64)
-        sz = _popcount64(ms)
+        fl = batch.column("mask").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        ms = fl.reshape(len(ids), W)
+        sz = _popcount64(ms).sum(axis=1)
         a_out, b_out, j_out = [], [], []
         for i in range(len(ids)):
             keep = gids > ids[i]  # each unordered pair once (a < b)
-            inter = _popcount64(ms[i] & gmasks[keep])
+            inter = _popcount64(ms[i][None, :] & gmasks[keep]).sum(axis=1)
             union = sz[i] + gsizes[keep] - inter
             with np.errstate(invalid="ignore", divide="ignore"):
                 jac = np.where(union > 0, inter / union, 0.0)
@@ -486,6 +516,7 @@ def _ngram_jaccard_prefix(
     id_col: str,
     n: int,
     threshold: float,
+    dense_vocab_max: int = DENSE_VOCAB_MAX,
 ) -> ray.data.Dataset:
     """Prefix-filtered exact Jaccard (see ngram_jaccard_pairs)."""
 
@@ -502,10 +533,10 @@ def _ngram_jaccard_prefix(
     )
     df_keys = df_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
     df_vals = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(df_keys) <= 64:
-        # degenerate tiny vocab: candidate generation cannot prune (most
-        # pairs genuinely qualify) — dense bitset all-pairs is exact and
-        # orders of magnitude faster
+    if len(df_keys) <= dense_vocab_max:
+        # small vocab: candidate generation cannot prune (most pairs
+        # genuinely qualify) — dense bitset all-pairs is exact and
+        # orders of magnitude faster than shipping per-pair sets
         return _ngram_jaccard_dense(
             ds, df_keys.tolist(), text_col=text_col, id_col=id_col, n=n,
             threshold=threshold,

@@ -238,7 +238,8 @@ def test_ngram_jaccard_threshold_boundary(ray_session):
     )
     ds = ray.data.from_arrow(tbl)
     fast = dataset_to_table(
-        ngram_jaccard_pairs(ds, n=1, threshold=0.9, prefix_filter=True))
+        ngram_jaccard_pairs(ds, n=1, threshold=0.9, prefix_filter=True,
+                            dense_vocab_max=0))  # force the PREFIX path
     slow = dataset_to_table(
         ngram_jaccard_pairs(ds, n=1, threshold=0.9, prefix_filter=False))
     fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in fast.to_pylist()}
@@ -302,16 +303,54 @@ def test_ngram_jaccard_prefix_equals_bruteforce(ray_session):
     )
     ds = ray.data.from_arrow(tbl)
     for n, t in [(1, 0.5), (1, 0.3), (2, 0.5)]:
-        fast = dataset_to_table(
+        # all three paths must agree: dense bitset (vocab fits), the
+        # PREFIX candidate path (forced), and brute force
+        dense = dataset_to_table(
             ngram_jaccard_pairs(ds, n=n, threshold=t, prefix_filter=True))
+        fast = dataset_to_table(
+            ngram_jaccard_pairs(ds, n=n, threshold=t, prefix_filter=True,
+                                dense_vocab_max=0))
         slow = dataset_to_table(
             ngram_jaccard_pairs(ds, n=n, threshold=t, prefix_filter=False))
+        dp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dense.to_pylist()}
         fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in fast.to_pylist()}
         sp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in slow.to_pylist()}
-        assert fp.keys() == sp.keys(), (n, t, fp.keys() ^ sp.keys())
+        assert fp.keys() == sp.keys() == dp.keys(), (n, t)
         for k in fp:
             assert fp[k] == pytest.approx(sp[k])
+            assert dp[k] == pytest.approx(sp[k])
         assert (3, 7) in fp
+
+
+def test_ngram_jaccard_multiword_bitset(ray_session):
+    """Mid-size vocab (64 < V <= 4096) exercises the MULTI-WORD bitset
+    tiles; results must equal brute force exactly."""
+    import ray.data
+
+    from donkey_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(300)]  # 300 distinct -> W = 5 words
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(8, 30)))
+        for _ in range(150)
+    ]
+    texts[11] = texts[4]  # exact dup
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(tbl)
+    dense = dataset_to_table(
+        ngram_jaccard_pairs(ds, n=1, threshold=0.4, prefix_filter=True))
+    slow = dataset_to_table(
+        ngram_jaccard_pairs(ds, n=1, threshold=0.4, prefix_filter=False))
+    dp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dense.to_pylist()}
+    sp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in slow.to_pylist()}
+    assert dp.keys() == sp.keys()
+    for k in dp:
+        assert dp[k] == pytest.approx(sp[k])
+    assert (4, 11) in dp and dp[(4, 11)] == pytest.approx(1.0)
 
 
 def test_hll_approx_distinct_matches_exact(ray_session):
