@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # inverted-index / BM25 engine (SURVEY.md section 2B)
         "bm25_topk": api.q_bm25_topk,
+        "phrase_topk": api.q_phrase_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
@@ -101,8 +102,53 @@ def oracle_sql() -> dict[str, str]:
     return sqls
 
 
+def _phrase_sql() -> str:
+    """Oracle for phrase_topk, generated from api.PINNED_PHRASES: exact
+    positional phrase matching via zipped unnest (term, position) rows and
+    an INTERSECT chain (slot i matches term_i at p - i), which counts
+    OVERLAPPING occurrences — string replace() tricks would not."""
+    blocks, unions = [], []
+    for qid, text, k in api.PINNED_PHRASES:
+        words = text.split()
+        chain = [f"SELECT doc_id, p FROM pos WHERE term='{words[0]}'"]
+        chain += [
+            f"  INTERSECT SELECT doc_id, p-{i} FROM pos WHERE term='{w}'"
+            for i, w in enumerate(words[1:], 1)
+        ]
+        blocks.append(
+            f"starts_{qid} AS (" + "\n".join(chain) + "),\n"
+            f"m_{qid} AS (SELECT doc_id, count(*)::DOUBLE AS tf "
+            f"FROM starts_{qid} GROUP BY 1),\n"
+            f"sc_{qid} AS (SELECT {qid}::BIGINT AS query_id, {k} AS k, "
+            "m.doc_id,\n"
+            "  ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1) * "
+            "m.tf*(1.2+1)/(m.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) "
+            "AS score\n"
+            f"  FROM m_{qid} m CROSS JOIN "
+            f"(SELECT count(*)::DOUBLE AS df FROM m_{qid}) d\n"
+            "  JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN stats s)"
+        )
+        unions.append(f"SELECT * FROM sc_{qid}")
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),\n"
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM tok),\n"
+        "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),\n"
+        "pos AS (SELECT doc_id, unnest(toks) AS term, "
+        "unnest(range(len(toks))) AS p FROM tok),\n"
+        + ",\n".join(blocks) + ",\n"
+        "all_sc AS (" + " UNION ALL ".join(unions) + "),\n"
+        "ranked AS (SELECT query_id, k, doc_id, score,\n"
+        "                  row_number() OVER (PARTITION BY query_id\n"
+        "                                     ORDER BY score DESC, doc_id ASC) AS rank\n"
+        "           FROM all_sc)\n"
+        "SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score\n"
+        "FROM ranked WHERE rank <= k\n"
+    )
+
+
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "phrase_topk": _phrase_sql(),
         "bm25_topk": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS dl FROM tok),

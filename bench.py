@@ -135,7 +135,9 @@ def default_bench() -> dict:
 
 
 SCALING_BLOCKS = 64  # identical job config at both parallelism levels
-SCALING_TRIALS = 3  # per cpu level, ALTERNATED to cancel machine drift
+# per cpu level, ALTERNATED to cancel machine drift; overridable so a
+# single quick pair can be fired inside a short quiet-machine window
+SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
 
 
 def scaling_child(num_cpus: int) -> dict:

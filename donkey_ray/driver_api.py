@@ -35,6 +35,17 @@ PINNED_QUERIES = [
     (4, "value value", 10),
 ]
 
+# Pinned phrase-query set (positional index): a common bigram, a
+# duplicated-term phrase (overlapping occurrences), a matching trigram,
+# a zero-match phrase, and a second bigram
+PINNED_PHRASES = [
+    (0, "data table", 10),
+    (1, "value value", 10),
+    (2, "value a table", 10),
+    (3, "window sort key", 10),
+    (4, "spark merge", 10),
+]
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
 NEARDUP_COS_THRESHOLD = 0.35
@@ -75,6 +86,36 @@ def ensure_index(sf_dir: str) -> str:
     return out
 
 
+def ensure_positional_index(sf_dir: str) -> str:
+    """Build (once; resumable) a POSITIONAL BM25 index — same corpus and
+    routing as ensure_index, plus per-posting token positions for phrase
+    queries. Kept as a separate artifact: positions cost extra bytes, so
+    non-phrase serving keeps using the plain index."""
+    import shutil
+
+    from .state import manifest as mf
+
+    out = _index_dir(sf_dir) + "-pos"
+    if mf.is_complete(out):
+        try:
+            meta = mf.load_meta(out)
+            if (meta.get("format_version") != CURRENT_FORMAT_VERSION
+                    or not meta.get("positions")):
+                shutil.rmtree(out)
+        except (OSError, ValueError):
+            shutil.rmtree(out, ignore_errors=True)
+    build_index(
+        documents_as_corpus(sf_dir),
+        out,
+        num_partitions=8,
+        id_col="doc_id",
+        query_lang="simple",
+        sample_mod=16,
+        positions=True,
+    )
+    return out
+
+
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     # documents is a small single-file table: don't over-split it
     return ray.data.read_parquet(
@@ -99,6 +140,23 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
         }
     )
     res = dataset_to_table(score_queries(index_dir, queries, mode="auto"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
+def q_phrase_topk(sf_dir: str) -> pa.Table:
+    """Exact phrase top-k over the positional index (pinned phrase set);
+    scored as a pseudo-term (tf = occurrence starts incl. overlaps,
+    df = matching docs) with the same BM25 constants as bm25_topk."""
+    index_dir = ensure_positional_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_PHRASES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_PHRASES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_PHRASES], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, phrase=True))
     res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     return _round_col(res, "score")
 

@@ -180,6 +180,7 @@ def build_index(
     query_lang: str | None = None,
     override_num_blocks: int | None = None,
     combine: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) an inverted index at ``out_dir``. Returns meta.
 
@@ -287,6 +288,7 @@ def build_index(
                 salt_bits=salt_bits,
                 id_col=id_col,
                 combine=combine,
+                positions=positions,
             ),
             **extract_kwargs,
         )
@@ -329,6 +331,7 @@ def build_index(
         "hot_terms": hot_terms,
         "query_lang": query_lang or "simple",
         "id_col": id_col,
+        "positions": bool(positions),
         "build_wall_s": round(time.monotonic() - t_start, 3),
     }
     mf.write_meta(out_dir, meta)

@@ -21,13 +21,16 @@ from ..stages.score import QueryEngine
 class QueryScorerStage:
     """map_batches actor: QUERIES-schema batches -> RESULTS-schema batches."""
 
-    def __init__(self, index_dir: str, mode: str = "auto") -> None:
+    def __init__(self, index_dir: str, mode: str = "auto",
+                 phrase: bool = False) -> None:
         self.engine = QueryEngine(index_dir, mode=mode)
+        self.phrase = phrase
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
+        run = self.engine.phrase_topk if self.phrase else self.engine.topk
         for row in batch.to_pylist():
-            hits = self.engine.topk(row["text"], int(row["k"]))
+            hits = run(row["text"], int(row["k"]))
             for r, (d, s) in enumerate(hits, start=1):
                 qids.append(int(row["query_id"]))
                 ranks.append(r)
@@ -48,6 +51,7 @@ def score_queries(
     queries: ray.data.Dataset | pa.Table,
     *,
     mode: str = "auto",
+    phrase: bool = False,
     concurrency=None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
@@ -62,7 +66,7 @@ def score_queries(
         concurrency = (1, max(1, min(cpus, n_batches, 8)))
     return queries.map_batches(
         QueryScorerStage,
-        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode),
+        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, phrase=phrase),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

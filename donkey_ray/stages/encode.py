@@ -24,23 +24,24 @@ from ..functions.codec import delta_encode_segments, varbyte_encode_all
 from ..state import manifest as mf
 
 
-def _empty_segment() -> tuple[pa.Table, dict]:
-    empty = pa.table(
-        {
-            "term": pa.array([], pa.string()),
-            "df": pa.array([], pa.int64()),
-            "doc_ids": pa.array([], pa.binary()),
-            "tfs": pa.array([], pa.binary()),
-            "dls": pa.array([], pa.binary()),
-            "block_last_doc": pa.array([], pa.list_(pa.int64())),
-            "block_max_tf": pa.array([], pa.list_(pa.int32())),
-            "block_min_dl": pa.array([], pa.list_(pa.int32())),
-            "block_doc_boff": pa.array([], pa.list_(pa.int64())),
-            "block_tf_boff": pa.array([], pa.list_(pa.int64())),
-            "block_dl_boff": pa.array([], pa.list_(pa.int64())),
-        }
-    )
-    return empty, {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
+def _empty_segment(positions: bool = False) -> tuple[pa.Table, dict]:
+    cols = {
+        "term": pa.array([], pa.string()),
+        "df": pa.array([], pa.int64()),
+        "doc_ids": pa.array([], pa.binary()),
+        "tfs": pa.array([], pa.binary()),
+        "dls": pa.array([], pa.binary()),
+        "block_last_doc": pa.array([], pa.list_(pa.int64())),
+        "block_max_tf": pa.array([], pa.list_(pa.int32())),
+        "block_min_dl": pa.array([], pa.list_(pa.int32())),
+        "block_doc_boff": pa.array([], pa.list_(pa.int64())),
+        "block_tf_boff": pa.array([], pa.list_(pa.int64())),
+        "block_dl_boff": pa.array([], pa.list_(pa.int64())),
+    }
+    if positions:
+        cols["poss"] = pa.array([], pa.binary())
+        cols["block_pos_boff"] = pa.array([], pa.list_(pa.int64()))
+    return pa.table(cols), {"n_terms": 0, "n_postings": 0, "sum_tf": 0}
 
 
 def decode_combined_runs(group: pa.Table):
@@ -75,19 +76,33 @@ def encode_partition_arrays(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int = schemas.BLOCK_SIZE,
+    pos_cells: np.ndarray | None = None,
 ) -> tuple[pa.Table, dict]:
     """Pure kernel: per-posting arrays (term codes into sorted uniq_terms)
-    -> (segment table, stats). Sorts by (term, doc_id)."""
+    -> (segment table, stats). Sorts by (term, doc_id).
+
+    ``pos_cells`` (optional): per-posting varbyte(delta(positions)) byte
+    cells from the positional extractor. Each cell is self-contained
+    (delta resets per posting), so encoding = reordering + concatenation —
+    no re-encode; per-block byte offsets make block decode lazy."""
     order = np.lexsort((doc_ids, codes))
     codes_s = codes[order]
     terms = uniq_terms  # sorted ascending by np.unique (ASCII == utf8 order)
     doc_ids = doc_ids[order]
     tfs = tfs[order].astype(np.int64)
     dls = dls[order].astype(np.int64)
+    if pos_cells is not None:
+        pos_cells = np.asarray(pos_cells, dtype=object)[order]
+        cell_offs = np.zeros(len(pos_cells) + 1, dtype=np.int64)
+        np.cumsum(
+            np.fromiter((len(c) for c in pos_cells), dtype=np.int64,
+                        count=len(pos_cells)),
+            out=cell_offs[1:],
+        )
 
     n = len(codes_s)
     if n == 0:
-        return _empty_segment()
+        return _empty_segment(positions=pos_cells is not None)
 
     starts = np.concatenate(([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
     ends = np.concatenate((starts[1:], [n]))
@@ -112,12 +127,14 @@ def encode_partition_arrays(
     out_docs: list[bytes] = []
     out_tfs: list[bytes] = []
     out_dls: list[bytes] = []
+    out_poss: list[bytes] = []
     out_bld: list[list[int]] = []
     out_bmt: list[list[int]] = []
     out_bmd: list[list[int]] = []
     out_doc_boff: list[list[int]] = []
     out_tf_boff: list[list[int]] = []
     out_dl_boff: list[list[int]] = []
+    out_pos_boff: list[list[int]] = []
     for (s, e), bstarts in zip(zip(starts, ends), blk_starts_per_run):
         ids = doc_ids[s:e]
         tf = tfs[s:e]
@@ -134,22 +151,27 @@ def encode_partition_arrays(
         out_doc_boff.append((doc_offs[bounds] - doc_offs[s]).tolist())
         out_tf_boff.append((tf_offs[bounds] - tf_offs[s]).tolist())
         out_dl_boff.append((dl_offs[bounds] - dl_offs[s]).tolist())
+        if pos_cells is not None:
+            out_poss.append(b"".join(pos_cells[s:e]))
+            out_pos_boff.append((cell_offs[bounds] - cell_offs[s]).tolist())
 
-    seg = pa.table(
-        {
-            "term": pa.array(out_terms, pa.string()),
-            "df": pa.array(out_df, pa.int64()),
-            "doc_ids": pa.array(out_docs, pa.binary()),
-            "tfs": pa.array(out_tfs, pa.binary()),
-            "dls": pa.array(out_dls, pa.binary()),
-            "block_last_doc": pa.array(out_bld, pa.list_(pa.int64())),
-            "block_max_tf": pa.array(out_bmt, pa.list_(pa.int32())),
-            "block_min_dl": pa.array(out_bmd, pa.list_(pa.int32())),
-            "block_doc_boff": pa.array(out_doc_boff, pa.list_(pa.int64())),
-            "block_tf_boff": pa.array(out_tf_boff, pa.list_(pa.int64())),
-            "block_dl_boff": pa.array(out_dl_boff, pa.list_(pa.int64())),
-        }
-    )
+    cols = {
+        "term": pa.array(out_terms, pa.string()),
+        "df": pa.array(out_df, pa.int64()),
+        "doc_ids": pa.array(out_docs, pa.binary()),
+        "tfs": pa.array(out_tfs, pa.binary()),
+        "dls": pa.array(out_dls, pa.binary()),
+        "block_last_doc": pa.array(out_bld, pa.list_(pa.int64())),
+        "block_max_tf": pa.array(out_bmt, pa.list_(pa.int32())),
+        "block_min_dl": pa.array(out_bmd, pa.list_(pa.int32())),
+        "block_doc_boff": pa.array(out_doc_boff, pa.list_(pa.int64())),
+        "block_tf_boff": pa.array(out_tf_boff, pa.list_(pa.int64())),
+        "block_dl_boff": pa.array(out_dl_boff, pa.list_(pa.int64())),
+    }
+    if pos_cells is not None:
+        cols["poss"] = pa.array(out_poss, pa.binary())
+        cols["block_pos_boff"] = pa.array(out_pos_boff, pa.list_(pa.int64()))
+    seg = pa.table(cols)
     stats = {
         "n_terms": len(out_terms),
         "n_postings": int(n),
@@ -163,8 +185,9 @@ def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE
 
     Kept for the uncombined path (merge_indexes, tests); delegates to the
     array core."""
+    has_pos = "pos" in group.column_names
     if group.num_rows == 0:
-        return _empty_segment()
+        return _empty_segment(positions=has_pos)
     terms = group.column("term").to_numpy(zero_copy_only=False)
     uniq, codes = np.unique(terms, return_inverse=True)
     return encode_partition_arrays(
@@ -174,6 +197,9 @@ def encode_partition_table(group: pa.Table, block_size: int = schemas.BLOCK_SIZE
         group.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
         group.column("dl").to_numpy(zero_copy_only=False).astype(np.int64),
         block_size,
+        pos_cells=(
+            group.column("pos").to_numpy(zero_copy_only=False) if has_pos else None
+        ),
     )
 
 

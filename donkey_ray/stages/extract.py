@@ -72,13 +72,14 @@ _EXTRACTOR_CACHE: dict = {}
 
 def extract_postings(batch: pa.Table, *, num_partitions: int, hot_ref=None,
                      salt_bits: int = 4, id_col: str | None = None,
-                     combine: bool = False) -> pa.Table:
+                     combine: bool = False, positions: bool = False) -> pa.Table:
     key = (
         num_partitions,
         hot_ref.hex() if hot_ref is not None else None,
         salt_bits,
         id_col,
         combine,
+        positions,
     )
     ex = _EXTRACTOR_CACHE.get(key)
     if ex is None:
@@ -87,7 +88,7 @@ def extract_postings(batch: pa.Table, *, num_partitions: int, hot_ref=None,
         hot = ray.get(hot_ref) if hot_ref is not None else None
         ex = PostingsExtractor(
             num_partitions, hot_terms=hot, salt_bits=salt_bits, id_col=id_col,
-            combine=combine,
+            combine=combine, positions=positions,
         )
         _EXTRACTOR_CACHE.clear()  # one live config per worker is enough
         _EXTRACTOR_CACHE[key] = ex
@@ -112,6 +113,7 @@ class PostingsExtractor:
         id_col: str | None = None,
         emit_part: bool = True,
         combine: bool | None = None,
+        positions: bool = False,
     ) -> None:
         import ray
 
@@ -119,6 +121,14 @@ class PostingsExtractor:
         self.salt_bits = int(salt_bits)
         self.id_col = id_col
         self.emit_part = emit_part
+        # positional postings (phrase/proximity queries): each output row
+        # additionally carries ``pos`` = varbyte(delta(token positions of
+        # this (term, doc))) — a self-contained cell, so the shuffle and
+        # the segment encoder treat it as an opaque byte string
+        self.positions = bool(positions)
+        if self.positions and combine:
+            raise ValueError("positions=True is incompatible with the "
+                             "map-side combiner (combine=True)")
         # map-side combiner: ship pre-encoded varbyte runs instead of raw
         # rows (~3x fewer shuffle bytes). Wins when the exchange is
         # network-bound (real clusters); in THIS sandbox Ray's sort
@@ -161,6 +171,7 @@ class PostingsExtractor:
 
         term_arrs: list[pa.Array] = []
         row_arrs: list[np.ndarray] = []
+        pos_arrs: list[np.ndarray] = []
         dl_batch = np.zeros(batch.num_rows, dtype=np.int64)
         for lang in np.unique(langs):
             idx = np.flatnonzero(langs == lang)
@@ -169,34 +180,49 @@ class PostingsExtractor:
             term_arrs.append(flat)
             row_arrs.append(idx[parents])
             dl_batch[idx] = dl
+            if self.positions:
+                # token position within its doc: tokenize_column yields
+                # tokens in doc order with nondecreasing parents, so
+                # pos = global index - first index of the parent's run
+                pos_arrs.append(
+                    np.arange(len(parents), dtype=np.int64)
+                    - np.searchsorted(parents, parents)
+                )
 
         if not term_arrs or sum(len(a) for a in term_arrs) == 0:
-            return pa.table(
+            empty = {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int32()),
+            }
+            if self.positions:
+                empty["pos"] = pa.array([], pa.binary())
+            empty["part"] = pa.array([], pa.int32())
+            return pa.table(empty)
+
+        pos_cells: list[bytes] | None = None
+        if self.positions:
+            rows, terms, tf, pos_cells = self._group_with_positions(
+                term_arrs, row_arrs, pos_arrs
+            )
+        else:
+            tokens = pa.table(
                 {
-                    "term": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int32()),
-                    "dl": pa.array([], pa.int32()),
-                    "part": pa.array([], pa.int32()),
+                    "term": pa.concat_arrays(
+                        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                         for a in term_arrs]
+                    ),
+                    "row": pa.array(np.concatenate(row_arrs), pa.int64()),
                 }
             )
-
-        tokens = pa.table(
-            {
-                "term": pa.concat_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                     for a in term_arrs]
-                ),
-                "row": pa.array(np.concatenate(row_arrs), pa.int64()),
-            }
-        )
-        # vectorized tf per (row, term): Arrow hash-groupby
-        grouped = tokens.group_by(["row", "term"], use_threads=False).aggregate(
-            [("term", "count")]
-        )
-        rows = grouped.column("row").to_numpy(zero_copy_only=False)
-        terms = grouped.column("term")
-        tf = grouped.column("term_count").to_numpy(zero_copy_only=False).astype(np.int32)
+            # vectorized tf per (row, term): Arrow hash-groupby
+            grouped = tokens.group_by(["row", "term"], use_threads=False).aggregate(
+                [("term", "count")]
+            )
+            rows = grouped.column("row").to_numpy(zero_copy_only=False)
+            terms = grouped.column("term")
+            tf = grouped.column("term_count").to_numpy(zero_copy_only=False).astype(np.int32)
 
         out_doc_ids = doc_ids[rows]
         out_dl = dl_batch[rows].astype(np.int32)
@@ -207,6 +233,8 @@ class PostingsExtractor:
             "tf": pa.array(tf, pa.int32()),
             "dl": pa.array(out_dl, pa.int32()),
         }
+        if pos_cells is not None:
+            cols["pos"] = pa.array(pos_cells, pa.binary())
         if not self.emit_part:
             return pa.table(cols)
 
@@ -230,6 +258,39 @@ class PostingsExtractor:
         return self._combine_runs(
             uniq, inv.astype(np.int64), part, out_doc_ids, tf, out_dl
         )
+
+    def _group_with_positions(self, term_arrs, row_arrs, pos_arrs):
+        """(row, term) aggregation that also emits each posting's encoded
+        position list. numpy lexsort replaces the Arrow hash-groupby so the
+        per-group positions stay doc-ordered; the cell bytes are produced
+        by ONE vectorized codec pass over all groups."""
+        from ..functions.codec import (
+            delta_encode_segments,
+            varbyte_encode_segments,
+        )
+
+        terms_flat = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in term_arrs]
+        )
+        rows_flat = np.concatenate(row_arrs)
+        pos_flat = np.concatenate(pos_arrs)
+        dict_arr = terms_flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos_flat, codes, rows_flat))
+        rows_s = rows_flat[order]
+        codes_s = codes[order]
+        pos_s = pos_flat[order].astype(np.uint64)
+        n = len(order)
+        change = (rows_s[1:] != rows_s[:-1]) | (codes_s[1:] != codes_s[:-1])
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((starts[1:], [n]))
+        tf = (ends - starts).astype(np.int32)
+        cells = varbyte_encode_segments(
+            delta_encode_segments(pos_s, starts), starts
+        )
+        terms_g = dict_arr.dictionary.take(pa.array(codes_s[starts]))
+        return rows_s[starts], terms_g, tf, cells
 
     def _combine_runs(self, uniq, term_codes, part, doc_ids, tf, dl) -> pa.Table:
         """Map-side combiner: collapse this batch's postings into per-

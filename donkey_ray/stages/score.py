@@ -227,6 +227,88 @@ class _SegmentShard:
         return {name: tbl.column(name)[i].as_py() for name in tbl.column_names}
 
 
+class _PhrasePostings:
+    """Positional postings of ONE term across its runs (salted / federated
+    — disjoint doc sets), merged doc-sorted, with LAZY per-block position
+    decode: only blocks that contain candidate postings are ever decoded
+    (the position delta stream resets at every posting and the segment
+    stores per-block byte offsets)."""
+
+    def __init__(self, rows: list[dict], block_size: int) -> None:
+        self.block_size = block_size
+        self.rows = rows
+        self._run_docs = [
+            decode_blocked_deltas(r["doc_ids"], int(r["df"]), block_size)
+            for r in rows
+        ]
+        self._run_tfs = [
+            varbyte_decode(r["tfs"]).astype(np.int64) for r in rows
+        ]
+        docs = np.concatenate(self._run_docs)
+        dls = np.concatenate(
+            [varbyte_decode(r["dls"]).astype(np.int64) for r in rows]
+        )
+        run_id = np.concatenate(
+            [np.full(len(d), i, dtype=np.int64)
+             for i, d in enumerate(self._run_docs)]
+        )
+        loc = np.concatenate(
+            [np.arange(len(d), dtype=np.int64) for d in self._run_docs]
+        )
+        order = np.argsort(docs, kind="stable")
+        self.docs = docs[order]  # globally sorted; unique (runs disjoint)
+        self.dls = dls[order]
+        self._run_id = run_id[order]
+        self._loc = loc[order]
+
+    def positions_for(self, sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """sel: indices into self.docs. Returns (docs_rep, positions) —
+        every (doc, token position) pair of the selected postings,
+        flattened. Decodes only the blocks the selected postings live in."""
+        out_docs: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        run_sel = self._run_id[sel]
+        for r in np.unique(run_sel):
+            m = run_sel == r
+            idxs = np.sort(self._loc[sel[m]])
+            d, p = self._run_positions(int(r), idxs)
+            out_docs.append(d)
+            out_pos.append(p)
+        if not out_docs:
+            return (np.empty(0, dtype=np.int64),) * 2
+        return np.concatenate(out_docs), np.concatenate(out_pos)
+
+    def _run_positions(self, r: int, idxs: np.ndarray):
+        row = self.rows[r]
+        boff = np.asarray(row["block_pos_boff"], dtype=np.int64)
+        tfs = self._run_tfs[r]
+        docs = self._run_docs[r]
+        bs = self.block_size
+        n = len(docs)
+        out_docs: list[np.ndarray] = []
+        out_pos: list[np.ndarray] = []
+        for b in np.unique(idxs // bs):
+            lo, hi = int(b) * bs, min((int(b) + 1) * bs, n)
+            deltas = varbyte_decode(row["poss"][boff[b]: boff[b + 1]])
+            counts = tfs[lo:hi]
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            c = np.cumsum(deltas, dtype=np.uint64)
+            prefix = c[starts] - deltas[starts]
+            abs_pos = (c - np.repeat(prefix, counts)).astype(np.int64)
+            j = idxs[(idxs >= lo) & (idxs < hi)] - lo
+            s, cnt = starts[j], counts[j]
+            total = int(cnt.sum())
+            # ragged gather: flat indices of the selected postings' slices
+            flat = np.repeat(s, cnt) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            out_pos.append(abs_pos[flat])
+            out_docs.append(np.repeat(docs[j + lo], cnt))
+        return np.concatenate(out_docs), np.concatenate(out_pos)
+
+
 class QueryEngine:
     """Index handle with a SHARDED, lazily-loaded dictionary; serves top-k.
 
@@ -345,6 +427,64 @@ class QueryEngine:
         if mode == "exact":
             return self._topk_exact(runs_by_term, k)
         return self._topk_wand(runs_by_term, k)
+
+    def phrase_topk(self, text: str, k: int) -> list[tuple[int, float]]:
+        """Exact phrase top-k over a POSITIONAL index (built with
+        positions=True). The phrase is scored as a pseudo-term: tf = number
+        of occurrence start positions (overlaps counted), df = number of
+        matching docs (global — all runs are gathered here), score = the
+        pluggable scorer's idf(df) * tf_weight(tf, dl, avgdl); ties broken
+        by ascending doc_id.
+
+        Evaluation is fully vectorized: candidate docs = sorted-array
+        intersection of the terms' doc lists (rarest first); adjacency via
+        intersection of (doc, pos - slot) key sets, with positions decoded
+        LAZILY only for blocks holding candidate postings."""
+        if not all(m.get("positions") for m in self.metas):
+            raise ValueError(
+                "phrase queries require an index built with positions=True"
+            )
+        terms = self._tok.tokenize(text)
+        if not terms or k <= 0:
+            return []
+        post: dict[str, _PhrasePostings] = {}
+        for t in set(terms):
+            rows = self.term_runs(t)
+            if not rows:
+                return []
+            post[t] = _PhrasePostings(rows, self.block_size)
+        ts = sorted(post, key=lambda t: post[t].docs.size)
+        cand = post[ts[0]].docs
+        for t in ts[1:]:
+            cand = cand[np.isin(cand, post[t].docs, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        keys: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            p = post[t]
+            sel = np.searchsorted(p.docs, cand)
+            docs_rep, pos_flat = p.positions_for(sel)
+            di = np.searchsorted(cand, docs_rep).astype(np.int64)
+            m = pos_flat >= i
+            # dense candidate index in the high bits keeps the key an
+            # int64 (positions < 2^32, |cand| < 2^31)
+            ki = (di[m] << np.int64(32)) | (pos_flat[m] - i)
+            keys = ki if keys is None else keys[
+                np.isin(keys, ki, assume_unique=True)
+            ]
+            if keys.size == 0:
+                return []
+        di = (keys >> np.int64(32)).astype(np.int64)
+        tf = np.bincount(di, minlength=cand.size).astype(np.float64)
+        matched = tf > 0
+        df = int(matched.sum())
+        p0 = post[terms[0]]
+        dl = p0.dls[np.searchsorted(p0.docs, cand)].astype(np.float64)
+        idf = float(self.scorer.idf(df, self.n_docs))
+        scores = idf * self.scorer.tf_weight(tf[matched], dl[matched], self.avgdl)
+        docs_m = cand[matched]
+        order = scoring.topk_order(docs_m, scores, k)
+        return [(int(docs_m[i]), float(scores[i])) for i in order]
 
     # ---- exact: decode-everything vectorized scoring ----
     def _topk_exact(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:

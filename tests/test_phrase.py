@@ -1,0 +1,215 @@
+"""Phrase-query conformance (positional index).
+
+The positional build + ``QueryEngine.phrase_topk`` must be rank- AND
+score-identical to a naive Python re-implementation over the raw texts,
+including OVERLAPPING occurrences ('rep rep' in 'rep rep rep' = tf 2),
+across partition counts, through multi-block posting runs
+(> BLOCK_SIZE postings per term) and salted hot-term runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from donkey_ray import schemas
+from donkey_ray.functions.scoring import BM25Scorer
+from donkey_ray.pipelines.build import build_index
+from donkey_ray.stages.encode import encode_partition_table
+from donkey_ray.stages.extract import PostingsExtractor
+from donkey_ray.stages.score import QueryEngine, _PhrasePostings
+
+
+def _corpus(texts: list[str]) -> pa.Table:
+    n = len(texts)
+    return pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"f{i}" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["en"] * n),
+            "content": pa.array(texts),
+            # spread ids across the int64 space so hot-term salting (keyed
+            # by the TOP doc_id bits) actually produces multiple runs
+            "doc_id": pa.array(
+                [((i % 16) << 59) | (1000 + 7 * i) for i in range(n)],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _naive_phrase_topk(texts, doc_ids, phrase, k=10):
+    terms = re.findall(r"[a-z0-9]+", phrase.lower())
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    dls = [len(t) for t in toks]
+    n_docs = len(texts)
+    avgdl = sum(dls) / n_docs
+    sc = BM25Scorer()
+    hits = {}
+    for d, tk in enumerate(toks):
+        tf = sum(
+            1
+            for i in range(len(tk) - len(terms) + 1)
+            if tk[i: i + len(terms)] == terms
+        )
+        if tf:
+            hits[doc_ids[d]] = (tf, dls[d])
+    if not hits:
+        return []
+    idf = float(sc.idf(len(hits), n_docs))
+    out = [
+        (doc, idf * float(sc.tf_weight(np.float64(tf), np.float64(dl), avgdl)))
+        for doc, (tf, dl) in hits.items()
+    ]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def _texts(n: int, seed: int = 7) -> list[str]:
+    """Every doc contains 'common' (hot candidate); > BLOCK_SIZE docs
+    contain 'alpha beta' so those runs span multiple blocks."""
+    rng = np.random.default_rng(seed)
+    noise = ["x", "y", "z", "w", "q"]
+    texts = []
+    for i in range(n):
+        words = ["common"]
+        words += [noise[int(j)] for j in rng.integers(0, len(noise), 10)]
+        if i % 2 == 0:
+            words.insert(int(rng.integers(1, len(words))), "alpha beta")
+        if i % 5 == 0:
+            words.append("rep rep rep")
+        if i % 3 == 0:
+            words.append("common alpha")
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    return texts
+
+
+PHRASES = [
+    "alpha beta",
+    "rep rep",            # overlapping: tf 2 per 'rep rep rep'
+    "common alpha",       # crosses the salted hot-term runs
+    "alpha gamma",        # zero matches
+    "common",             # single-word degenerate case
+    "rep rep rep",
+]
+
+
+@pytest.fixture(scope="module")
+def built_pos(ray_session, tmp_path_factory):
+    import ray.data
+
+    texts = _texts(300)
+    corpus = _corpus(texts)
+    out = str(tmp_path_factory.mktemp("pidx") / "index")
+    meta = build_index(
+        ray.data.from_arrow(corpus),
+        out,
+        num_partitions=4,
+        id_col="doc_id",
+        positions=True,
+        sample_mod=2,
+    )
+    doc_ids = corpus.column("doc_id").to_pylist()
+    return texts, doc_ids, out, meta
+
+
+def test_positions_roundtrip_no_shuffle():
+    """Extractor cells -> segment encode -> _PhrasePostings decode must
+    reproduce every token position (pure kernel path, no Ray)."""
+    texts = ["b a c a b a", "a a a a", "c b a"]
+    ex = PostingsExtractor(1, id_col="doc_id", positions=True)
+    batch = _corpus(texts)
+    postings = ex(batch)
+    seg, _ = encode_partition_table(postings)
+    assert "poss" in seg.column_names and "block_pos_boff" in seg.column_names
+    terms = seg.column("term").to_pylist()
+    row = {n: seg.column(n)[terms.index("a")].as_py() for n in seg.column_names}
+    pp = _PhrasePostings([row], schemas.BLOCK_SIZE)
+    docs_rep, pos = pp.positions_for(np.arange(len(pp.docs)))
+    got = {}
+    for d, p in zip(docs_rep.tolist(), pos.tolist()):
+        got.setdefault(d, []).append(p)
+    doc_ids = batch.column("doc_id").to_pylist()
+    for i, t in enumerate(texts):
+        want = [j for j, w in enumerate(t.split()) if w == "a"]
+        assert sorted(got[doc_ids[i]]) == want
+
+
+def test_positions_incompatible_with_combiner():
+    with pytest.raises(ValueError, match="combine"):
+        PostingsExtractor(4, positions=True, combine=True)
+
+
+def test_meta_records_positions(built_pos):
+    *_, meta = built_pos
+    assert meta["positions"] is True
+
+
+def test_phrase_matches_naive(built_pos):
+    texts, doc_ids, out, _ = built_pos
+    eng = QueryEngine(out)
+    for phrase in PHRASES:
+        got = eng.phrase_topk(phrase, 10)
+        want = _naive_phrase_topk(texts, doc_ids, phrase, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], phrase
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12,
+            err_msg=phrase,
+        )
+
+
+def test_phrase_through_salted_hot_runs(built_pos):
+    texts, doc_ids, out, meta = built_pos
+    assert "common" in meta["hot_terms"]  # every doc contains it
+    eng = QueryEngine(out)
+    runs = eng.term_runs("common")
+    assert len(runs) > 1  # actually salted into multiple runs
+    got = eng.phrase_topk("common alpha", 10)
+    want = _naive_phrase_topk(texts, doc_ids, "common alpha", 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_multiblock_runs_exercised(built_pos):
+    _, _, out, _ = built_pos
+    eng = QueryEngine(out)
+    total_df = sum(int(r["df"]) for r in eng.term_runs("alpha"))
+    assert total_df > schemas.BLOCK_SIZE  # positions decode crossed blocks
+
+
+def test_deterministic_across_partition_counts(built_pos, tmp_path_factory):
+    import ray.data
+
+    texts, doc_ids, out, _ = built_pos
+    out3 = str(tmp_path_factory.mktemp("pidx3") / "index")
+    build_index(
+        ray.data.from_arrow(_corpus(texts)),
+        out3,
+        num_partitions=3,
+        id_col="doc_id",
+        positions=True,
+        detect_hot=False,
+    )
+    a, b = QueryEngine(out), QueryEngine(out3)
+    for phrase in PHRASES:
+        assert a.phrase_topk(phrase, 10) == b.phrase_topk(phrase, 10)
+
+
+def test_phrase_requires_positional_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("plain") / "index")
+    build_index(
+        ray.data.from_arrow(_corpus(["a b c", "b c d"])),
+        out,
+        num_partitions=2,
+        id_col="doc_id",
+        detect_hot=False,
+    )
+    eng = QueryEngine(out)
+    with pytest.raises(ValueError, match="positions"):
+        eng.phrase_topk("a b", 5)
