@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inverted-index / BM25 engine (SURVEY.md section 2B)
         "bm25_topk": api.q_bm25_topk,
         "phrase_topk": api.q_phrase_topk,
+        "near_topk": api.q_near_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
@@ -146,9 +147,60 @@ def _phrase_sql() -> str:
     )
 
 
+def _near_sql() -> str:
+    """Oracle for near_topk, generated from api.PINNED_NEAR: a doc matches
+    iff some position p of the FIRST distinct query term (the anchor) has,
+    for EVERY other distinct term, an occurrence q with |q - p| <
+    NEAR_WINDOW (correlated EXISTS per non-anchor term); matches score as
+    the ordinary summed BM25 of the distinct terms."""
+    w = api.NEAR_WINDOW
+    blocks, unions = [], []
+    for qid, text, k in api.PINNED_NEAR:
+        terms = list(dict.fromkeys(text.split()))
+        exists = "".join(
+            f"\n    AND EXISTS (SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id"
+            f" AND b.term='{t}' AND abs(b.p - a.p) < {w})"
+            for t in terms[1:]
+        )
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        blocks.append(
+            f"m_{qid} AS (SELECT DISTINCT a.doc_id FROM pos a "
+            f"WHERE a.term='{terms[0]}'{exists}),\n"
+            f"sc_{qid} AS (SELECT {qid}::BIGINT AS query_id, {k} AS k, "
+            "m.doc_id,\n"
+            "  sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) * "
+            "tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) "
+            "AS score\n"
+            f"  FROM m_{qid} m JOIN tf ON tf.doc_id = m.doc_id "
+            f"AND tf.term IN ({in_list})\n"
+            "  JOIN df ON df.term = tf.term JOIN dl ON dl.doc_id = m.doc_id "
+            "CROSS JOIN stats s\n"
+            "  GROUP BY 1, 2, 3)"
+        )
+        unions.append(f"SELECT * FROM sc_{qid}")
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),\n"
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM tok),\n"
+        "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),\n"
+        "pos AS (SELECT doc_id, unnest(toks) AS term, "
+        "unnest(range(len(toks))) AS p FROM tok),\n"
+        "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pos GROUP BY 1, 2),\n"
+        "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),\n"
+        + ",\n".join(blocks) + ",\n"
+        "all_sc AS (" + " UNION ALL ".join(unions) + "),\n"
+        "ranked AS (SELECT query_id, k, doc_id, score,\n"
+        "                  row_number() OVER (PARTITION BY query_id\n"
+        "                                     ORDER BY score DESC, doc_id ASC) AS rank\n"
+        "           FROM all_sc)\n"
+        "SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score\n"
+        "FROM ranked WHERE rank <= k\n"
+    )
+
+
 def _oracle_sqls() -> dict[str, str]:
     return {
         "phrase_topk": _phrase_sql(),
+        "near_topk": _near_sql(),
         "bm25_topk": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS dl FROM tok),

@@ -46,6 +46,20 @@ PINNED_PHRASES = [
     (4, "spark merge", 10),
 ]
 
+# Pinned proximity-query set (positional index): anchor = first distinct
+# term; docs must contain every term with each non-anchor term within
+# NEAR_WINDOW-1 positions of some anchor occurrence. Mix: two bigrams, a
+# trigram, an absent term (zero matches), and a duplicated term
+# (degenerate single-term query).
+PINNED_NEAR = [
+    (0, "table value", 10),
+    (1, "spark merge", 10),
+    (2, "window sort key", 10),
+    (3, "table zzzabsent", 10),
+    (4, "value value", 10),
+]
+NEAR_WINDOW = 3
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 ANN_K = 10
 NEARDUP_COS_THRESHOLD = 0.35
@@ -156,7 +170,27 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
             "k": pa.array([q[2] for q in PINNED_PHRASES], pa.int32()),
         }
     )
-    res = dataset_to_table(score_queries(index_dir, queries, phrase=True))
+    res = dataset_to_table(score_queries(index_dir, queries, kind="phrase"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
+def q_near_topk(sf_dir: str) -> pa.Table:
+    """Proximity top-k over the positional index (pinned near set): docs
+    containing every query term with each non-anchor term within
+    NEAR_WINDOW-1 positions of some occurrence of the first term, scored
+    with ordinary summed BM25 over the distinct terms."""
+    index_dir = ensure_positional_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_NEAR], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_NEAR], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_NEAR], pa.int32()),
+        }
+    )
+    res = dataset_to_table(
+        score_queries(index_dir, queries, kind="near", window=NEAR_WINDOW)
+    )
     res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     return _round_col(res, "score")
 

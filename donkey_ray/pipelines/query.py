@@ -19,18 +19,30 @@ from ..stages.score import QueryEngine
 
 
 class QueryScorerStage:
-    """map_batches actor: QUERIES-schema batches -> RESULTS-schema batches."""
+    """map_batches actor: QUERIES-schema batches -> RESULTS-schema batches.
+
+    ``kind`` selects the engine entry point: "topk" (bag-of-words BM25),
+    "phrase" (exact positional phrase), or "near" (proximity-filtered
+    conjunctive BM25 within ``window`` positions of the anchor term; the
+    latter two need an index built with positions=True)."""
 
     def __init__(self, index_dir: str, mode: str = "auto",
-                 phrase: bool = False) -> None:
+                 kind: str = "topk", window: int = 4) -> None:
         self.engine = QueryEngine(index_dir, mode=mode)
-        self.phrase = phrase
+        if kind == "phrase":
+            self.run = self.engine.phrase_topk
+        elif kind == "near":
+            eng = self.engine
+            self.run = lambda text, k: eng.near_topk(text, k, window=window)
+        elif kind == "topk":
+            self.run = self.engine.topk
+        else:
+            raise ValueError(f"unknown query kind: {kind!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
-        run = self.engine.phrase_topk if self.phrase else self.engine.topk
         for row in batch.to_pylist():
-            hits = run(row["text"], int(row["k"]))
+            hits = self.run(row["text"], int(row["k"]))
             for r, (d, s) in enumerate(hits, start=1):
                 qids.append(int(row["query_id"]))
                 ranks.append(r)
@@ -51,7 +63,8 @@ def score_queries(
     queries: ray.data.Dataset | pa.Table,
     *,
     mode: str = "auto",
-    phrase: bool = False,
+    kind: str = "topk",
+    window: int = 4,
     concurrency=None,
     batch_size: int = 64,
 ) -> ray.data.Dataset:
@@ -66,7 +79,8 @@ def score_queries(
         concurrency = (1, max(1, min(cpus, n_batches, 8)))
     return queries.map_batches(
         QueryScorerStage,
-        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, phrase=phrase),
+        fn_constructor_kwargs=dict(index_dir=index_dir, mode=mode, kind=kind,
+                                   window=window),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

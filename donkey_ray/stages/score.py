@@ -258,6 +258,7 @@ class _PhrasePostings:
         order = np.argsort(docs, kind="stable")
         self.docs = docs[order]  # globally sorted; unique (runs disjoint)
         self.dls = dls[order]
+        self.tfs = np.concatenate(self._run_tfs)[order]
         self._run_id = run_id[order]
         self._loc = loc[order]
 
@@ -485,6 +486,80 @@ class QueryEngine:
         docs_m = cand[matched]
         order = scoring.topk_order(docs_m, scores, k)
         return [(int(docs_m[i]), float(scores[i])) for i in order]
+
+    def near_topk(self, text: str, k: int, window: int = 4) -> list[tuple[int, float]]:
+        """Proximity-filtered conjunctive BM25 over a positional index.
+
+        Pinned semantics: a doc matches iff it contains EVERY distinct
+        query term AND there is a position p of the FIRST query term (the
+        anchor) such that each other term occurs at some position q with
+        |q - p| < window. Matching docs are scored with the ordinary BM25
+        sum over the distinct query terms (global per-term df), ties
+        broken by ascending doc_id. SQL equivalent: correlated EXISTS per
+        non-anchor term with abs(b.p - a.p) < window."""
+        if not all(m.get("positions") for m in self.metas):
+            raise ValueError(
+                "proximity queries require an index built with positions=True"
+            )
+        terms = list(dict.fromkeys(self._tok.tokenize(text)))  # distinct, ordered
+        if not terms or k <= 0:
+            return []
+        post: dict[str, _PhrasePostings] = {}
+        for t in terms:
+            rows = self.term_runs(t)
+            if not rows:
+                return []
+            post[t] = _PhrasePostings(rows, self.block_size)
+        cand = post[terms[0]].docs
+        for t in sorted(terms[1:], key=lambda t: post[t].docs.size):
+            cand = cand[np.isin(cand, post[t].docs, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        if len(terms) == 1:
+            # degenerate: no proximity constraint — plain single-term BM25
+            # (skips the position decode entirely)
+            matched = cand
+            return self._score_conjunctive(post, terms, matched, k)
+        anchor = post[terms[0]]
+        d0, p0 = anchor.positions_for(np.searchsorted(anchor.docs, cand))
+        di0 = np.searchsorted(cand, d0).astype(np.int64)
+        ok = np.ones(len(p0), dtype=bool)
+        for t in terms[1:]:
+            p = post[t]
+            dt, pt = p.positions_for(np.searchsorted(p.docs, cand))
+            kt = np.sort(
+                (np.searchsorted(cand, dt).astype(np.int64) << np.int64(32)) | pt
+            )
+            lo_key = (di0 << np.int64(32)) | np.maximum(p0 - window + 1, 0)
+            hi_key = (di0 << np.int64(32)) | (p0 + window)
+            ok &= np.searchsorted(kt, lo_key) < np.searchsorted(kt, hi_key)
+            if not ok.any():
+                return []
+        matched = np.unique(d0[ok])
+        return self._score_conjunctive(post, terms, matched, k)
+
+    def _score_conjunctive(
+        self,
+        post: dict[str, _PhrasePostings],
+        terms: list[str],
+        matched: np.ndarray,
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Ordinary summed BM25 over ``terms`` for docs known to contain
+        every term (tf/dl read from the already-decoded positional
+        postings; per-term idf from the global df)."""
+        scores = np.zeros(len(matched), dtype=np.float64)
+        for t in terms:
+            p = post[t]
+            sel = np.searchsorted(p.docs, matched)
+            idf = float(self.scorer.idf(int(p.docs.size), self.n_docs))
+            scores += idf * self.scorer.tf_weight(
+                p.tfs[sel].astype(np.float64),
+                p.dls[sel].astype(np.float64),
+                self.avgdl,
+            )
+        order = scoring.topk_order(matched, scores, k)
+        return [(int(matched[i]), float(scores[i])) for i in order]
 
     # ---- exact: decode-everything vectorized scoring ----
     def _topk_exact(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:

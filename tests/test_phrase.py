@@ -199,6 +199,90 @@ def test_deterministic_across_partition_counts(built_pos, tmp_path_factory):
         assert a.phrase_topk(phrase, 10) == b.phrase_topk(phrase, 10)
 
 
+def _naive_near_topk(texts, doc_ids, query, k=10, window=4):
+    """Reference for QueryEngine.near_topk: doc matches iff it contains
+    every distinct query term and some position p of the FIRST term has,
+    for every other term, an occurrence q with |q - p| < window; scored
+    as summed per-term BM25 (global df)."""
+    terms = list(dict.fromkeys(re.findall(r"[a-z0-9]+", query.lower())))
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    dls = [len(t) for t in toks]
+    n_docs = len(texts)
+    avgdl = sum(dls) / n_docs
+    sc = BM25Scorer()
+    dfs = {t: sum(1 for tk in toks if t in tk) for t in terms}
+    out = []
+    for d, tk in enumerate(toks):
+        if not terms or not all(t in tk for t in terms):
+            continue
+        pos = {}
+        for i, w in enumerate(tk):
+            pos.setdefault(w, []).append(i)
+        if not any(
+            all(
+                any(abs(q - p) < window for q in pos[t])
+                for t in terms[1:]
+            )
+            for p in pos[terms[0]]
+        ):
+            continue
+        score = sum(
+            float(sc.idf(dfs[t], n_docs))
+            * float(sc.tf_weight(np.float64(len(pos[t])), np.float64(dls[d]), avgdl))
+            for t in terms
+        )
+        out.append((doc_ids[d], score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+NEAR_QUERIES = [
+    # (query, window)
+    ("alpha beta", 1),     # |q-p| < 1 is impossible for distinct terms
+    ("alpha beta", 2),     # adjacency either side
+    ("alpha beta", 5),
+    ("common beta", 3),    # hot (salted multi-run) anchor
+    ("beta common", 3),    # anchor order matters
+    ("x y z", 4),          # three terms
+    ("alpha gamma", 4),    # zero matches (absent term)
+    ("common", 4),         # single-term degenerate
+    ("rep rep", 4),        # duplicated -> single distinct term
+]
+
+
+def test_near_matches_naive(built_pos):
+    texts, doc_ids, out, _ = built_pos
+    eng = QueryEngine(out)
+    for query, window in NEAR_QUERIES:
+        got = eng.near_topk(query, 10, window=window)
+        want = _naive_near_topk(texts, doc_ids, query, 10, window=window)
+        assert [d for d, _ in got] == [d for d, _ in want], (query, window)
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12,
+            err_msg=f"{query} w={window}",
+        )
+
+
+def test_near_window_widens_monotonically(built_pos):
+    """A larger window can only ADD matching docs, never drop one."""
+    texts, doc_ids, out, _ = built_pos
+    eng = QueryEngine(out)
+    prev: set[int] = set()
+    for window in (1, 2, 4, 8, 10_000):
+        docs = {d for d, _ in eng.near_topk("alpha beta", 10_000, window=window)}
+        assert prev <= docs, window
+        prev = docs
+    # unbounded window == plain conjunctive AND over the terms
+    both = {
+        d
+        for d, tk in zip(
+            doc_ids, (re.findall(r"[a-z0-9]+", t.lower()) for t in texts)
+        )
+        if "alpha" in tk and "beta" in tk
+    }
+    assert prev == both
+
+
 def test_phrase_requires_positional_index(ray_session, tmp_path_factory):
     import ray.data
 
@@ -213,3 +297,5 @@ def test_phrase_requires_positional_index(ray_session, tmp_path_factory):
     eng = QueryEngine(out)
     with pytest.raises(ValueError, match="positions"):
         eng.phrase_topk("a b", 5)
+    with pytest.raises(ValueError, match="positions"):
+        eng.near_topk("a b", 5)
