@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": api.q_doc_token_counts,
         "corpus_stats": api.q_corpus_stats,
         "top_terms": api.q_top_terms,
+        "top_bigrams": api.q_top_bigrams,
+        "stratified_sample": api.q_stratified_sample,
         "content_sha256": api.q_content_sha256,
         "filter_project": api.q_filter_project,
         # training-data ops: dedup family
@@ -327,6 +329,34 @@ WHERE rn <= 20
 """,
         "content_sha256": """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+""",
+        "top_bigrams": f"""
+WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+       FROM tok),
+c AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY 1),
+r AS (SELECT bigram, n,
+             row_number() OVER (ORDER BY n DESC, bigram ASC) AS rn FROM c)
+SELECT bigram, n FROM r WHERE rn <= 20
+""",
+        # per-lang deterministic sample: splitmix64(doc_id) ascending,
+        # doc_id tie-break, 10 per lang (same limb chain as sample_docs)
+        "stratified_sample": f"""
+WITH s0 AS (SELECT doc_id, lang,
+        ((doc_id::HUGEINT + 11400714819323198485) % {_M64})::UBIGINT AS z
+        FROM documents),
+s1 AS (SELECT doc_id, lang, xor(z, z >> 30)::HUGEINT AS z FROM s0),
+s2 AS (SELECT doc_id, lang, {_mul64('z', '13787848793156543929')}::UBIGINT AS z FROM s1),
+s3 AS (SELECT doc_id, lang, xor(z, z >> 27)::HUGEINT AS z FROM s2),
+s4 AS (SELECT doc_id, lang, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM s3),
+s5 AS (SELECT doc_id, lang, xor(z, z >> 31) AS z FROM s4),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY z, doc_id)
+               AS sample_rank
+      FROM s5)
+SELECT lang, doc_id, sample_rank::INT AS sample_rank
+FROM r WHERE sample_rank <= 10
 """,
         # splitmix64(doc_id) % 8 == 0 — the engine's deterministic-sample
         # mix, spelled out in SQL: 64-bit multiply = 32-bit limb products

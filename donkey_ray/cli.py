@@ -36,6 +36,7 @@ def cmd_build(args) -> int:
         query_lang=args.query_lang,
         salt_bits=args.salt_bits,
         detect_hot=not args.no_hot_detection,
+        positions=args.positions,
     )
     print(json.dumps(meta, indent=1))
     return 0
@@ -51,7 +52,12 @@ def cmd_query(args) -> int:
 
     if args.text is not None:
         engine = QueryEngine(args.index, mode=args.mode)
-        hits = engine.topk(args.text, args.k)
+        if args.kind == "phrase":
+            hits = engine.phrase_topk(args.text, args.k)
+        elif args.kind == "near":
+            hits = engine.near_topk(args.text, args.k, window=args.window)
+        else:
+            hits = engine.topk(args.text, args.k)
         res = pa.table(
             {
                 "query_id": pa.array([0] * len(hits), pa.int64()),
@@ -68,7 +74,8 @@ def cmd_query(args) -> int:
 
         queries = ray.data.read_parquet(args.queries)
         res = dataset_to_table(
-            score_queries(args.index, queries, mode=args.mode)
+            score_queries(args.index, queries, mode=args.mode,
+                          kind=args.kind, window=args.window)
         )
     if args.hydrate:
         res = hydrate_results(res, args.index)
@@ -114,7 +121,9 @@ def cmd_serve(args) -> int:
         text = line.strip()
         if not text:
             continue
-        print(json.dumps(ray.get(server.search.remote(text, args.k))))
+        print(json.dumps(ray.get(server.search.remote(
+            text, args.k, kind=args.kind, window=args.window
+        ))))
     return 0
 
 
@@ -138,6 +147,8 @@ def main(argv=None) -> int:
     b.add_argument("--query-lang", default="code")
     b.add_argument("--salt-bits", type=int, default=4)
     b.add_argument("--no-hot-detection", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="store token positions (enables phrase/near queries)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="run top-k BM25 queries against an index")
@@ -146,6 +157,10 @@ def main(argv=None) -> int:
     q.add_argument("--text", help="single ad-hoc query text")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
+    q.add_argument("--kind", choices=["topk", "phrase", "near"], default="topk",
+                   help="phrase/near need an index built with --positions")
+    q.add_argument("--window", type=int, default=4,
+                   help="proximity window for --kind near")
     q.add_argument("--output")
     q.add_argument("--hydrate", action="store_true",
                    help="join results back to repo/path metadata")
@@ -159,6 +174,8 @@ def main(argv=None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--name", default="donkey_index_server")
     v.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
+    v.add_argument("--kind", choices=["topk", "phrase", "near"], default="topk")
+    v.add_argument("--window", type=int, default=4)
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--detached", action="store_true")
     v.add_argument("--ping-only", action="store_true")

@@ -280,6 +280,26 @@ def q_top_terms(sf_dir: str) -> pa.Table:
     return tbl.slice(0, 20)
 
 
+def q_top_bigrams(sf_dir: str) -> pa.Table:
+    """Global top-20 adjacent token pairs by occurrence count (count desc,
+    bigram asc) — per-batch pre-count, one keyed exchange, per-partition
+    top-k, driver merges P*k rows only."""
+    return analyze.top_bigrams(_docs(sf_dir, columns=("text",)), k=20)
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic balanced subset: up to 10 docs per lang, ranked by
+    ascending splitmix64(doc_id) (doc_id asc tie-break) — the per-group
+    training-data sampling operator."""
+    from .pipelines.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"],
+        override_num_blocks=8,
+    )
+    return stratified_sample(ds, key_col="lang", id_col="doc_id", n=10)
+
+
 def q_content_sha256(sf_dir: str) -> ray.data.Dataset:
     ds = _docs(sf_dir)
 

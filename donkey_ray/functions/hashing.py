@@ -80,12 +80,17 @@ def salted_parts(term: str, num_partitions: int, salt_bits: int) -> list[int]:
     return sorted(parts)
 
 
-def deterministic_sample_mask(doc_ids: np.ndarray, mod: int) -> np.ndarray:
-    """Fully deterministic ~1/mod sample by doc_id (SURVEY.md B22)."""
-    ids = np.asarray(doc_ids, dtype=np.uint64)
-    # splitmix64-style mix so low-bit patterns in ids don't bias the sample
-    z = ids + np.uint64(0x9E3779B97F4A7C15)
+def splitmix64(values: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 mix of uint64 values (the engine's pinned
+    deterministic-randomness primitive; the DuckDB oracle mirrors it with
+    HUGEINT limb arithmetic)."""
+    z = np.asarray(values, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    z = z ^ (z >> np.uint64(31))
-    return (z % np.uint64(mod)) == 0
+    return z ^ (z >> np.uint64(31))
+
+
+def deterministic_sample_mask(doc_ids: np.ndarray, mod: int) -> np.ndarray:
+    """Fully deterministic ~1/mod sample by doc_id (SURVEY.md B22);
+    splitmix64-mixed so low-bit patterns in ids don't bias the sample."""
+    return (splitmix64(doc_ids) % np.uint64(mod)) == 0

@@ -76,6 +76,62 @@ def corpus_stats(ds: ray.data.Dataset, *, text_col: str = "text",
     )
 
 
+def top_bigrams(ds: ray.data.Dataset, *, text_col: str = "text",
+                k: int = 20) -> pa.Table:
+    """Global top-k adjacent token pairs by total occurrence count
+    (count desc, bigram asc tie-break) — corpus phrase statistics.
+
+    Scale shape: bigrams are built vectorized (Arrow elementwise join of
+    the token stream against its shift) and pre-counted INSIDE each batch
+    before one keyed exchange; each hash partition then emits only its
+    local top-k, so the driver merges P*k rows, never the bigram
+    vocabulary."""
+    from ..stages.exchange import keyed_partition_map
+    from ..util import dataset_to_table
+
+    empty = pa.table({"bigram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def explode_count(batch: pa.Table) -> pa.Table:
+        flat, parents, _ = _tokenized(batch, text_col)
+        if len(flat) < 2:
+            return empty
+        m = pa.array(parents[1:] == parents[:-1])
+        a = flat.slice(0, len(flat) - 1).filter(m)
+        b = flat.slice(1).filter(m)
+        if len(a) == 0:
+            return empty
+        big = pc.binary_join_element_wise(a, b, " ")
+        t = pa.table({"bigram": big}).group_by(
+            ["bigram"], use_threads=False
+        ).aggregate([("bigram", "count")])
+        return pa.table({
+            "bigram": t.column("bigram").cast(pa.string()),
+            "n": t.column("bigram_count").cast(pa.int64()),
+        })
+
+    pre = ds.map_batches(explode_count, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def local_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        agg = part.group_by(["bigram"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        agg = pa.table({"bigram": agg.column("bigram").cast(pa.string()),
+                        "n": agg.column("n_sum").cast(pa.int64())})
+        return agg.sort_by(
+            [("n", "descending"), ("bigram", "ascending")]
+        ).slice(0, k)
+
+    local_topk.__name__ = "top_bigrams"
+    merged = dataset_to_table(keyed_partition_map(pre, ["bigram"], local_topk))
+    return merged.sort_by(
+        [("n", "descending"), ("bigram", "ascending")]
+    ).slice(0, k)
+
+
 def _tokenized(batch: pa.Table, text_col: str):
     """Shared vectorized tokenize over a batch: (flat terms, parent row
     indices, per-row dl)."""

@@ -32,8 +32,14 @@ from .. import schemas
 
 def segments_as_postings(index_dir: str) -> ray.data.Dataset:
     """Decode an index's segments back into exploded posting rows
-    (term, doc_id, tf, dl) — the inverse of the segment encoder."""
+    (term, doc_id, tf, dl[, pos]) — the inverse of the segment encoder.
+
+    For a POSITIONAL index the per-posting ``pos`` cell (self-contained
+    varbyte(delta(token positions)) — the stream resets at every posting)
+    is recovered by splitting each run's ``poss`` bytes at varbyte
+    terminal-byte boundaries, without decoding the values."""
     meta = mf.load_meta(index_dir)
+    positional = bool(meta.get("positions"))
     block_size = int(meta.get("block_size", schemas.BLOCK_SIZE))
     paths = [
         mf.segment_path(index_dir, p)
@@ -49,12 +55,13 @@ def segments_as_postings(index_dir: str) -> ray.data.Dataset:
         block resets the segment format adds)."""
         import numpy as np
 
-        empty = pa.table(
-            {"term": pa.array([], pa.string()),
-             "doc_id": pa.array([], pa.int64()),
-             "tf": pa.array([], pa.int32()),
-             "dl": pa.array([], pa.int32())}
-        )
+        cols = {"term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int32())}
+        if positional:
+            cols["pos"] = pa.array([], pa.binary())
+        empty = pa.table(cols)
         if batch.num_rows == 0:
             return empty
         dfs = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -76,14 +83,32 @@ def segments_as_postings(index_dir: str) -> ray.data.Dataset:
         tfs = varbyte_decode(b"".join(batch.column("tfs").to_pylist()))
         dls = varbyte_decode(b"".join(batch.column("dls").to_pylist()))
         terms = batch.column("term").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "term": pa.array(np.repeat(terms, dfs), pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "tf": pa.array(tfs.astype(np.int32), pa.int32()),
-                "dl": pa.array(dls.astype(np.int32), pa.int32()),
-            }
-        )
+        out = {
+            "term": pa.array(np.repeat(terms, dfs), pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tf": pa.array(tfs.astype(np.int32), pa.int32()),
+            "dl": pa.array(dls.astype(np.int32), pa.int32()),
+        }
+        if positional:
+            cells: list[bytes] = []
+            tf_bounds = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+            i = 0
+            for buf, n_post in zip(batch.column("poss").to_pylist(), dfs):
+                b = np.frombuffer(buf, dtype=np.uint8)
+                # terminal byte = high bit clear -> value boundaries
+                val_bounds = np.concatenate(
+                    ([0], np.flatnonzero((b & 0x80) == 0) + 1)
+                )
+                post_bounds = val_bounds[
+                    tf_bounds[i: i + n_post + 1] - tf_bounds[i]
+                ]
+                cells.extend(
+                    buf[post_bounds[j]: post_bounds[j + 1]]
+                    for j in range(n_post)
+                )
+                i += n_post
+            out["pos"] = pa.array(cells, pa.binary())
+        return pa.table(out)
 
     return ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -101,6 +126,13 @@ def merge_indexes(
     from ..stages.encode import SegmentWriter
 
     metas = [mf.load_meta(d) for d in index_dirs]
+    positional = {bool(m.get("positions")) for m in metas}
+    if len(positional) > 1:
+        raise ValueError(
+            "cannot merge positional and non-positional indexes: "
+            "the merged index would silently lose phrase/proximity support"
+        )
+    positional = positional.pop()
     union = None
     for d in index_dirs:
         part = segments_as_postings(d)
@@ -139,6 +171,7 @@ def merge_indexes(
         "hot_terms": sorted({t for m in metas for t in m.get("hot_terms", [])}),
         "query_lang": metas[0].get("query_lang", "simple"),
         "id_col": metas[0].get("id_col"),
+        "positions": positional,
         "merged_from": [os.path.abspath(d) for d in index_dirs],
     }
     mf.write_meta(out_dir, meta)

@@ -1,0 +1,107 @@
+"""Deterministic distributed sampling over a document table.
+
+``stratified_sample``: per-group sample of up to ``n`` rows, chosen by
+ascending splitmix64(id) with id tie-break — the training-data
+"balanced subset per language/source" operator. Fully deterministic
+(re-runs and resumes pick the same rows) and order-independent (the
+choice depends only on (group, id), never on block layout).
+
+Scale shape: each input batch is pre-reduced to at most ``n`` rows per
+group it contains (vectorized sort + run-slice), so the keyed exchange
+that follows moves O(n_groups * n * blocks) rows, never the corpus; the
+final per-group selection runs once per hash partition. No stage holds
+more than one partition of the pre-reduced stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import splitmix64
+from ..stages.exchange import keyed_partition_map
+
+
+def _topn_per_group(
+    keys: np.ndarray, ids: np.ndarray, z: np.ndarray, n: int
+) -> np.ndarray:
+    """Indices of the <=n rows with smallest (z, id) within each key run
+    (rows need not be pre-grouped). Vectorized: lexsort + run-slice."""
+    order = np.lexsort((ids, z, keys))
+    ks = keys[order]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    run_id = np.zeros(len(ks), dtype=np.int64)
+    run_id[starts] = 1
+    run_id = np.cumsum(run_id) - 1
+    offset = np.arange(len(ks), dtype=np.int64) - starts[run_id]
+    return order[offset < n]
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    id_col: str = "doc_id",
+    n: int = 10,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Up to ``n`` deterministic rows per distinct ``key_col`` value,
+    ranked by ascending splitmix64(id) (id asc tie-break). Returns
+    (key_col, id_col, sample_rank) with sample_rank in 1..n.
+
+    SQL equivalent: row_number() OVER (PARTITION BY key ORDER BY
+    splitmix64(id), id) <= n."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        z = splitmix64(ids.astype(np.uint64))
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(keys, return_inverse=True)
+        sel = _topn_per_group(inv, ids, z, n)
+        return pa.table(
+            {
+                key_col: pa.array(keys[sel]),
+                id_col: pa.array(ids[sel], pa.int64()),
+                "__z": pa.array(z[sel], pa.uint64()),
+            }
+        )
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "sample_rank": pa.array([], pa.int32()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        z = part.column("__z").to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(keys, return_inverse=True)
+        order = np.lexsort((ids, z, inv))
+        ks = inv[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        run_id = np.zeros(len(ks), dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        rank = np.arange(len(ks), dtype=np.int64) - starts[run_id]
+        sel = order[rank < n]
+        return pa.table(
+            {
+                key_col: pa.array(keys[sel]),
+                id_col: pa.array(ids[sel].astype(np.int64), pa.int64()),
+                "sample_rank": pa.array(
+                    (rank[rank < n] + 1).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    final.__name__ = "stratified_sample"
+    return keyed_partition_map(
+        pre, [key_col], final, num_partitions=num_partitions
+    )

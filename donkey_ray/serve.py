@@ -102,14 +102,28 @@ class IndexServer:
             "buffered_inserts": len(self._buffer),
         }
 
-    def search(self, text: str, k: int = 10) -> list[dict]:
+    def search(self, text: str, k: int = 10, *, kind: str = "topk",
+               window: int = 4) -> list[dict]:
+        """kind: "topk" (bag-of-words BM25), "phrase" (exact positional
+        phrase) or "near" (proximity within ``window``); the latter two
+        need every federated member built with positions=True."""
+        if kind == "phrase":
+            hits = self.engine.phrase_topk(text, k)
+        elif kind == "near":
+            hits = self.engine.near_topk(text, k, window=window)
+        elif kind == "topk":
+            hits = self.engine.topk(text, k)
+        else:
+            raise ValueError(f"unknown query kind: {kind!r}")
         return [
             {"rank": r, "doc_id": d, "score": s}
-            for r, (d, s) in enumerate(self.engine.topk(text, k), start=1)
+            for r, (d, s) in enumerate(hits, start=1)
         ]
 
-    def search_many(self, queries: list[tuple[str, int]]) -> list[list[dict]]:
-        return [self.search(text, k) for text, k in queries]
+    def search_many(self, queries: list[tuple[str, int]], *,
+                    kind: str = "topk", window: int = 4) -> list[list[dict]]:
+        return [self.search(text, k, kind=kind, window=window)
+                for text, k in queries]
 
     # ---- donkey A2: insert (buffered + journaled) ----
     def insert(self, rows: list[dict]) -> int:
@@ -142,6 +156,9 @@ class IndexServer:
             num_partitions=num_partitions,
             query_lang=self.engine.query_lang,
             detect_hot=False,  # deltas are small; salting buys nothing
+            # a positional base must stay phrase-servable after flush:
+            # every federated member needs positions
+            positions=bool(self.engine.meta.get("positions")),
         )
         n = len(self._buffer)
         self._buffer.clear()

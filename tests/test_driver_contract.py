@@ -63,7 +63,8 @@ def test_every_oracle_has_a_query(contract):
 NAMES = [
     "bm25_topk", "bm25_topk_wand", "bm25_topk_incremental",
     "bm25_topk_hydrated", "events_window", "term_df",
-    "doc_token_counts", "corpus_stats", "top_terms",
+    "doc_token_counts", "corpus_stats", "top_terms", "top_bigrams",
+    "stratified_sample",
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
     "ann_topk", "ann_ivf_topk", "embedding_neardup", "quality_scores",
     "lang_id", "lineitem_agg", "sample_docs", "doc_fingerprints",

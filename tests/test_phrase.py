@@ -299,3 +299,56 @@ def test_phrase_requires_positional_index(ray_session, tmp_path_factory):
         eng.phrase_topk("a b", 5)
     with pytest.raises(ValueError, match="positions"):
         eng.near_topk("a b", 5)
+
+
+def test_positional_compaction(built_pos, tmp_path_factory):
+    """Merging positional delta indexes must preserve positions: phrase
+    and proximity results on the COMPACTED index equal the single-index
+    results (per-posting pos cells round-trip through the merge shuffle)."""
+    import ray.data
+
+    from donkey_ray.pipelines.incremental import merge_indexes
+
+    texts, doc_ids, out, _ = built_pos
+    halves = []
+    for parity in (0, 1):
+        sel = [i for i in range(len(texts)) if i % 2 == parity]
+        half = str(tmp_path_factory.mktemp(f"ph{parity}") / "index")
+        corpus = _corpus(texts).take(sel)
+        build_index(
+            ray.data.from_arrow(corpus),
+            half,
+            num_partitions=3,
+            id_col="doc_id",
+            positions=True,
+            detect_hot=False,
+        )
+        halves.append(half)
+    merged = str(tmp_path_factory.mktemp("pmerged") / "index")
+    meta = merge_indexes(halves, merged, num_partitions=4)
+    assert meta["positions"] is True
+    a, b = QueryEngine(out), QueryEngine(merged)
+    for phrase in PHRASES:
+        assert a.phrase_topk(phrase, 10) == b.phrase_topk(phrase, 10), phrase
+    for query, window in NEAR_QUERIES:
+        assert a.near_topk(query, 10, window=window) == b.near_topk(
+            query, 10, window=window
+        ), (query, window)
+
+
+def test_merge_rejects_mixed_positionality(built_pos, tmp_path_factory):
+    import ray.data
+
+    from donkey_ray.pipelines.incremental import merge_indexes
+
+    _, _, out, _ = built_pos
+    plain = str(tmp_path_factory.mktemp("mixp") / "index")
+    build_index(
+        ray.data.from_arrow(_corpus(["a b", "b c"])),
+        plain,
+        num_partitions=2,
+        id_col="doc_id",
+        detect_hot=False,
+    )
+    with pytest.raises(ValueError, match="positional"):
+        merge_indexes([out, plain], str(tmp_path_factory.mktemp("mo") / "i"))
