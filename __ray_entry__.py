@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops: dedup family
         "exact_dedup": api.q_exact_dedup,
         "ngram_jaccard": api.q_ngram_jaccard,
+        "dedup_clusters": api.q_dedup_clusters,
         "minhash_neardup": api.q_minhash_neardup,
         "simhash_fingerprints": api.q_simhash_fingerprints,
         # similarity search over embeddings
@@ -408,6 +409,32 @@ SELECT da AS doc_a, db AS doc_b,
        round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
 FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
 WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
+""",
+        # connected components over the same pair graph: min-label via
+        # transitive closure (propagation pruned to lab < target, which
+        # preserves per-node minima: the component min reaches every
+        # member along a simple path of strictly larger ids)
+        "dedup_clusters": f"""
+WITH RECURSIVE
+sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pr AS (SELECT da AS a, db AS b
+       FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+       WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5),
+e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+walk(node, lab) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, walk.lab FROM walk JOIN e ON e.a = walk.node
+    WHERE walk.lab < e.b
+),
+lab AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY 1)
+SELECT node AS doc_id, cluster_id::BIGINT AS cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+FROM lab
 """,
         "ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -356,6 +356,19 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return _round_col(tbl, "jaccard")
 
 
+def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup cluster assignment: connected components over the exact
+    n-gram-Jaccard pair graph (same pairs as `ngram_jaccard`), labelling
+    every paired doc with the smallest doc_id in its component plus the
+    component size — the "keep one per duplicate cluster" operator."""
+    from .pipelines.components import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+    return connected_components(pairs)
+
+
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     tbl = dataset_to_table(
         dedup.minhash_neardup_pairs(_docs(sf_dir), n=3, threshold=0.5)

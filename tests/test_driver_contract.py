@@ -66,6 +66,7 @@ NAMES = [
     "doc_token_counts", "corpus_stats", "top_terms", "top_bigrams",
     "stratified_sample",
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",
+    "dedup_clusters",
     "ann_topk", "ann_ivf_topk", "embedding_neardup", "quality_scores",
     "lang_id", "lineitem_agg", "sample_docs", "doc_fingerprints",
     "simhash_fingerprints", "orders_customer_join", "orders_semi_building",

@@ -379,3 +379,44 @@ def test_hll_approx_distinct_matches_exact(ray_session):
     assert exact.keys() == approx.keys()
     for g in exact:
         assert abs(approx[g] - exact[g]) / exact[g] < 0.04, (g, exact[g], approx[g])
+
+
+def test_connected_components(ray_session):
+    """Min-label propagation over explicit edge lists: chain (needs
+    multiple propagation rounds), star, singleton pair, and disjoint
+    components; cluster_id is the component min, cluster_size exact."""
+    import ray.data
+
+    from donkey_ray.pipelines.components import connected_components
+
+    # chain 1-2-3-4-5, star 10-{11,12,13}, pair 20-21
+    edges = pa.table(
+        {
+            "doc_a": pa.array([2, 3, 4, 5, 11, 12, 13, 21], pa.int64()),
+            "doc_b": pa.array([1, 2, 3, 4, 10, 10, 10, 20], pa.int64()),
+        }
+    )
+    out = dataset_to_table(
+        connected_components(ray.data.from_arrow(edges).repartition(4))
+    ).to_pylist()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
+    assert len(out) == len(got) == 11
+    for d in (1, 2, 3, 4, 5):
+        assert got[d] == (1, 5)
+    for d in (10, 11, 12, 13):
+        assert got[d] == (10, 4)
+    for d in (20, 21):
+        assert got[d] == (20, 2)
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.components import connected_components
+
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    out = dataset_to_table(connected_components(ray.data.from_arrow(empty)))
+    assert out.num_rows == 0
+    assert set(out.column_names) == {"doc_id", "cluster_id", "cluster_size"}
