@@ -7,32 +7,39 @@ doc that appears in at least one pair, where cluster_id is the smallest
 doc_id in the doc's connected component. Deterministic and
 order-independent (depends only on the edge set).
 
-Algorithm: distributed min-label propagation. Labels start as
-min(node, neighbors) and each iteration propagates the current label one
-hop (cogroup join of edges with labels, then per-node min); labels are
-monotonically nonincreasing, so the fixpoint — no label changed — is
-exact. Iterations needed = the longest hop distance from a component's
-minimum to any member; near-dup clusters are shallow (dups of dups), so
-this converges in a handful of rounds. A ``max_iters`` cap guards
-pathological chains.
+Algorithm: distributed contraction (Boruvka-style hooking). Each level
+hooks every node to min(node, neighbors) — a keyed exchange over the
+edge list — then CONTRACTS the edge list into label space ((lab(u),
+lab(v)), self-loops dropped, per-partition distinct) and recurses on the
+contracted graph. Near-dup graphs are dense (clusters are near-cliques),
+so one hooking level collapses almost everything: the full O(edges) cost
+is paid once, and deeper levels shrink geometrically — unlike label
+propagation, which re-ships every edge every round until convergence.
+When the contracted edge set is empty, each component has collapsed to
+its minimum; the per-level (node -> label) mappings are composed from
+the deepest level back down (each composition is a keyed join of two
+O(nodes-at-level) tables). The component min hooks to itself at every
+level, so the composed label is exactly the component-minimum doc_id.
 
-Scale shape: per iteration exactly two keyed exchanges (edges⋈labels
-cogroup, then per-node min), each O(edges) rows — never the corpus, and
-no driver-side or broadcast whole-graph state. The only materialized
-state is the O(nodes) label table and the O(edges) symmetrized edge
-list, both of which every iteration re-reads (the iterative-algorithm
-exception to streaming; they are the algorithm's working set, not the
-input). Per-partition work is Arrow C++ (hash join + hash aggregate).
+Scale shape: every step is a keyed exchange of O(current edges) or
+O(current nodes) rows — never the corpus, and no driver-side or
+broadcast whole-graph state. The materialized per-level state (the
+contracted edge list and the level's node->label mapping) is the
+algorithm's working set, not the input, and shrinks geometrically with
+depth. Per-partition work is Arrow C++ (hash join + hash aggregate).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..stages.exchange import keyed_cogroup_map, keyed_partition_map
+from ..stages.exchange import (
+    default_num_partitions,
+    keyed_cogroup_map,
+    keyed_partition_map,
+)
 
 _OUT_SCHEMA = {
     "doc_id": pa.int64(),
@@ -45,13 +52,68 @@ def _empty_out() -> pa.Table:
     return pa.table({n: pa.array([], t) for n, t in _OUT_SCHEMA.items()})
 
 
+def _parts_for(n_rows: int, cap: int | None) -> int:
+    """Exchange width proportional to the data (4k rows/partition),
+    capped at the cluster default — tiny levels run in one task instead
+    of paying (and emitting empty sort blocks for) a 32-way exchange."""
+    return max(1, min(cap or default_num_partitions(), -(-n_rows // 4096)))
+
+
+def _hook(edges: ray.data.Dataset, P: int) -> ray.data.Dataset:
+    """(node, lab = min(node, neighbors)) from a symmetrized edge list."""
+
+    def init_labels(part: pa.Table) -> pa.Table:
+        t = part.group_by(["src"], use_threads=False).aggregate([("dst", "min")])
+        lab = pc.min_element_wise(t.column("src"), t.column("dst_min"))
+        return pa.table(
+            {"node": t.column("src").cast(pa.int64()), "lab": lab.cast(pa.int64())}
+        )
+
+    init_labels.__name__ = "cc_hook"
+    return keyed_partition_map(edges, ["src"], init_labels, num_partitions=P)
+
+
+def _relabel(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    col: str,
+    out_name: str,
+    P: int,
+) -> ray.data.Dataset:
+    """Replace edge endpoint ``col`` with its label via a cogroup join."""
+
+    def apply(epart: pa.Table, lpart: pa.Table) -> pa.Table:
+        if epart.num_rows == 0:
+            return pa.table(
+                {
+                    out_name: pa.array([], pa.int64()),
+                    "other": pa.array([], pa.int64()),
+                }
+            )
+        other = "dst" if col == "src" else "src"
+        j = epart.join(
+            lpart, keys=[col], right_keys=["node"], join_type="inner"
+        )
+        return pa.table(
+            {
+                out_name: j.column("lab").cast(pa.int64()),
+                "other": j.column(other).cast(pa.int64()),
+            }
+        )
+
+    apply.__name__ = f"cc_relabel_{col}"
+    return keyed_cogroup_map(
+        edges, labels, [col], ["node"], apply, num_partitions=P
+    )
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     *,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     num_partitions: int | None = None,
-    max_iters: int = 64,
+    max_levels: int = 64,
 ) -> ray.data.Dataset:
     """(doc_id, cluster_id = min doc_id in component, cluster_size) for
     every node of the pair graph. SQL equivalent: transitive closure
@@ -64,87 +126,81 @@ def connected_components(
             [pa.table({"src": a, "dst": b}), pa.table({"src": b, "dst": a})]
         )
 
-    # the iteration's working set: O(edges), re-read every round
     edges = pairs.map_batches(
         sym, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(_empty_out())
 
-    def init_labels(part: pa.Table) -> pa.Table:
-        t = part.group_by(["src"], use_threads=False).aggregate([("dst", "min")])
-        lab = pc.min_element_wise(t.column("src"), t.column("dst_min"))
-        return pa.table(
-            {"node": t.column("src").cast(pa.int64()), "lab": lab.cast(pa.int64())}
-        )
+    # ---- contraction levels: hook to min neighbor, shrink the graph ----
+    mappings: list[ray.data.Dataset] = []
+    for _ in range(max_levels):
+        P = _parts_for(n_edges, num_partitions)
+        labels = _hook(edges, P).materialize()
+        mappings.append(labels)
 
-    init_labels.__name__ = "cc_init"
-    labels = keyed_partition_map(
-        edges, ["src"], init_labels, num_partitions=num_partitions
-    ).materialize()
+        # contract both endpoints into label space, drop self-loops,
+        # distinct per partition (same pair -> same hash partition)
+        half = _relabel(edges, labels, "src", "src", P)
 
-    def propagate(lpart: pa.Table, epart: pa.Table) -> pa.Table:
-        """lpart: labels keyed by node; epart: edges keyed by src (same
-        hash partition). Emit the node's own label (own=1) plus the label
-        pushed across each out-edge (own=0)."""
-        own = pa.table(
-            {
-                "node": lpart.column("node").cast(pa.int64()),
-                "lab": lpart.column("lab").cast(pa.int64()),
-                "own": pa.array(np.ones(lpart.num_rows, dtype=np.int8)),
-            }
-        )
-        if epart.num_rows == 0:
-            return own
-        j = epart.join(
-            lpart.select(["node", "lab"]),
-            keys=["src"], right_keys=["node"], join_type="inner",
-        )
-        pushed = pa.table(
-            {
-                "node": j.column("dst").cast(pa.int64()),
-                "lab": j.column("lab").cast(pa.int64()),
-                "own": pa.array(np.zeros(j.num_rows, dtype=np.int8)),
-            }
-        )
-        return pa.concat_tables([own, pushed])
+        def flip(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"dst": batch.column("other"), "src_lab": batch.column("src")}
+            )
 
-    def minimize(part: pa.Table) -> pa.Table:
-        """Per node: new label = min of all candidates; changed vs the
-        node's own (previous) label drives convergence."""
-        t = part.group_by(["node"], use_threads=False).aggregate([("lab", "min")])
-        prev = part.filter(pc.equal(part.column("own"), 1)).select(["node", "lab"])
-        j = prev.join(t, keys=["node"], join_type="inner")
-        return pa.table(
-            {
-                "node": j.column("node").cast(pa.int64()),
-                "lab": j.column("lab_min").cast(pa.int64()),
-                "changed": pc.less(j.column("lab_min"), j.column("lab"))
-                .cast(pa.int8()),
-            }
-        )
+        half = half.map_batches(flip, batch_format="pyarrow", zero_copy_batch=True)
 
-    minimize.__name__ = "cc_minimize"
-    for _ in range(max_iters):
-        cand = keyed_cogroup_map(
-            labels.map_batches(
-                lambda b: b.select(["node", "lab"]),
-                batch_format="pyarrow", zero_copy_batch=True,
-            ),
-            edges,
-            ["node"], ["src"],
-            propagate,
-            num_partitions=num_partitions,
-        )
-        labels = keyed_partition_map(
-            cand, ["node"], minimize, num_partitions=num_partitions
+        def apply_dst(epart: pa.Table, lpart: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+            if epart.num_rows == 0:
+                return empty
+            j = epart.join(
+                lpart, keys=["dst"], right_keys=["node"], join_type="inner"
+            )
+            u = j.column("src_lab").cast(pa.int64())
+            v = j.column("lab").cast(pa.int64())
+            t = pa.table({"src": u, "dst": v}).filter(pc.not_equal(u, v))
+            return t.group_by(["src", "dst"], use_threads=False).aggregate([])
+
+        apply_dst.__name__ = "cc_contract"
+        edges = keyed_cogroup_map(
+            half, labels, ["dst"], ["node"], apply_dst, num_partitions=P
         ).materialize()
-        if labels.sum("changed") == 0:
+        n_edges = edges.count()
+        if n_edges == 0:
             break
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} iterations"
+            f"connected_components did not converge in {max_levels} levels"
         )
+
+    # ---- compose mappings from the deepest level back down ----
+    final = mappings[-1]
+    for finer in reversed(mappings[:-1]):
+        P = _parts_for(finer.count(), num_partitions)
+
+        def compose(fpart: pa.Table, cpart: pa.Table) -> pa.Table:
+            """fpart: this level's (node, lab); cpart: coarser (node ->
+            root). Labels absent from the coarser level are isolated
+            supernodes — already roots (left outer + coalesce)."""
+            if fpart.num_rows == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()), "lab": pa.array([], pa.int64())}
+                )
+            c = cpart.rename_columns(["lab", "root"])
+            j = fpart.join(c, keys=["lab"], join_type="left outer")
+            root = pc.coalesce(j.column("root"), j.column("lab"))
+            return pa.table(
+                {"node": j.column("node").cast(pa.int64()), "lab": root.cast(pa.int64())}
+            )
+
+        compose.__name__ = "cc_compose"
+        final = keyed_cogroup_map(
+            finer, final, ["lab"], ["node"], compose, num_partitions=P
+        ).materialize()
 
     def attach_size(part: pa.Table) -> pa.Table:
         if part.num_rows == 0:
@@ -163,5 +219,7 @@ def connected_components(
 
     attach_size.__name__ = "cc_sizes"
     return keyed_partition_map(
-        labels, ["lab"], attach_size, num_partitions=num_partitions
+        final, ["lab"], attach_size, num_partitions=_parts_for(
+            final.count(), num_partitions
+        )
     )
