@@ -195,6 +195,26 @@ def q_near_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_bm25_topk_and(sf_dir: str) -> pa.Table:
+    """Conjunctive (AND) top-k over the plain (non-positional) index:
+    docs containing every distinct query term — posting-list
+    intersection, rarest term first — scored with ordinary summed BM25
+    over the distinct terms. Same pinned query set as bm25_topk, so the
+    single-term, absent-term and duplicated-term cases contrast directly
+    with the disjunctive results."""
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, kind="and"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_bm25_topk_wand(sf_dir: str) -> pa.Table:
     """Same pinned queries, WAND forced — the driver gate itself proves
     block-max pruning is rank/score-identical (oracle SQL shared with

@@ -68,6 +68,32 @@ class BM25Oracle:
         order = scoring.topk_order(ids, vals, k)
         return [(int(ids[i]), float(vals[i])) for i in order]
 
+    def and_topk(self, text: str, k: int, lang: str = "simple") -> list[tuple[int, float]]:
+        """Conjunctive reference: docs containing EVERY distinct query
+        term, scored with the same summed BM25 over the distinct terms."""
+        terms = sorted(set(get_tokenizer(lang).tokenize(text)))
+        if not terms:
+            return []
+        plists = [self.postings.get(t) for t in terms]
+        if any(p is None for p in plists):
+            return []
+        cand = set(plists[0])
+        for p in plists[1:]:
+            cand &= p.keys()
+        if not cand:
+            return []
+        scores: dict[int, float] = {d: 0.0 for d in cand}
+        for plist in plists:
+            w_idf = float(scoring.idf(len(plist), self.n_docs))
+            for d in cand:
+                scores[d] += w_idf * float(
+                    scoring.tf_weight(plist[d], self.dl[d], self.avgdl)
+                )
+        ids = np.fromiter(scores.keys(), dtype=np.int64, count=len(scores))
+        vals = np.fromiter(scores.values(), dtype=np.float64, count=len(scores))
+        order = scoring.topk_order(ids, vals, k)
+        return [(int(ids[i]), float(vals[i])) for i in order]
+
     def run_queries(self, queries: pa.Table, lang: str = "simple") -> pa.Table:
         """RESULTS-schema table for a QUERIES-schema table."""
         qid, rank, did, sc = [], [], [], []

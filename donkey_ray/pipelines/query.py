@@ -22,6 +22,7 @@ class QueryScorerStage:
     """map_batches actor: QUERIES-schema batches -> RESULTS-schema batches.
 
     ``kind`` selects the engine entry point: "topk" (bag-of-words BM25),
+    "and" (conjunctive BM25 via posting-list intersection; any index),
     "phrase" (exact positional phrase), or "near" (proximity-filtered
     conjunctive BM25 within ``window`` positions of the anchor term; the
     latter two need an index built with positions=True)."""
@@ -34,6 +35,8 @@ class QueryScorerStage:
         elif kind == "near":
             eng = self.engine
             self.run = lambda text, k: eng.near_topk(text, k, window=window)
+        elif kind == "and":
+            self.run = self.engine.and_topk
         elif kind == "topk":
             self.run = self.engine.topk
         else:

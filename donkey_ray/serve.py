@@ -104,13 +104,16 @@ class IndexServer:
 
     def search(self, text: str, k: int = 10, *, kind: str = "topk",
                window: int = 4) -> list[dict]:
-        """kind: "topk" (bag-of-words BM25), "phrase" (exact positional
-        phrase) or "near" (proximity within ``window``); the latter two
-        need every federated member built with positions=True."""
+        """kind: "topk" (bag-of-words BM25), "and" (conjunctive BM25 via
+        posting-list intersection), "phrase" (exact positional phrase) or
+        "near" (proximity within ``window``); the latter two need every
+        federated member built with positions=True."""
         if kind == "phrase":
             hits = self.engine.phrase_topk(text, k)
         elif kind == "near":
             hits = self.engine.near_topk(text, k, window=window)
+        elif kind == "and":
+            hits = self.engine.and_topk(text, k)
         elif kind == "topk":
             hits = self.engine.topk(text, k)
         else:

@@ -538,6 +538,32 @@ class QueryEngine:
         matched = np.unique(d0[ok])
         return self._score_conjunctive(post, terms, matched, k)
 
+    def and_topk(self, text: str, k: int) -> list[tuple[int, float]]:
+        """Conjunctive (AND) BM25 top-k via posting-list intersection:
+        docs containing EVERY distinct query term, scored with the
+        ordinary summed BM25 over the distinct terms (global per-term
+        df), ties broken by ascending doc_id. Works on any index —
+        positions are never decoded; the intersection runs rarest-first
+        over the terms' sorted doc arrays, so cost is bounded by the
+        rarest term's posting list after the first step. SQL equivalent:
+        the bag-of-words scorer plus HAVING count(matched terms) = n."""
+        terms = sorted(set(self._tok.tokenize(text)))
+        if not terms or k <= 0:
+            return []
+        post: dict[str, _PhrasePostings] = {}
+        for t in terms:
+            rows = self.term_runs(t)
+            if not rows:
+                return []
+            post[t] = _PhrasePostings(rows, self.block_size)
+        ts = sorted(terms, key=lambda t: post[t].docs.size)
+        cand = post[ts[0]].docs
+        for t in ts[1:]:
+            cand = cand[np.isin(cand, post[t].docs, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        return self._score_conjunctive(post, terms, cand, k)
+
     def _score_conjunctive(
         self,
         post: dict[str, _PhrasePostings],

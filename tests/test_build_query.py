@@ -82,6 +82,27 @@ def test_topk_identical_to_oracle(built, mode):
         )
 
 
+def test_and_topk_identical_to_oracle(built):
+    """Conjunctive (AND) mode: posting-list intersection + summed BM25
+    must be rank- and score-identical to the brute-force conjunctive
+    oracle, including multi-term, absent-term and single-term queries."""
+    _, out, _, oracle = built
+    engine = QueryEngine(out)
+    queries = make_queries(60)
+    for row in queries.to_pylist():
+        got = engine.and_topk(row["text"], int(row["k"]))
+        want = oracle.and_topk(row["text"], int(row["k"]), lang="code")
+        assert [d for d, _ in got] == [d for d, _ in want], row["text"]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-9
+        )
+        # AND results are a subset of the disjunctive candidate set and
+        # every result doc matches every distinct term
+        for d, _ in got:
+            for t in set(__import__("donkey_ray.functions.tokenize", fromlist=["get_tokenizer"]).get_tokenizer("code").tokenize(row["text"])):
+                assert d in oracle.postings.get(t, {}), (d, t)
+
+
 def test_wand_equals_exact_on_many_queries(built):
     _, out, _, _ = built
     ex = QueryEngine(out, mode="exact")
