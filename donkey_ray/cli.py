@@ -58,6 +58,8 @@ def cmd_query(args) -> int:
             hits = engine.near_topk(args.text, args.k, window=args.window)
         elif args.kind == "and":
             hits = engine.and_topk(args.text, args.k)
+        elif args.kind == "prefix":
+            hits = engine.prefix_topk(args.text, args.k)
         else:
             hits = engine.topk(args.text, args.k)
         res = pa.table(
@@ -159,7 +161,7 @@ def main(argv=None) -> int:
     q.add_argument("--text", help="single ad-hoc query text")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
-    q.add_argument("--kind", choices=["topk", "and", "phrase", "near"], default="topk",
+    q.add_argument("--kind", choices=["topk", "and", "prefix", "phrase", "near"], default="topk",
                    help="phrase/near need an index built with --positions")
     q.add_argument("--window", type=int, default=4,
                    help="proximity window for --kind near")
@@ -176,7 +178,7 @@ def main(argv=None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--name", default="donkey_index_server")
     v.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
-    v.add_argument("--kind", choices=["topk", "and", "phrase", "near"], default="topk")
+    v.add_argument("--kind", choices=["topk", "and", "prefix", "phrase", "near"], default="topk")
     v.add_argument("--window", type=int, default=4)
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--detached", action="store_true")

@@ -46,6 +46,16 @@ PINNED_PHRASES = [
     (4, "spark merge", 10),
 ]
 
+# Pinned prefix-query set (wildcard): a 6-way expansion, two 2-way
+# expansions, a single-term expansion and an absent prefix
+PINNED_PREFIXES = [
+    (0, "s", 10),
+    (1, "v", 10),
+    (2, "qu", 10),
+    (3, "zz", 10),
+    (4, "b", 10),
+]
+
 # Pinned proximity-query set (positional index): anchor = first distinct
 # term; docs must contain every term with each non-anchor term within
 # NEAR_WINDOW-1 positions of some anchor occurrence. Mix: two bigrams, a
@@ -211,6 +221,24 @@ def q_bm25_topk_and(sf_dir: str) -> pa.Table:
         }
     )
     res = dataset_to_table(score_queries(index_dir, queries, kind="and"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
+def q_prefix_topk(sf_dir: str) -> pa.Table:
+    """Wildcard (prefix*) top-k over the plain index: each pinned prefix
+    is expanded against the sharded dictionary (row-group-pruned range
+    scan per partition) and the expansion is scored as an ordinary
+    disjunctive BM25 query — identical to typing every matching term."""
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_PREFIXES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_PREFIXES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_PREFIXES], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, kind="prefix"))
     res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     return _round_col(res, "score")
 

@@ -23,9 +23,11 @@ class QueryScorerStage:
 
     ``kind`` selects the engine entry point: "topk" (bag-of-words BM25),
     "and" (conjunctive BM25 via posting-list intersection; any index),
-    "phrase" (exact positional phrase), or "near" (proximity-filtered
-    conjunctive BM25 within ``window`` positions of the anchor term; the
-    latter two need an index built with positions=True)."""
+    "prefix" (wildcard: dictionary range-scan expansion, then
+    disjunctive BM25 over the matching terms), "phrase" (exact
+    positional phrase), or "near" (proximity-filtered conjunctive BM25
+    within ``window`` positions of the anchor term; the latter two need
+    an index built with positions=True)."""
 
     def __init__(self, index_dir: str, mode: str = "auto",
                  kind: str = "topk", window: int = 4) -> None:
@@ -37,6 +39,8 @@ class QueryScorerStage:
             self.run = lambda text, k: eng.near_topk(text, k, window=window)
         elif kind == "and":
             self.run = self.engine.and_topk
+        elif kind == "prefix":
+            self.run = self.engine.prefix_topk
         elif kind == "topk":
             self.run = self.engine.topk
         else:

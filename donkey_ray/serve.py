@@ -105,8 +105,9 @@ class IndexServer:
     def search(self, text: str, k: int = 10, *, kind: str = "topk",
                window: int = 4) -> list[dict]:
         """kind: "topk" (bag-of-words BM25), "and" (conjunctive BM25 via
-        posting-list intersection), "phrase" (exact positional phrase) or
-        "near" (proximity within ``window``); the latter two need every
+        posting-list intersection), "prefix" (wildcard expansion over the
+        dictionary), "phrase" (exact positional phrase) or "near"
+        (proximity within ``window``); the latter two need every
         federated member built with positions=True."""
         if kind == "phrase":
             hits = self.engine.phrase_topk(text, k)
@@ -114,6 +115,8 @@ class IndexServer:
             hits = self.engine.near_topk(text, k, window=window)
         elif kind == "and":
             hits = self.engine.and_topk(text, k)
+        elif kind == "prefix":
+            hits = self.engine.prefix_topk(text, k)
         elif kind == "topk":
             hits = self.engine.topk(text, k)
         else:

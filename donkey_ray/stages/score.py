@@ -212,6 +212,22 @@ class _SegmentShard:
             .column("term").to_numpy(zero_copy_only=False),
         )
 
+    def terms_in_range(self, lo: str, hi: str) -> list[str]:
+        """All dictionary terms t with lo <= t < hi, in term order.
+        Row groups whose [min, max] term statistics don't overlap the
+        range are never read; overlapping groups cost one (LRU-cached)
+        term-column read + binary search."""
+        out: list[str] = []
+        for g in range(self.n_groups):
+            mn, mx = self.rg_min[g], self.rg_max[g]
+            if mn is not None and (mx < lo or mn >= hi):
+                continue
+            terms = self._group_terms(g)
+            i = int(np.searchsorted(terms, lo, side="left"))
+            j = int(np.searchsorted(terms, hi, side="left"))
+            out.extend(terms[i:j].tolist())
+        return out
+
     def find(self, term: str) -> dict | None:
         """Full segment row for ``term`` (postings + block metadata), or
         None. Costs at most one row-group term-column read + (on hit)
@@ -417,6 +433,11 @@ class QueryEngine:
     def topk(self, text: str, k: int) -> list[tuple[int, float]]:
         terms = sorted(set(self._tok.tokenize(text)))
         runs_by_term = {t: r for t in terms if (r := self.term_runs(t))}
+        return self._dispatch_topk(runs_by_term, k)
+
+    def _dispatch_topk(
+        self, runs_by_term: dict[str, list[dict]], k: int
+    ) -> list[tuple[int, float]]:
         if not runs_by_term or k <= 0:
             return []
         mode = self.mode
@@ -428,6 +449,46 @@ class QueryEngine:
         if mode == "exact":
             return self._topk_exact(runs_by_term, k)
         return self._topk_wand(runs_by_term, k)
+
+    def expand_prefix(self, prefix: str, *, max_terms: int = 256) -> list[str]:
+        """All dictionary terms starting with ``prefix``, unioned across
+        every built partition of every federated index. A hash-sharded
+        dictionary cannot route a prefix, so the scan fans out to ALL
+        partitions — but each partition only reads the row groups whose
+        term-statistics range overlaps [prefix, prefix+1), so the cost is
+        O(partitions) row-group reads, not O(vocabulary). Raises if the
+        expansion exceeds ``max_terms`` (guard against one-letter
+        prefixes over a 10^9-term vocabulary)."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        lo, hi = prefix, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        found: set[str] = set()
+        for ix in range(len(self.index_dirs)):
+            for part in sorted(self._parts_built[ix]):
+                shard = self._shard(ix, part)
+                if shard is None:
+                    continue
+                found.update(shard.terms_in_range(lo, hi))
+                if len(found) > max_terms:
+                    raise ValueError(
+                        f"prefix {prefix!r} expands to more than "
+                        f"{max_terms} terms"
+                    )
+        return sorted(found)
+
+    def prefix_topk(
+        self, prefix: str, k: int, *, max_terms: int = 256
+    ) -> list[tuple[int, float]]:
+        """Wildcard (prefix*) top-k: expand the prefix to its matching
+        dictionary terms, then ordinary disjunctive BM25 over the
+        expansion — each expanded term contributes with its own global
+        df, exactly as if the user had typed all matching terms."""
+        toks = self._tok.tokenize(prefix)
+        if not toks or k <= 0:
+            return []
+        terms = self.expand_prefix(toks[0], max_terms=max_terms)
+        runs_by_term = {t: r for t in terms if (r := self.term_runs(t))}
+        return self._dispatch_topk(runs_by_term, k)
 
     def phrase_topk(self, text: str, k: int) -> list[tuple[int, float]]:
         """Exact phrase top-k over a POSITIONAL index (built with

@@ -103,6 +103,27 @@ def test_and_topk_identical_to_oracle(built):
                 assert d in oracle.postings.get(t, {}), (d, t)
 
 
+def test_prefix_topk_identical_to_oracle(built):
+    """Prefix expansion (sharded-dictionary range scan) must return
+    exactly the vocabulary terms with that prefix, and prefix_topk must
+    equal the brute-force oracle scored over the expanded term set."""
+    _, out, _, oracle = built
+    engine = QueryEngine(out)
+    vocab = sorted(oracle.postings)
+    prefixes = sorted({t[:2] for t in vocab}) + ["zzq", vocab[0]]
+    for p in prefixes:
+        want_terms = [t for t in vocab if t.startswith(p)]
+        assert engine.expand_prefix(p, max_terms=10_000) == want_terms, p
+        got = engine.prefix_topk(p, 10, max_terms=10_000)
+        want = oracle.topk(" ".join(want_terms), 10, lang="code") if want_terms else []
+        assert [d for d, _ in got] == [d for d, _ in want], p
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-9
+        )
+    with pytest.raises(ValueError, match="more than"):
+        engine.expand_prefix(vocab[0], max_terms=0)
+
+
 def test_wand_equals_exact_on_many_queries(built):
     _, out, _, _ = built
     ex = QueryEngine(out, mode="exact")
