@@ -118,9 +118,18 @@ def merge_indexes(
     out_dir: str,
     *,
     num_partitions: int = 16,
+    exclude_doc_ids: "set[int] | frozenset[int] | None" = None,
 ) -> dict:
-    """Compact several indexes into one fresh index at out_dir."""
+    """Compact several indexes into one fresh index at out_dir.
+
+    ``exclude_doc_ids`` drops those docs' postings and docs-table rows
+    during the re-encode (tombstone resolution — serve.IndexServer's
+    delete path). Global stats are recomputed exactly: total_len from
+    the surviving partitions' sum_tf (Σ tf over a doc's postings = its
+    dl, so Σ tf over all surviving postings = surviving total_len) and
+    n_docs from the filtered docs table's row count — no extra shuffle."""
     import numpy as np
+    import pyarrow.compute as pc
 
     from ..functions.hashing import stable_term_hash
     from ..stages.encode import SegmentWriter
@@ -137,6 +146,22 @@ def merge_indexes(
     for d in index_dirs:
         part = segments_as_postings(d)
         union = part if union is None else union.union(part)
+
+    excl = (
+        pa.array(sorted(exclude_doc_ids), pa.int64())
+        if exclude_doc_ids
+        else None
+    )
+    if excl is not None:
+        def drop_deleted(batch: pa.Table) -> pa.Table:
+            keep = pc.invert(
+                pc.is_in(batch.column("doc_id"), value_set=excl)
+            )
+            return batch.filter(keep)
+
+        union = union.map_batches(
+            drop_deleted, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     def add_part(batch: pa.Table) -> pa.Table:
         terms = batch.column("term").to_numpy(zero_copy_only=False)
@@ -155,8 +180,45 @@ def merge_indexes(
     )
     entries = {int(r["part"]): r for r in manifest_rows.take_all()}
 
-    n_docs = sum(m["n_docs"] for m in metas)
-    total_len = sum(m["total_len"] for m in metas)
+    # docs tables travel along (hydration joins keep working); with
+    # excludes, tombstoned docs are filtered out here too
+    import glob as _glob
+
+    docs_paths = [
+        f
+        for d in index_dirs
+        for f in sorted(_glob.glob(os.path.join(d, "docs", "*.parquet")))
+    ]
+    wrote_docs = False
+    if docs_paths:
+        docs_ds = ray.data.read_parquet(docs_paths)
+        if excl is not None:
+            def drop_deleted_docs(batch: pa.Table) -> pa.Table:
+                keep = pc.invert(
+                    pc.is_in(batch.column("doc_id"), value_set=excl)
+                )
+                return batch.filter(keep)
+
+            docs_ds = docs_ds.map_batches(
+                drop_deleted_docs, batch_format="pyarrow", zero_copy_batch=True
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        docs_ds.write_parquet(os.path.join(out_dir, "docs"))
+        mf.atomic_write_bytes(os.path.join(out_dir, "_DOCS_SUCCESS"), b"")
+        wrote_docs = True
+
+    if excl is None:
+        n_docs = sum(m["n_docs"] for m in metas)
+        total_len = sum(m["total_len"] for m in metas)
+    else:
+        if not wrote_docs:
+            raise ValueError(
+                "exclude_doc_ids requires docs tables to recompute n_docs"
+            )
+        import pyarrow.dataset as pads
+
+        n_docs = pads.dataset(os.path.join(out_dir, "docs")).count_rows()
+        total_len = int(sum(e["sum_tf"] for e in entries.values()))
     meta = {
         "format_version": 2,
         "block_size": schemas.BLOCK_SIZE,
@@ -175,16 +237,5 @@ def merge_indexes(
         "merged_from": [os.path.abspath(d) for d in index_dirs],
     }
     mf.write_meta(out_dir, meta)
-    # docs tables travel along (hydration joins keep working)
-    import glob as _glob
-
-    docs_paths = [
-        f
-        for d in index_dirs
-        for f in sorted(_glob.glob(os.path.join(d, "docs", "*.parquet")))
-    ]
-    if docs_paths:
-        ray.data.read_parquet(docs_paths).write_parquet(os.path.join(out_dir, "docs"))
-        mf.atomic_write_bytes(os.path.join(out_dir, "_DOCS_SUCCESS"), b"")
     mf.mark_complete(out_dir)
     return meta

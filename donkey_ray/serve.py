@@ -9,6 +9,9 @@ vocabulary). Donkey's online-insert surface maps to:
 
   insert(rows)  -> append to an in-memory buffer + durable JSONL journal
                    (donkey's WAL; replayed on actor restart = recover())
+  delete(keys)  -> journaled tombstones; deleted docs vanish from search
+                   immediately (exact over-fetch top-k) and are purged
+                   from the index at the next compact()
   flush()       -> build a DELTA INDEX from the buffer (the standard
                    batch build pipeline), then re-open the engine
                    FEDERATED over base + deltas (exact BM25 over the
@@ -52,18 +55,27 @@ class IndexServer:
         self._dirs = [index_dir] + self._existing_deltas(index_dir)
         self.engine = QueryEngine(self._dirs, mode=mode)
         self._buffer: list[dict] = []
+        self._tombstones: set[int] = set()
         self._journal_path = os.path.join(index_dir, "journal.jsonl")
         self._recover()
 
     # ---- donkey A3: journal + recover ----
     def _recover(self) -> None:
+        """Replay the journal IN ORDER: inserts refill the buffer,
+        deletes re-apply (dropping any earlier buffered insert of the
+        same doc and re-populating the tombstone set)."""
         if not os.path.exists(self._journal_path):
             return
         with open(self._journal_path) as f:
             for line in f:
                 line = line.strip()
-                if line:
-                    self._buffer.append(json.loads(line))
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if obj.get("_op") == "delete":
+                    self._apply_delete(obj["doc_ids"])
+                else:
+                    self._buffer.append(obj)
 
     def _journal_append(self, rows: list[dict]) -> None:
         with open(self._journal_path, "a") as f:
@@ -91,6 +103,7 @@ class IndexServer:
             "n_docs": self.engine.n_docs,
             "n_indexes": len(self._dirs),
             "buffered_inserts": len(self._buffer),
+            "n_deleted": len(self._tombstones),
         }
 
     def stats(self) -> dict:
@@ -100,6 +113,7 @@ class IndexServer:
             "avgdl": self.engine.avgdl,
             "query_lang": self.engine.query_lang,
             "buffered_inserts": len(self._buffer),
+            "n_deleted": len(self._tombstones),
         }
 
     def search(self, text: str, k: int = 10, *, kind: str = "topk",
@@ -108,19 +122,28 @@ class IndexServer:
         posting-list intersection), "prefix" (wildcard expansion over the
         dictionary), "phrase" (exact positional phrase) or "near"
         (proximity within ``window``); the latter two need every
-        federated member built with positions=True."""
+        federated member built with positions=True.
+
+        Tombstoned docs (``delete``) are filtered out EXACTLY: the
+        engine is over-fetched by the tombstone count (deleted docs can
+        occupy at most that many of the top slots), so results are
+        always the true top-k of the live corpus. Serving cost grows
+        with the tombstone count until ``compact`` resolves them."""
+        fetch_k = k + len(self._tombstones)
         if kind == "phrase":
-            hits = self.engine.phrase_topk(text, k)
+            hits = self.engine.phrase_topk(text, fetch_k)
         elif kind == "near":
-            hits = self.engine.near_topk(text, k, window=window)
+            hits = self.engine.near_topk(text, fetch_k, window=window)
         elif kind == "and":
-            hits = self.engine.and_topk(text, k)
+            hits = self.engine.and_topk(text, fetch_k)
         elif kind == "prefix":
-            hits = self.engine.prefix_topk(text, k)
+            hits = self.engine.prefix_topk(text, fetch_k)
         elif kind == "topk":
-            hits = self.engine.topk(text, k)
+            hits = self.engine.topk(text, fetch_k)
         else:
             raise ValueError(f"unknown query kind: {kind!r}")
+        if self._tombstones:
+            hits = [(d, s) for d, s in hits if d not in self._tombstones][:k]
         return [
             {"rank": r, "doc_id": d, "score": s}
             for r, (d, s) in enumerate(hits, start=1)
@@ -133,13 +156,54 @@ class IndexServer:
 
     # ---- donkey A2: insert (buffered + journaled) ----
     def insert(self, rows: list[dict]) -> int:
+        from .functions.hashing import doc_id_from_key
+
         for r in rows:
             missing = [c for c in self.CORPUS_COLS if c not in r]
             if missing:
                 raise ValueError(f"insert row missing columns {missing}")
+            if self._tombstones and doc_id_from_key(
+                r["repo"], r["path"], r["commit"]
+            ) in self._tombstones:
+                raise ValueError(
+                    "cannot re-insert a deleted (repo, path, commit) key "
+                    "before compact() resolves its tombstone"
+                )
         self._journal_append(rows)
         self._buffer.extend(rows)
         return len(self._buffer)
+
+    # ---- online delete: tombstones, resolved at compact() ----
+    def _apply_delete(self, doc_ids: list[int]) -> None:
+        from .functions.hashing import doc_id_from_key
+
+        idset = set(int(i) for i in doc_ids)
+        if self._buffer:
+            self._buffer = [
+                r for r in self._buffer
+                if doc_id_from_key(r["repo"], r["path"], r["commit"])
+                not in idset
+            ]
+        self._tombstones |= idset
+
+    def delete(self, keys: "list[dict] | list[int]") -> dict:
+        """Tombstone docs by (repo, path, commit) key or raw doc_id.
+        Journaled (replayed in order on recover); deleted docs vanish
+        from search immediately (exact top-k over the live corpus), and
+        buffered-but-unflushed inserts of the same key are dropped.
+        Collection statistics (df, avgdl) still include tombstoned docs
+        until ``compact`` rewrites the index without them — the standard
+        tombstone trade-off."""
+        from .functions.hashing import doc_id_from_key
+
+        ids = [
+            int(kk) if isinstance(kk, int)
+            else doc_id_from_key(kk["repo"], kk["path"], kk["commit"])
+            for kk in keys
+        ]
+        self._journal_append([{"_op": "delete", "doc_ids": ids}])
+        self._apply_delete(ids)
+        return {"deleted": len(ids), "n_tombstones": len(self._tombstones)}
 
     # ---- donkey A8: sync -> delta index build + federated reopen ----
     def flush(self, *, num_partitions: int = 4) -> dict:
@@ -169,20 +233,33 @@ class IndexServer:
         n = len(self._buffer)
         self._buffer.clear()
         os.unlink(self._journal_path)
+        if self._tombstones:
+            # tombstones outlive the flushed buffer: re-journal them so a
+            # restart between flush and compact still sees the deletes
+            self._journal_append(
+                [{"_op": "delete", "doc_ids": sorted(self._tombstones)}]
+            )
         self._dirs.append(delta_dir)
         self.engine = QueryEngine(self._dirs, mode=self.mode)
         return {"flushed": n, "delta_dir": delta_dir,
                 "n_indexes": len(self._dirs), "n_docs": self.engine.n_docs}
 
-    # ---- donkey 'misc reindex': compaction ----
+    # ---- donkey 'misc reindex': compaction (resolves tombstones) ----
     def compact(self, out_dir: str, *, num_partitions: int = 16) -> dict:
         from .pipelines.incremental import merge_indexes
         from .stages.score import QueryEngine
 
-        meta = merge_indexes(self._dirs, out_dir, num_partitions=num_partitions)
+        meta = merge_indexes(
+            self._dirs, out_dir, num_partitions=num_partitions,
+            exclude_doc_ids=self._tombstones or None,
+        )
         self._dirs = [out_dir]
         self.base_dir = out_dir
         self._journal_path = os.path.join(out_dir, "journal.jsonl")
+        self._tombstones.clear()
+        if self._buffer:
+            # unflushed inserts must stay durable under the new journal
+            self._journal_append(list(self._buffer))
         self.engine = QueryEngine(self._dirs, mode=self.mode)
         return meta
 

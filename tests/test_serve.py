@@ -132,3 +132,78 @@ def test_compact_preserves_results(served_index, tmp_path):
     for b, a in zip(before, after):
         assert [h["doc_id"] for h in b] == [h["doc_id"] for h in a]
         assert [h["score"] for h in b] == pytest.approx([h["score"] for h in a])
+
+
+def test_delete_tombstones_and_compact(served_index, tmp_path):
+    """Online delete: the doc vanishes from search immediately (exact
+    top-k via over-fetch), survives restart (journal replay), survives
+    flush, and compact() rewrites the index without it — after which the
+    engine is rank- AND score-identical to a fresh build over the
+    remaining corpus (stats recomputed exactly)."""
+    import shutil
+
+    import ray.data
+
+    from donkey_ray.functions.hashing import doc_id_from_key
+    from donkey_ray.stages.score import QueryEngine
+
+    corpus, out = served_index
+    base = str(tmp_path / "index")
+    shutil.copytree(out, base)
+    srv = IndexServer(base)
+
+    # pick a doc that actually ranks for a query
+    hit = srv.search("return x", 1)[0]
+    victim_id = hit["doc_id"]
+    rows = {doc_id_from_key(r["repo"], r["path"], r["commit"]): r
+            for r in corpus.to_pylist()}
+    victim = rows[victim_id]
+
+    res = srv.delete([{k: victim[k] for k in ("repo", "path", "commit")}])
+    assert res["n_tombstones"] == 1
+    assert all(h["doc_id"] != victim_id for h in srv.search("return x", 200))
+    assert srv.ping()["n_deleted"] == 1
+
+    # restart: tombstone survives via the journal
+    del srv
+    srv = IndexServer(base)
+    assert srv.ping()["n_deleted"] == 1
+    assert all(h["doc_id"] != victim_id for h in srv.search("return x", 200))
+
+    # re-inserting the deleted key before compaction is rejected
+    with pytest.raises(ValueError, match="re-insert"):
+        srv.insert([victim])
+
+    # flush of unrelated inserts keeps the tombstone
+    srv.insert(_new_rows(1, start=9500))
+    srv.flush()
+    assert srv.ping()["n_deleted"] == 1
+
+    # compact purges the doc and recomputes stats exactly: engine equals
+    # a fresh build over (corpus - victim) + the flushed row
+    compacted = str(tmp_path / "compacted")
+    meta = srv.compact(compacted, num_partitions=4)
+    assert srv.ping()["n_deleted"] == 0
+    assert meta["n_docs"] == 150  # 150 - 1 deleted + 1 inserted
+
+    keep = corpus.filter(
+        pa.compute.not_equal(
+            pa.compute.binary_join_element_wise(
+                corpus.column("repo").cast(pa.string()),
+                corpus.column("path").cast(pa.string()),
+                corpus.column("commit").cast(pa.string()), "|"),
+            "|".join(victim[k] for k in ("repo", "path", "commit"))))
+    extra = _new_rows(1, start=9500)
+    union = pa.concat_tables([
+        keep,
+        pa.table({c: pa.array([r[c] for r in extra], pa.string())
+                  for c in keep.column_names}),
+    ])
+    oracle = BM25Oracle.from_corpus(union)
+    engine = QueryEngine(compacted)
+    assert engine.n_docs == oracle.n_docs
+    assert abs(engine.avgdl - oracle.avgdl) < 1e-12
+    for row in make_queries(15).to_pylist():
+        got = engine.topk(row["text"], int(row["k"]))
+        want = oracle.topk(row["text"], int(row["k"]), lang="code")
+        assert got == pytest.approx(want), row["text"]
