@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
+        "facet_counts": api.q_facet_counts,
         "sample_docs": api.q_sample_docs,
         "events_window": api.q_events_window,
         "events_sessions": api.q_events_sessions,
@@ -233,6 +234,40 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # result-set facets: top-50 per query, counted by lang and source
+        "facet_counts": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',50),(1,'spark merge',50),
+                                (2,'window sort key',50),(3,'zzzabsent',50),
+                                (4,'value value',50)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores),
+hits AS (SELECT r.query_id, d.lang, d.source
+         FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+         WHERE r.rank <= r.k)
+SELECT query_id, 'lang' AS facet, lang AS value, count(*)::BIGINT AS n
+FROM hits GROUP BY 1, 3
+UNION ALL
+SELECT query_id, 'source' AS facet, source AS value, count(*)::BIGINT AS n
+FROM hits GROUP BY 1, 3
 """,
         # wildcard: the query's terms are every corpus term starting with
         # the prefix; scoring identical to the bag-of-words oracle

@@ -502,6 +502,32 @@ def q_bm25_topk_hydrated(sf_dir: str) -> pa.Table:
     return _round_col(hyd, "score")
 
 
+def q_facet_counts(sf_dir: str) -> pa.Table:
+    """Search-UI facets: per pinned query, the top-50 BM25 results
+    counted by lang and by source (repo). Facet labels are the
+    documents-table column names so the oracle reads naturally."""
+    from .pipelines.query import facet_counts
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([50] * len(PINNED_QUERIES), pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, mode="auto"))
+    out = facet_counts(res, index_dir)
+    # repo holds the documents 'source' column (FIXTURES.md section 4)
+    facet = pc.replace_substring_regex(
+        out.column("facet"), pattern="^repo$", replacement="source"
+    )
+    out = out.set_column(out.column_names.index("facet"), "facet", facet)
+    return out.sort_by(
+        [("query_id", "ascending"), ("facet", "ascending"), ("value", "ascending")]
+    )
+
+
 def q_sample_docs(sf_dir: str) -> ray.data.Dataset:
     """Deterministic hash sample (SURVEY.md B22): ~1/8 of documents by
     splitmix64(doc_id) — identical output at any parallelism. Rows-only

@@ -116,3 +116,36 @@ def hydrate_results(
         filter=pads.field("doc_id").isin(wanted),
     )
     return res.join(hits, keys="doc_id", join_type="left outer")
+
+
+def facet_counts(
+    results: ray.data.Dataset | pa.Table,
+    index_dir: str,
+    facets: tuple[str, ...] = ("lang", "repo"),
+) -> pa.Table:
+    """Per-query facet counts over a top-k RESULT SET (the search-UI
+    sidebar: 'of your 50 hits, 31 are python, 12 are repo X'). Hydrates
+    the results against the docs table (broadcast-small lookup, same as
+    hydrate_results), then counts per (query_id, facet column, value).
+    Results are top-k-small by construction, so the counting itself is a
+    single Arrow group_by — this is a RESULT-SET operator, not a corpus
+    aggregate (corpus-wide facets are pipelines/analyze.py's job)."""
+    hyd = hydrate_results(results, index_dir)
+    parts = []
+    for col in facets:
+        g = (
+            hyd.select(["query_id", col])
+            .group_by(["query_id", col], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        parts.append(
+            pa.table(
+                {
+                    "query_id": g.column("query_id").cast(pa.int64()),
+                    "facet": pa.array([col] * g.num_rows, pa.string()),
+                    "value": g.column(col).cast(pa.string()),
+                    "n": g.column("count_all").cast(pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
