@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
         "facet_counts": api.q_facet_counts,
+        "snippets": api.q_snippets,
         "sample_docs": api.q_sample_docs,
         "events_window": api.q_events_window,
         "events_sessions": api.q_events_sessions,
@@ -234,6 +235,46 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # result previews: 60-char window from max(1, pos-30), pos = the
+        # earliest 1-based strpos of any query term in lower(text)
+        "snippets": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores),
+hitpos AS (
+  SELECT r.query_id, r.rank, r.doc_id, d.text,
+         min(CASE WHEN strpos(lower(d.text), qt.term) > 0
+                  THEN strpos(lower(d.text), qt.term) END) AS pos
+  FROM ranked r
+  JOIN documents d ON d.doc_id = r.doc_id
+  JOIN qt ON qt.query_id = r.query_id
+  WHERE r.rank <= r.k
+  GROUP BY 1, 2, 3, 4)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       CASE WHEN pos IS NOT NULL
+            THEN substr(text, greatest(1, pos - 30), 60) END AS snippet
+FROM hitpos
 """,
         # result-set facets: top-50 per query, counted by lang and source
         "facet_counts": f"""

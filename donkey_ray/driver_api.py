@@ -528,6 +528,30 @@ def q_facet_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_snippets(sf_dir: str) -> pa.Table:
+    """Result previews: top-10 BM25 hits per pinned query with a 60-char
+    snippet windowed around the earliest query-term occurrence. Text is
+    hydrated from the source parquet with a doc_id-pushdown filtered
+    read (only the hit rows leave storage)."""
+    import pyarrow.dataset as pads
+
+    from .functions.tokenize import get_tokenizer
+    from .pipelines.query import snippets
+
+    index_dir = ensure_index(sf_dir)
+    res = dataset_to_table(score_queries(index_dir, _pinned_queries_table()))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    tok = get_tokenizer("simple")
+    terms = {qid: sorted(set(tok.tokenize(text))) for qid, text, _ in PINNED_QUERIES}
+    wanted = pc.unique(res.column("doc_id"))
+    texts = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(wanted)
+    )
+    out = snippets(res, texts, terms)
+    out = out.drop_columns(["score"])
+    return out
+
+
 def q_sample_docs(sf_dir: str) -> ray.data.Dataset:
     """Deterministic hash sample (SURVEY.md B22): ~1/8 of documents by
     splitmix64(doc_id) — identical output at any parallelism. Rows-only

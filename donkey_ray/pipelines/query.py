@@ -118,6 +118,47 @@ def hydrate_results(
     return res.join(hits, keys="doc_id", join_type="left outer")
 
 
+def snippets(
+    results: pa.Table,
+    texts: pa.Table,
+    query_terms: dict[int, list[str]],
+    *,
+    before: int = 30,
+    width: int = 60,
+) -> pa.Table:
+    """Search-result previews: for each (query_id, doc_id) hit, a
+    ``width``-char window of the doc text starting ``before`` chars
+    ahead of the EARLIEST occurrence of any of the query's terms in
+    lower(text). Pinned, SQL-mirrorable spec (1-based positions, plain
+    substring match): pos = min over terms of strpos(lower(text), term)
+    (zero = absent), start = max(1, pos - before), snippet =
+    substr(text, start, width). A BM25 hit always contains at least one
+    query term as a token, hence as a substring. Result-set operator:
+    O(hits) work on top-k-small input."""
+    text_by_id = {
+        int(i): (t or "")
+        for i, t in zip(
+            texts.column("doc_id").to_pylist(), texts.column("text").to_pylist()
+        )
+    }
+    qids = results.column("query_id").to_pylist()
+    docs = results.column("doc_id").to_pylist()
+    out: list[str | None] = []
+    for qid, d in zip(qids, docs):
+        text = text_by_id.get(int(d), "")
+        low = text.lower()
+        pos = min(
+            (p for t in query_terms.get(int(qid), ()) if (p := low.find(t)) >= 0),
+            default=-1,
+        )
+        if pos < 0:
+            out.append(None)
+            continue
+        start = max(0, pos - before)
+        out.append(text[start: start + width])
+    return results.append_column("snippet", pa.array(out, pa.string()))
+
+
 def facet_counts(
     results: ray.data.Dataset | pa.Table,
     index_dir: str,

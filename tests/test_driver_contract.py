@@ -62,7 +62,7 @@ def test_every_oracle_has_a_query(contract):
 
 NAMES = [
     "bm25_topk", "bm25_topk_and", "bm25_topk_wand", "bm25_topk_incremental",
-    "phrase_topk", "near_topk", "prefix_topk", "facet_counts",
+    "phrase_topk", "near_topk", "prefix_topk", "facet_counts", "snippets",
     "bm25_topk_hydrated", "events_window", "term_df",
     "doc_token_counts", "corpus_stats", "top_terms", "top_bigrams",
     "stratified_sample",
