@@ -119,16 +119,61 @@ def connected_components(
     every node of the pair graph. SQL equivalent: transitive closure
     (recursive CTE) + min per node."""
 
+    def local_star(batch: pa.Table) -> pa.Table:
+        """Shuffle-free LOCAL contraction: solve the batch's components
+        exactly (vectorized min-label + pointer jumping over compressed
+        node ids) and emit only the star edges node -> local component
+        min. Connectivity-preserving and connectivity-exact for the
+        batch, so the global edge set shrinks from O(pairs) to O(unique
+        nodes per batch) BEFORE the first exchange — near-dup pair lists
+        are massively redundant for connectivity (dense near-cliques)."""
+        import numpy as np
+
+        a = batch.column(a_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        b = batch.column(b_col).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+        if len(a) == 0:
+            return empty
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[: len(a)], inv[len(a):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            nl = lab.copy()
+            np.minimum.at(nl, ai, lab[bi])
+            np.minimum.at(nl, bi, lab[ai])
+            nl = nl[nl]  # pointer jumping halves tree depth per round
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        m = lab != np.arange(len(nodes))
+        return pa.table(
+            {
+                "src": pa.array(nodes[m], pa.int64()),
+                "dst": pa.array(nodes[lab[m]], pa.int64()),
+            }
+        )
+
     def sym(batch: pa.Table) -> pa.Table:
-        a = batch.column(a_col).cast(pa.int64())
-        b = batch.column(b_col).cast(pa.int64())
+        a = batch.column("src")
+        b = batch.column("dst")
         return pa.concat_tables(
             [pa.table({"src": a, "dst": b}), pa.table({"src": b, "dst": a})]
         )
 
-    edges = pairs.map_batches(
-        sym, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    edges = (
+        pairs.map_batches(
+            local_star, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,  # whole blocks: bigger batches = more reduction
+        )
+        .map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(_empty_out())
