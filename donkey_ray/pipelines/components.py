@@ -147,7 +147,15 @@ def connected_components(
             nl = lab.copy()
             np.minimum.at(nl, ai, lab[bi])
             np.minimum.at(nl, bi, lab[ai])
-            nl = nl[nl]  # pointer jumping halves tree depth per round
+            # pointer jumping to FIXPOINT: the label array is O(batch
+            # nodes), tiny next to the edge list, so jumping until flat
+            # is cheap and collapses label chains — path-shaped batches
+            # converge in O(log diameter) outer rounds, not O(diameter)
+            while True:
+                nj = nl[nl]
+                if np.array_equal(nj, nl):
+                    break
+                nl = nj
             if np.array_equal(nl, lab):
                 break
             lab = nl
