@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": api.q_corpus_stats,
         "top_terms": api.q_top_terms,
         "top_bigrams": api.q_top_bigrams,
+        "cooccurrence": api.q_cooccurrence,
+        "regex_search": api.q_regex_search,
+        "index_stats": api.q_index_stats,
+        "suggest": api.q_suggest,
         "stratified_sample": api.q_stratified_sample,
         "content_sha256": api.q_content_sha256,
         "filter_project": api.q_filter_project,
@@ -471,6 +475,53 @@ WHERE rn <= 20
 """,
         "content_sha256": """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+""",
+        # generated from api.PINNED_REGEXES (RE2 on both sides: Arrow's
+        # count_substring_regex and DuckDB's regexp_extract_all agree on
+        # non-overlapping leftmost match counts)
+        "regex_search": (
+            "WITH p(pattern_id, pat) AS (VALUES "
+            + ",".join(f"({pid},'{pat}')" for pid, pat in api.PINNED_REGEXES)
+            + """),
+m AS (SELECT pattern_id, doc_id,
+             len(regexp_extract_all(text, pat))::BIGINT AS n_matches
+      FROM documents CROSS JOIN p)
+SELECT pattern_id::BIGINT AS pattern_id, doc_id, n_matches
+FROM m WHERE n_matches > 0
+"""
+        ),
+        "cooccurrence": f"""
+WITH dd AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+pr AS (SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n
+       FROM dd a JOIN dd b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY 1, 2),
+r AS (SELECT term_a, term_b, n,
+             row_number() OVER (ORDER BY n DESC, term_a, term_b) AS rn
+      FROM pr)
+SELECT term_a, term_b, n FROM r WHERE rn <= 20
+""",
+        # recomputed from the raw table; the engine answers from the
+        # index artifact (end-to-end build parity check)
+        "index_stats": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+SELECT (SELECT count(*) FROM tok)::BIGINT AS n_docs,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_postings,
+       (SELECT sum(len(toks)) FROM tok)::BIGINT AS total_tokens
+FROM dt
+""",
+        # generated from api.PINNED_SUGGEST; ranked by global df desc,
+        # term asc (the engine serves df from the sharded dictionary)
+        "suggest": f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+df AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+p(prefix_id, prefix) AS (VALUES (0,'s'),(1,'c'),(2,'qu'),(3,'zz'),(4,'b')),
+r AS (SELECT p.prefix_id::BIGINT AS prefix_id, df.term, df.df,
+             row_number() OVER (PARTITION BY p.prefix_id
+                                ORDER BY df.df DESC, df.term) AS srank
+      FROM p JOIN df ON df.term LIKE p.prefix || '%')
+SELECT prefix_id, term, df, srank::INT AS srank FROM r WHERE srank <= 5
 """,
         "top_bigrams": f"""
 WITH tok AS (SELECT {_TOKS} AS toks FROM documents),

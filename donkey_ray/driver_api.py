@@ -335,6 +335,47 @@ def q_top_bigrams(sf_dir: str) -> pa.Table:
     return analyze.top_bigrams(_docs(sf_dir, columns=("text",)), k=20)
 
 
+def q_cooccurrence(sf_dir: str) -> pa.Table:
+    """Global top-20 distinct-term doc-cooccurrence pairs (n desc, pair
+    asc) — vectorized ragged pair expansion per batch, one keyed
+    exchange, per-partition top-k, driver merges P*k rows."""
+    return analyze.cooccurrence_topk(_docs(sf_dir, columns=("text",)), k=20)
+
+
+# Pinned RE2 patterns for the distributed regex scan (Arrow and DuckDB
+# both use RE2, so engine and oracle match-count semantics agree):
+# a match in ~every doc, a zero-match digit run, and an alternation
+PINNED_REGEXES = [
+    (0, "me[a-z]+e"),
+    (1, "[0-9]{3,}"),
+    (2, "s(can|ort|low)"),
+]
+
+
+def q_regex_search(sf_dir: str) -> ray.data.Dataset:
+    return analyze.regex_search(_docs(sf_dir), PINNED_REGEXES)
+
+
+def q_index_stats(sf_dir: str) -> pa.Table:
+    """Corpus summary recomputed FROM THE INDEX ARTIFACT (segment scan);
+    the oracle recomputes it from the raw documents table, so this row
+    is an end-to-end parity check of build/salt/encode."""
+    from .pipelines.introspect import index_stats
+
+    return index_stats(ensure_index(sf_dir))
+
+
+# Pinned autocomplete prefixes: multi-way expansions, a unique-term
+# prefix, and an absent prefix
+PINNED_SUGGEST = [(0, "s"), (1, "c"), (2, "qu"), (3, "zz"), (4, "b")]
+
+
+def q_suggest(sf_dir: str) -> pa.Table:
+    from .pipelines.introspect import suggest
+
+    return suggest(ensure_index(sf_dir), PINNED_SUGGEST, k=5)
+
+
 def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic balanced subset: up to 10 docs per lang, ranked by
     ascending splitmix64(doc_id) (doc_id asc tie-break) — the per-group

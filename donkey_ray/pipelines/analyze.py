@@ -132,6 +132,131 @@ def top_bigrams(ds: ray.data.Dataset, *, text_col: str = "text",
     ).slice(0, k)
 
 
+def regex_search(
+    ds: ray.data.Dataset,
+    patterns: list[tuple[int, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Distributed regex scan (grep over the corpus): for each
+    (pattern_id, RE2 pattern), every doc with >= 1 non-overlapping match
+    and its match count. Fully vectorized per batch via Arrow's
+    count_substring_regex (RE2 — the same engine DuckDB's regexp_*
+    functions use, so match semantics agree with the SQL oracle).
+    Patterns are compiled once per kernel call, docs stream through."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch.column(id_col).cast(pa.int64())
+        parts = []
+        for pid, pat in patterns:
+            n = pc.count_substring_regex(col, pat)
+            hit = pc.greater(n, 0)
+            parts.append(
+                pa.table(
+                    {
+                        "pattern_id": pa.array(
+                            np.full(len(col), pid, dtype=np.int64)
+                        ).filter(hit),
+                        "doc_id": ids.filter(hit),
+                        "n_matches": n.cast(pa.int64()).filter(hit),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cooccurrence_topk(ds: ray.data.Dataset, *, text_col: str = "text",
+                      k: int = 20) -> pa.Table:
+    """Global top-k DISTINCT-term pairs by document co-occurrence count
+    (n desc, then term_a/term_b asc) — corpus collocation statistics.
+
+    Scale shape mirrors top_bigrams: pairs are generated vectorized
+    inside each batch (per-row sorted distinct terms -> ragged upper-
+    triangle expansion with numpy repeat/cumsum arithmetic, no Python
+    row loop) and pre-counted per batch BEFORE one keyed exchange; each
+    hash partition emits only its local top-k, so the driver merges P*k
+    rows, never the pair vocabulary. Quadratic blowup on pathological
+    rows is the caller's contract (docs with huge distinct vocabularies
+    should be length-filtered first — the same contract as ngram
+    shingling)."""
+    from ..stages.exchange import keyed_partition_map
+    from ..util import dataset_to_table
+
+    empty = pa.table({"term_a": pa.array([], pa.string()),
+                      "term_b": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        flat, parents, _dl = _tokenized(batch, text_col)
+        if len(flat) == 0:
+            return empty
+        # distinct (row, term), then re-sorted so each row's terms are
+        # contiguous and lexicographically ordered (=> term_a < term_b)
+        d = (
+            pa.table({"row": pa.array(parents, pa.int64()), "term": flat})
+            .group_by(["row", "term"], use_threads=False)
+            .aggregate([])
+            .sort_by([("row", "ascending"), ("term", "ascending")])
+        )
+        rows = d.column("row").to_numpy(zero_copy_only=False)
+        terms = d.column("term").combine_chunks()
+        # within-row position j of each element; element j pairs with the
+        # j in-row predecessors -> ragged expansion of the upper triangle
+        n = len(rows)
+        starts = np.concatenate(([0], np.flatnonzero(rows[1:] != rows[:-1]) + 1))
+        lens = np.diff(np.concatenate((starts, [n])))
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        total = int(within.sum())
+        if total == 0:
+            return empty
+        j_idx = np.repeat(np.arange(n, dtype=np.int64), within)
+        cum = np.cumsum(within) - within
+        off = np.arange(total, dtype=np.int64) - np.repeat(cum, within)
+        i_idx = j_idx - np.repeat(within, within) + off
+        t = pa.table(
+            {"term_a": terms.take(pa.array(i_idx)),
+             "term_b": terms.take(pa.array(j_idx))}
+        ).group_by(["term_a", "term_b"], use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "term_a": t.column("term_a").cast(pa.string()),
+            "term_b": t.column("term_b").cast(pa.string()),
+            "n": t.column("count_all").cast(pa.int64()),
+        })
+
+    pre = ds.map_batches(explode_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def local_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        agg = part.group_by(["term_a", "term_b"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        agg = pa.table({"term_a": agg.column("term_a").cast(pa.string()),
+                        "term_b": agg.column("term_b").cast(pa.string()),
+                        "n": agg.column("n_sum").cast(pa.int64())})
+        return agg.sort_by(
+            [("n", "descending"), ("term_a", "ascending"),
+             ("term_b", "ascending")]
+        ).slice(0, k)
+
+    local_topk.__name__ = "cooccurrence_topk"
+    merged = dataset_to_table(
+        keyed_partition_map(pre, ["term_a", "term_b"], local_topk)
+    )
+    return merged.sort_by(
+        [("n", "descending"), ("term_a", "ascending"), ("term_b", "ascending")]
+    ).slice(0, k)
+
+
 def _tokenized(batch: pa.Table, text_col: str):
     """Shared vectorized tokenize over a batch: (flat terms, parent row
     indices, per-row dl)."""

@@ -420,3 +420,76 @@ def test_connected_components_empty(ray_session):
     out = dataset_to_table(connected_components(ray.data.from_arrow(empty)))
     assert out.num_rows == 0
     assert set(out.column_names) == {"doc_id", "cluster_id", "cluster_size"}
+
+
+def test_regex_search(docs_ds):
+    from donkey_ray.pipelines.analyze import regex_search
+
+    ds, texts = docs_ds
+    got = dataset_to_table(
+        regex_search(ds, [(0, "qu[a-z]+k"), (1, "[0-9]+"), (2, "the")])
+    ).to_pylist()
+    by_key = {(r["pattern_id"], r["doc_id"]): r["n_matches"] for r in got}
+    import re
+
+    want = {}
+    for pid, pat in [(0, "qu[a-z]+k"), (1, "[0-9]+"), (2, "the")]:
+        for i, t in enumerate(texts):
+            n = len(re.findall(pat, t))
+            if n:
+                want[(pid, i)] = n
+    assert by_key == want
+
+
+def test_cooccurrence_topk(docs_ds):
+    from donkey_ray.pipelines.analyze import cooccurrence_topk
+
+    ds, texts = docs_ds
+    got = cooccurrence_topk(ds, k=1000).to_pylist()
+    got_map = {(r["term_a"], r["term_b"]): r["n"] for r in got}
+    from collections import Counter
+    from itertools import combinations
+
+    want = Counter()
+    for t in texts:
+        toks = sorted(set(x for x in
+                          __import__("re").findall(r"[a-z0-9]+", t.lower())))
+        want.update(combinations(toks, 2))
+    assert got_map == dict(want)
+    # ordering: n desc, then pair asc
+    keys = [(-r["n"], r["term_a"], r["term_b"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_index_stats_and_suggest(ray_session, tmp_path):
+    import ray.data
+
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.pipelines.introspect import index_stats, suggest
+
+    texts = [
+        "alpha beta gamma alpha",
+        "beta delta",
+        "alpha zeta zebra",
+        "gamma gamma gamma",
+    ]
+    tbl = pa.table({
+        "repo": pa.array(["r"] * len(texts), pa.string()),
+        "path": pa.array([str(i) for i in range(len(texts))], pa.string()),
+        "commit": pa.array([""] * len(texts), pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "content": pa.array(texts, pa.string()),
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+    })
+    out = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(tbl), out, num_partitions=4,
+                id_col="doc_id", query_lang="simple")
+    st = index_stats(out).to_pylist()[0]
+    # distinct (doc, term) postings: doc0 {alpha,beta,gamma}, doc1
+    # {beta,delta}, doc2 {alpha,zeta,zebra}, doc3 {gamma}
+    assert st == {"n_docs": 4, "n_terms": 6, "n_postings": 9,
+                  "total_tokens": 12}
+    sg = suggest(out, [(0, "ze"), (1, "g"), (2, "q")], k=5).to_pylist()
+    assert [(r["prefix_id"], r["term"], r["df"], r["srank"]) for r in sg] == [
+        (0, "zebra", 1, 1), (0, "zeta", 1, 2), (1, "gamma", 2, 1),
+    ]
