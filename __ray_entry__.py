@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": api.q_bm25_topk_and,
         "prefix_topk": api.q_prefix_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
+        "bm25_topk_scatter": api.q_bm25_topk_scatter,
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
         "facet_counts": api.q_facet_counts,
@@ -108,6 +109,9 @@ def oracle_sql() -> dict[str, str]:
     # WAND-forced and federated-incremental variants must produce results
     # identical to the plain engine -> same oracle
     sqls["bm25_topk_wand"] = sqls["bm25_topk"]
+    # the distributed scatter-gather path must be rank/score-identical
+    # to the actor-pool engine -> same oracle
+    sqls["bm25_topk_scatter"] = sqls["bm25_topk"]
     sqls["bm25_topk_incremental"] = sqls["bm25_topk"]
     # the IVF index at nprobe=n_lists must be brute-force-identical
     sqls["ann_ivf_topk"] = sqls["ann_topk"]

@@ -168,6 +168,27 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_bm25_topk_scatter(sf_dir: str) -> pa.Table:
+    """Same pinned query set through the DISTRIBUTED scatter-gather path
+    (terms routed to partition-owning tasks, per-(query, doc) partials
+    assembled by one keyed exchange) — held to the identical oracle as
+    the actor-pool engine, so the two execution strategies are proven
+    rank/score-identical by the driver itself."""
+    from .pipelines.query import scatter_gather_topk
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = scatter_gather_topk(index_dir, queries)
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_phrase_topk(sf_dir: str) -> pa.Table:
     """Exact phrase top-k over the positional index (pinned phrase set);
     scored as a pseudo-term (tf = occurrence starts incl. overlaps,

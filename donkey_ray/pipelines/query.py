@@ -95,6 +95,237 @@ def score_queries(
     )
 
 
+def scatter_gather_topk(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Distributed scatter-gather BM25 top-k (document-at-a-time assembled
+    ACROSS partitions) — the batch-query path whose per-task memory is one
+    term-partition, rank/score-identical to QueryEngine.topk.
+
+    Where ``score_queries`` parallelizes over QUERIES (each actor pulls
+    any partition it needs — right for many small interactive queries
+    over shared storage), this path parallelizes over the INDEX: query
+    terms are routed to the partitions that own them (the build-time
+    hash + hot-term salt table), each partition task decodes only its
+    own postings and emits per-(query, doc) partial scores pre-summed
+    locally, one keyed exchange assembles cross-partition doc scores and
+    keeps a per-partition top-k, and the driver merges P*k candidate
+    rows per query. Nothing doc- or vocabulary-sized ever lands on one
+    node, so this is the shape for huge analytical query batches
+    (e.g. relevance sweeps) over a 10^12-doc index.
+
+    Global idf needs the term's TOTAL df; a salted hot term's runs span
+    partitions, so a df pre-pass touches only the dictionary df column
+    (_SegmentShard.find_df — no posting bytes) and the driver combines
+    the per-run dfs (O(query terms) scalars) before the scoring pass.
+    """
+    import numpy as np
+    import ray.data
+
+    from ..functions import scoring
+    from ..stages.exchange import keyed_partition_map
+    from ..stages.score import QueryEngine, _SegmentShard
+    from ..state import manifest as mf
+    from ..util import dataset_to_table
+
+    eng = QueryEngine(index_dir)  # meta + routing only; loads no segments
+    if len(eng.index_dirs) != 1:
+        raise ValueError("scatter_gather_topk serves a single index")
+    avgdl, n_docs = eng.avgdl, eng.n_docs
+    scorer = eng.scorer
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+    # --- driver-side routing (queries are tiny by contract) ---
+    route_rows: list[tuple[int, str, int, int]] = []  # (part, term, qid, k)
+    per_query_k: dict[int, int] = {}
+    for row in queries.to_pylist():
+        qid, k = int(row["query_id"]), int(row["k"])
+        per_query_k[qid] = k
+        for term in sorted(set(eng._tok.tokenize(row["text"]))):
+            for part in eng._candidate_parts(0, term):
+                if part in eng._parts_built[0]:
+                    route_rows.append((part, term, qid, k))
+    if not route_rows:
+        return empty
+    seg_path = {p: mf.segment_path(index_dir, p) for p in eng._parts_built[0]}
+
+    # --- pass 1: global df per term (dictionary df column only) ---
+    df_routes = sorted({(p, t) for p, t, _q, _k in route_rows})
+    df_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "part": pa.array([p for p, _ in df_routes], pa.int32()),
+                "term": pa.array([t for _, t in df_routes], pa.string()),
+            }
+        )
+    )
+
+    def df_pass(group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        shard = _SegmentShard(seg_path[part])
+        terms = group.column("term").to_pylist()
+        dfs = [shard.find_df(t) for t in terms]
+        hit = [i for i, d in enumerate(dfs) if d is not None]
+        return pa.table(
+            {
+                "term": pa.array([terms[i] for i in hit], pa.string()),
+                "df": pa.array([dfs[i] for i in hit], pa.int64()),
+            }
+        )
+
+    df_tbl = dataset_to_table(
+        df_ds.groupby("part").map_groups(df_pass, batch_format="pyarrow")
+    )
+    global_df: dict[str, int] = {}
+    for t, d in zip(df_tbl.column("term").to_pylist(),
+                    df_tbl.column("df").to_pylist()):
+        global_df[t] = global_df.get(t, 0) + int(d)
+    idf_by_term = {
+        t: float(scorer.idf(d, n_docs)) for t, d in global_df.items()
+    }
+
+    # --- pass 2: per-partition postings decode -> local (query, doc)
+    # partial sums (one row group read per term, vectorized tf weight) ---
+    kept = [r for r in route_rows if r[1] in idf_by_term]
+    if not kept:
+        return empty
+    route_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "part": pa.array([r[0] for r in kept], pa.int32()),
+                "term": pa.array([r[1] for r in kept], pa.string()),
+                "query_id": pa.array([r[2] for r in kept], pa.int64()),
+            }
+        )
+    )
+
+    def score_partition(group: pa.Table) -> pa.Table:
+        from ..functions.codec import decode_blocked_deltas, varbyte_decode
+
+        part = int(group.column("part")[0].as_py())
+        shard = _SegmentShard(seg_path[part])
+        qids_out: list[np.ndarray] = []
+        docs_out: list[np.ndarray] = []
+        contrib_out: list[np.ndarray] = []
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        qids = group.column("query_id").to_numpy(zero_copy_only=False)
+        for term in np.unique(terms):
+            row = shard.find(str(term))
+            if row is None:
+                continue
+            n = int(row["df"])
+            ids = decode_blocked_deltas(row["doc_ids"], n, eng.block_size)
+            tfs = varbyte_decode(row["tfs"]).astype(np.float64)
+            dls = varbyte_decode(row["dls"]).astype(np.float64)
+            contrib = idf_by_term[str(term)] * scorer.tf_weight(
+                tfs, dls, avgdl
+            )
+            for qid in qids[terms == term]:
+                qids_out.append(np.full(n, qid, dtype=np.int64))
+                docs_out.append(ids)
+                contrib_out.append(contrib)
+        if not docs_out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "partial": pa.array([], pa.float64()),
+                }
+            )
+        t = pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids_out)),
+                "doc_id": pa.array(np.concatenate(docs_out)),
+                "partial": pa.array(np.concatenate(contrib_out)),
+            }
+        )
+        # local combine: one row per (query, doc) leaves the partition
+        agg = t.group_by(["query_id", "doc_id"], use_threads=False).aggregate(
+            [("partial", "sum")]
+        )
+        return agg.rename_columns(["query_id", "doc_id", "partial"])
+
+    partials = route_ds.groupby("part").map_groups(
+        score_partition, batch_format="pyarrow"
+    )
+
+    # --- pass 3: assemble cross-partition sums, keep per-partition
+    # top-k candidates per query (global top-k is within their union) ---
+    def assemble_topk(part_tbl: pa.Table) -> pa.Table:
+        if part_tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        agg = part_tbl.group_by(
+            ["query_id", "doc_id"], use_threads=False
+        ).aggregate([("partial", "sum")])
+        q = agg.column("query_id").to_numpy(zero_copy_only=False)
+        d = agg.column("doc_id").to_numpy(zero_copy_only=False)
+        s = agg.column("partial_sum").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s, q))  # query asc, score desc, doc asc
+        q, d, s = q[order], d[order], s[order]
+        starts = np.concatenate(([0], np.flatnonzero(q[1:] != q[:-1]) + 1))
+        lens = np.diff(np.concatenate((starts, [len(q)])))
+        pos = np.arange(len(q)) - np.repeat(starts, lens)
+        ks = np.array([per_query_k.get(int(qq), 0) for qq in q[starts]])
+        keep = pos < np.repeat(ks, lens)
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep]),
+                "doc_id": pa.array(d[keep]),
+                "score": pa.array(s[keep]),
+            }
+        )
+
+    assemble_topk.__name__ = "assemble_topk"
+    cand = dataset_to_table(
+        keyed_partition_map(
+            partials, ["query_id", "doc_id"], assemble_topk,
+            num_partitions=num_partitions,
+        )
+    )
+    if cand.num_rows == 0:
+        return empty
+
+    # --- driver merge: P*k candidate rows per query ---
+    out_q: list[np.ndarray] = []
+    out_r: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    q = cand.column("query_id").to_numpy(zero_copy_only=False)
+    d = cand.column("doc_id").to_numpy(zero_copy_only=False)
+    s = cand.column("score").to_numpy(zero_copy_only=False)
+    for qid in np.unique(q):
+        m = q == qid
+        sel = scoring.topk_order(d[m], s[m], per_query_k.get(int(qid), 0))
+        out_q.append(np.full(len(sel), qid, dtype=np.int64))
+        out_r.append(np.arange(1, len(sel) + 1, dtype=np.int32))
+        out_d.append(d[m][sel])
+        out_s.append(s[m][sel])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "rank": pa.array(np.concatenate(out_r), pa.int32()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
 def hydrate_results(
     results: ray.data.Dataset | pa.Table, index_dir: str
 ) -> pa.Table:

@@ -228,6 +228,25 @@ class _SegmentShard:
             out.extend(terms[i:j].tolist())
         return out
 
+    def find_df(self, term: str) -> int | None:
+        """df of ``term`` (or None) WITHOUT touching posting buffers:
+        reads only the candidate row group's df column (LRU-cached).
+        Used by df pre-passes (scatter-gather idf resolution) where the
+        full row-group read of find() would be wasted I/O."""
+        g = self._candidate_group(term)
+        if g is None:
+            return None
+        terms = self._group_terms(g)
+        i = int(np.searchsorted(terms, term))
+        if i >= len(terms) or terms[i] != term:
+            return None
+        dfs = self._lru(
+            self._terms_cache, -g - 1,
+            lambda: self.pf.read_row_group(g, columns=["df"])
+            .column("df").to_numpy(zero_copy_only=False),
+        )
+        return int(dfs[i])
+
     def find(self, term: str) -> dict | None:
         """Full segment row for ``term`` (postings + block metadata), or
         None. Costs at most one row-group term-column read + (on hit)

@@ -325,3 +325,27 @@ def test_unknown_scorer_rejected(built):
     _, out, _, _ = built
     with pytest.raises(KeyError, match="unknown scorer"):
         QueryEngine(out, scorer="nope")
+
+
+def test_scatter_gather_equals_engine(built):
+    """The distributed scatter-gather path must be rank/score-identical
+    to the per-actor engine on a hot-term (salted) corpus — including
+    absent terms, duplicated terms, and k > matches."""
+    from donkey_ray.pipelines.query import scatter_gather_topk
+    from donkey_ray.util import dataset_to_table
+
+    _, out, _, _ = built
+    queries = make_queries(40)
+    want = (
+        dataset_to_table(score_queries(out, queries, mode="exact"))
+        .sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    )
+    got = scatter_gather_topk(out, queries).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )
+    assert got.column("query_id").equals(want.column("query_id"))
+    assert got.column("rank").equals(want.column("rank"))
+    assert got.column("doc_id").equals(want.column("doc_id"))
+    g = np.asarray(got.column("score"))
+    w = np.asarray(want.column("score"))
+    assert np.allclose(g, w, rtol=0, atol=1e-9)
