@@ -33,6 +33,26 @@ def _mul64(a: str, c: str) -> str:
     )
 
 
+# shared CTE chain: exact unigram-Jaccard pair graph -> per-node
+# component-min label (used by dedup_clusters and cluster_canonical)
+_CLUSTER_CTE = """
+sh AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pr AS (SELECT da AS a, db AS b
+       FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+       WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5),
+e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+walk(node, lab) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, walk.lab FROM walk JOIN e ON e.a = walk.node
+    WHERE walk.lab < e.b
+),
+lab AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY 1)"""
+
 # first 16 hex chars of sha256(s) -> UBIGINT (big-endian top 8 bytes)
 _HEX64 = (
     "list_aggregate(list_transform(range(1,17), "
@@ -59,12 +79,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
         "facet_counts": api.q_facet_counts,
+        "similar_docs": api.q_similar_docs,
         "snippets": api.q_snippets,
         "sample_docs": api.q_sample_docs,
         "events_window": api.q_events_window,
         "events_sessions": api.q_events_sessions,
         "events_asof_error": api.q_events_asof_error,
         "events_quantiles": api.q_events_quantiles,
+        "doclen_quantiles": api.q_doclen_quantiles,
         "events_distinct_users": api.q_events_distinct_users,
         "top_terms_per_lang": api.q_top_terms_per_lang,
         "term_df": api.q_term_df,
@@ -83,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": api.q_exact_dedup,
         "ngram_jaccard": api.q_ngram_jaccard,
         "dedup_clusters": api.q_dedup_clusters,
+        "cluster_canonical": api.q_cluster_canonical,
         "minhash_neardup": api.q_minhash_neardup,
         "simhash_fingerprints": api.q_simhash_fingerprints,
         # similarity search over embeddings
@@ -410,6 +433,41 @@ SELECT r.query_id::BIGINT AS query_id, r.rank::INT AS rank, r.doc_id,
        CAST(d.doc_id AS VARCHAR) AS path, d.lang AS lang
 FROM ranked r JOIN documents d ON d.doc_id = r.doc_id WHERE r.rank <= r.k
 """,
+        # more-like-this: the source doc's distinct terms ARE the query
+        # (generated from api.PINNED_MLT_DOCS); scoring identical to the
+        # bag-of-words oracle
+        "similar_docs": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+qt AS (SELECT DISTINCT doc_id AS query_id, 10 AS k, unnest(toks) AS term
+       FROM tok WHERE doc_id IN (0, 7, 42)),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        "doclen_quantiles": f"""
+WITH tok AS (SELECT lang, len({_TOKS})::BIGINT AS n_tokens FROM documents)
+SELECT lang, count(*)::BIGINT AS n,
+       quantile_disc(n_tokens, 0.5)::DOUBLE AS p50,
+       quantile_disc(n_tokens, 0.95)::DOUBLE AS p95
+FROM tok GROUP BY lang
+""",
         "events_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(value)::BIGINT AS n_events,
@@ -612,25 +670,26 @@ WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
         # member along a simple path of strictly larger ids)
         "dedup_clusters": f"""
 WITH RECURSIVE
-sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-pr AS (SELECT da AS a, db AS b
-       FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-       WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5),
-e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
-walk(node, lab) AS (
-    SELECT a, a FROM e
-    UNION
-    SELECT e.b, walk.lab FROM walk JOIN e ON e.a = walk.node
-    WHERE walk.lab < e.b
-),
-lab AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY 1)
+{_CLUSTER_CTE}
 SELECT node AS doc_id, cluster_id::BIGINT AS cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
 FROM lab
+""",
+        # canonical member per cluster: most tokens, then smallest doc_id
+        "cluster_canonical": f"""
+WITH RECURSIVE
+{_CLUSTER_CTE},
+sized AS (SELECT node AS doc_id, cluster_id,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM lab),
+tokc AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+r AS (SELECT s.cluster_id, s.doc_id, t.n_tokens, s.cluster_size,
+             row_number() OVER (PARTITION BY s.cluster_id
+                                ORDER BY t.n_tokens DESC, s.doc_id) AS rn
+      FROM sized s JOIN tokc t ON t.doc_id = s.doc_id)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id AS canonical_doc_id,
+       n_tokens, cluster_size::BIGINT AS cluster_size
+FROM r WHERE rn = 1
 """,
         "ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

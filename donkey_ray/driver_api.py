@@ -168,6 +168,37 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned source docs for more-like-this (present at every sf)
+PINNED_MLT_DOCS = [0, 7, 42]
+MLT_K = 10
+
+
+def q_similar_docs(sf_dir: str) -> pa.Table:
+    """More-like-this: for each pinned source doc, the top-k docs by
+    summed BM25 over the source doc's DISTINCT terms (the doc itself
+    ranks at/near the top — kept in, matching the SQL mirror). The doc
+    text is fetched by doc_id-pushdown parquet read and fed through the
+    ordinary query engine: a document IS a query under the bag-of-words
+    scorer, so related-document retrieval reuses the serving path."""
+    import pyarrow.dataset as pads
+
+    index_dir = ensure_index(sf_dir)
+    src = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(PINNED_MLT_DOCS),
+    )
+    queries = pa.table(
+        {
+            "query_id": src.column("doc_id").cast(pa.int64()),
+            "text": src.column("text").cast(pa.string()),
+            "k": pa.array([MLT_K] * src.num_rows, pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, mode="auto"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_bm25_topk_scatter(sf_dir: str) -> pa.Table:
     """Same pinned query set through the DISTRIBUTED scatter-gather path
     (terms routed to partition-owning tasks, per-(query, doc) partials
@@ -479,6 +510,20 @@ def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     return connected_components(pairs)
 
 
+def q_cluster_canonical(sf_dir: str) -> ray.data.Dataset:
+    """Canonical-doc selection per near-dup cluster: the member with the
+    most tokens (tie: smallest doc_id) — composition of dedup_clusters
+    with the quality pipeline through two keyed exchanges."""
+    from .pipelines.components import cluster_canonical, connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    )
+    clusters = connected_components(pairs)
+    quality = analyze.doc_token_counts(_docs(sf_dir))
+    return cluster_canonical(clusters, quality)
+
+
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     tbl = dataset_to_table(
         dedup.minhash_neardup_pairs(_docs(sf_dir), n=3, threshold=0.5)
@@ -723,6 +768,59 @@ def q_events_quantiles(sf_dir: str) -> ray.data.Dataset:
         )
 
     return keyed_partition_map(ds, ["event_type"], quants)
+
+
+def q_doclen_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-lang p50/p95 of document token counts — the corpus
+    length-profile report. Token counts are computed vectorized per
+    batch (only (lang, n_tokens) rows enter the exchange), then the
+    same sort + quantile_disc index pick as events_quantiles."""
+    from .stages.exchange import keyed_partition_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"],
+        override_num_blocks=8,
+    )
+
+    def lens(batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        from .functions.tokenize import SimpleTokenizer
+
+        _, _, dl = SimpleTokenizer().tokenize_column(col)
+        return pa.table(
+            {"lang": batch.column("lang"), "n_tokens": pa.array(dl, pa.int64())}
+        )
+
+    toks = ds.map_batches(lens, batch_format="pyarrow", zero_copy_batch=True)
+
+    def quants(part: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "p50": pa.array([], pa.float64()),
+                          "p95": pa.array([], pa.float64())})
+        if part.num_rows == 0:
+            return empty
+        srt = part.sort_by([("lang", "ascending"), ("n_tokens", "ascending")])
+        langs = srt.column("lang").to_numpy(zero_copy_only=False)
+        vals = srt.column("n_tokens").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(langs[1:] != langs[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(langs)]))
+        n = ends - starts
+        i50 = starts + np.maximum(np.ceil(0.5 * n).astype(np.int64) - 1, 0)
+        i95 = starts + np.maximum(np.ceil(0.95 * n).astype(np.int64) - 1, 0)
+        return pa.table(
+            {
+                "lang": pa.array(langs[starts], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "p50": pa.array(vals[i50].astype(np.float64), pa.float64()),
+                "p95": pa.array(vals[i95].astype(np.float64), pa.float64()),
+            }
+        )
+
+    quants.__name__ = "doclen_quantiles"
+    return keyed_partition_map(toks, ["lang"], quants)
 
 
 def q_events_distinct_users(sf_dir: str) -> ray.data.Dataset:

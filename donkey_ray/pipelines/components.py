@@ -276,3 +276,88 @@ def connected_components(
             final.count(), num_partitions
         )
     )
+
+
+def cluster_canonical(
+    clusters: ray.data.Dataset,
+    quality: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Canonical-document selection: for every near-dup cluster, the
+    member with the best quality score (``score_col`` desc, then
+    ``id_col`` asc) — "which copy do we keep for training". Returns
+    (cluster_id, canonical_doc_id, <score_col>, cluster_size).
+
+    Two keyed exchanges, both over projections: a cogroup join attaches
+    each member's quality score (neither side is broadcast or
+    materialized — cluster count is unbounded at corpus scale), then a
+    hash exchange on cluster_id co-locates members for a vectorized
+    argmax (sort + first-of-run slice). SQL mirror: row_number() OVER
+    (PARTITION BY cluster_id ORDER BY score DESC, doc_id) = 1."""
+    from ..stages.exchange import keyed_cogroup_map, keyed_partition_map
+
+    def attach(cpart: pa.Table, qpart: pa.Table) -> pa.Table:
+        if cpart.num_rows == 0:
+            return pa.table(
+                {
+                    cluster_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    score_col: pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        j = cpart.join(
+            qpart.select([id_col, score_col]), keys=[id_col], join_type="inner"
+        )
+        return pa.table(
+            {
+                cluster_col: j.column(cluster_col).cast(pa.int64()),
+                id_col: j.column(id_col).cast(pa.int64()),
+                score_col: j.column(score_col).cast(pa.int64()),
+                "cluster_size": j.column("cluster_size").cast(pa.int64()),
+            }
+        )
+
+    attach.__name__ = "canonical_attach_quality"
+    scored = keyed_cogroup_map(
+        clusters, quality.select_columns([id_col, score_col]),
+        [id_col], [id_col], attach, num_partitions=num_partitions,
+    )
+
+    def argmax(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                cluster_col: pa.array([], pa.int64()),
+                "canonical_doc_id": pa.array([], pa.int64()),
+                score_col: pa.array([], pa.int64()),
+                "cluster_size": pa.array([], pa.int64()),
+            }
+        )
+        if part.num_rows == 0:
+            return empty
+        import numpy as np
+
+        srt = part.sort_by(
+            [(cluster_col, "ascending"), (score_col, "descending"),
+             (id_col, "ascending")]
+        )
+        c = srt.column(cluster_col).to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], c[1:] != c[:-1]))
+        head = srt.filter(pa.array(first))
+        return pa.table(
+            {
+                cluster_col: head.column(cluster_col),
+                "canonical_doc_id": head.column(id_col),
+                score_col: head.column(score_col),
+                "cluster_size": head.column("cluster_size"),
+            }
+        )
+
+    argmax.__name__ = "canonical_argmax"
+    return keyed_partition_map(
+        scored, [cluster_col], argmax, num_partitions=num_partitions
+    )

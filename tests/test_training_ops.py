@@ -493,3 +493,31 @@ def test_index_stats_and_suggest(ray_session, tmp_path):
     assert [(r["prefix_id"], r["term"], r["df"], r["srank"]) for r in sg] == [
         (0, "zebra", 1, 1), (0, "zeta", 1, 2), (1, "gamma", 2, 1),
     ]
+
+
+def test_cluster_canonical(ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.components import cluster_canonical
+
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 5, 9, 2, 7], pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "cluster_size": pa.array([3, 3, 3, 2, 2], pa.int64()),
+    }))
+    quality = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 5, 9, 2, 7], pa.int64()),
+        # cluster 1: 5 and 9 tie on 8 tokens -> smaller doc_id (5) wins;
+        # cluster 2: 7 beats 2
+        "n_tokens": pa.array([3, 8, 8, 4, 6], pa.int64()),
+    }))
+    got = sorted(
+        dataset_to_table(cluster_canonical(clusters, quality)).to_pylist(),
+        key=lambda r: r["cluster_id"],
+    )
+    assert got == [
+        {"cluster_id": 1, "canonical_doc_id": 5, "n_tokens": 8,
+         "cluster_size": 3},
+        {"cluster_id": 2, "canonical_doc_id": 7, "n_tokens": 6,
+         "cluster_size": 2},
+    ]
