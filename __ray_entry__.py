@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": api.q_quality_scores,
         "redact_pii": api.q_redact_pii,
         "quality_filter": api.q_quality_filter,
+        "export_clean": api.q_export_clean,
         "lang_id": api.q_lang_id,
         "doc_fingerprints": api.q_doc_fingerprints,
         # generic columnar aggregation + distributed joins
@@ -732,6 +733,20 @@ FROM documents
         "quality_filter": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, text FROM t
+WHERE len(toks) >= 5 AND
+  round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+        / len(toks), 6) <= 0.5
+""",
+        # the export sink = quality_filter composed with redact_pii,
+        # round-tripped through the parquet artifact on the engine side
+        "export_clean": fr"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+         '[0-9]{{6,}}', '[NUM]', 'g') AS redacted
+FROM t
 WHERE len(toks) >= 5 AND
   round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
         / len(toks), 6) <= 0.5

@@ -484,6 +484,17 @@ def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
     return analyze.quality_filter(_docs(sf_dir))
 
 
+def q_export_clean(sf_dir: str) -> ray.data.Dataset:
+    """The training-data export sink end-to-end: quality gate -> PII
+    scrub -> partitioned parquet artifact -> read-back (the returned
+    rows are re-read FROM the sink, so the oracle also verifies the
+    write path round-trips)."""
+    from .pipelines.export import export_clean_corpus
+
+    out = _index_dir(sf_dir) + "-export"
+    return export_clean_corpus(_docs(sf_dir), out)
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return analyze.language_id(_docs(sf_dir))
 

@@ -521,3 +521,27 @@ def test_cluster_canonical(ray_session):
         {"cluster_id": 2, "canonical_doc_id": 7, "n_tokens": 6,
          "cluster_size": 2},
     ]
+
+
+def test_export_clean_roundtrip(docs_ds, tmp_path):
+    """The export sink writes the filtered+redacted rows to parquet and
+    the read-back equals the in-stream result; a marked-complete export
+    is served without rewriting."""
+    import os
+
+    from donkey_ray.pipelines.export import export_clean_corpus
+
+    ds, texts = docs_ds
+    out = str(tmp_path / "export")
+    got = sorted(
+        dataset_to_table(export_clean_corpus(ds, out)).to_pylist(),
+        key=lambda r: r["doc_id"],
+    )
+    # docs 6 ('short') and 7 ('') fail min_tokens; doc 0/1/3 pass despite
+    # stopwords ('the' twice over 9 tokens = 0.22)
+    assert [r["doc_id"] for r in got] == [0, 1, 2, 3, 4, 5]
+    assert all("@" not in r["redacted"] for r in got)
+    mtime = os.path.getmtime(os.path.join(out, "_EXPORT_SUCCESS"))
+    again = dataset_to_table(export_clean_corpus(ds, out)).num_rows
+    assert again == len(got)
+    assert os.path.getmtime(os.path.join(out, "_EXPORT_SUCCESS")) == mtime
