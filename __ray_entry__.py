@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": api.q_phrase_topk,
         "near_topk": api.q_near_topk,
         "bm25_topk_and": api.q_bm25_topk_and,
+        "bm25_topk_not": api.q_bm25_topk_not,
         "prefix_topk": api.q_prefix_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
@@ -397,6 +398,43 @@ scores AS (
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
   GROUP BY 1,2,3
   HAVING count(*) = max(qn.nt)),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # boolean NOT (generated semantics from api.PINNED_NOT): the
+        # bag-of-words scorer restricted to docs with NO negated term
+        "bm25_topk_not": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, neg, k) AS (VALUES (0,'table','value',10),
+                                     (1,'spark merge','the',10),
+                                     (2,'window','zzzabsent',10),
+                                     (3,'zzzabsent','table',10),
+                                     (4,'value value','value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+nt AS (SELECT DISTINCT query_id,
+              unnest(regexp_extract_all(lower(neg), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  WHERE NOT EXISTS (SELECT 1 FROM tf x JOIN nt
+                    ON nt.query_id = qt.query_id AND nt.term = x.term
+                    WHERE x.doc_id = tf.doc_id)
+  GROUP BY 1,2,3),
 ranked AS (SELECT query_id, k, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) AS rank

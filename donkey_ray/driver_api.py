@@ -168,6 +168,36 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned boolean-NOT query set: plain exclusion, multi-term positive
+# with a ~100%-df negation, absent negation (== plain query), absent
+# positive (empty), and self-negation (empty)
+PINNED_NOT = [
+    (0, "table", "value", 10),
+    (1, "spark merge", "the", 10),
+    (2, "window", "zzzabsent", 10),
+    (3, "zzzabsent", "table", 10),
+    (4, "value value", "value", 10),
+]
+
+
+def q_bm25_topk_not(sf_dir: str) -> pa.Table:
+    """Boolean NOT retrieval: disjunctive BM25 over the positive terms,
+    excluding every doc containing any negated term (exclusion applied
+    before truncation)."""
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_NOT], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_NOT], pa.string()),
+            "neg_text": pa.array([q[2] for q in PINNED_NOT], pa.string()),
+            "k": pa.array([q[3] for q in PINNED_NOT], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, kind="not"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 # Pinned source docs for more-like-this (present at every sf)
 PINNED_MLT_DOCS = [0, 7, 42]
 MLT_K = 10

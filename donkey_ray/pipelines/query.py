@@ -32,7 +32,11 @@ class QueryScorerStage:
     def __init__(self, index_dir: str, mode: str = "auto",
                  kind: str = "topk", window: int = 4) -> None:
         self.engine = QueryEngine(index_dir, mode=mode)
-        if kind == "phrase":
+        self.kind = kind
+        if kind == "not":
+            # boolean NOT: batches carry an extra neg_text column
+            self.run = self.engine.not_topk
+        elif kind == "phrase":
             self.run = self.engine.phrase_topk
         elif kind == "near":
             eng = self.engine
@@ -49,7 +53,11 @@ class QueryScorerStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
         for row in batch.to_pylist():
-            hits = self.run(row["text"], int(row["k"]))
+            if self.kind == "not":
+                hits = self.run(row["text"], row.get("neg_text") or "",
+                                int(row["k"]))
+            else:
+                hits = self.run(row["text"], int(row["k"]))
             for r, (d, s) in enumerate(hits, start=1):
                 qids.append(int(row["query_id"]))
                 ranks.append(r)

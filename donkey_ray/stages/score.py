@@ -644,6 +644,37 @@ class QueryEngine:
                 return []
         return self._score_conjunctive(post, terms, cand, k)
 
+    def not_topk(self, text: str, neg_text: str, k: int) -> list[tuple[int, float]]:
+        """Boolean NOT: ordinary disjunctive BM25 over ``text``'s distinct
+        terms, EXCLUDING every doc that contains any term of ``neg_text``
+        (SQL mirror: the bag-of-words scorer plus NOT EXISTS per negated
+        term). Exclusion must happen before truncation, so this uses the
+        decode-everything exact scorer and subtracts the union of the
+        negated terms' doc arrays (sorted-array membership — the negated
+        postings' doc ids only, positions/tfs never decoded)."""
+        terms = sorted(set(self._tok.tokenize(text)))
+        runs_by_term = {t: r for t in terms if (r := self.term_runs(t))}
+        if not runs_by_term or k <= 0:
+            return []
+        hits = self._topk_exact(runs_by_term, 1 << 62)  # all candidates
+        neg_terms = sorted(set(self._tok.tokenize(neg_text)))
+        neg_docs: list[np.ndarray] = []
+        for t in neg_terms:
+            for row in self.term_runs(t):
+                neg_docs.append(
+                    decode_blocked_deltas(
+                        row["doc_ids"], int(row["df"]), self.block_size
+                    )
+                )
+        docs = np.fromiter((d for d, _ in hits), dtype=np.int64, count=len(hits))
+        scores = np.fromiter((s for _, s in hits), dtype=np.float64, count=len(hits))
+        if neg_docs:
+            excl = np.unique(np.concatenate(neg_docs))
+            keep = ~np.isin(docs, excl)
+            docs, scores = docs[keep], scores[keep]
+        order = scoring.topk_order(docs, scores, k)
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def _score_conjunctive(
         self,
         post: dict[str, _PhrasePostings],

@@ -349,3 +349,35 @@ def test_scatter_gather_equals_engine(built):
     g = np.asarray(got.column("score"))
     w = np.asarray(want.column("score"))
     assert np.allclose(g, w, rtol=0, atol=1e-9)
+
+
+def test_not_topk_excludes_negated_docs(built):
+    """Boolean NOT: matches the positive-only engine ranking with every
+    doc containing a negated term removed BEFORE truncation; absent
+    negation degenerates to the plain query; self-negation is empty."""
+    corpus, out, _, oracle = built
+    engine = QueryEngine(out)
+    # negated term: a mid-frequency token drawn from the corpus itself
+    from donkey_ray.functions.tokenize import get_tokenizer
+
+    toks = get_tokenizer("code").tokenize(corpus.column("content")[0].as_py())
+    neg = next(t for t in toks if t != COMMON_TOKEN and engine.term_runs(t))
+    pos, k = COMMON_TOKEN, 10
+    got = engine.not_topk(pos, neg, k)
+    # brute force: full positive ranking, filter, truncate
+    full = engine.topk(pos, 10**6)
+    neg_docs = set()
+    for row in engine.term_runs(neg):
+        from donkey_ray.functions.codec import decode_blocked_deltas
+
+        neg_docs.update(
+            decode_blocked_deltas(
+                row["doc_ids"], int(row["df"]), engine.block_size
+            ).tolist()
+        )
+    assert neg_docs, "fixture term must occur"
+    want = [(d, s) for d, s in full if d not in neg_docs][:k]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert np.allclose([s for _, s in got], [s for _, s in want])
+    assert engine.not_topk(pos, "zzzabsent", k) == engine.topk(pos, k)
+    assert engine.not_topk(pos, pos, k) == []
