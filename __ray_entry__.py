@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": api.q_ngram_jaccard,
         "dedup_clusters": api.q_dedup_clusters,
         "cluster_canonical": api.q_cluster_canonical,
+        "dedup_survivors": api.q_dedup_survivors,
         "minhash_neardup": api.q_minhash_neardup,
         "simhash_fingerprints": api.q_simhash_fingerprints,
         # similarity search over embeddings
@@ -713,6 +714,20 @@ WITH RECURSIVE
 SELECT node AS doc_id, cluster_id::BIGINT AS cluster_id,
        count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
 FROM lab
+""",
+        # the corpus with every non-canonical cluster member removed
+        "dedup_survivors": f"""
+WITH RECURSIVE
+{_CLUSTER_CTE},
+sized AS (SELECT node AS doc_id, cluster_id FROM lab),
+tokc AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+r AS (SELECT s.cluster_id, s.doc_id,
+             row_number() OVER (PARTITION BY s.cluster_id
+                                ORDER BY t.n_tokens DESC, s.doc_id) AS rn
+      FROM sized s JOIN tokc t ON t.doc_id = s.doc_id)
+SELECT d.doc_id, d.lang, d.text
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1)
 """,
         # canonical member per cluster: most tokens, then smallest doc_id
         "cluster_canonical": f"""

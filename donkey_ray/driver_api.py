@@ -588,6 +588,46 @@ def q_cluster_canonical(sf_dir: str) -> ray.data.Dataset:
     return cluster_canonical(clusters, quality)
 
 
+def q_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
+    """THE dedup endpoint: the corpus with near-dup clusters collapsed
+    to their canonical member (most tokens, tie smallest doc_id) —
+    unclustered docs stream through untouched. Implemented as a
+    hash-partitioned ANTI-join of the corpus against the (tiny relative
+    to corpus, but unbounded) set of non-canonical cluster members, so
+    no side is ever broadcast or driver-materialized."""
+    from .pipelines.components import cluster_canonical
+    from .pipelines.joins import hash_join
+
+    clusters = q_dedup_clusters(sf_dir)
+    quality = analyze.doc_token_counts(_docs(sf_dir))
+    canon = cluster_canonical(clusters, quality)
+
+    # losers = cluster members minus canonical winners
+    def losers(cpart: pa.Table, wpart: pa.Table) -> pa.Table:
+        if cpart.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        import pyarrow.compute as _pc
+
+        keep = _pc.invert(
+            _pc.is_in(cpart.column("doc_id"),
+                      value_set=wpart.column("canonical_doc_id").combine_chunks())
+        )
+        return pa.table({"doc_id": cpart.filter(keep).column("doc_id")})
+
+    losers.__name__ = "cluster_losers"
+    from .stages.exchange import keyed_cogroup_map
+
+    loser_ids = keyed_cogroup_map(
+        clusters.select_columns(["doc_id"]),
+        canon.select_columns(["canonical_doc_id"]),
+        ["doc_id"], ["canonical_doc_id"], losers,
+    )
+    return hash_join(
+        _docs(sf_dir, columns=("doc_id", "lang", "text")), loser_ids,
+        left_on="doc_id", right_on="doc_id", how="anti",
+    )
+
+
 def q_minhash_neardup(sf_dir: str) -> pa.Table:
     tbl = dataset_to_table(
         dedup.minhash_neardup_pairs(_docs(sf_dir), n=3, threshold=0.5)
