@@ -58,6 +58,8 @@ def cmd_query(args) -> int:
             hits = engine.near_topk(args.text, args.k, window=args.window)
         elif args.kind == "and":
             hits = engine.and_topk(args.text, args.k)
+        elif args.kind == "not":
+            hits = engine.not_topk(args.text, args.neg_text or "", args.k)
         elif args.kind == "prefix":
             hits = engine.prefix_topk(args.text, args.k)
         else:
@@ -161,10 +163,14 @@ def main(argv=None) -> int:
     q.add_argument("--text", help="single ad-hoc query text")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
-    q.add_argument("--kind", choices=["topk", "and", "prefix", "phrase", "near"], default="topk",
+    q.add_argument("--kind",
+                   choices=["topk", "and", "not", "prefix", "phrase", "near"],
+                   default="topk",
                    help="phrase/near need an index built with --positions")
     q.add_argument("--window", type=int, default=4,
                    help="proximity window for --kind near")
+    q.add_argument("--neg-text", dest="neg_text", default="",
+                   help="terms to exclude for --kind not")
     q.add_argument("--output")
     q.add_argument("--hydrate", action="store_true",
                    help="join results back to repo/path metadata")

@@ -117,12 +117,13 @@ class IndexServer:
         }
 
     def search(self, text: str, k: int = 10, *, kind: str = "topk",
-               window: int = 4) -> list[dict]:
+               window: int = 4, neg_text: str = "") -> list[dict]:
         """kind: "topk" (bag-of-words BM25), "and" (conjunctive BM25 via
-        posting-list intersection), "prefix" (wildcard expansion over the
-        dictionary), "phrase" (exact positional phrase) or "near"
-        (proximity within ``window``); the latter two need every
-        federated member built with positions=True.
+        posting-list intersection), "not" (positive scoring excluding
+        docs containing any ``neg_text`` term), "prefix" (wildcard
+        expansion over the dictionary), "phrase" (exact positional
+        phrase) or "near" (proximity within ``window``); the latter two
+        need every federated member built with positions=True.
 
         Tombstoned docs (``delete``) are filtered out EXACTLY: the
         engine is over-fetched by the tombstone count (deleted docs can
@@ -136,6 +137,8 @@ class IndexServer:
             hits = self.engine.near_topk(text, fetch_k, window=window)
         elif kind == "and":
             hits = self.engine.and_topk(text, fetch_k)
+        elif kind == "not":
+            hits = self.engine.not_topk(text, neg_text, fetch_k)
         elif kind == "prefix":
             hits = self.engine.prefix_topk(text, fetch_k)
         elif kind == "topk":

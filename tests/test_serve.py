@@ -207,3 +207,25 @@ def test_delete_tombstones_and_compact(served_index, tmp_path):
         got = engine.topk(row["text"], int(row["k"]))
         want = oracle.topk(row["text"], int(row["k"]), lang="code")
         assert got == pytest.approx(want), row["text"]
+
+
+def test_serve_not_kind(served_index):
+    """kind='not' through the server equals engine.not_topk, and the
+    tombstone over-fetch interacts correctly with exclusion."""
+    from donkey_ray.functions.tokenize import get_tokenizer
+    from donkey_ray.stages.score import QueryEngine
+    from donkey_ray.synth import COMMON_TOKEN
+
+    corpus, out = served_index
+    srv = IndexServer(out)
+    eng = QueryEngine(out)
+    toks = get_tokenizer("code").tokenize(corpus.column("content")[0].as_py())
+    neg = next(t for t in toks if t != COMMON_TOKEN and eng.term_runs(t))
+    want = eng.not_topk(COMMON_TOKEN, neg, 5)
+    got = srv.search(COMMON_TOKEN, 5, kind="not", neg_text=neg)
+    assert [(h["doc_id"], h["score"]) for h in got] == [
+        (d, s) for d, s in want
+    ]
+    assert all(
+        h["doc_id"] not in {d for d, _ in eng.topk(neg, 10**6)} for h in got
+    )
