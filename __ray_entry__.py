@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_topk": api.q_near_topk,
         "bm25_topk_and": api.q_bm25_topk_and,
         "bm25_topk_not": api.q_bm25_topk_not,
+        "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
@@ -406,6 +407,62 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # two-stage retrieval: BM25 top-50 candidate set (identical to
+        # the engine's stage 1), re-scored by tf-idf cosine (doc norm
+        # over ALL doc terms; query vector from bag-of-words counts)
+        "rerank_cosine": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qbag AS (SELECT query_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM qbag GROUP BY 1, 2),
+qt AS (SELECT DISTINCT query_id, term FROM qbag),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+idf AS (SELECT term, ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) AS idf
+        FROM df CROSS JOIN stats s),
+bm25 AS (
+  SELECT qt.query_id, tf.doc_id,
+    sum( idf.idf *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN idf ON idf.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2),
+cand AS (SELECT query_id, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25) WHERE rank <= {50}),
+wd AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+       FROM tf JOIN idf ON idf.term = tf.term),
+dnorm AS (SELECT doc_id, sqrt(sum(w*w)) AS nd FROM wd GROUP BY 1),
+wq AS (SELECT qtf.query_id, qtf.term, qtf.qtf * idf.idf AS w
+       FROM qtf JOIN idf ON idf.term = qtf.term),
+qnorm AS (SELECT query_id, sqrt(sum(w*w)) AS nq FROM wq GROUP BY 1),
+dot AS (SELECT c.query_id, c.doc_id, sum(wq.w * wd.w) AS dp
+        FROM cand c
+        JOIN wq ON wq.query_id = c.query_id
+        JOIN wd ON wd.doc_id = c.doc_id AND wd.term = wq.term
+        GROUP BY 1, 2),
+cs AS (SELECT c.query_id, c.doc_id,
+              coalesce(dot.dp, 0) / (qn.nq * dn.nd) AS cos
+       FROM cand c
+       LEFT JOIN dot ON dot.query_id = c.query_id AND dot.doc_id = c.doc_id
+       JOIN qnorm qn ON qn.query_id = c.query_id
+       JOIN dnorm dn ON dn.doc_id = c.doc_id),
+rr AS (SELECT query_id, doc_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, doc_id ASC) AS rank
+       FROM cs)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(cos, 6) AS cos_sim
+FROM rr WHERE rank <= 10
 """,
         # boolean NOT (generated semantics from api.PINNED_NOT): the
         # bag-of-words scorer restricted to docs with NO negated term

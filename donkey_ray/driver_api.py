@@ -168,6 +168,32 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+RERANK_CANDIDATES = 50
+
+
+def q_rerank_cosine(sf_dir: str) -> pa.Table:
+    """Two-stage retrieval: BM25 top-50 candidates re-scored by full
+    tf-idf cosine between query and candidate document vectors (doc
+    norms over ALL doc terms, idf from the sharded dictionary), top-10
+    kept — donkey's search -> object-rerank shape."""
+    from .pipelines.query import rerank_cosine
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = rerank_cosine(
+        index_dir, queries, f"{sf_dir}/documents.parquet",
+        candidates=RERANK_CANDIDATES, k=10,
+    )
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "cos_sim")
+
+
 # Pinned boolean-NOT query set: plain exclusion, multi-term positive
 # with a ~100%-df negation, absent negation (== plain query), absent
 # positive (empty), and self-negation (empty)

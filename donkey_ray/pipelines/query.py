@@ -103,6 +103,105 @@ def score_queries(
     )
 
 
+def rerank_cosine(
+    index_dir: str,
+    queries: pa.Table,
+    texts: pa.Table | str,
+    *,
+    candidates: int = 50,
+    k: int = 10,
+    mode: str = "auto",
+) -> pa.Table:
+    """Two-stage retrieval (donkey's search -> object rerank shape):
+    stage 1 retrieves top-``candidates`` per query with BM25 through the
+    ordinary serving path; stage 2 re-scores ONLY those candidates by
+    full tf-idf COSINE between the query vector and each candidate
+    document vector, and returns the re-ranked top-k.
+
+    The rerank is candidate-bounded by construction: document vectors
+    are built from the candidates' texts (``texts`` is a (doc_id, text)
+    table covering the candidates, or a parquet path read with doc_id
+    pushdown AFTER the candidate set is known) and
+    per-term idf comes from the index's sharded dictionary, so stage-2
+    cost is O(queries x candidates x doc length), never corpus-sized.
+    Weights: w(t) = tf(t) * idf(t) with the pinned Lucene idf; the doc
+    norm runs over ALL the doc's terms, the query norm over the query's
+    bag-of-words counts. Ties: cosine desc, doc_id asc."""
+    import numpy as np
+
+    from ..stages.score import QueryEngine
+    from ..util import dataset_to_table
+
+    res = dataset_to_table(
+        score_queries(index_dir, queries.set_column(
+            queries.column_names.index("k"), "k",
+            pa.array([candidates] * queries.num_rows, pa.int32()),
+        ), mode=mode)
+    )
+    eng = QueryEngine(index_dir)
+    if isinstance(texts, str):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        texts = pads.dataset(texts).to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(pc.unique(res.column("doc_id"))),
+        )
+    text_by_id = {
+        int(i): (t or "")
+        for i, t in zip(texts.column("doc_id").to_pylist(),
+                        texts.column("text").to_pylist())
+    }
+    out_q, out_r, out_d, out_s = [], [], [], []
+    res_q = res.column("query_id").to_numpy(zero_copy_only=False)
+    res_d = res.column("doc_id").to_numpy(zero_copy_only=False)
+    for qrow in queries.to_pylist():
+        qid = int(qrow["query_id"])
+        cand = res_d[res_q == qid]
+        if len(cand) == 0:
+            continue
+        qtoks = eng._tok.tokenize(qrow["text"])
+        qtf: dict[str, int] = {}
+        for t in qtoks:
+            qtf[t] = qtf.get(t, 0) + 1
+        # doc vectors: tokenize candidates, weight by tf * idf
+        doc_w: list[dict[str, float]] = []
+        all_terms: set[str] = set(qtf)
+        dtfs: list[dict[str, int]] = []
+        for d in cand:
+            toks = eng._tok.tokenize(text_by_id.get(int(d), ""))
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            dtfs.append(tf)
+            all_terms.update(tf)
+        idf = {
+            t: float(eng.scorer.idf(eng.term_df(t), eng.n_docs))
+            for t in all_terms
+        }
+        wq = {t: n * idf[t] for t, n in qtf.items()}
+        nq = float(np.sqrt(sum(w * w for w in wq.values())))
+        cos = np.zeros(len(cand), dtype=np.float64)
+        for i, tf in enumerate(dtfs):
+            wd = {t: n * idf[t] for t, n in tf.items()}
+            nd = float(np.sqrt(sum(w * w for w in wd.values())))
+            dp = sum(wq[t] * wd[t] for t in wq.keys() & wd.keys())
+            cos[i] = dp / (nq * nd) if nq and nd else 0.0
+        order = np.lexsort((cand, -cos))[:k]
+        out_q.extend([qid] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_d.extend(int(cand[i]) for i in order)
+        out_s.extend(float(cos[i]) for i in order)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "cos_sim": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def scatter_gather_topk(
     index_dir: str,
     queries: pa.Table,

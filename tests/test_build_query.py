@@ -381,3 +381,52 @@ def test_not_topk_excludes_negated_docs(built):
     assert np.allclose([s for _, s in got], [s for _, s in want])
     assert engine.not_topk(pos, "zzzabsent", k) == engine.topk(pos, k)
     assert engine.not_topk(pos, pos, k) == []
+
+
+def test_rerank_cosine_two_stage(built, tmp_path):
+    """Stage-2 results are a subset of the stage-1 candidate set, ranked
+    by tf-idf cosine (desc, doc asc), and every cosine is in [0, 1]."""
+    import pyarrow.parquet as pq
+
+    from donkey_ray.pipelines.query import rerank_cosine
+    from donkey_ray.util import dataset_to_table
+
+    corpus, out, _, _ = built
+    # texts straight from the corpus via the docs table's doc_id mapping
+    docs_tbl = pads.dataset(os.path.join(out, "docs")).to_table(
+        columns=["doc_id", "repo", "path"])
+    # map (repo, path) -> content
+    key_to_content = {
+        (r, p): c for r, p, c in zip(
+            corpus.column("repo").to_pylist(),
+            corpus.column("path").to_pylist(),
+            corpus.column("content").to_pylist(),
+        )
+    }
+    texts = pa.table({
+        "doc_id": docs_tbl.column("doc_id"),
+        "text": pa.array(
+            [key_to_content[(r, p)] for r, p in zip(
+                docs_tbl.column("repo").to_pylist(),
+                docs_tbl.column("path").to_pylist())], pa.string()),
+    })
+    queries = make_queries(10)
+    res = rerank_cosine(out, queries, texts, candidates=20, k=5)
+    q20 = queries.set_column(
+        queries.column_names.index("k"), "k",
+        pa.array([20] * queries.num_rows, pa.int32()),
+    )
+    stage1 = dataset_to_table(score_queries(out, q20, mode="exact"))
+    s1 = {}
+    for r in stage1.to_pylist():
+        s1.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for r in res.to_pylist():
+        assert 0.0 <= r["cos_sim"] <= 1.0 + 1e-12
+        assert r["doc_id"] in s1[r["query_id"]]
+    # per query: rank ordering follows (cos desc, doc asc)
+    rows = res.to_pylist()
+    for qid in {r["query_id"] for r in rows}:
+        mine = [r for r in rows if r["query_id"] == qid]
+        keys = [(-r["cos_sim"], r["doc_id"]) for r in
+                sorted(mine, key=lambda r: r["rank"])]
+        assert keys == sorted(keys)
