@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
+        "fuzzy_topk": api.q_fuzzy_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
@@ -358,6 +359,40 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 qt AS (SELECT q.query_id, q.k, df.term
        FROM q JOIN df ON df.term LIKE q.prefix || '%'),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # fuzzy: the query's terms are every corpus term within edit
+        # distance 1 of any query token (generated from api.PINNED_FUZZY);
+        # scoring identical to the bag-of-words oracle
+        "fuzzy_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'tabl',10),(1,'vallue',10),
+                                (2,'windoe',10),(3,'zzzabsent',10),
+                                (4,'quer merge',10),(5,'ke',10)),
+qterm AS (SELECT DISTINCT query_id, k,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS qt
+          FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT qterm.query_id, qterm.k, df.term
+       FROM qterm JOIN df ON levenshtein(df.term, qterm.qt) <= 1),
 scores AS (
   SELECT qt.query_id, qt.k, tf.doc_id,
     sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *

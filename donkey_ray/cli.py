@@ -62,6 +62,10 @@ def cmd_query(args) -> int:
             hits = engine.not_topk(args.text, args.neg_text or "", args.k)
         elif args.kind == "prefix":
             hits = engine.prefix_topk(args.text, args.k)
+        elif args.kind == "fuzzy":
+            from .pipelines.fuzzy import fuzzy_topk
+
+            hits = fuzzy_topk(args.index, args.text, args.k)
         else:
             hits = engine.topk(args.text, args.k)
         res = pa.table(
@@ -164,7 +168,8 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
     q.add_argument("--kind",
-                   choices=["topk", "and", "not", "prefix", "phrase", "near"],
+                   choices=["topk", "and", "not", "prefix", "fuzzy",
+                            "phrase", "near"],
                    default="topk",
                    help="phrase/near need an index built with --positions")
     q.add_argument("--window", type=int, default=4,

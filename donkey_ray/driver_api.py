@@ -168,6 +168,44 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned fuzzy (edit-distance-1) query set: a deletion, an insertion, a
+# substitution, an absent term, a multi-term mix (typo + exact), and a
+# short-term route (len <= 3 terms live in the short-terms file)
+PINNED_FUZZY = [
+    (0, "tabl", 10),
+    (1, "vallue", 10),
+    (2, "windoe", 10),
+    (3, "zzzabsent", 10),
+    (4, "quer merge", 10),
+    (5, "ke", 10),
+]
+
+
+def q_fuzzy_topk(sf_dir: str) -> pa.Table:
+    """Fuzzy retrieval: each query term expands to its edit-distance-1
+    dictionary matches via the trigram artifact (complete for
+    max_edit=1), then ordinary disjunctive BM25 over the expansion."""
+    from .pipelines.fuzzy import fuzzy_topk
+
+    index_dir = ensure_index(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, k in PINNED_FUZZY:
+        for r, (d, s) in enumerate(fuzzy_topk(index_dir, text, k), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
+
 RERANK_CANDIDATES = 50
 
 

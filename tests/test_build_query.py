@@ -430,3 +430,53 @@ def test_rerank_cosine_two_stage(built, tmp_path):
         keys = [(-r["cos_sim"], r["doc_id"]) for r in
                 sorted(mine, key=lambda r: r["rank"])]
         assert keys == sorted(keys)
+
+
+def _lev_dp(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+def test_levenshtein1_matches_dp():
+    from donkey_ray.pipelines.fuzzy import levenshtein1
+
+    rng = np.random.default_rng(17)
+    alphabet = "abc"
+    for _ in range(3000):
+        la, lb = rng.integers(0, 7, 2)
+        a = "".join(rng.choice(list(alphabet), la))
+        b = "".join(rng.choice(list(alphabet), lb))
+        assert levenshtein1(a, b) == (_lev_dp(a, b) <= 1), (a, b)
+
+
+def test_fuzzy_expansion_complete(built):
+    """expand_fuzzy must return EXACTLY the dictionary terms within edit
+    distance 1 — the padded-trigram + short-terms candidate scheme is
+    provably complete for max_edit=1; verify against brute force over
+    the full vocabulary, including typo'd, short, and absent probes."""
+    from donkey_ray.pipelines.fuzzy import expand_fuzzy, fuzzy_topk
+
+    _, out, _, oracle = built
+    vocab = sorted(oracle.postings)
+    probes = [vocab[0], vocab[len(vocab) // 2], COMMON_TOKEN]
+    # synthesize 1-edit typos: deletion, substitution, insertion
+    t = vocab[len(vocab) // 3]
+    probes += [t[1:], "z" + t[1:], t[:3] + "z" + t[3:], "zz", "a", "zzzznope"]
+    for q in probes:
+        want = sorted(v for v in vocab if _lev_dp(q, v) <= 1)
+        got = expand_fuzzy(out, q)
+        assert got == want, q
+    # fuzzy_topk over a typo == plain topk over the union of its matches
+    engine = QueryEngine(out)
+    q = "z" + COMMON_TOKEN[1:]
+    matches = expand_fuzzy(out, q)
+    assert COMMON_TOKEN in matches
+    got = fuzzy_topk(out, q, 10)
+    want = engine.topk(" ".join(matches), 10)
+    assert got == pytest.approx(want)
