@@ -74,6 +74,11 @@ NAMES = [
     "events_sessions", "events_asof_error", "events_quantiles",
     "events_distinct_users", "top_terms_per_lang", "redact_pii",
     "quality_filter",
+    # round-2 late additions
+    "bm25_topk_scatter", "bm25_topk_not", "fuzzy_topk", "rerank_cosine",
+    "similar_docs", "suggest", "index_stats", "regex_search",
+    "cooccurrence", "doclen_quantiles", "cluster_canonical",
+    "dedup_survivors", "export_clean",
 ]
 
 
