@@ -149,10 +149,13 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_bands(h: int, n_bands: int = 4) -> list[int]:
-    """Band keys (band_idx << 16 | chunk) for Hamming<=n_bands-1 candidates."""
+    """Band keys (band_idx << width | chunk) for Hamming<=n_bands-1
+    candidates. chunk < 2^width, so distinct (band, chunk) always map to
+    distinct keys and the key fits uint64 for every n_bands (the former
+    ``band << width*2`` shift overflowed 64 bits at n_bands=2)."""
     width = 64 // n_bands
     mask = (1 << width) - 1
-    return [(band << width * 2) | ((h >> (band * width)) & mask) for band in range(n_bands)]
+    return [(band << width) | ((h >> (band * width)) & mask) for band in range(n_bands)]
 
 
 def doc_shingle_hashes(text: str, n: int = 3) -> np.ndarray:

@@ -694,14 +694,44 @@ def minhash_neardup_pairs(
 def simhash_fingerprints(
     ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """(doc_id, simhash) 64-bit fingerprints."""
+    """(doc_id, simhash) 64-bit fingerprints, batch-vectorized.
+
+    Semantics pinned by functions.minhash.simhash64 (the scalar
+    reference the pytest compares against): tf-weighted sign sums of
+    sha256-top-8-byte token hashes. Vectorization: tokens hash once per
+    UNIQUE token (dictionary encode), the per-token ±1 bit rows come
+    from one (uniq × 64) table, and per-doc accumulation is a single
+    np.add.at scatter over the token->row parents."""
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        hs = [mh.simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        from ..functions.textstats import fp_token_hash64
+
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parents, _dl = mh._TOK.tokenize_column(col)
+        n = batch.num_rows
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(flat):
+            enc = flat.dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            uh = np.fromiter(
+                (fp_token_hash64(t) for t in uniq), dtype=np.uint64,
+                count=len(uniq),
+            )
+            signs = (
+                2 * ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                     & np.uint64(1)).astype(np.int64) - 1
+            )
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            np.add.at(acc, parents, signs[idx])
+        fps = (
+            ((acc > 0).astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        )
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "simhash": pa.array(np.array(hs, dtype=np.uint64), pa.uint64())}
+            {"doc_id": batch.column(id_col).cast(pa.int64()),
+             "simhash": pa.array(fps, pa.uint64())}
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -724,16 +754,20 @@ def simhash_neardup_pairs(
     fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        band_out, id_out, h_out = [], [], []
-        for did, h in zip(batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()):
-            for key in mh.simhash_bands(int(h), n_bands):
-                band_out.append(key)
-                id_out.append(did)
-                h_out.append(h)
+        """Vectorized mh.simhash_bands over the batch: an (n_docs x
+        n_bands) key matrix from one shift/mask broadcast, flattened."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False)
+        width = np.uint64(64 // n_bands)
+        bands_ix = np.arange(n_bands, dtype=np.uint64)
+        mask = np.uint64((1 << int(width)) - 1)
+        keys = (bands_ix << width)[None, :] | (
+            (hs[:, None] >> (bands_ix * width)[None, :]) & mask
+        )
         return pa.table(
-            {"band": pa.array(band_out, pa.uint64()),
-             "doc_id": pa.array(id_out, pa.int64()),
-             "simhash": pa.array(h_out, pa.uint64())}
+            {"band": pa.array(keys.reshape(-1), pa.uint64()),
+             "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+             "simhash": pa.array(np.repeat(hs, n_bands), pa.uint64())}
         )
 
     bands = fps.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)

@@ -545,3 +545,16 @@ def test_export_clean_roundtrip(docs_ds, tmp_path):
     again = dataset_to_table(export_clean_corpus(ds, out)).num_rows
     assert again == len(got)
     assert os.path.getmtime(os.path.join(out, "_EXPORT_SUCCESS")) == mtime
+
+
+def test_simhash_neardup_two_bands(docs_ds):
+    """max_hamming=1 -> n_bands=2: the widest bands (32-bit chunks) used
+    to overflow uint64 in the band keying; exact dups must still pair."""
+    from donkey_ray.functions import minhash as mh
+    from donkey_ray.pipelines.dedup import simhash_neardup_pairs
+
+    assert all(0 <= k < 2**64 for k in mh.simhash_bands(2**64 - 1, 2))
+    ds, _ = docs_ds
+    got = dataset_to_table(simhash_neardup_pairs(ds, max_hamming=1))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got.to_pylist()}
+    assert (0, 3) in pairs  # identical text, hamming 0
