@@ -177,15 +177,15 @@ def expand_fuzzy(index_dir: str, term: str, *, max_candidates: int = 100_000) ->
 
     out = build_trigram_index(index_dir)
     grams = padded_trigrams(term)
-    frag = pads.dataset(
-        [os.path.join(out, f) for f in sorted(os.listdir(out))
-         if f.startswith("part-")]
-    )
-    hits = frag.to_table(
-        columns=["term"],
-        filter=pads.field("gram").isin(grams),
-    )
-    cand = set(hits.column("term").to_pylist())
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.startswith("part-")]
+    cand: set[str] = set()
+    if files:
+        hits = pads.dataset(files).to_table(
+            columns=["term"],
+            filter=pads.field("gram").isin(grams),
+        )
+        cand.update(hits.column("term").to_pylist())
     if len(cand) > max_candidates:
         raise ValueError(
             f"fuzzy expansion of {term!r} produced more than "
