@@ -17,9 +17,11 @@ Layout:
   stages/     Ray Data stage callables (actor classes for map_batches /
               map_groups): postings extraction, segment encode, query
               scoring (sharded lazy dictionary), keyed exchange/cogroup
-  pipelines/  end-to-end pipelines: build, query, dedup, ann, ivf,
-              analyze, joins (hash + as-of), windows, distinct,
-              incremental
+  pipelines/  end-to-end pipelines: build, query (actor-pool +
+              scatter-gather + rerank), dedup, components (clusters +
+              canonical), ann, ivf, fuzzy (trigram edit-distance),
+              analyze, introspect (index stats, suggest), export,
+              joins (hash + as-of), windows, distinct, incremental
   state/      manifest / lineage / stats (checkpoint + resume)
   serve.py    named-actor index server (ping/search/insert/flush/compact)
   synth.py    deterministic synthetic corpus generator (FIXTURES.md)
