@@ -641,15 +641,33 @@ def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def ensure_canonical(sf_dir: str) -> str:
+    """Build (once; cached inside the clusters artifact) the canonical-
+    member table: per cluster, the member with the most tokens (tie:
+    smallest doc_id) — cluster_canonical through two keyed exchanges."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.components import cluster_canonical
+
+    out = ensure_clusters(sf_dir)
+    path = os.path.join(out, "canonical.parquet")
+    marker = os.path.join(out, "_CANONICAL_DONE")
+    if not os.path.exists(marker):
+        clusters = ray.data.read_parquet(os.path.join(out, "clusters.parquet"))
+        quality = analyze.doc_token_counts(_docs(sf_dir))
+        tbl = dataset_to_table(cluster_canonical(clusters, quality))
+        pq.write_table(tbl, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
 def q_cluster_canonical(sf_dir: str) -> ray.data.Dataset:
     """Canonical-doc selection per near-dup cluster: the member with the
     most tokens (tie: smallest doc_id) — composition of dedup_clusters
-    with the quality pipeline through two keyed exchanges."""
-    from .pipelines.components import cluster_canonical
-
-    clusters = q_dedup_clusters(sf_dir)
-    quality = analyze.doc_token_counts(_docs(sf_dir))
-    return cluster_canonical(clusters, quality)
+    with the quality pipeline through two keyed exchanges, served from
+    the cached artifact (ensure_canonical)."""
+    return ray.data.read_parquet(ensure_canonical(sf_dir))
 
 
 def q_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
@@ -659,12 +677,10 @@ def q_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
     hash-partitioned ANTI-join of the corpus against the (tiny relative
     to corpus, but unbounded) set of non-canonical cluster members, so
     no side is ever broadcast or driver-materialized."""
-    from .pipelines.components import cluster_canonical
     from .pipelines.joins import hash_join
 
     clusters = q_dedup_clusters(sf_dir)
-    quality = analyze.doc_token_counts(_docs(sf_dir))
-    canon = cluster_canonical(clusters, quality)
+    canon = ray.data.read_parquet(ensure_canonical(sf_dir))
 
     # losers = cluster members minus canonical winners
     def losers(cpart: pa.Table, wpart: pa.Table) -> pa.Table:
