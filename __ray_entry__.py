@@ -86,7 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": api.q_snippets,
         "sample_docs": api.q_sample_docs,
         "events_window": api.q_events_window,
+        "events_sliding": api.q_events_sliding,
         "events_sessions": api.q_events_sessions,
+        "lineitem_rollup": api.q_lineitem_rollup,
         "events_asof_error": api.q_events_asof_error,
         "events_quantiles": api.q_events_quantiles,
         "doclen_quantiles": api.q_doclen_quantiles,
@@ -605,6 +607,23 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(value)::BIGINT AS n_events,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY 1, 2
+""",
+        # sliding 1h windows every 15 min: each event joins its 4 windows
+        "events_sliding": """
+WITH w AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+             - to_microseconds(i * 900000000) AS window_start,
+           event_type, value
+           FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) s)
+SELECT window_start, event_type,
+       count(value)::BIGINT AS n_events,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
+FROM w GROUP BY 1, 2
+""",
+        "lineitem_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "events_sessions": """
 WITH o AS (SELECT user_id, ts, event_id, value,

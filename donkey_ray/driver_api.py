@@ -902,6 +902,113 @@ def q_events_window(sf_dir: str) -> pa.Table:
     )
 
 
+def q_events_sliding(sf_dir: str) -> pa.Table:
+    """SLIDING 1-hour windows advancing every 15 minutes (each event
+    belongs to exactly 4 windows): the one-row -> W-rows expansion
+    happens vectorized inside the batch (numpy repeat + shifted window
+    starts) BEFORE the same partial-agg keyed exchange the tumbling
+    window uses — input rows are never shuffled, only (window, type)
+    partials."""
+    from .stages.exchange import partitioned_aggregate
+
+    STEP = 900_000_000  # 15 min in us
+    SLOTS = 4  # 1h window / 15min step
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"],
+        override_num_blocks=8,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (ts // STEP) * STEP
+        starts = (
+            bucket[:, None] - np.arange(SLOTS, dtype=np.int64)[None, :] * STEP
+        ).reshape(-1)
+        n = batch.num_rows
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), SLOTS))
+        return pa.table(
+            {
+                "window_start": pa.array(starts, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": et.take(idx),
+                "value": pa.array(np.repeat(vals, SLOTS), pa.float64()),
+            }
+        )
+
+    win = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    agg = dataset_to_table(
+        partitioned_aggregate(
+            win,
+            ["window_start", "event_type"],
+            [("value", "count"), ("value", "sum")],
+            rename={"value_count": "n_events", "value_sum": "sum_value"},
+        )
+    )
+    i = agg.column_names.index("sum_value")
+    return agg.set_column(
+        i, "sum_value_x100",
+        pc.round(pc.multiply(agg.column("sum_value"), 100.0)).cast(pa.int64()),
+    )
+
+
+def q_lineitem_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP (l_returnflag, l_linestatus): base cells from the map-side
+    combined aggregate, subtotal and grand-total levels derived by
+    re-aggregating the |groups|-row base (sums are distributive) — the
+    corpus never shuffles twice and rounding happens once at the end."""
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=keys + ["l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys, use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+
+    parts = dataset_to_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    base = parts.group_by(keys, use_threads=False).aggregate(
+        [("l_quantity_sum", "sum"), ("l_quantity_count", "sum")]
+    ).rename_columns(keys + ["s", "c"])
+    levels = [base]
+    lvl1 = base.group_by(["l_returnflag"], use_threads=False).aggregate(
+        [("s", "sum"), ("c", "sum")]
+    ).rename_columns(["l_returnflag", "s", "c"])
+    levels.append(lvl1.append_column(
+        "l_linestatus", pa.nulls(lvl1.num_rows, pa.string())
+    ).select(["l_returnflag", "l_linestatus", "s", "c"]))
+    total_s = pc.sum(base.column("s")).as_py() or 0.0
+    total_c = pc.sum(base.column("c")).as_py() or 0
+    levels.append(pa.table({
+        "l_returnflag": pa.array([None], pa.string()),
+        "l_linestatus": pa.array([None], pa.string()),
+        "s": pa.array([total_s], pa.float64()),
+        "c": pa.array([total_c], pa.int64()),
+    }))
+    out = pa.concat_tables(
+        [lv.select(["l_returnflag", "l_linestatus", "s", "c"]).cast(
+            pa.schema([("l_returnflag", pa.string()),
+                       ("l_linestatus", pa.string()),
+                       ("s", pa.float64()), ("c", pa.int64())])
+        ) for lv in levels]
+    )
+    return pa.table({
+        "l_returnflag": out.column("l_returnflag"),
+        "l_linestatus": out.column("l_linestatus"),
+        "sum_qty_x100": pc.round(
+            pc.multiply(out.column("s"), 100.0)).cast(pa.int64()),
+        "count_order": out.column("c").cast(pa.int64()),
+    })
+
+
 def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
     """Session windows (30-min gap) per user over the events stream —
     the gaps-and-islands computation as one keyed exchange."""

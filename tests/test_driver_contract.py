@@ -78,7 +78,7 @@ NAMES = [
     "bm25_topk_scatter", "bm25_topk_not", "fuzzy_topk", "rerank_cosine",
     "similar_docs", "suggest", "index_stats", "regex_search",
     "cooccurrence", "doclen_quantiles", "cluster_canonical",
-    "dedup_survivors", "export_clean",
+    "dedup_survivors", "export_clean", "events_sliding", "lineitem_rollup",
 ]
 
 
