@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": api.q_phrase_topk,
         "near_topk": api.q_near_topk,
         "bm25_topk_and": api.q_bm25_topk_and,
+        "bm25_topk_msm": api.q_bm25_topk_msm,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -437,6 +438,39 @@ scores AS (
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
   GROUP BY 1,2,3
   HAVING count(*) = max(qn.nt)),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # min_should_match: same scorer, restricted to docs matching at
+        # least m distinct query terms (m=1 == disjunctive, m=n == AND)
+        "bm25_topk_msm": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, m, k) AS (VALUES (0,'window sort key',2,10),
+                                   (1,'table value',1,10),
+                                   (2,'spark merge',2,10),
+                                   (3,'window sort zzzabsent',2,10),
+                                   (4,'value value',2,10)),
+qt AS (SELECT DISTINCT query_id, m, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3
+  HAVING count(*) >= max(qt.m)),
 ranked AS (SELECT query_id, k, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) AS rank

@@ -371,6 +371,37 @@ def q_bm25_topk_and(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned min_should_match set: 2-of-3 (the interesting middle), 1-of-2
+# (== plain disjunctive), 2-of-2 (== AND), 2-of-3 with an absent term,
+# and a duplicated term whose single distinct term can't reach m=2
+PINNED_MSM = [
+    (0, "window sort key", 2, 10),
+    (1, "table value", 1, 10),
+    (2, "spark merge", 2, 10),
+    (3, "window sort zzzabsent", 2, 10),
+    (4, "value value", 2, 10),
+]
+
+
+def q_bm25_topk_msm(sf_dir: str) -> pa.Table:
+    """min_should_match top-k: disjunctive BM25 restricted to docs
+    containing at least ``min_match`` distinct query terms — the dial
+    between OR (m=1) and AND (m=n) recall; restriction applied before
+    truncation."""
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_MSM], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_MSM], pa.string()),
+            "min_match": pa.array([q[2] for q in PINNED_MSM], pa.int32()),
+            "k": pa.array([q[3] for q in PINNED_MSM], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, kind="msm"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_prefix_topk(sf_dir: str) -> pa.Table:
     """Wildcard (prefix*) top-k over the plain index: each pinned prefix
     is expanded against the sharded dictionary (row-group-pruned range

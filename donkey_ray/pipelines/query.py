@@ -36,6 +36,9 @@ class QueryScorerStage:
         if kind == "not":
             # boolean NOT: batches carry an extra neg_text column
             self.run = self.engine.not_topk
+        elif kind == "msm":
+            # min_should_match: batches carry an extra min_match column
+            self.run = self.engine.msm_topk
         elif kind == "phrase":
             self.run = self.engine.phrase_topk
         elif kind == "near":
@@ -56,6 +59,9 @@ class QueryScorerStage:
             if self.kind == "not":
                 hits = self.run(row["text"], row.get("neg_text") or "",
                                 int(row["k"]))
+            elif self.kind == "msm":
+                hits = self.run(row["text"], int(row["k"]),
+                                int(row["min_match"]))
             else:
                 hits = self.run(row["text"], int(row["k"]))
             for r, (d, s) in enumerate(hits, start=1):

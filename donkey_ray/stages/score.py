@@ -644,6 +644,51 @@ class QueryEngine:
                 return []
         return self._score_conjunctive(post, terms, cand, k)
 
+    def msm_topk(
+        self, text: str, k: int, min_match: int
+    ) -> list[tuple[int, float]]:
+        """min_should_match retrieval: ordinary disjunctive BM25, but a
+        doc qualifies only if it contains at least ``min_match`` DISTINCT
+        query terms. min_match=1 is plain disjunctive top-k and
+        min_match=len(distinct terms) is conjunctive AND, so this is the
+        general dial between OR and AND recall. The restriction applies
+        BEFORE truncation. Qualifying docs are found by counting each
+        doc's appearances across the terms' (unique) doc arrays; scoring
+        adds each present term's contribution via a searchsorted
+        membership probe. SQL mirror: the bag-of-words scorer plus
+        HAVING count(DISTINCT matched term) >= min_match."""
+        terms = sorted(set(self._tok.tokenize(text)))
+        if not terms or k <= 0 or min_match < 1:
+            return []
+        post: dict[str, _PhrasePostings] = {}
+        for t in terms:
+            rows = self.term_runs(t)
+            if rows:
+                post[t] = _PhrasePostings(rows, self.block_size)
+        if len(post) < min_match:
+            return []
+        all_docs = np.concatenate([p.docs for p in post.values()])
+        docs_u, counts = np.unique(all_docs, return_counts=True)
+        matched = docs_u[counts >= min_match]
+        if matched.size == 0:
+            return []
+        scores = np.zeros(len(matched), dtype=np.float64)
+        for p in post.values():
+            sel = np.searchsorted(p.docs, matched)
+            inb = sel < p.docs.size
+            present = inb.copy()
+            present[inb] = p.docs[sel[inb]] == matched[inb]
+            if not present.any():
+                continue
+            idf = float(self.scorer.idf(int(p.docs.size), self.n_docs))
+            scores[present] += idf * self.scorer.tf_weight(
+                p.tfs[sel[present]].astype(np.float64),
+                p.dls[sel[present]].astype(np.float64),
+                self.avgdl,
+            )
+        order = scoring.topk_order(matched, scores, k)
+        return [(int(matched[i]), float(scores[i])) for i in order]
+
     def not_topk(self, text: str, neg_text: str, k: int) -> list[tuple[int, float]]:
         """Boolean NOT: ordinary disjunctive BM25 over ``text``'s distinct
         terms, EXCLUDING every doc that contains any term of ``neg_text``
