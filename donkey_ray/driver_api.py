@@ -824,6 +824,29 @@ def q_bm25_topk_hydrated(sf_dir: str) -> pa.Table:
     return _round_col(hyd, "score")
 
 
+def q_collapse_topk(sf_dir: str) -> pa.Table:
+    """Field-collapsed top-k over the pinned query set: one (best) result
+    per (query, source) group, re-ranked per query — every matching doc
+    is scored, collapse happens in a keyed exchange, only the collapsed
+    survivors reach the driver."""
+    from .pipelines.query import collapse_topk
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = collapse_topk(
+        index_dir, queries, f"{sf_dir}/documents.parquet",
+        field="source", k=10,
+    )
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_facet_counts(sf_dir: str) -> pa.Table:
     """Search-UI facets: per pinned query, the top-50 BM25 results
     counted by lang and by source (repo). Facet labels are the

@@ -439,6 +439,86 @@ def scatter_gather_topk(
     )
 
 
+def collapse_topk(
+    index_dir: str,
+    queries: pa.Table,
+    docs_path: str,
+    *,
+    field: str = "source",
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Field-collapsed top-k (the search-UI "one result per site"):
+    every matching doc is scored (disjunctive BM25, NO truncation), each
+    hit is joined to its ``field`` value, and only the best-scoring doc
+    per (query, field value) survives (ties: doc_id asc); survivors are
+    re-ranked per query and the top-k returned with the field value.
+
+    Scale shape: the uncollapsed hit set can be corpus-sized for common
+    terms, so nothing funnels through the driver until AFTER collapse —
+    hits flow through the distributed hash join against the docs table
+    (hash exchange on doc_id), then a keyed exchange on (query, field)
+    keeps one argmax row per group; only queries x distinct-field-values
+    rows reach the driver merge. SQL mirror: row_number() per
+    (query, field) ordered by score desc, doc_id asc, keep row 1."""
+    import numpy as np
+
+    from ..functions import scoring
+    from ..stages.exchange import keyed_partition_map
+    from ..util import dataset_to_table
+    from .joins import hash_join
+
+    all_k = pa.array([2**31 - 1] * queries.num_rows, pa.int32())
+    qs = queries.set_column(queries.column_names.index("k"), "k", all_k)
+    hits = score_queries(index_dir, qs, mode="exact").drop_columns(["rank"])
+    docs = ray.data.read_parquet(docs_path, columns=["doc_id", field])
+    joined = hash_join(hits, docs, left_on="doc_id", right_on="doc_id",
+                       how="inner", num_partitions=num_partitions)
+
+    def group_argmax(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        q = part.column("query_id").to_numpy(zero_copy_only=False)
+        f = part.column(field).to_numpy(zero_copy_only=False).astype(str)
+        d = part.column("doc_id").to_numpy(zero_copy_only=False)
+        s = part.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s, f, q))
+        q, f = q[order], f[order]
+        first = np.ones(len(q), dtype=bool)
+        first[1:] = (q[1:] != q[:-1]) | (f[1:] != f[:-1])
+        keep = order[first]
+        return part.take(pa.array(keep))
+
+    group_argmax.__name__ = "collapse_argmax"
+    best = dataset_to_table(
+        keyed_partition_map(joined, ["query_id", field], group_argmax,
+                            num_partitions=num_partitions)
+    )
+    out_q, out_r, out_d, out_s, out_f = [], [], [], [], []
+    q = best.column("query_id").to_numpy(zero_copy_only=False)
+    d = best.column("doc_id").to_numpy(zero_copy_only=False)
+    s = best.column("score").to_numpy(zero_copy_only=False)
+    f = best.column(field).to_pylist()
+    for qid in np.unique(q):
+        m = q == qid
+        sel = scoring.topk_order(d[m], s[m], k)
+        idx = np.flatnonzero(m)[sel]
+        out_q.extend([int(qid)] * len(sel))
+        out_r.extend(range(1, len(sel) + 1))
+        out_d.extend(int(x) for x in d[idx])
+        out_s.extend(float(x) for x in s[idx])
+        out_f.extend(f[i] for i in idx)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+            field: pa.array(out_f, pa.string()),
+        }
+    )
+
+
 def hydrate_results(
     results: ray.data.Dataset | pa.Table, index_dir: str
 ) -> pa.Table:
