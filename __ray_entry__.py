@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": api.q_bm25_topk_and,
         "bm25_topk_msm": api.q_bm25_topk_msm,
         "collapse_topk": api.q_collapse_topk,
+        "decontaminate": api.q_decontaminate,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -872,6 +873,19 @@ SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'
 SELECT sha256(text) AS content_sha256, min(doc_id)::BIGINT AS doc_id,
        count(*)::BIGINT AS n_dups
 FROM documents GROUP BY 1
+""",
+        # decontamination: corpus docs sharing any token 4-gram with the
+        # benchmark side (doc_id % 64 == 0), count of DISTINCT shared grams
+        "decontaminate": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS gram
+       FROM tok, unnest(generate_series(1, len(toks)-3)) AS t(i)
+       WHERE doc_id % 64 = 0),
+cg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+       FROM tok, unnest(generate_series(1, len(toks)-3)) AS t(i)
+       WHERE doc_id % 64 <> 0)
+SELECT doc_id, count(*)::BIGINT AS n_bench_grams
+FROM cg JOIN bg USING (gram) GROUP BY 1 ORDER BY 1
 """,
         "ngram_jaccard": f"""
 WITH sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),

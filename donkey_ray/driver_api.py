@@ -661,6 +661,40 @@ def ensure_clusters(sf_dir: str) -> str:
     return out
 
 
+# Decontamination: benchmark = docs with doc_id % 64 == 0 (bit-mask
+# pushdown at the read), window = 4 tokens (the synthetic vocab is
+# small, so 4-grams behave like real-corpus 8-grams)
+DECONTAM_MOD = 64
+DECONTAM_N = 4
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (the pre-training hygiene op): flag
+    every corpus doc sharing at least one token 4-gram with the
+    benchmark set, with the count of distinct benchmark grams it
+    contains. Benchmark grams are broadcast once (ray.put); the corpus
+    side streams with no shuffle."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.analyze import decontaminate, distinct_ngrams
+
+    bench = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["text"],
+        filter=pc.bit_wise_and(pads.field("doc_id"), DECONTAM_MOD - 1) == 0,
+    )
+    grams = distinct_ngrams(bench.column("text"), DECONTAM_N)
+
+    def drop_bench(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % DECONTAM_MOD != 0))
+
+    corpus = _docs(sf_dir).map_batches(
+        drop_bench, batch_format="pyarrow", zero_copy_batch=True
+    )
+    res = dataset_to_table(decontaminate(corpus, grams, n=DECONTAM_N))
+    return res.sort_by([("doc_id", "ascending")])
+
+
 def q_dedup_clusters(sf_dir: str) -> ray.data.Dataset:
     """Near-dup cluster assignment: connected components over the exact
     n-gram-Jaccard pair graph (same pairs as `ngram_jaccard`), labelling

@@ -387,6 +387,115 @@ def quality_filter(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _ngram_window(flat, parents, n: int):
+    """Token n-grams of a flattened (tokens, parent-row) stream: grams as
+    space-joined strings (Arrow elementwise join of n shifted zero-copy
+    slices) plus each gram's parent row. A window is kept only if its
+    first and last token share a parent (parents are monotonic within a
+    batch, so that pins all n). Returns (grams, gram_parents) or None."""
+    if len(flat) < n:
+        return None
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    w = len(flat) - n + 1
+    m = parents[n - 1:] == parents[:w]
+    if not m.any():
+        return None
+    cols = [flat.slice(i, w) for i in range(n)]
+    grams = pc.binary_join_element_wise(*cols, " ").filter(pa.array(m))
+    return grams, parents[:w][m]
+
+
+def distinct_ngrams(texts, n: int) -> pa.Array:
+    """DISTINCT token n-grams of a (small) collection of texts —
+    driver-side helper for the benchmark side of decontamination (an
+    eval set is thousands of docs by contract; the CORPUS side streams
+    through decontaminate)."""
+    tok = _TOK
+    flat, parents, _ = tok.tokenize_column(
+        texts if not isinstance(texts, pa.ChunkedArray) else texts.combine_chunks()
+    )
+    win = _ngram_window(flat, parents, n)
+    if win is None:
+        return pa.array([], pa.string())
+    return pc.unique(win[0])
+
+
+class DecontaminateStage:
+    """Actor-pool stage for benchmark decontamination: the benchmark's
+    distinct n-gram value set is fetched ONCE per actor from the object
+    store (broadcast small side — ray.put by the caller), then every
+    corpus batch is scanned vectorized (Arrow windowed join +
+    pc.index_in) for overlapping n-grams. Emits one row per CONTAMINATED
+    doc: (doc_id, n_bench_grams = count of DISTINCT benchmark grams the
+    doc contains). Typical use: flag / drop training docs overlapping an
+    eval set before export."""
+
+    def __init__(self, bench_ref, n: int, id_col: str, text_col: str) -> None:
+        import ray
+
+        self.bench = ray.get(bench_ref)  # pa.Array of distinct grams
+        self.n = int(n)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_bench_grams": pa.array([], pa.int64())})
+        if batch.num_rows == 0 or len(self.bench) == 0:
+            return empty
+        flat, parents, _ = _tokenized(batch, self.text_col)
+        win = _ngram_window(flat, parents, self.n)
+        if win is None:
+            return empty
+        grams, gdoc = win
+        gid = pc.index_in(grams, value_set=self.bench)
+        hit = gid.is_valid().to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        gid = gid.to_numpy(zero_copy_only=False)[hit].astype(np.int64)
+        gdoc = gdoc[hit].astype(np.int64)
+        # distinct (doc row, benchmark gram) pairs, then counts per row
+        key = np.unique(gdoc * np.int64(len(self.bench)) + gid)
+        rows = key // np.int64(len(self.bench))
+        counts = np.bincount(rows, minlength=batch.num_rows)
+        rows_u = np.flatnonzero(counts)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows_u], pa.int64()),
+                "n_bench_grams": pa.array(counts[rows_u], pa.int64()),
+            }
+        )
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_grams: pa.Array,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """(doc_id, n_bench_grams) for every corpus doc sharing at least one
+    token ``n``-gram with the benchmark set (callers exclude benchmark
+    docs from ``ds`` themselves). The gram value set ships to the object
+    store once and each actor fetches it once — the corpus side streams
+    with no shuffle at all."""
+    import ray as _ray
+
+    ref = _ray.put(bench_grams)
+    return ds.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs=dict(bench_ref=ref, n=n, id_col=id_col,
+                                   text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
                      id_col: str = "doc_id") -> ray.data.Dataset:
     """(doc_id, fingerprint) rolling-hash document fingerprints.

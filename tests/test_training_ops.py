@@ -558,3 +558,38 @@ def test_simhash_neardup_two_bands(docs_ds):
     got = dataset_to_table(simhash_neardup_pairs(ds, max_hamming=1))
     pairs = {(r["doc_a"], r["doc_b"]) for r in got.to_pylist()}
     assert (0, 3) in pairs  # identical text, hamming 0
+
+
+def test_decontaminate(docs_ds):
+    """Brute-force n-gram overlap vs the broadcast streaming stage,
+    including the cross-doc-window and doc-shorter-than-n edges."""
+    from donkey_ray.pipelines.analyze import decontaminate, distinct_ngrams
+
+    ds, texts = docs_ds
+    n = 3
+    bench_texts = [texts[0], texts[4]]  # dup/near-dup source + a german doc
+    grams = distinct_ngrams(pa.array(bench_texts, pa.string()), n)
+
+    def toks(t):
+        import re
+        return re.findall(r"[a-z0-9]+", t.lower())
+
+    bench = {
+        " ".join(ts[i:i + n])
+        for t in bench_texts
+        for ts in [toks(t)]
+        for i in range(len(ts) - n + 1)
+    }
+    assert set(grams.to_pylist()) == bench
+
+    got = dataset_to_table(decontaminate(ds, grams, n=n))
+    got_map = dict(zip(got.column("doc_id").to_pylist(),
+                       got.column("n_bench_grams").to_pylist()))
+    want = {}
+    for d, t in enumerate(texts):
+        ts = toks(t)
+        hit = {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)} & bench
+        if hit:
+            want[d] = len(hit)
+    assert got_map == want
+    assert 0 in want and 6 not in want and 7 not in want
