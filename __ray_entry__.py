@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_msm": api.q_bm25_topk_msm,
         "collapse_topk": api.q_collapse_topk,
         "decontaminate": api.q_decontaminate,
+        "explain_scores": api.q_explain_scores,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -447,6 +448,39 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # score explain: the per-term contribution rows BEFORE the scorer's
+        # GROUP BY sum, restricted to each query's ranked top-k page
+        "explain_scores": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT qt.query_id, qt.k, tf.doc_id, qt.term, tf.tf, df.df::BIGINT AS df,
+    ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+      tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS contribution
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+scores AS (SELECT query_id, k, doc_id, sum(contribution) AS score
+           FROM contrib GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT c.query_id::BIGINT AS query_id, c.doc_id, c.term, c.tf, c.df,
+       round(c.contribution, 6) AS contribution
+FROM contrib c JOIN ranked r ON r.query_id = c.query_id AND r.doc_id = c.doc_id
+WHERE r.rank <= r.k
+ORDER BY 1, 2, 3
 """,
         # min_should_match: same scorer, restricted to docs matching at
         # least m distinct query terms (m=1 == disjunctive, m=n == AND)

@@ -293,6 +293,36 @@ def q_similar_docs(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_explain_scores(sf_dir: str) -> pa.Table:
+    """Relevance debugging: per-(result doc, matched term) BM25 score
+    breakdown for the pinned queries' top-10 pages — tf, global df and
+    the term's contribution (contributions sum to the doc's score)."""
+    from .stages.score import QueryEngine
+
+    index_dir = ensure_index(sf_dir)
+    eng = QueryEngine(index_dir)
+    qids, docs, terms, tfs, dfs, contribs = [], [], [], [], [], []
+    for qid, text, k in PINNED_QUERIES:
+        for d, t, tf, df, c in eng.explain(text, k):
+            qids.append(qid)
+            docs.append(d)
+            terms.append(t)
+            tfs.append(tf)
+            dfs.append(df)
+            contribs.append(c)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.float64()),
+            "df": pa.array(dfs, pa.int64()),
+            "contribution": pa.array(contribs, pa.float64()),
+        }
+    )
+    return _round_col(res, "contribution")
+
+
 def q_bm25_topk_scatter(sf_dir: str) -> pa.Table:
     """Same pinned query set through the DISTRIBUTED scatter-gather path
     (terms routed to partition-owning tasks, per-(query, doc) partials

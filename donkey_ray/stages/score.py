@@ -644,6 +644,42 @@ class QueryEngine:
                 return []
         return self._score_conjunctive(post, terms, cand, k)
 
+    def explain(
+        self, text: str, k: int
+    ) -> list[tuple[int, str, float, int, float]]:
+        """Score breakdown for the top-k result page: one row per
+        (result doc, matched query term) with the term's tf in the doc,
+        global df, and its BM25 contribution — the relevance-debugging
+        surface ("why is this hit first?"). The doc set is EXACTLY
+        topk(text, k); contributions sum to each doc's score. Rows
+        ordered (doc_id asc, term asc). SQL mirror: the per-term scorer
+        CTE before its GROUP BY sum, joined to the ranked top-k."""
+        terms = sorted(set(self._tok.tokenize(text)))
+        runs_by_term = {t: r for t in terms if (r := self.term_runs(t))}
+        hits = self._dispatch_topk(runs_by_term, k)
+        if not hits:
+            return []
+        docs = np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+        out: list[tuple[int, str, float, int, float]] = []
+        for t in sorted(runs_by_term):
+            p = _PhrasePostings(runs_by_term[t], self.block_size)
+            sel = np.searchsorted(p.docs, docs)
+            inb = sel < p.docs.size
+            present = inb.copy()
+            present[inb] = p.docs[sel[inb]] == docs[inb]
+            if not present.any():
+                continue
+            df = int(p.docs.size)
+            idf = float(self.scorer.idf(df, self.n_docs))
+            tfs = p.tfs[sel[present]].astype(np.float64)
+            contrib = idf * self.scorer.tf_weight(
+                tfs, p.dls[sel[present]].astype(np.float64), self.avgdl
+            )
+            for d, tf, c in zip(docs[present], tfs, contrib):
+                out.append((int(d), t, float(tf), df, float(c)))
+        out.sort(key=lambda r: (r[0], r[1]))
+        return out
+
     def msm_topk(
         self, text: str, k: int, min_match: int
     ) -> list[tuple[int, float]]:

@@ -79,7 +79,7 @@ NAMES = [
     "similar_docs", "suggest", "index_stats", "regex_search",
     "cooccurrence", "doclen_quantiles", "cluster_canonical",
     "dedup_survivors", "export_clean", "events_sliding", "lineitem_rollup",
-    "bm25_topk_msm", "collapse_topk", "decontaminate",
+    "bm25_topk_msm", "collapse_topk", "decontaminate", "explain_scores",
 ]
 
 
