@@ -293,6 +293,37 @@ def q_similar_docs(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_search_page2(sf_dir: str) -> pa.Table:
+    """Cursor pagination: page 2 (global ranks 11..20) of every pinned
+    query, fetched with search_after using page 1's last (score, doc_id)
+    as the cursor — held to an oracle that pages by rank window, so the
+    cursor semantics are proven equal to offset paging."""
+    from .stages.score import QueryEngine
+
+    index_dir = ensure_index(sf_dir)
+    eng = QueryEngine(index_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, k in PINNED_QUERIES:
+        page1 = eng.topk(text, k)
+        if len(page1) < k:
+            continue  # no page 2
+        d_last, s_last = page1[-1]
+        for i, (d, s) in enumerate(eng.search_after(text, k, (s_last, d_last))):
+            qids.append(qid)
+            ranks.append(k + 1 + i)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
+
 def q_explain_scores(sf_dir: str) -> pa.Table:
     """Relevance debugging: per-(result doc, matched term) BM25 score
     breakdown for the pinned queries' top-10 pages — tf, global df and

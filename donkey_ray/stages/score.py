@@ -644,6 +644,33 @@ class QueryEngine:
                 return []
         return self._score_conjunctive(post, terms, cand, k)
 
+    def search_after(
+        self, text: str, k: int, after: tuple[float, int] | None
+    ) -> list[tuple[int, float]]:
+        """Cursor (deep) pagination: the next ``k`` results STRICTLY
+        after the (score, doc_id) cursor in the global (score desc,
+        doc_id asc) order — the stateless alternative to offset paging
+        (the cursor is the previous page's last hit, so page N+1 never
+        re-ships pages 1..N and two clients paging concurrently can't
+        skew each other). ``after=None`` returns page 1 (== topk). The
+        cursor score must be the engine's own float64 (comparison is
+        exact). SQL mirror: row_number window, rank in (cursor_rank,
+        cursor_rank + k]."""
+        terms = sorted(set(self._tok.tokenize(text)))
+        runs_by_term = {t: r for t in terms if (r := self.term_runs(t))}
+        if not runs_by_term or k <= 0:
+            return []
+        if after is None:
+            return self._dispatch_topk(runs_by_term, k)
+        hits = self._topk_exact(runs_by_term, 1 << 62)  # full sorted order
+        s_a, d_a = float(after[0]), int(after[1])
+        start = len(hits)
+        for i, (d, s) in enumerate(hits):
+            if s < s_a or (s == s_a and d > d_a):
+                start = i
+                break
+        return hits[start:start + k]
+
     def explain(
         self, text: str, k: int
     ) -> list[tuple[int, str, float, int, float]]:
