@@ -799,11 +799,18 @@ def q_cluster_canonical(sf_dir: str) -> ray.data.Dataset:
 def q_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
     """THE dedup endpoint: the corpus with near-dup clusters collapsed
     to their canonical member (most tokens, tie smallest doc_id) —
-    unclustered docs stream through untouched. Implemented as a
-    hash-partitioned ANTI-join of the corpus against the (tiny relative
-    to corpus, but unbounded) set of non-canonical cluster members, so
-    no side is ever broadcast or driver-materialized."""
+    unclustered docs stream through untouched. ADAPTIVE: the loser set
+    (non-canonical cluster members) is counted first; when it fits a
+    broadcast (the overwhelmingly common case — dup clusters are sparse)
+    the corpus streams through a pc.is_in filter with the loser ids
+    shipped once via ray.put, so no text row ever enters an exchange.
+    An unbroadcastable loser set falls back to the hash-partitioned
+    ANTI-join, where no side is broadcast or driver-materialized."""
     from .pipelines.joins import hash_join
+
+    # loser-id sets up to this many rows ship as one broadcast array
+    # (8 B/id -> ~80 MB object, well under a worker heap)
+    BROADCAST_LOSER_MAX = 10_000_000
 
     clusters = q_dedup_clusters(sf_dir)
     canon = ray.data.read_parquet(ensure_canonical(sf_dir))
@@ -827,9 +834,23 @@ def q_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
         clusters.select_columns(["doc_id"]),
         canon.select_columns(["canonical_doc_id"]),
         ["doc_id"], ["canonical_doc_id"], losers,
-    )
+    ).materialize()  # tiny: bounded by cluster membership, never corpus
+    corpus = _docs(sf_dir, columns=("doc_id", "lang", "text"))
+    if loser_ids.count() <= BROADCAST_LOSER_MAX:
+        ids = dataset_to_table(loser_ids).column("doc_id").combine_chunks()
+        ref = ray.put(ids)
+
+        def drop_losers(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            keep = pc.invert(pc.is_in(b.column("doc_id"),
+                                      value_set=_ray.get(ref)))
+            return b.filter(keep)
+
+        return corpus.map_batches(drop_losers, batch_format="pyarrow",
+                                  zero_copy_batch=True)
     return hash_join(
-        _docs(sf_dir, columns=("doc_id", "lang", "text")), loser_ids,
+        corpus, loser_ids,
         left_on="doc_id", right_on="doc_id", how="anti",
     )
 
