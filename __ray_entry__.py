@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
         "bm25_topk_incremental": api.q_bm25_topk_incremental,
+        "fuzzy_topk_incremental": api.q_fuzzy_topk_incremental,
         "bm25_topk_hydrated": api.q_bm25_topk_hydrated,
         "facet_counts": api.q_facet_counts,
         "similar_docs": api.q_similar_docs,
@@ -148,6 +149,9 @@ def oracle_sql() -> dict[str, str]:
     # to the actor-pool engine -> same oracle
     sqls["bm25_topk_scatter"] = sqls["bm25_topk"]
     sqls["bm25_topk_incremental"] = sqls["bm25_topk"]
+    # federated fuzzy (per-member trigram artifacts) must equal
+    # single-index fuzzy -> same oracle
+    sqls["fuzzy_topk_incremental"] = sqls["fuzzy_topk"]
     # the IVF index at nprobe=n_lists must be brute-force-identical
     sqls["ann_ivf_topk"] = sqls["ann_topk"]
     return sqls

@@ -499,26 +499,7 @@ def q_bm25_topk_incremental(sf_dir: str) -> pa.Table:
     to the single-index oracle SQL."""
     from .stages.score import QueryEngine
 
-    outs = []
-    for parity in (0, 1):
-        out = _index_dir(sf_dir) + f"-half{parity}"
-        ds = documents_as_corpus(sf_dir)
-
-        def keep(batch: pa.Table, parity=parity) -> pa.Table:
-            ids = batch.column("doc_id")
-            return batch.filter(
-                pc.equal(pc.bit_wise_and(ids, 1), parity)
-            )
-
-        build_index(
-            ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
-            out,
-            num_partitions=4,
-            id_col="doc_id",
-            query_lang="simple",
-            sample_mod=16,
-        )
-        outs.append(out)
+    outs = _ensure_half_indexes(sf_dir)
     engine = QueryEngine(outs)
     qids, ranks, docs, scores = [], [], [], []
     for qid, text, k in PINNED_QUERIES:
@@ -535,6 +516,57 @@ def q_bm25_topk_incremental(sf_dir: str) -> pa.Table:
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+def _ensure_half_indexes(sf_dir: str) -> list[str]:
+    """The two parity-split delta indexes used by the federated queries
+    (build is marker-resumable, so repeat callers share the artifacts)."""
+    outs = []
+    for parity in (0, 1):
+        out = _index_dir(sf_dir) + f"-half{parity}"
+        ds = documents_as_corpus(sf_dir)
+
+        def keep(batch: pa.Table, parity=parity) -> pa.Table:
+            ids = batch.column("doc_id")
+            return batch.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+        build_index(
+            ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True),
+            out,
+            num_partitions=4,
+            id_col="doc_id",
+            query_lang="simple",
+            sample_mod=16,
+        )
+        outs.append(out)
+    return outs
+
+
+def q_fuzzy_topk_incremental(sf_dir: str) -> pa.Table:
+    """Federated fuzzy: the pinned fuzzy query set over the TWO
+    parity-split delta indexes, each expanding against its OWN trigram
+    artifact — held to the same oracle as single-index fuzzy_topk, so
+    per-member expansion + federated scoring is proven identical to
+    serving a compacted index."""
+    from .pipelines.fuzzy import fuzzy_topk
+
+    outs = _ensure_half_indexes(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, k in PINNED_FUZZY:
+        for r, (d, s) in enumerate(fuzzy_topk(outs, text, k), start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
 
 
 def _pinned_queries_table() -> pa.Table:

@@ -199,17 +199,26 @@ def expand_fuzzy(index_dir: str, term: str, *, max_candidates: int = 100_000) ->
 
 
 def fuzzy_topk(
-    index_dir: str, text: str, k: int, *, max_candidates: int = 100_000
+    index_dirs: str | list[str], text: str, k: int, *,
+    max_candidates: int = 100_000,
 ) -> list[tuple[int, float]]:
     """Fuzzy top-k: every query term expands to its edit-distance-1
     dictionary matches; ordinary disjunctive BM25 over the union of the
     expansions (each matched term contributes with its own global df,
-    exactly as if the user had typed all matched terms)."""
+    exactly as if the user had typed all matched terms).
+
+    FEDERATED: pass a list of index dirs (e.g. base + delta indexes
+    before compaction) and each member keeps its OWN trigram artifact —
+    expansion unions the per-member candidate sets, scoring runs through
+    the federated QueryEngine (dfs and corpus stats combined across
+    members), so fuzzy serving never requires a merged dictionary."""
     from ..stages.score import QueryEngine
 
-    eng = QueryEngine(index_dir)
+    dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+    eng = QueryEngine(dirs)
     matched: set[str] = set()
     for t in sorted(set(eng._tok.tokenize(text))):
-        matched.update(expand_fuzzy(index_dir, t, max_candidates=max_candidates))
+        for d in dirs:
+            matched.update(expand_fuzzy(d, t, max_candidates=max_candidates))
     runs_by_term = {t: r for t in sorted(matched) if (r := eng.term_runs(t))}
     return eng._dispatch_topk(runs_by_term, k)
