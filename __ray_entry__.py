@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": api.q_decontaminate,
         "explain_scores": api.q_explain_scores,
         "search_page2": api.q_search_page2,
+        "synonym_topk": api.q_synonym_topk,
+        "embedding_centroids": api.q_embedding_centroids,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -446,6 +448,36 @@ scores AS (
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
   GROUP BY 1,2,3
   HAVING count(*) = max(qn.nt)),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # synonym expansion: the engine's expanded term sets, written out
+        # literally (merge->join, sort->order, fast->quick[absent])
+        "synonym_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'merge join',10),(1,'sort order key',10),
+                                (2,'fast quick',10),(3,'table merge join',10),
+                                (4,'zzzabsent',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
 ranked AS (SELECT query_id, k, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) AS rank
@@ -1007,6 +1039,13 @@ r AS (SELECT s.cluster_id, s.doc_id, t.n_tokens, s.cluster_size,
 SELECT cluster_id::BIGINT AS cluster_id, doc_id AS canonical_doc_id,
        n_tokens, cluster_size::BIGINT AS cluster_size
 FROM r WHERE rn = 1
+""",
+        # per-label mean embedding, unnested to (label, dim, v) rows
+        "embedding_centroids": """
+SELECT label::BIGINT AS label, i::BIGINT AS dim,
+       round(avg(embedding[i]::DOUBLE), 6) AS v
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

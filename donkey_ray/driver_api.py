@@ -293,6 +293,46 @@ def q_similar_docs(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned synonym map + query set: a 1-way expansion, a multi-term query
+# with one expandable term, a synonym absent from the corpus (== plain
+# query), a double expansion, and an absent base term
+PINNED_SYNONYMS = {"merge": ["join"], "sort": ["order"], "fast": ["quick"]}
+PINNED_SYN_QUERIES = [
+    (0, "merge", 10),
+    (1, "sort key", 10),
+    (2, "fast", 10),
+    (3, "table merge", 10),
+    (4, "zzzabsent", 10),
+]
+
+
+def q_synonym_topk(sf_dir: str) -> pa.Table:
+    """Query-time synonym expansion over the pinned map: disjunctive
+    BM25 where each term also contributes its mapped synonyms, each
+    scoring with its own global df."""
+    from .stages.score import QueryEngine
+
+    index_dir = ensure_index(sf_dir)
+    eng = QueryEngine(index_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, k in PINNED_SYN_QUERIES:
+        hits = eng.synonym_topk(text, k, PINNED_SYNONYMS)
+        for r, (d, s) in enumerate(hits, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
+
 def q_search_page2(sf_dir: str) -> pa.Table:
     """Cursor pagination: page 2 (global ranks 11..20) of every pinned
     query, fetched with search_after using page 1's last (score, doc_id)
@@ -950,6 +990,19 @@ def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
     qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
     res = ivf_topk(out, qv, k=ANN_K, nprobe=None)
     return _round_col(res, "cos_sim")
+
+
+def q_embedding_centroids(sf_dir: str) -> pa.Table:
+    """Per-label mean embedding (class prototypes) via per-batch partial
+    vector sums — only O(labels x dim) doubles leave each worker."""
+    from .pipelines.ann import embedding_centroids
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    res = embedding_centroids(ds)
+    res = res.sort_by([("label", "ascending"), ("dim", "ascending")])
+    return _round_col(res, "v")
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:

@@ -42,6 +42,64 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     return flat.reshape(n, flat.size // n)
 
 
+def embedding_centroids(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """Per-label mean vector (class prototypes / cluster centroids).
+
+    Scale shape: classic partial aggregation — each batch reduces to ONE
+    (sum vector, count) partial per label it contains (np.add.at scatter
+    over the batch matrix), so only O(labels x dim) doubles per batch
+    leave a worker and the driver combine is O(labels x dim); the vector
+    corpus itself never shuffles. Output is unnested (label, dim, v)
+    rows, v = mean of the dimension, float64.
+    SQL mirror: avg(embedding[i]) GROUP BY label, i."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "count": pa.array([], pa.int64()),
+                "sums": pa.array([], pa.list_(pa.float64())),
+            })
+        mat = _batch_matrix(batch, vec_col)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int64), pa.int64()),
+            "count": pa.array(counts.astype(np.int64), pa.int64()),
+            "sums": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    tbl = dataset_to_table(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if tbl.num_rows == 0:
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.float64())})
+    labels = tbl.column("label").to_numpy(zero_copy_only=False)
+    counts = tbl.column("count").to_numpy(zero_copy_only=False)
+    smat = _batch_matrix(tbl, "sums")
+    uniq, inv = np.unique(labels, return_inverse=True)
+    sums = np.zeros((len(uniq), smat.shape[1]), dtype=np.float64)
+    np.add.at(sums, inv, smat)
+    n = np.bincount(inv, weights=counts, minlength=len(uniq))
+    means = sums / n[:, None]
+    d = means.shape[1]
+    return pa.table({
+        "label": pa.array(np.repeat(uniq, d), pa.int64()),
+        "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+        "v": pa.array(means.ravel(), pa.float64()),
+    })
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     query_vectors: np.ndarray,

@@ -644,6 +644,21 @@ class QueryEngine:
                 return []
         return self._score_conjunctive(post, terms, cand, k)
 
+    def synonym_topk(
+        self, text: str, k: int, synonyms: dict[str, list[str]]
+    ) -> list[tuple[int, float]]:
+        """Query-time synonym expansion: each query term contributes
+        itself plus its mapped synonyms to the distinct term set, then
+        ordinary disjunctive BM25 — every synonym scores with its OWN
+        global df, exactly as if the user had typed it (the analyzer-
+        level expansion shape; expansion is one-way, not transitive).
+        Unknown synonyms (no postings) drop out silently."""
+        terms = set(self._tok.tokenize(text))
+        for t in list(terms):
+            terms.update(synonyms.get(t, ()))
+        runs_by_term = {t: r for t in sorted(terms) if (r := self.term_runs(t))}
+        return self._dispatch_topk(runs_by_term, k)
+
     def search_after(
         self, text: str, k: int, after: tuple[float, int] | None
     ) -> list[tuple[int, float]]:

@@ -80,7 +80,8 @@ NAMES = [
     "cooccurrence", "doclen_quantiles", "cluster_canonical",
     "dedup_survivors", "export_clean", "events_sliding", "lineitem_rollup",
     "bm25_topk_msm", "collapse_topk", "decontaminate", "explain_scores",
-    "search_page2", "fuzzy_topk_incremental",
+    "search_page2", "fuzzy_topk_incremental", "synonym_topk",
+    "embedding_centroids",
 ]
 
 
