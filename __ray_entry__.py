@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_page2": api.q_search_page2,
         "synonym_topk": api.q_synonym_topk,
         "embedding_centroids": api.q_embedding_centroids,
+        "orders_customer_full": api.q_orders_customer_full,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -1134,6 +1135,15 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
         "orders_customer_join": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        # full outer: unmatched on BOTH sides; key coalesced across sides
+        "orders_customer_full": """
+SELECT coalesce(o.o_custkey, c.c_custkey)::BIGINT AS o_custkey,
+       o.o_orderkey, c.c_name
+FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0) o
+FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
+                 WHERE c_mktsegment = 'BUILDING') c
+ON o.o_custkey = c.c_custkey
 """,
         "orders_semi_building": """
 SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus

@@ -1439,6 +1439,29 @@ def q_orders_customer_join(sf_dir: str) -> ray.data.Dataset:
                      right_on="c_custkey", how="inner")
 
 
+def q_orders_customer_full(sf_dir: str) -> ray.data.Dataset:
+    """Distributed FULL OUTER join with unmatched rows on BOTH sides:
+    even-keyed orders vs BUILDING-segment customers. Null emission is
+    partition-local (a key hashes to one partition), the key column is
+    coalesced across sides."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=pc.bit_wise_and(pads.field("o_orderkey"), 1) == 0,
+        override_num_blocks=8,
+    )
+    building = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+        override_num_blocks=4,
+    )
+    return hash_join(orders, building, left_on="o_custkey",
+                     right_on="c_custkey", how="full")
+
+
 def q_orders_semi_building(sf_dir: str) -> ray.data.Dataset:
     """Distributed SEMI join: orders whose customer is in the BUILDING
     market segment (right side pre-filtered at the read)."""

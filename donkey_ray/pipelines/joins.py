@@ -9,9 +9,10 @@ Two shapes, chosen by side size:
     per-partition joins IS the global join. Neither side is ever
     materialized whole; per-task state is one partition of each side.
 
-Supported: inner, left outer, left semi, left anti. Right/full outer
-would need null-emission for unmatched right rows across partitions —
-same exchange, one more cogroup branch — add when needed.
+Supported: inner, left outer, right outer, full outer, left semi, left
+anti. Outer null-emission is partition-local and still exact: a key
+hashes to exactly one partition, so a row unmatched within its
+partition is unmatched globally.
 """
 
 from __future__ import annotations
@@ -24,6 +25,8 @@ from ..stages.exchange import keyed_cogroup_map
 _JOIN_TYPES = {
     "inner": "inner",
     "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
     "semi": "left semi",
     "anti": "left anti",
 }
@@ -40,9 +43,10 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Distributed hash join of two Datasets on a single key column.
 
-    ``how``: inner | left | semi | anti (left-side semantics). Key
-    columns may be named differently; the right key is dropped from the
-    output (it equals the left key for matched rows)."""
+    ``how``: inner | left | right | full | semi | anti (left-side
+    semantics). Key columns may be named differently; the output carries
+    the LEFT key name only (Arrow coalesces it with the right key, so
+    right-unmatched rows of an outer join keep their key value)."""
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}, got {how!r}")
     join_type = _JOIN_TYPES[how]

@@ -29,10 +29,13 @@ def sides(ray_session):
 
 def _rows(tbl: pa.Table) -> list[tuple]:
     cols = sorted(tbl.column_names)
-    return sorted(zip(*[tbl.column(c).to_pylist() for c in cols]))
+    rows = zip(*[tbl.column(c).to_pylist() for c in cols])
+    # outer joins emit nulls: sort None-safe
+    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
 
 
-@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full",
+                                 "semi", "anti"])
 @pytest.mark.parametrize("P", [3, 16])
 def test_hash_join_matches_arrow(sides, how, P):
     lds, rds, left, right = sides
@@ -43,6 +46,7 @@ def test_hash_join_matches_arrow(sides, how, P):
     want = left.join(
         right, keys="k", right_keys="rk",
         join_type={"inner": "inner", "left": "left outer",
+                   "right": "right outer", "full": "full outer",
                    "semi": "left semi", "anti": "left anti"}[how],
     )
     assert sorted(got.column_names) == sorted(want.column_names)
@@ -52,7 +56,7 @@ def test_hash_join_matches_arrow(sides, how, P):
 def test_hash_join_rejects_unknown_type(sides):
     lds, rds, *_ = sides
     with pytest.raises(ValueError, match="how"):
-        hash_join(lds, rds, left_on="k", right_on="rk", how="full")
+        hash_join(lds, rds, left_on="k", right_on="rk", how="cross")
 
 
 def test_asof_join_backward_strict(ray_session):
