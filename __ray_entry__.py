@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_topk": api.q_synonym_topk,
         "embedding_centroids": api.q_embedding_centroids,
         "orders_customer_full": api.q_orders_customer_full,
+        "events_running": api.q_events_running,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -796,6 +797,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        # per-user running total, accumulation order pinned (ts, event_id)
+        "events_running": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) * 100)::BIGINT
+         AS running_x100
+FROM events ORDER BY event_id
 """,
         "events_sessions": """
 WITH o AS (SELECT user_id, ts, event_id, value,

@@ -1277,6 +1277,22 @@ def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
     return sessionize(ds)
 
 
+def q_events_running(sf_dir: str) -> pa.Table:
+    """Per-user running total of event value in (ts, event_id) order —
+    the running window aggregate through one keyed exchange with
+    pinned, bit-reproducible accumulation order."""
+    from .pipelines.windows import running_total
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+        override_num_blocks=8,
+    )
+    return dataset_to_table(running_total(ds)).sort_by(
+        [("event_id", "ascending")]
+    )
+
+
 def q_events_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group quantiles (p50/p95 of value per event_type):
     one keyed exchange co-locates each group, then a vectorized sort +

@@ -71,3 +71,56 @@ def sessionize(
         )
 
     return keyed_partition_map(ds, [key_col], per_partition)
+
+
+def running_total(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key cumulative sum in event-time order — the window-function
+    family's running aggregate (SQL: sum(value) OVER (PARTITION BY key
+    ORDER BY ts, order_col)). One keyed exchange co-locates each key;
+    the per-partition pass is a sort + per-segment cumsum. Emits one row
+    per input event: (order_col, key, running_x100). Accumulation order
+    is pinned by (ts, order_col); the total is quantized to integer
+    cents (x100) because cross-engine float window sums differ in late
+    bits (DuckDB evaluates window aggregates over a segment tree)."""
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {order_col: pa.array([], pa.int64()),
+             key_col: pa.array([], pa.int64()),
+             "running_x100": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        keys = part.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order_v = part.column(order_col).to_numpy(zero_copy_only=False)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.lexsort((order_v, ts, keys))
+        keys, order_v, vals = keys[o], order_v[o], vals[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [len(keys)])
+        )
+        # per-segment cumsum (NOT global-cumsum-minus-base: that changes
+        # float rounding and breaks bit-reproducibility vs a per-key sum)
+        running = np.empty(len(keys), dtype=np.float64)
+        for s, e in zip(starts[:-1], starts[1:]):
+            running[s:e] = np.cumsum(vals[s:e])
+        return pa.table(
+            {
+                order_col: pa.array(order_v, pa.int64()),
+                key_col: pa.array(keys, pa.int64()),
+                "running_x100": pa.array(
+                    np.round(running * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_partition.__name__ = "running_total"
+    return keyed_partition_map(ds, [key_col], per_partition)

@@ -81,7 +81,7 @@ NAMES = [
     "dedup_survivors", "export_clean", "events_sliding", "lineitem_rollup",
     "bm25_topk_msm", "collapse_topk", "decontaminate", "explain_scores",
     "search_page2", "fuzzy_topk_incremental", "synonym_topk",
-    "embedding_centroids", "orders_customer_full",
+    "embedding_centroids", "orders_customer_full", "events_running",
 ]
 
 
