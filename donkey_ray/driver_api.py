@@ -1048,6 +1048,25 @@ def q_collapse_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_filtered_topk(sf_dir: str) -> pa.Table:
+    """Metadata-filtered top-k (facet filter lang='en') over the pinned
+    query set: filtering happens before truncation via a semi join of
+    the full hit set against the read-filtered docs artifact."""
+    from .pipelines.query import filtered_topk
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = filtered_topk(index_dir, queries, field="lang", value="en", k=10)
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_facet_counts(sf_dir: str) -> pa.Table:
     """Search-UI facets: per pinned query, the top-50 BM25 results
     counted by lang and by source (repo). Facet labels are the

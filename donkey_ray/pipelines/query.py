@@ -519,6 +519,89 @@ def collapse_topk(
     )
 
 
+def filtered_topk(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    field: str = "lang",
+    value: str,
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Metadata-filtered top-k (the search-UI facet filter: "only
+    lang=python"): every matching doc is scored (NO truncation), joined
+    to its ``field`` value from the index's OWN docs artifact through
+    the distributed hash join, rows failing the filter are dropped, and
+    the per-query top-k of the survivors is returned. Filtering happens
+    BEFORE truncation — filtering a top-k page after the fact would
+    under-fill pages whenever the filter is selective.
+
+    Scale shape: same as collapse_topk — the uncollapsed hit set flows
+    through a doc_id hash exchange against the docs table (which is
+    filtered to the wanted value AT THE READ, so the join's right side
+    is only the qualifying docs and the join doubles as the filter);
+    only per-partition top-k survivors reach the driver merge."""
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ..functions import scoring
+    from ..util import dataset_to_table
+    from .joins import hash_join
+
+    all_k = pa.array([2**31 - 1] * queries.num_rows, pa.int32())
+    qs = queries.set_column(queries.column_names.index("k"), "k", all_k)
+    hits = score_queries(index_dir, qs, mode="exact").drop_columns(["rank"])
+    docs = ray.data.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["doc_id"],
+        filter=pads.field(field) == value,
+    )
+    kept = hash_join(hits, docs, left_on="doc_id", right_on="doc_id",
+                     how="semi", num_partitions=num_partitions)
+
+    def local_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        q = part.column("query_id").to_numpy(zero_copy_only=False)
+        d = part.column("doc_id").to_numpy(zero_copy_only=False)
+        s = part.column("score").to_numpy(zero_copy_only=False)
+        keep: list[int] = []
+        for qid in np.unique(q):
+            m = np.flatnonzero(q == qid)
+            sel = scoring.topk_order(d[m], s[m], k)
+            keep.extend(m[sel])
+        return part.take(pa.array(sorted(keep)))
+
+    local_topk.__name__ = "filtered_local_topk"
+    from ..stages.exchange import keyed_partition_map
+
+    cand = dataset_to_table(
+        keyed_partition_map(kept, ["query_id"], local_topk,
+                            num_partitions=num_partitions)
+    )
+    out_q, out_r, out_d, out_s = [], [], [], []
+    if cand.num_rows:
+        q = cand.column("query_id").to_numpy(zero_copy_only=False)
+        d = cand.column("doc_id").to_numpy(zero_copy_only=False)
+        s = cand.column("score").to_numpy(zero_copy_only=False)
+        for qid in np.unique(q):
+            m = q == qid
+            sel = scoring.topk_order(d[m], s[m], k)
+            out_q.extend([int(qid)] * len(sel))
+            out_r.extend(range(1, len(sel) + 1))
+            out_d.extend(int(x) for x in d[m][sel])
+            out_s.extend(float(x) for x in s[m][sel])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def hydrate_results(
     results: ray.data.Dataset | pa.Table, index_dir: str
 ) -> pa.Table:
