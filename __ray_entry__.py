@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_full": api.q_orders_customer_full,
         "events_running": api.q_events_running,
         "filtered_topk": api.q_filtered_topk,
+        "events_funnel": api.q_events_funnel,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -829,6 +830,21 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        # ordered funnel: earliest-completion chain, strict ts ordering
+        "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT 1::BIGINT AS step, 'view' AS event_type, count(*)::BIGINT AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM s3
+ORDER BY step
 """,
         # per-user running total, accumulation order pinned (ts, event_id)
         "events_running": """

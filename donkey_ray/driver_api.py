@@ -1312,6 +1312,23 @@ def q_events_running(sf_dir: str) -> pa.Table:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(sf_dir: str) -> pa.Table:
+    """Ordered view->click->purchase funnel: per step, the number of
+    users whose earliest qualifying occurrence strictly follows their
+    previous step's — one keyed exchange, counters-only output."""
+    from .pipelines.windows import funnel_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        override_num_blocks=8,
+    )
+    return funnel_counts(ds, FUNNEL_STEPS)
+
+
 def q_events_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group quantiles (p50/p95 of value per event_type):
     one keyed exchange co-locates each group, then a vectorized sort +

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..stages.exchange import keyed_partition_map
@@ -124,3 +125,82 @@ def running_total(
 
     per_partition.__name__ = "running_total"
     return keyed_partition_map(ds, [key_col], per_partition)
+
+
+def funnel_counts(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> pa.Table:
+    """Ordered funnel (sequence analytics): how many keys performed
+    step 1, then step 2 STRICTLY after their earliest qualifying step 1,
+    then step 3 after that, ... Each step's timestamp is the EARLIEST
+    occurrence after the previous step's timestamp (the standard
+    earliest-completion funnel; ties on ts do not advance — strict >).
+
+    Scale shape: one keyed exchange co-locates each key's events (only
+    rows whose type is in ``steps`` survive the map-side filter); inside
+    a partition every step is a vectorized minimum.at over that step's
+    rows gated by the previous step's per-key threshold, and only
+    len(steps) counter rows leave each partition; the driver sums
+    O(partitions x steps) integers. SQL mirror: a chain of
+    min(ts)-after-previous CTEs, one count per step."""
+
+    step_list = list(steps)
+
+    def keep_steps(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column(type_col),
+                     value_set=pa.array(step_list, pa.string()))
+        )
+
+    filtered = ds.map_batches(keep_steps, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table({"step": pa.array([], pa.int64()),
+                          "n_keys": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        ts = part.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        types = part.column(type_col).to_numpy(zero_copy_only=False)
+        uniq = np.unique(keys)
+        uidx = np.searchsorted(uniq, keys)
+        prev = np.full(len(uniq), -(2**62), dtype=np.int64)
+        counts = np.zeros(len(step_list), dtype=np.int64)
+        for i, step in enumerate(step_list):
+            cur = np.full(len(uniq), 2**62, dtype=np.int64)
+            m = (types == step) & (ts > prev[uidx])
+            np.minimum.at(cur, uidx[m], ts[m])
+            done = cur < 2**62
+            counts[i] = int(done.sum())
+            if not done.any():
+                break
+            cur[~done] = 2**62  # keys that stalled never advance
+            prev = cur
+        return pa.table({
+            "step": pa.array(np.arange(1, len(step_list) + 1), pa.int64()),
+            "n_keys": pa.array(counts, pa.int64()),
+        })
+
+    per_partition.__name__ = "funnel_steps"
+    parts = keyed_partition_map(filtered, [key_col], per_partition)
+    from ..util import dataset_to_table
+
+    tbl = dataset_to_table(parts)
+    if tbl.num_rows == 0:
+        totals = np.zeros(len(step_list), dtype=np.int64)
+    else:
+        st = tbl.column("step").to_numpy(zero_copy_only=False)
+        nk = tbl.column("n_keys").to_numpy(zero_copy_only=False)
+        totals = np.zeros(len(step_list), dtype=np.int64)
+        np.add.at(totals, st - 1, nk)
+    return pa.table({
+        "step": pa.array(np.arange(1, len(step_list) + 1), pa.int64()),
+        "event_type": pa.array(step_list, pa.string()),
+        "n_users": pa.array(totals, pa.int64()),
+    })
