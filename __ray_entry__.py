@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": api.q_events_running,
         "filtered_topk": api.q_filtered_topk,
         "events_funnel": api.q_events_funnel,
+        "events_pivot": api.q_events_pivot,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -830,6 +831,16 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        # cross-tab: per-user counts, one column per pinned event type
+        "events_pivot": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY 1 ORDER BY 1
 """,
         # ordered funnel: earliest-completion chain, strict ts ordering
         "events_funnel": """

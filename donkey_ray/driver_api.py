@@ -1312,6 +1312,20 @@ def q_events_running(sf_dir: str) -> pa.Table:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Cross-tab: one row per user with one count column per pinned
+    event type — map-side pair counts, one keyed exchange, one row per
+    key out of each partition."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+        override_num_blocks=8,
+    )
+    return analyze.pivot_counts(ds, "user_id", "event_type", EVENT_TYPES)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 

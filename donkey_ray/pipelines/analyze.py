@@ -387,6 +387,58 @@ def quality_filter(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pivot_counts(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+    col_values: list[str],
+) -> ray.data.Dataset:
+    """Cross-tab / PIVOT: one output row per ``row_col`` value with one
+    count column per pinned ``col_values`` entry (column set must be
+    pinned for a stable schema — discover it with a distinct pass if
+    unknown). Rows outside ``col_values`` are ignored.
+
+    Scale shape: each batch pre-counts (row, col) pairs locally, one
+    keyed exchange on ``row_col`` co-locates each row key's partials,
+    and the per-partition widening emits exactly one row per key —
+    so only O(keys x pinned columns) counters ever move.
+    SQL mirror: count(*) FILTER (WHERE col = v) GROUP BY row."""
+    from ..stages.exchange import keyed_partition_map
+
+    vals = list(col_values)
+    val_arr = pa.array(vals, pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_in(batch.column(col_col), value_set=val_arr))
+        g = b.select([row_col, col_col]).group_by(
+            [row_col, col_col], use_threads=False
+        ).aggregate([([], "count_all")])
+        return g.rename_columns([row_col, col_col, "n"])
+
+    pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def widen(part: pa.Table) -> pa.Table:
+        cols = {row_col: pa.array([], pa.int64())}
+        cols.update({f"n_{v}": pa.array([], pa.int64()) for v in vals})
+        if part.num_rows == 0:
+            return pa.table(cols)
+        keys = part.column(row_col).to_numpy(zero_copy_only=False)
+        cv = part.column(col_col).to_numpy(zero_copy_only=False)
+        n = part.column("n").to_numpy(zero_copy_only=False)
+        uniq = np.unique(keys)
+        uidx = np.searchsorted(uniq, keys)
+        out = {row_col: pa.array(uniq.astype(np.int64), pa.int64())}
+        for v in vals:
+            tot = np.zeros(len(uniq), dtype=np.int64)
+            m = cv == v
+            np.add.at(tot, uidx[m], n[m])
+            out[f"n_{v}"] = pa.array(tot, pa.int64())
+        return pa.table(out)
+
+    widen.__name__ = "pivot_widen"
+    return keyed_partition_map(pre, [row_col], widen)
+
+
 def _ngram_window(flat, parents, n: int):
     """Token n-grams of a flattened (tokens, parent-row) stream: grams as
     space-joined strings (Arrow elementwise join of n shifted zero-copy
