@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_topk": api.q_filtered_topk,
         "events_funnel": api.q_events_funnel,
         "events_pivot": api.q_events_pivot,
+        "longest_per_lang": api.q_longest_per_lang,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -831,6 +832,14 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        # grouped LIMIT: 3 longest docs per language
+        "longest_per_lang": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) t WHERE rn <= 3
 """,
         # cross-tab: per-user counts, one column per pinned event type
         "events_pivot": """

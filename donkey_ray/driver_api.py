@@ -1312,6 +1312,16 @@ def q_events_running(sf_dir: str) -> pa.Table:
     )
 
 
+def q_longest_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Grouped LIMIT: the 3 longest docs (n_chars desc, doc_id asc) per
+    language — batch-local top-N pre-prune, then one keyed exchange."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"], override_num_blocks=8,
+    )
+    return analyze.grouped_head(ds, "lang", "n_chars", n=3)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

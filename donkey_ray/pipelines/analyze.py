@@ -439,6 +439,43 @@ def pivot_counts(
     return keyed_partition_map(pre, [row_col], widen)
 
 
+def grouped_head(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    *,
+    n: int = 3,
+    descending: bool = True,
+    tie_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-N rows per group by ``order_col`` (ties broken by ``tie_col``
+    asc) — the grouped-LIMIT relational shape ("3 longest docs per
+    lang"). Each batch first keeps only its own local top-N per group
+    (any global top-N row is in its batch's top-N), then one keyed
+    exchange co-locates the survivors and the per-partition pass keeps
+    the exact global top-N per group; at most batches x groups x N rows
+    ever enter the exchange. SQL mirror: row_number window, rn <= N."""
+    from ..stages.exchange import keyed_partition_map
+
+    def local_head(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        g = part.column(group_col).to_numpy(zero_copy_only=False)
+        v = part.column(order_col).to_numpy(zero_copy_only=False)
+        t = part.column(tie_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -v if descending else v, g))
+        gs = g[order]
+        starts = np.concatenate(([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1))
+        lens = np.diff(np.append(starts, len(gs)))
+        pos = np.arange(len(gs)) - np.repeat(starts, lens)
+        return part.take(pa.array(np.sort(order[pos < n])))
+
+    local_head.__name__ = "grouped_head"
+    pre = ds.map_batches(local_head, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return keyed_partition_map(pre, [group_col], local_head)
+
+
 def _ngram_window(flat, parents, n: int):
     """Token n-grams of a flattened (tokens, parent-row) stream: grams as
     space-joined strings (Arrow elementwise join of n shifted zero-copy

@@ -82,7 +82,7 @@ NAMES = [
     "bm25_topk_msm", "collapse_topk", "decontaminate", "explain_scores",
     "search_page2", "fuzzy_topk_incremental", "synonym_topk",
     "embedding_centroids", "orders_customer_full", "events_running",
-    "filtered_topk", "events_funnel", "events_pivot",
+    "filtered_topk", "events_funnel", "events_pivot", "longest_per_lang",
 ]
 
 
