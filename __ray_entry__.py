@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": api.q_events_funnel,
         "events_pivot": api.q_events_pivot,
         "longest_per_lang": api.q_longest_per_lang,
+        "boosted_topk": api.q_boosted_topk,
+        "hit_counts": api.q_hit_counts,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -461,6 +463,52 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # term boosting: scorer CTE with a per-term weight joined in
+        "boosted_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table value',10),(1,'spark merge',10),
+                                (2,'window zzzabsent',10),
+                                (3,'window sort key',10),(4,'value value',10)),
+boost(term, w) AS (VALUES ('table', 3.0), ('merge', 0.25),
+                          ('zzzabsent', 9.0)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( coalesce(b.w, 1.0) *
+         ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  LEFT JOIN boost b ON b.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # exact hit counts: union cardinality of matching docs per query
+        "hit_counts": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+q(query_id, text) AS (VALUES (0,'table'),(1,'spark merge'),
+                             (2,'window sort key'),(3,'zzzabsent'),
+                             (4,'value value')),
+qt AS (SELECT DISTINCT query_id,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok)
+SELECT query_id::BIGINT AS query_id,
+       count(DISTINCT doc_id)::BIGINT AS n_hits
+FROM qt JOIN terms USING (term) GROUP BY 1 ORDER BY 1
 """,
         # synonym expansion: the engine's expanded term sets, written out
         # literally (merge->join, sort->order, fast->quick[absent])

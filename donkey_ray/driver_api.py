@@ -293,6 +293,67 @@ def q_similar_docs(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned boost map + query set: a dominant boost, a down-weight, a
+# boost on an absent term (no-op), plain (all 1.0), duplicated term
+PINNED_BOOSTS = {"table": 3.0, "merge": 0.25, "zzzabsent": 9.0}
+PINNED_BOOST_QUERIES = [
+    (0, "table value", 10),
+    (1, "spark merge", 10),
+    (2, "window zzzabsent", 10),
+    (3, "window sort key", 10),
+    (4, "value value", 10),
+]
+
+
+def q_boosted_topk(sf_dir: str) -> pa.Table:
+    """Query-time term boosting (term^w): disjunctive BM25 with each
+    term's contribution scaled by its pinned boost."""
+    from .stages.score import QueryEngine
+
+    index_dir = ensure_index(sf_dir)
+    eng = QueryEngine(index_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, k in PINNED_BOOST_QUERIES:
+        for r, (d, s) in enumerate(
+            eng.boosted_topk(text, k, PINNED_BOOSTS), start=1
+        ):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
+
+def q_hit_counts(sf_dir: str) -> pa.Table:
+    """Exact result-count per pinned query (the "about N results"
+    figure): union cardinality of the query terms' posting doc ids —
+    no tf/position decode, no scoring."""
+    from .stages.score import QueryEngine
+
+    index_dir = ensure_index(sf_dir)
+    eng = QueryEngine(index_dir)
+    qids, ns = [], []
+    for qid, text, _k in PINNED_QUERIES:
+        n = eng.hit_count(text)
+        if n:
+            qids.append(qid)
+            ns.append(n)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "n_hits": pa.array(ns, pa.int64()),
+        }
+    )
+
+
 # Pinned synonym map + query set: a 1-way expansion, a multi-term query
 # with one expandable term, a synonym absent from the corpus (== plain
 # query), a double expansion, and an absent base term

@@ -735,6 +735,29 @@ class QueryEngine:
         adds each present term's contribution via a searchsorted
         membership probe. SQL mirror: the bag-of-words scorer plus
         HAVING count(DISTINCT matched term) >= min_match."""
+        return self._weighted_disjunctive(text, k, min_match=min_match)
+
+    def boosted_topk(
+        self, text: str, k: int, boosts: dict[str, float]
+    ) -> list[tuple[int, float]]:
+        """Query-time term boosting (the ``term^w`` operator): ordinary
+        disjunctive BM25 with each term's contribution multiplied by its
+        boost (missing terms boost 1.0). Boosts reweight RANKING only —
+        df/idf stay global. SQL mirror: the scorer CTE with a per-term
+        weight joined in."""
+        return self._weighted_disjunctive(text, k, boosts=boosts)
+
+    def _weighted_disjunctive(
+        self,
+        text: str,
+        k: int,
+        *,
+        min_match: int = 1,
+        boosts: dict[str, float] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Shared kernel for msm/boosted retrieval: docs matching at
+        least ``min_match`` distinct query terms, scored by the weighted
+        BM25 sum over their present terms."""
         terms = sorted(set(self._tok.tokenize(text)))
         if not terms or k <= 0 or min_match < 1:
             return []
@@ -751,21 +774,37 @@ class QueryEngine:
         if matched.size == 0:
             return []
         scores = np.zeros(len(matched), dtype=np.float64)
-        for p in post.values():
+        for t, p in post.items():
             sel = np.searchsorted(p.docs, matched)
             inb = sel < p.docs.size
             present = inb.copy()
             present[inb] = p.docs[sel[inb]] == matched[inb]
             if not present.any():
                 continue
+            w = float((boosts or {}).get(t, 1.0))
             idf = float(self.scorer.idf(int(p.docs.size), self.n_docs))
-            scores[present] += idf * self.scorer.tf_weight(
+            scores[present] += w * idf * self.scorer.tf_weight(
                 p.tfs[sel[present]].astype(np.float64),
                 p.dls[sel[present]].astype(np.float64),
                 self.avgdl,
             )
         order = scoring.topk_order(matched, scores, k)
         return [(int(matched[i]), float(scores[i])) for i in order]
+
+    def hit_count(self, text: str) -> int:
+        """Exact number of docs matching ANY query term (the "about N
+        results" figure) — union of the terms' doc arrays, postings'
+        doc ids only (tfs/positions never decoded)."""
+        terms = sorted(set(self._tok.tokenize(text)))
+        docs: list[np.ndarray] = []
+        for t in terms:
+            for row in self.term_runs(t):
+                docs.append(decode_blocked_deltas(
+                    row["doc_ids"], int(row["df"]), self.block_size
+                ))
+        if not docs:
+            return 0
+        return int(np.unique(np.concatenate(docs)).size)
 
     def not_topk(self, text: str, neg_text: str, k: int) -> list[tuple[int, float]]:
         """Boolean NOT: ordinary disjunctive BM25 over ``text``'s distinct
