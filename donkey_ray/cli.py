@@ -66,6 +66,11 @@ def cmd_query(args) -> int:
             from .pipelines.fuzzy import fuzzy_topk
 
             hits = fuzzy_topk(args.index, args.text, args.k)
+        elif args.kind == "msm":
+            hits = engine.msm_topk(args.text, args.k, args.min_match)
+        elif args.boosts:
+            hits = engine.boosted_topk(args.text, args.k,
+                                       json.loads(args.boosts))
         else:
             hits = engine.topk(args.text, args.k)
         res = pa.table(
@@ -169,13 +174,17 @@ def main(argv=None) -> int:
     q.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
     q.add_argument("--kind",
                    choices=["topk", "and", "not", "prefix", "fuzzy",
-                            "phrase", "near"],
+                            "phrase", "near", "msm"],
                    default="topk",
                    help="phrase/near need an index built with --positions")
     q.add_argument("--window", type=int, default=4,
                    help="proximity window for --kind near")
     q.add_argument("--neg-text", dest="neg_text", default="",
                    help="terms to exclude for --kind not")
+    q.add_argument("--min-match", dest="min_match", type=int, default=1,
+                   help="distinct-term threshold for --kind msm")
+    q.add_argument("--boosts", default="",
+                   help='JSON term->weight map, e.g. \'{"table": 2.0}\'')
     q.add_argument("--output")
     q.add_argument("--hydrate", action="store_true",
                    help="join results back to repo/path metadata")

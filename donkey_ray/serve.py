@@ -117,13 +117,16 @@ class IndexServer:
         }
 
     def search(self, text: str, k: int = 10, *, kind: str = "topk",
-               window: int = 4, neg_text: str = "") -> list[dict]:
-        """kind: "topk" (bag-of-words BM25), "and" (conjunctive BM25 via
-        posting-list intersection), "not" (positive scoring excluding
-        docs containing any ``neg_text`` term), "prefix" (wildcard
-        expansion over the dictionary), "phrase" (exact positional
-        phrase) or "near" (proximity within ``window``); the latter two
-        need every federated member built with positions=True.
+               window: int = 4, neg_text: str = "", min_match: int = 1,
+               boosts: "dict[str, float] | None" = None) -> list[dict]:
+        """kind: "topk" (bag-of-words BM25; pass ``boosts`` for term^w
+        query-time weighting), "and" (conjunctive BM25 via posting-list
+        intersection), "msm" (>= ``min_match`` distinct terms), "not"
+        (positive scoring excluding docs containing any ``neg_text``
+        term), "prefix" (wildcard expansion over the dictionary),
+        "phrase" (exact positional phrase) or "near" (proximity within
+        ``window``); the latter two need every federated member built
+        with positions=True.
 
         Tombstoned docs (``delete``) are filtered out EXACTLY: the
         engine is over-fetched by the tombstone count (deleted docs can
@@ -141,8 +144,11 @@ class IndexServer:
             hits = self.engine.not_topk(text, neg_text, fetch_k)
         elif kind == "prefix":
             hits = self.engine.prefix_topk(text, fetch_k)
+        elif kind == "msm":
+            hits = self.engine.msm_topk(text, fetch_k, min_match)
         elif kind == "topk":
-            hits = self.engine.topk(text, fetch_k)
+            hits = (self.engine.boosted_topk(text, fetch_k, boosts)
+                    if boosts else self.engine.topk(text, fetch_k))
         else:
             raise ValueError(f"unknown query kind: {kind!r}")
         if self._tombstones:

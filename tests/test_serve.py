@@ -229,3 +229,35 @@ def test_serve_not_kind(served_index):
     assert all(
         h["doc_id"] not in {d for d, _ in eng.topk(neg, 10**6)} for h in got
     )
+
+
+def test_serve_msm_and_boosted(served_index):
+    """kind='msm' and boosted topk through the server equal the engine;
+    msm at m=1 equals plain disjunctive, boosts reorder rankings."""
+    from donkey_ray.functions.tokenize import get_tokenizer
+    from donkey_ray.stages.score import QueryEngine
+    from donkey_ray.synth import COMMON_TOKEN
+
+    corpus, out = served_index
+    srv = IndexServer(out)
+    eng = QueryEngine(out)
+    toks = get_tokenizer("code").tokenize(corpus.column("content")[0].as_py())
+    other = next(t for t in toks if t != COMMON_TOKEN and eng.term_runs(t))
+    q = f"{COMMON_TOKEN} {other}"
+
+    got = srv.search(q, 5, kind="msm", min_match=2)
+    want = eng.msm_topk(q, 5, 2)
+    assert [(h["doc_id"], h["score"]) for h in got] == [
+        (d, s) for d, s in want
+    ]
+    # m=1 == plain disjunctive
+    assert eng.msm_topk(q, 5, 1) == eng.topk(q, 5)
+
+    boosts = {other: 100.0}
+    got_b = srv.search(q, 5, boosts=boosts)
+    want_b = eng.boosted_topk(q, 5, boosts)
+    assert [(h["doc_id"], h["score"]) for h in got_b] == [
+        (d, s) for d, s in want_b
+    ]
+    # a huge boost on the rarer term must float a doc containing it to #1
+    assert want_b[0][0] in {d for d, _ in eng.topk(other, 10**6)}
