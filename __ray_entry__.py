@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_per_lang": api.q_longest_per_lang,
         "boosted_topk": api.q_boosted_topk,
         "hit_counts": api.q_hit_counts,
+        "events_distinct_approx": api.q_events_distinct_approx,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,

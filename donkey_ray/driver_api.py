@@ -1400,6 +1400,23 @@ def q_events_pivot(sf_dir: str) -> ray.data.Dataset:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
+def q_events_distinct_approx(sf_dir: str) -> pa.Table:
+    """Approximate distinct users per event type via mergeable HLL
+    register partials (p=12, ~1% typical error) — the sketch shape for
+    10^12-row groups where even distinct pairs are too many to shuffle.
+    No SQL oracle (approximate by design); accuracy is pytest-gated
+    against the exact count."""
+    from .pipelines.distinct import approx_distinct_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+        override_num_blocks=8,
+    )
+    return approx_distinct_per_group(
+        ds, group_col="event_type", value_col="user_id"
+    )
+
+
 def q_events_funnel(sf_dir: str) -> pa.Table:
     """Ordered view->click->purchase funnel: per step, the number of
     users whose earliest qualifying occurrence strictly follows their
