@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_topk": api.q_boosted_topk,
         "hit_counts": api.q_hit_counts,
         "events_distinct_approx": api.q_events_distinct_approx,
+        "value_histogram": api.q_value_histogram,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -881,6 +882,11 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        # equal-width histogram of event values
+        "value_histogram": """
+SELECT floor(value / 10.0)::BIGINT AS bin, count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY 1
 """,
         # grouped LIMIT: 3 longest docs per language
         "longest_per_lang": """

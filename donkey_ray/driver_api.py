@@ -1373,6 +1373,15 @@ def q_events_running(sf_dir: str) -> pa.Table:
     )
 
 
+def q_value_histogram(sf_dir: str) -> pa.Table:
+    """Equal-width histogram of event values (bin width 10): per-batch
+    (bin, count) partials, O(bins) driver merge, no shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"], override_num_blocks=8,
+    )
+    return analyze.histogram(ds, "value", bin_width=10.0)
+
+
 def q_longest_per_lang(sf_dir: str) -> ray.data.Dataset:
     """Grouped LIMIT: the 3 longest docs (n_chars desc, doc_id asc) per
     language — batch-local top-N pre-prune, then one keyed exchange."""

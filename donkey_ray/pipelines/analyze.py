@@ -439,6 +439,43 @@ def pivot_counts(
     return keyed_partition_map(pre, [row_col], widen)
 
 
+def histogram(
+    ds: ray.data.Dataset,
+    value_col: str,
+    *,
+    bin_width: float,
+) -> pa.Table:
+    """Equal-width histogram: (bin, n) with bin = floor(value /
+    bin_width) — the profiling aggregate. Each batch reduces to its own
+    (bin, count) partials (np.unique) and the driver merge is O(bins);
+    nothing shuffles. floor of an IEEE double division is deterministic
+    cross-engine, so the SQL mirror is exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        bins = np.floor(v / bin_width).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    from ..util import dataset_to_table
+
+    tbl = dataset_to_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if tbl.num_rows == 0:
+        return pa.table({"bin": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    agg = tbl.group_by(["bin"], use_threads=False).aggregate([("n", "sum")])
+    return pa.table({
+        "bin": agg.column("bin"),
+        "n": agg.column("n_sum").cast(pa.int64()),
+    }).sort_by([("bin", "ascending")])
+
+
 def grouped_head(
     ds: ray.data.Dataset,
     group_col: str,
