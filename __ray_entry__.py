@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_counts": api.q_hit_counts,
         "events_distinct_approx": api.q_events_distinct_approx,
         "value_histogram": api.q_value_histogram,
+        "spell_correct": api.q_spell_correct,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -465,6 +466,20 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # did-you-mean: exactly-edit-distance-1 dictionary terms by df
+        "spell_correct": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+terms AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+df AS (SELECT term, count(*)::BIGINT AS df FROM terms GROUP BY 1),
+q(query_id, qt) AS (VALUES (0,'tabl'),(1,'vallue'),(2,'windoe'),
+                           (3,'zzzabsent'),(4,'merge')),
+cand AS (SELECT q.query_id, df.term, df.df,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY df.df DESC, df.term ASC) AS srank
+         FROM q JOIN df ON levenshtein(df.term, q.qt) = 1)
+SELECT query_id::BIGINT AS query_id, term, df, srank::INT AS srank
+FROM cand WHERE srank <= 3 ORDER BY 1, 4
 """,
         # term boosting: scorer CTE with a per-term weight joined in
         "boosted_topk": f"""

@@ -425,6 +425,20 @@ def q_search_page2(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+PINNED_SPELL = [(0, "tabl"), (1, "vallue"), (2, "windoe"),
+                (3, "zzzabsent"), (4, "merge")]
+
+
+def q_spell_correct(sf_dir: str) -> pa.Table:
+    """Did-you-mean: top-3 dictionary terms at exactly edit distance 1
+    per pinned input, ranked by global df — candidates from the trigram
+    artifact, df from the sharded dictionary."""
+    from .pipelines.introspect import spell_correct
+
+    index_dir = ensure_index(sf_dir)
+    return spell_correct(index_dir, PINNED_SPELL, k=3)
+
+
 def q_explain_scores(sf_dir: str) -> pa.Table:
     """Relevance debugging: per-(result doc, matched term) BM25 score
     breakdown for the pinned queries' top-10 pages — tf, global df and

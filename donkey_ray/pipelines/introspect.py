@@ -148,3 +148,45 @@ def suggest(
             "srank": pa.array(ranks, pa.int32()),
         }
     )
+
+
+def spell_correct(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 3,
+) -> pa.Table:
+    """Did-you-mean: for each (query_id, term), the top-k dictionary
+    terms at EXACTLY edit distance 1 (the input itself is never a
+    suggestion), ranked by (global df desc, term asc) with 1-based
+    srank. Candidates come from the trigram artifact (provably complete
+    for max_edit=1, pipelines/fuzzy.py); df from the sharded dictionary
+    — postings never decoded. A term that is itself frequent still gets
+    suggestions; the CALLER decides when to show them (e.g. only when
+    the term's own df is 0)."""
+    from ..pipelines.fuzzy import expand_fuzzy
+    from ..stages.score import QueryEngine
+
+    eng = QueryEngine(index_dir)
+    qids, terms_out, dfs_out, ranks = [], [], [], []
+    for qid, term in queries:
+        toks = eng._tok.tokenize(term)
+        if not toks:
+            continue
+        cand = [t for t in expand_fuzzy(index_dir, toks[0]) if t != toks[0]]
+        scored = sorted(
+            ((eng.term_df(t), t) for t in cand), key=lambda x: (-x[0], x[1])
+        )
+        for r, (df, t) in enumerate(scored[:k], start=1):
+            qids.append(int(qid))
+            terms_out.append(t)
+            dfs_out.append(int(df))
+            ranks.append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "term": pa.array(terms_out, pa.string()),
+            "df": pa.array(dfs_out, pa.int64()),
+            "srank": pa.array(ranks, pa.int32()),
+        }
+    )

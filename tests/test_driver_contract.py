@@ -83,7 +83,7 @@ NAMES = [
     "search_page2", "fuzzy_topk_incremental", "synonym_topk",
     "embedding_centroids", "orders_customer_full", "events_running",
     "filtered_topk", "events_funnel", "events_pivot", "longest_per_lang",
-    "boosted_topk", "hit_counts", "value_histogram",
+    "boosted_topk", "hit_counts", "value_histogram", "spell_correct",
 ]
 
 
