@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_approx": api.q_events_distinct_approx,
         "value_histogram": api.q_value_histogram,
         "spell_correct": api.q_spell_correct,
+        "curate_corpus": api.q_curate_corpus,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -1171,6 +1172,29 @@ r AS (SELECT s.cluster_id, s.doc_id,
 SELECT d.doc_id, d.lang, d.text
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1)
+""",
+        # full curation: survivors -> quality gate -> PII scrub
+        "curate_corpus": fr"""
+WITH RECURSIVE
+{_CLUSTER_CTE},
+sized AS (SELECT node AS doc_id, cluster_id FROM lab),
+tokc AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+r AS (SELECT s.cluster_id, s.doc_id,
+             row_number() OVER (PARTITION BY s.cluster_id
+                                ORDER BY t.n_tokens DESC, s.doc_id) AS rn
+      FROM sized s JOIN tokc t ON t.doc_id = s.doc_id),
+surv AS (SELECT d.doc_id, d.text FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM r WHERE rn > 1)),
+t AS (SELECT doc_id, text, {_TOKS} AS toks FROM surv)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+         '[0-9]{{6,}}', '[NUM]', 'g') AS redacted
+FROM t
+WHERE len(toks) >= 5 AND
+  round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+        / len(toks), 6) <= 0.5
 """,
         # canonical member per cluster: most tokens, then smallest doc_id
         "cluster_canonical": f"""

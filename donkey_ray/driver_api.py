@@ -828,6 +828,19 @@ def q_export_clean(sf_dir: str) -> ray.data.Dataset:
     return export_clean_corpus(_docs(sf_dir), out)
 
 
+def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """THE end-to-end training-data curation pipeline, composed from
+    the library's own stages: near-dup collapse (cluster survivors,
+    adaptive anti-join) -> quality gate -> PII scrub -> partitioned
+    parquet export -> read-back. Every stage streams; the only
+    materialized state is the cached cluster artifact and the loser-id
+    broadcast."""
+    from .pipelines.export import export_clean_corpus
+
+    out = _index_dir(sf_dir) + "-curated"
+    return export_clean_corpus(q_dedup_survivors(sf_dir), out)
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return analyze.language_id(_docs(sf_dir))
 
