@@ -48,12 +48,42 @@ class QueryScorerStage:
             self.run = self.engine.and_topk
         elif kind == "prefix":
             self.run = self.engine.prefix_topk
+        elif kind == "all":
+            # untruncated hit set as numpy arrays (no rank column, no
+            # per-hit Python objects) — the collapse/filter feed
+            self.run = self.engine.score_all
         elif kind == "topk":
             self.run = self.engine.topk
         else:
             raise ValueError(f"unknown query kind: {kind!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if self.kind == "all":
+            out_q, out_d, out_s = [], [], []
+            for row in batch.to_pylist():
+                res = self.run(row["text"])
+                if res is None:
+                    continue
+                d, s = res
+                out_q.append(np.full(len(d), int(row["query_id"]),
+                                     dtype=np.int64))
+                out_d.append(d.astype(np.int64))
+                out_s.append(s)
+            if not out_q:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "doc_id": pa.array(np.concatenate(out_d)),
+                    "score": pa.array(np.concatenate(out_s)),
+                }
+            )
         qids, ranks, docs, scores = [], [], [], []
         for row in batch.to_pylist():
             if self.kind == "not":
@@ -468,9 +498,7 @@ def collapse_topk(
     from ..util import dataset_to_table
     from .joins import hash_join
 
-    all_k = pa.array([2**31 - 1] * queries.num_rows, pa.int32())
-    qs = queries.set_column(queries.column_names.index("k"), "k", all_k)
-    hits = score_queries(index_dir, qs, mode="exact").drop_columns(["rank"])
+    hits = score_queries(index_dir, queries, kind="all")
     docs = ray.data.read_parquet(docs_path, columns=["doc_id", field])
     joined = hash_join(hits, docs, left_on="doc_id", right_on="doc_id",
                        how="inner", num_partitions=num_partitions)
@@ -550,9 +578,7 @@ def filtered_topk(
     from ..util import dataset_to_table
     from .joins import hash_join
 
-    all_k = pa.array([2**31 - 1] * queries.num_rows, pa.int32())
-    qs = queries.set_column(queries.column_names.index("k"), "k", all_k)
-    hits = score_queries(index_dir, qs, mode="exact").drop_columns(["rank"])
+    hits = score_queries(index_dir, queries, kind="all")
     docs = ray.data.read_parquet(
         os.path.join(index_dir, "docs"), columns=["doc_id"],
         filter=pads.field(field) == value,

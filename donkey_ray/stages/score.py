@@ -758,21 +758,45 @@ class QueryEngine:
         """Shared kernel for msm/boosted retrieval: docs matching at
         least ``min_match`` distinct query terms, scored by the weighted
         BM25 sum over their present terms."""
-        terms = sorted(set(self._tok.tokenize(text)))
-        if not terms or k <= 0 or min_match < 1:
+        if k <= 0:
             return []
+        res = self._weighted_scores(text, min_match=min_match, boosts=boosts)
+        if res is None:
+            return []
+        matched, scores = res
+        order = scoring.topk_order(matched, scores, k)
+        return [(int(matched[i]), float(scores[i])) for i in order]
+
+    def score_all(self, text: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Every matching doc's disjunctive BM25 score, as numpy arrays
+        (docs ascending) — the UNTRUNCATED hit-set feed for collapse /
+        facet-filter stages. No per-hit Python objects are built, so the
+        cost is the posting decode plus a few vectorized passes even
+        when a common term matches half the corpus."""
+        return self._weighted_scores(text, min_match=1, boosts=None)
+
+    def _weighted_scores(
+        self,
+        text: str,
+        *,
+        min_match: int = 1,
+        boosts: dict[str, float] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        terms = sorted(set(self._tok.tokenize(text)))
+        if not terms or min_match < 1:
+            return None
         post: dict[str, _PhrasePostings] = {}
         for t in terms:
             rows = self.term_runs(t)
             if rows:
                 post[t] = _PhrasePostings(rows, self.block_size)
         if len(post) < min_match:
-            return []
+            return None
         all_docs = np.concatenate([p.docs for p in post.values()])
         docs_u, counts = np.unique(all_docs, return_counts=True)
         matched = docs_u[counts >= min_match]
         if matched.size == 0:
-            return []
+            return None
         scores = np.zeros(len(matched), dtype=np.float64)
         for t, p in post.items():
             sel = np.searchsorted(p.docs, matched)
@@ -788,8 +812,7 @@ class QueryEngine:
                 p.dls[sel[present]].astype(np.float64),
                 self.avgdl,
             )
-        order = scoring.topk_order(matched, scores, k)
-        return [(int(matched[i]), float(scores[i])) for i in order]
+        return matched, scores
 
     def hit_count(self, text: str) -> int:
         """Exact number of docs matching ANY query term (the "about N
