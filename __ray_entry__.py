@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": api.q_value_histogram,
         "spell_correct": api.q_spell_correct,
         "curate_corpus": api.q_curate_corpus,
+        "mix_sample": api.q_mix_sample,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -1098,6 +1099,21 @@ s3 AS (SELECT doc_id, text, xor(z, z >> 27)::HUGEINT AS z FROM s2),
 s4 AS (SELECT doc_id, text, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM s3),
 s5 AS (SELECT doc_id, text, xor(z, z >> 31) AS z FROM s4)
 SELECT doc_id, text FROM s5 WHERE z % 8 = 0
+""",
+        # corpus mixing: per-language permille keep rates, splitmix64 gate
+        "mix_sample": f"""
+WITH s0 AS (SELECT doc_id, lang, text,
+        ((doc_id::HUGEINT + 11400714819323198485) % {_M64})::UBIGINT AS z
+        FROM documents),
+s1 AS (SELECT doc_id, lang, text, xor(z, z >> 30)::HUGEINT AS z FROM s0),
+s2 AS (SELECT doc_id, lang, text, {_mul64('z', '13787848793156543929')}::UBIGINT AS z FROM s1),
+s3 AS (SELECT doc_id, lang, text, xor(z, z >> 27)::HUGEINT AS z FROM s2),
+s4 AS (SELECT doc_id, lang, text, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM s3),
+s5 AS (SELECT doc_id, lang, text, xor(z, z >> 31) AS z FROM s4),
+rates(lang, r) AS (VALUES ('en', 1000), ('de', 500), ('es', 250),
+                          ('fr', 125), ('zh', 0))
+SELECT s5.doc_id, s5.lang, s5.text
+FROM s5 JOIN rates USING (lang) WHERE z % 1000 < r
 """,
         # rolling polynomial hash over per-token sha256-top-8-byte hashes
         # mod 2^61-1 (functions.textstats.fingerprint, pinned): Horner as

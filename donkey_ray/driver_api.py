@@ -828,6 +828,20 @@ def q_export_clean(sf_dir: str) -> ray.data.Dataset:
     return export_clean_corpus(_docs(sf_dir), out)
 
 
+# Pinned mixing rates (permille): keep-all, half, quarter, eighth, drop
+MIX_RATES = {"en": 1000, "de": 500, "es": 250, "fr": 125, "zh": 0}
+
+
+def q_mix_sample(sf_dir: str) -> ray.data.Dataset:
+    """Corpus mixing: language-weighted deterministic downsampling
+    (splitmix64 permille threshold per row) — shuffle-free."""
+    from .pipelines.sampling import mix_sample
+
+    return mix_sample(
+        _docs(sf_dir, columns=("doc_id", "lang", "text")), MIX_RATES
+    )
+
+
 def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
     """THE end-to-end training-data curation pipeline, composed from
     the library's own stages: near-dup collapse (cluster survivors,

@@ -105,3 +105,41 @@ def stratified_sample(
     return keyed_partition_map(
         pre, [key_col], final, num_partitions=num_partitions
     )
+
+
+def mix_sample(
+    ds: "ray.data.Dataset",
+    rates_permille: dict[str, int],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Corpus MIXING / reweighting: keep each row with its group's
+    pinned rate (integer permille; groups absent from the map drop to
+    0) — the "2x-weight English, downsample boilerplate" operator of a
+    training-data pipeline. The keep decision is splitmix64(id) % 1000
+    < rate: fully deterministic, order- and partition-independent, and
+    composable with resumes (the same row always makes the same
+    choice). Shuffle-free: a vectorized per-batch filter."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import splitmix64
+
+    keys = pa.array(list(rates_permille.keys()), pa.string())
+    vals = np.array(list(rates_permille.values()), dtype=np.uint64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        z = splitmix64(ids.astype(np.uint64)) % np.uint64(1000)
+        gi = pc.index_in(batch.column(group_col), value_set=keys)
+        gin = gi.to_numpy(zero_copy_only=False)
+        thr = np.zeros(batch.num_rows, dtype=np.uint64)
+        known = gi.is_valid().to_numpy(zero_copy_only=False)
+        thr[known] = vals[gin[known].astype(np.int64)]
+        return batch.filter(pa.array(z < thr))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

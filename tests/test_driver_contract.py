@@ -84,7 +84,7 @@ NAMES = [
     "embedding_centroids", "orders_customer_full", "events_running",
     "filtered_topk", "events_funnel", "events_pivot", "longest_per_lang",
     "boosted_topk", "hit_counts", "value_histogram", "spell_correct",
-    "curate_corpus",
+    "curate_corpus", "mix_sample",
 ]
 
 
