@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
+        "wildcard_topk": api.q_wildcard_topk,
         "fuzzy_topk": api.q_fuzzy_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
@@ -385,6 +386,37 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
 qt AS (SELECT q.query_id, q.k, df.term
        FROM q JOIN df ON df.term LIKE q.prefix || '%'),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # leading/trailing wildcard: the query's terms are every corpus
+        # term matching the LIKE pattern (from api.PINNED_WILDCARD);
+        # scoring identical to the bag-of-words oracle
+        "wildcard_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, pat, k) AS (VALUES (0,'%er',10),(1,'%ow',10),(2,'%or%',10),
+                               (3,'%alu%',10),(4,'val%',10),(5,'table',10),
+                               (6,'%zz',10)),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qt AS (SELECT q.query_id, q.k, df.term
+       FROM q JOIN df ON df.term LIKE q.pat),
 scores AS (
   SELECT qt.query_id, qt.k, tf.doc_id,
     sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *

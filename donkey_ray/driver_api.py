@@ -180,6 +180,47 @@ PINNED_FUZZY = [
     (5, "ke", 10),
 ]
 
+# Pinned wildcard patterns: suffix (3-gram probe + 2-gram fallback probe),
+# contains (gram + substring-scan fallback), a trailing-star prefix, a
+# plain term, and a zero-match suffix
+PINNED_WILDCARD = [
+    (0, "*er", 10),
+    (1, "*ow", 10),
+    (2, "*or*", 10),
+    (3, "*alu*", 10),
+    (4, "val*", 10),
+    (5, "table", 10),
+    (6, "*zz", 10),
+]
+
+
+def q_wildcard_topk(sf_dir: str) -> pa.Table:
+    """Leading/trailing wildcard retrieval: ``*suf`` and ``*mid*`` expand
+    through the trigram artifact (a hash-sharded dictionary cannot route
+    a leading wildcard), ``pre*`` through the sharded dictionary's range
+    scan; disjunctive BM25 over the expansion."""
+    from .pipelines.fuzzy import wildcard_topk
+
+    index_dir = ensure_index(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, pattern, k in PINNED_WILDCARD:
+        for r, (d, s) in enumerate(
+            wildcard_topk(index_dir, pattern, k), start=1
+        ):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
 
 def q_fuzzy_topk(sf_dir: str) -> pa.Table:
     """Fuzzy retrieval: each query term expands to its edit-distance-1

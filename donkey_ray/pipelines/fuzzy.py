@@ -222,3 +222,93 @@ def fuzzy_topk(
             matched.update(expand_fuzzy(d, t, max_candidates=max_candidates))
     runs_by_term = {t: r for t in sorted(matched) if (r := eng.term_runs(t))}
     return eng._dispatch_topk(runs_by_term, k)
+
+
+def expand_substring(
+    index_dir: str, s: str, where: str, *, max_candidates: int = 100_000
+) -> list[str]:
+    """All dictionary terms with ``s`` as a suffix (``where='suffix'``) or
+    substring (``where='contains'``) — the leading-wildcard expansions a
+    hash-sharded dictionary cannot route, answered from the SAME trigram
+    artifact fuzzy matching uses (no extra build pass).
+
+    Completeness: a match's padded form ``^term$`` contains the probe
+    string (``s + '$'`` for suffix, ``s`` for contains) as a contiguous
+    substring, so every 3-char window of the probe is a padded trigram of
+    the term — one window probed via gram-pruned reads finds every match.
+    Probes shorter than 3 chars fall back to a substring scan over the
+    gram column, which is vocabulary-sized (never posting-sized) and
+    still ``max_candidates``-guarded. Terms of length <= SHORT_LEN live
+    in the short-terms side file and are always verified."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    if where not in ("suffix", "contains"):
+        raise ValueError(f"where must be 'suffix' or 'contains': {where!r}")
+    if not s:
+        raise ValueError("empty wildcard core")
+    out = build_trigram_index(index_dir)
+    probe = s + "$" if where == "suffix" else s
+    files = [os.path.join(out, f) for f in sorted(os.listdir(out))
+             if f.startswith("part-")]
+    cand: set[str] = set()
+    if files:
+        if len(probe) >= 3:
+            # one necessary window; the '$'-anchored window is the most
+            # selective for suffixes, any window works for contains
+            gram = probe[-3:] if where == "suffix" else probe[:3]
+            hits = pads.dataset(files).to_table(
+                columns=["term"], filter=pads.field("gram") == gram,
+            )
+            cand.update(hits.column("term").to_pylist())
+        else:
+            t = pads.dataset(files).to_table(columns=["gram", "term"])
+            mask = pc.match_substring(t.column("gram"), probe)
+            cand.update(t.filter(mask).column("term").to_pylist())
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"wildcard {s!r} ({where}) produced more than "
+            f"{max_candidates} trigram candidates"
+        )
+    cand.update(
+        pq.read_table(os.path.join(out, "short_terms.parquet"))
+        .column("term").to_pylist()
+    )
+    ok = (lambda t: t.endswith(s)) if where == "suffix" else (lambda t: s in t)
+    return sorted(t for t in cand if ok(t))
+
+
+def wildcard_topk(
+    index_dirs: str | list[str], pattern: str, k: int, *,
+    max_candidates: int = 100_000, max_terms: int = 4096,
+) -> list[tuple[int, float]]:
+    """General wildcard top-k: ``pre*`` (sharded-dictionary range scan),
+    ``*suf`` / ``*mid*`` (trigram-artifact expansion, above), or a plain
+    term. The expansion scores as ordinary disjunctive BM25 — each
+    matched term contributes with its own global df, exactly as if the
+    user had typed every matched term. Federated like fuzzy_topk: each
+    member index keeps its own trigram artifact and expansions union."""
+    from ..stages.score import QueryEngine
+
+    dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+    eng = QueryEngine(dirs)
+    lead, trail = pattern.startswith("*"), pattern.endswith("*")
+    core = pattern.strip("*")
+    toks = eng._tok.tokenize(core)
+    if len(toks) != 1:
+        raise ValueError(
+            f"wildcard core must normalize to one term: {pattern!r} -> {toks}"
+        )
+    s = toks[0]
+    if not lead and not trail:
+        matched = {s}
+    elif trail and not lead:
+        matched = set(eng.expand_prefix(s, max_terms=max_terms))
+    else:
+        where = "contains" if trail else "suffix"
+        matched = set()
+        for d in dirs:
+            matched.update(expand_substring(
+                d, s, where, max_candidates=max_candidates))
+    runs_by_term = {t: r for t in sorted(matched) if (r := eng.term_runs(t))}
+    return eng._dispatch_topk(runs_by_term, k)

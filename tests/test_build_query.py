@@ -480,3 +480,33 @@ def test_fuzzy_expansion_complete(built):
     got = fuzzy_topk(out, q, 10)
     want = engine.topk(" ".join(matches), 10)
     assert got == pytest.approx(want)
+
+
+def test_wildcard_expansion_complete(built):
+    """expand_substring must return EXACTLY the dictionary terms with the
+    probe as suffix/substring — verify against brute force over the full
+    vocabulary at probe lengths that exercise both the gram-equality path
+    (len(probe_padded) >= 3) and the substring-scan fallback."""
+    from donkey_ray.pipelines.fuzzy import expand_substring, wildcard_topk
+
+    _, out, _, oracle = built
+    vocab = sorted(oracle.postings)
+    t = vocab[len(vocab) // 2]
+    for s in [t[-3:], t[-2:], t[-1:], "zz", COMMON_TOKEN]:
+        want = sorted(v for v in vocab if v.endswith(s))
+        assert expand_substring(out, s, "suffix") == want, ("suffix", s)
+    for s in [t[1:4], t[:2], t[-1:], "zq", COMMON_TOKEN]:
+        want = sorted(v for v in vocab if s in v)
+        assert expand_substring(out, s, "contains") == want, ("contains", s)
+    # wildcard_topk over '*mid*' == plain topk over the matched expansion
+    engine = QueryEngine(out)
+    mid = COMMON_TOKEN[1:-1]
+    matches = expand_substring(out, mid, "contains")
+    assert COMMON_TOKEN in matches
+    got = wildcard_topk(out, f"*{mid}*", 10)
+    want = engine.topk(" ".join(matches), 10)
+    assert got == pytest.approx(want)
+    # trailing-star dispatch equals the sharded-dictionary prefix path
+    assert wildcard_topk(out, t[:2] + "*", 10) == pytest.approx(
+        engine.prefix_topk(t[:2], 10, max_terms=4096)
+    )

@@ -85,7 +85,16 @@ NAMES = [
     "filtered_topk", "events_funnel", "events_pivot", "longest_per_lang",
     "boosted_topk", "hit_counts", "value_histogram", "spell_correct",
     "curate_corpus", "mix_sample",
+    "wildcard_topk",
 ]
+
+
+def test_every_sql_oracle_is_in_the_matrix(contract):
+    """NAMES is the sweep the CI gate runs — a queries() entry with a SQL
+    oracle that is missing from NAMES would silently skip verification."""
+    qs, sqls = contract
+    assert set(sqls) == set(NAMES), (
+        sorted(set(sqls) - set(NAMES)), sorted(set(NAMES) - set(sqls)))
 
 
 @pytest.mark.parametrize("name", NAMES)
