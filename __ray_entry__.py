@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
         "wildcard_topk": api.q_wildcard_topk,
+        "fielded_topk": api.q_fielded_topk,
         "fuzzy_topk": api.q_fuzzy_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": api.q_events_window,
         "events_sliding": api.q_events_sliding,
         "events_sessions": api.q_events_sessions,
+        "events_in_sessions": api.q_events_in_sessions,
         "lineitem_rollup": api.q_lineitem_rollup,
         "events_asof_error": api.q_events_asof_error,
         "events_quantiles": api.q_events_quantiles,
@@ -429,6 +431,67 @@ ranked AS (SELECT query_id, k, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) AS rank
            FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # multi-field weighted BM25 (api.PINNED_FIELDED, weights content
+        # x1 / source x2): each field scores with its OWN df/avgdl over
+        # its own token stream; docs combine via full outer join so a
+        # doc hit in only one field still ranks
+        "fielded_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+stok AS (SELECT doc_id,
+                regexp_extract_all(lower(source), '[a-z0-9]+') AS toks
+         FROM documents),
+sdl AS (SELECT doc_id, len(toks) AS dl FROM stok),
+sstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl
+           FROM sdl),
+q(query_id, cq, sq, k) AS (VALUES
+    (0,'table','src18',10),(1,'spark merge','src7',10),
+    (2,'','src12',10),(3,'window sort','',10),
+    (4,'value','zzznope',10),(5,'zzzabsent','zzznope',10)),
+cqt AS (SELECT DISTINCT query_id,
+               unnest(regexp_extract_all(lower(cq), '[a-z0-9]+')) AS term
+        FROM q),
+sqt AS (SELECT DISTINCT query_id,
+               unnest(regexp_extract_all(lower(sq), '[a-z0-9]+')) AS term
+        FROM q),
+cterms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM cterms GROUP BY 1,2),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY 1),
+sterms AS (SELECT doc_id, unnest(toks) AS term FROM stok),
+stf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM sterms GROUP BY 1,2),
+sdf AS (SELECT term, count(*)::DOUBLE AS df FROM stf GROUP BY 1),
+cscores AS (
+  SELECT cqt.query_id, ctf.doc_id,
+    sum( ln((s.n_docs - cdf.df + 0.5)/(cdf.df + 0.5) + 1) *
+         ctf.tf*(1.2+1)/(ctf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM cqt JOIN ctf ON ctf.term = cqt.term
+  JOIN cdf ON cdf.term = cqt.term
+  JOIN dl ON dl.doc_id = ctf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2),
+sscores AS (
+  SELECT sqt.query_id, stf.doc_id,
+    sum( ln((s.n_docs - sdf.df + 0.5)/(sdf.df + 0.5) + 1) *
+         stf.tf*(1.2+1)/(stf.tf + 1.2*(1 - 0.75 + 0.75*sdl.dl/s.avgdl)) ) AS score
+  FROM sqt JOIN stf ON stf.term = sqt.term
+  JOIN sdf ON sdf.term = sqt.term
+  JOIN sdl ON sdl.doc_id = stf.doc_id CROSS JOIN sstats s
+  GROUP BY 1,2),
+comb AS (
+  SELECT COALESCE(c.query_id, s.query_id) AS query_id,
+         COALESCE(c.doc_id, s.doc_id) AS doc_id,
+         1.0*COALESCE(c.score, 0) + 2.0*COALESCE(s.score, 0) AS score
+  FROM cscores c FULL OUTER JOIN sscores s
+    ON c.query_id = s.query_id AND c.doc_id = s.doc_id),
+ranked AS (SELECT comb.query_id, q.k, comb.doc_id, comb.score,
+                  row_number() OVER (PARTITION BY comb.query_id
+                                     ORDER BY comb.score DESC,
+                                              comb.doc_id ASC) AS rank
+           FROM comb JOIN q ON q.query_id = comb.query_id)
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
@@ -977,6 +1040,25 @@ SELECT event_id, user_id,
                               ORDER BY ts, event_id) * 100)::BIGINT
          AS running_x100
 FROM events ORDER BY event_id
+""",
+        # interval (range) join: click-only sessions' [min ts, max ts]
+        # intervals, then every same-user event inside an interval
+        "events_in_sessions": """
+WITH o AS (SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events WHERE event_type = 'click'),
+m AS (SELECT user_id, ts, event_id,
+        CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess FROM o),
+s AS (SELECT user_id, ts,
+        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m),
+iv AS (SELECT user_id, min(ts) AS lo, max(ts) AS hi
+       FROM s GROUP BY user_id, sess)
+SELECT e.event_id, e.user_id, iv.lo AS session_start
+FROM events e JOIN iv ON e.user_id = iv.user_id
+                     AND e.ts >= iv.lo AND e.ts <= iv.hi
 """,
         "events_sessions": """
 WITH o AS (SELECT user_id, ts, event_id, value,

@@ -222,6 +222,69 @@ def q_wildcard_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned multi-field query set: (query_id, content terms, source terms, k).
+# Mix: content+source, source-only, content-only, absent source, absent
+# content, both absent (zero rows)
+PINNED_FIELDED = [
+    (0, "table", "src18", 10),
+    (1, "spark merge", "src7", 10),
+    (2, "", "src12", 10),
+    (3, "window sort", "", 10),
+    (4, "value", "zzznope", 10),
+    (5, "zzzabsent", "zzznope", 10),
+]
+FIELD_WEIGHTS = {"content": 1.0, "source": 2.0}
+
+
+def ensure_source_index(sf_dir: str) -> str:
+    """Build (once; resumable) the SOURCE-field index: same doc_id space
+    as the content index, content := the documents 'source' column, so
+    per-field BM25 statistics (df, avgdl) are honest to that field."""
+    from .sources.corpus import documents_as_corpus
+
+    out = _index_dir(sf_dir) + "_field_source"
+    build_index(
+        documents_as_corpus(sf_dir, content_col="source"),
+        out,
+        num_partitions=4,
+        id_col="doc_id",
+        query_lang="simple",
+        sample_mod=16,
+    )
+    return out
+
+
+def q_fielded_topk(sf_dir: str) -> pa.Table:
+    """Multi-field weighted BM25 (content x1 + source x2): each field is
+    its own index over the shared doc_id space; a doc's score is the
+    weighted sum of its per-field disjunctive BM25 scores over the
+    UNTRUNCATED per-field hit sets."""
+    from .pipelines.query import fielded_topk
+
+    idx = {"content": ensure_index(sf_dir),
+           "source": ensure_source_index(sf_dir)}
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, content_q, source_q, k in PINNED_FIELDED:
+        hits = fielded_topk(
+            idx, {"content": content_q, "source": source_q},
+            FIELD_WEIGHTS, k,
+        )
+        for r, (d, s) in enumerate(hits, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
+
 def q_fuzzy_topk(sf_dir: str) -> pa.Table:
     """Fuzzy retrieval: each query term expands to its edit-distance-1
     dictionary matches via the trigram artifact (complete for
@@ -1437,6 +1500,41 @@ def q_events_sessions(sf_dir: str) -> ray.data.Dataset:
         override_num_blocks=8,
     )
     return sessionize(ds)
+
+
+def q_events_in_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Keyed interval (range) join: sessions are defined by CLICK events
+    only (30-min gap), then EVERY event of the same user joins the click
+    session whose [first-click, last-click] interval contains its
+    timestamp — one cogroup exchange, vectorized rank-compressed
+    containment per partition, no broadcast of either side."""
+    from .pipelines.windows import interval_join, session_intervals
+    from pyarrow.dataset import field
+
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+        filter=field("event_type") == "click",
+        override_num_blocks=8,
+    )
+    intervals = session_intervals(clicks)
+    points = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+        override_num_blocks=8,
+    )
+    joined = interval_join(points, intervals, point_cols=("event_id",))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "session_start": batch.column("lo"),
+        })
+
+    return joined.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def q_events_running(sf_dir: str) -> pa.Table:

@@ -723,3 +723,48 @@ def facet_counts(
             )
         )
     return pa.concat_tables(parts)
+
+
+def fielded_topk(
+    field_indexes: dict[str, str],
+    field_queries: dict[str, str],
+    weights: dict[str, float],
+    k: int,
+) -> list[tuple[int, float]]:
+    """Multi-field weighted retrieval (donkey's A6 shape: an object's
+    several features each score independently, the object aggregates
+    them). Each FIELD is its own index over the same doc_id space —
+    per-field df/avgdl stay honest to that field's statistics — and the
+    document score is ``sum_f weights[f] * BM25_f(doc, field_queries[f])``
+    over the UNTRUNCATED per-field hit sets (a doc absent from one
+    field's hits may still win on the weighted sum, so truncation only
+    happens after combination). Tie-break (score desc, doc_id asc) as
+    everywhere.
+
+    Per-field work is `score_all` — posting decode + vectorized passes,
+    no per-hit Python objects; the combine is one np.unique +
+    np.add.at over the concatenated (doc, weighted score) arrays, sized
+    by hits, never by corpus."""
+    import numpy as np
+
+    from ..functions import scoring
+
+    parts: list[tuple] = []
+    for field, index_dir in sorted(field_indexes.items()):
+        text = (field_queries.get(field) or "").strip()
+        if not text:
+            continue
+        res = QueryEngine(index_dir).score_all(text)
+        if res is None:
+            continue
+        docs, scores = res
+        parts.append((docs, scores * float(weights.get(field, 1.0))))
+    if not parts or k <= 0:
+        return []
+    docs = np.concatenate([p[0] for p in parts])
+    sc = np.concatenate([p[1] for p in parts])
+    u, inv = np.unique(docs, return_inverse=True)
+    tot = np.zeros(u.size, dtype=np.float64)
+    np.add.at(tot, inv, sc)
+    order = scoring.topk_order(u, tot, k)
+    return [(int(u[i]), float(tot[i])) for i in order]

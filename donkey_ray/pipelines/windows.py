@@ -204,3 +204,123 @@ def funnel_counts(
         "event_type": pa.array(step_list, pa.string()),
         "n_users": pa.array(totals, pa.int64()),
     })
+
+
+def session_intervals(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> ray.data.Dataset:
+    """(key, lo, hi) per session — the sessionize kernel emitting the
+    session's time INTERVAL (first/last event ts) instead of aggregates,
+    as the small side of interval_join. Intervals are non-overlapping
+    per key by construction (sessions split on > gap_us)."""
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {key_col: pa.array([], pa.int64()),
+             "lo": pa.array([], pa.timestamp("us")),
+             "hi": pa.array([], pa.timestamp("us"))}
+        )
+        if part.num_rows == 0:
+            return empty
+        keys = part.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order_v = part.column(order_col).to_numpy(zero_copy_only=False)
+        o = np.lexsort((order_v, ts, keys))
+        keys, ts = keys[o], ts[o]
+        new_key = np.empty(len(keys), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.empty(len(keys), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_key | gap)
+        ends = np.append(starts[1:], len(keys)) - 1
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts], pa.int64()),
+                "lo": pa.array(ts[starts], pa.int64()).cast(pa.timestamp("us")),
+                "hi": pa.array(ts[ends], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return keyed_partition_map(ds, [key_col], per_partition)
+
+
+def interval_join(
+    points: ray.data.Dataset,
+    intervals: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    point_cols: tuple[str, ...] = ("event_id",),
+) -> ray.data.Dataset:
+    """Keyed interval (range) join: each point row joins the interval of
+    the SAME key containing its timestamp (lo <= ts <= hi, inner join).
+    Intervals must be non-overlapping per key (true for session windows;
+    asserted per partition) so each point has at most one match.
+
+    Distribution: ONE cogroup exchange on the key co-locates each key's
+    points and intervals; neither side is broadcast or driver-built.
+    The per-partition kernel is fully vectorized across keys — values
+    are rank-compressed so (key ordinal, rank) packs into one int64 and
+    a single np.searchsorted assigns every point its candidate interval
+    (the last interval with (key, lo) <= (key, ts) lexicographically),
+    then hi >= ts validates containment."""
+    from ..stages.exchange import keyed_cogroup_map
+
+    def cogroup(pts_t: pa.Table, iv_t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {**{c: pa.array([], pts_t.schema.field(c).type
+                            if c in pts_t.column_names else pa.int64())
+                for c in point_cols},
+             key_col: pa.array([], pa.int64()),
+             ts_col: pa.array([], pa.timestamp("us")),
+             lo_col: pa.array([], pa.timestamp("us")),
+             hi_col: pa.array([], pa.timestamp("us"))}
+        )
+        if pts_t.num_rows == 0 or iv_t.num_rows == 0:
+            return empty
+        ik = iv_t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ilo = iv_t.column(lo_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ihi = iv_t.column(hi_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o = np.lexsort((ilo, ik))
+        ik, ilo, ihi = ik[o], ilo[o], ihi[o]
+        same = ik[1:] == ik[:-1]
+        if np.any(same & (ilo[1:] <= ihi[:-1])):
+            raise ValueError("interval_join requires non-overlapping "
+                             "intervals per key")
+        pk = pts_t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pts = pts_t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        merged = np.sort(np.concatenate([ilo, pts]))
+        ri = np.searchsorted(merged, ilo)
+        rp = np.searchsorted(merged, pts)
+        uk = np.unique(np.concatenate([ik, pk]))
+        M = np.int64(merged.size + 1)
+        assert uk.size * M < np.iinfo(np.int64).max, "partition too large"
+        ci = np.searchsorted(uk, ik) * M + ri
+        cp = np.searchsorted(uk, pk) * M + rp
+        cand = np.searchsorted(ci, cp, side="right") - 1
+        valid = cand >= 0
+        c = np.where(valid, cand, 0)
+        valid &= (ik[c] == pk) & (ihi[c] >= pts)
+        sel = np.flatnonzero(valid)
+        c = cand[sel]
+        cols = {}
+        for name in point_cols:
+            cols[name] = pts_t.column(name).take(pa.array(sel, pa.int64()))
+        cols[key_col] = pa.array(pk[sel], pa.int64())
+        cols[ts_col] = pa.array(pts[sel], pa.int64()).cast(pa.timestamp("us"))
+        cols[lo_col] = pa.array(ilo[c], pa.int64()).cast(pa.timestamp("us"))
+        cols[hi_col] = pa.array(ihi[c], pa.int64()).cast(pa.timestamp("us"))
+        return pa.table(cols)
+
+    return keyed_cogroup_map(
+        points, intervals, [key_col], [key_col], cogroup
+    )

@@ -39,16 +39,21 @@ def read_corpus(
     return ray.data.read_parquet(path, columns=CORPUS_COLUMNS + extra, **kwargs)
 
 
-def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
+def documents_as_corpus(
+    sf_dir: str, *, content_col: str = "text"
+) -> ray.data.Dataset:
     """Adapt the driver's documents table (doc_id, text, lang, source,
     n_chars — TESTDATA.md) into the corpus shape, keeping its doc_id.
 
     Mapping (FIXTURES.md section 4): repo <- source, path <- str(doc_id),
     commit <- '' (ids come from the doc_id column), content <- text.
+    ``content_col`` selects which column becomes the indexed content —
+    per-FIELD indexes (e.g. over ``source``) reuse this adapter.
     """
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
-    )
+    cols = ["doc_id", "text", "lang", "source"]
+    if content_col not in cols:
+        cols.append(content_col)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
 
     def adapt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -60,7 +65,7 @@ def documents_as_corpus(sf_dir: str) -> ray.data.Dataset:
                 ),
                 "commit": pa.array([""] * n, pa.string()),
                 "lang": batch.column("lang").cast(pa.string()),
-                "content": batch.column("text").cast(pa.string()),
+                "content": batch.column(content_col).cast(pa.string()),
                 "doc_id": batch.column("doc_id").cast(pa.int64()),
             }
         )

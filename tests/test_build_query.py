@@ -510,3 +510,42 @@ def test_wildcard_expansion_complete(built):
     assert wildcard_topk(out, t[:2] + "*", 10) == pytest.approx(
         engine.prefix_topk(t[:2], 10, max_terms=4096)
     )
+
+
+def test_fielded_topk_combines_untruncated_fields(built, tmp_path):
+    """fielded_topk == weighted sum of per-field score_all hit sets,
+    truncated only after combination — verified against a by-hand numpy
+    combine of the two engines' untruncated outputs, on two field
+    indexes sharing the doc_id space (content, and a 'repo' field)."""
+    import ray.data
+
+    from donkey_ray.pipelines.query import fielded_topk
+
+    corpus, out, _, oracle = built
+    # second field: index the repo column as content over the same ids
+    field_tbl = corpus.set_column(
+        corpus.schema.get_field_index("content"), "content",
+        corpus.column("repo").cast(pa.string()),
+    )
+    out2 = str(tmp_path / "field_repo")
+    build_index(ray.data.from_arrow(field_tbl), out2,
+                num_partitions=4, query_lang="code", id_col=None)
+    e1, e2 = QueryEngine(out), QueryEngine(out2)
+    repo_term = field_tbl.column("content")[0].as_py().lower()
+    cq, sq, w1, w2 = COMMON_TOKEN, repo_term, 1.0, 3.0
+    acc: dict[int, float] = {}
+    for eng, q, w in ((e1, cq, w1), (e2, sq, w2)):
+        res = eng.score_all(q)
+        assert res is not None
+        docs, scores = res
+        for d, s in zip(docs.tolist(), (scores * w).tolist()):
+            acc[d] = acc.get(d, 0.0) + s
+    want = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = fielded_topk(
+        {"content": out, "repo": out2}, {"content": cq, "repo": sq},
+        {"content": w1, "repo": w2}, 10,
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert [s for _, s in got] == pytest.approx([s for _, s in want])
+    # empty/absent field queries contribute nothing
+    assert fielded_topk({"content": out}, {"content": ""}, {}, 10) == []

@@ -83,3 +83,46 @@ def test_asof_join_backward_strict(ray_session):
     # k=1: ts10 -> none (strict); ts20 -> 10; ts30 -> 25
     # k=2: ts15 -> 1 (15 itself excluded, strict); k=3 -> none
     assert prev == [None, 10, 25, 1, None]
+
+
+def test_interval_join(ray_session):
+    """Keyed interval join: containment inclusive at both bounds, points
+    outside every interval drop, keys never cross, and overlapping
+    intervals for a key are rejected."""
+    import ray.data
+
+    from donkey_ray.pipelines.windows import interval_join
+
+    us = 1  # plain integers as microsecond timestamps
+    iv = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "lo": pa.array([10 * us, 50 * us, 10 * us], pa.timestamp("us")),
+        "hi": pa.array([20 * us, 60 * us, 15 * us], pa.timestamp("us")),
+    })
+    pts = pa.table({
+        "event_id": pa.array(list(range(7)), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array(
+            [10, 20, 21, 50, 9, 16, 12], pa.timestamp("us")
+        ),  # lo-edge, hi-edge, gap, second interval, before-all, out, no-iv-key
+    })
+    got = (
+        interval_join(
+            ray.data.from_arrow(pts), ray.data.from_arrow(iv),
+            point_cols=("event_id",),
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == [0, 1, 3]
+    assert got["lo"].astype("int64").tolist() == [10, 10, 50]
+    # overlapping intervals for a key must raise
+    bad = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "lo": pa.array([10, 15], pa.timestamp("us")),
+        "hi": pa.array([20, 30], pa.timestamp("us")),
+    })
+    with pytest.raises(Exception, match="non-overlapping"):
+        interval_join(
+            ray.data.from_arrow(pts), ray.data.from_arrow(bad),
+            point_cols=("event_id",),
+        ).materialize()
