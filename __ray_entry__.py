@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": api.q_corpus_stats,
         "top_terms": api.q_top_terms,
         "top_bigrams": api.q_top_bigrams,
+        "heavy_hitters": api.q_heavy_hitters,
         "cooccurrence": api.q_cooccurrence,
         "regex_search": api.q_regex_search,
         "index_stats": api.q_index_stats,
@@ -1120,6 +1121,16 @@ SELECT term, df FROM (
   FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)
   GROUP BY term)
 WHERE rn <= 20
+""",
+        # heavy hitters: top by total OCCURRENCES (not df) — the engine
+        # side goes through the MG sketch + certified exact recount
+        "heavy_hitters": f"""
+SELECT term, n FROM (
+  SELECT term, count(*)::BIGINT AS n,
+         row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+  FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+  GROUP BY term)
+WHERE rn <= 15
 """,
         "content_sha256": """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents

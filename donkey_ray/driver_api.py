@@ -817,6 +817,15 @@ def q_top_terms(sf_dir: str) -> pa.Table:
     return tbl.slice(0, 20)
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Exact top-15 terms by occurrence count via the Misra-Gries
+    sketch + certified exact recount — two streaming passes with
+    O(capacity) per-batch state, no vocabulary-scale shuffle."""
+    return analyze.heavy_hitters(
+        _docs(sf_dir, columns=("text",)), k=15, capacity=256
+    )
+
+
 def q_top_bigrams(sf_dir: str) -> pa.Table:
     """Global top-20 adjacent token pairs by occurrence count (count desc,
     bigram asc) — per-batch pre-count, one keyed exchange, per-partition

@@ -656,3 +656,95 @@ def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_HH_TOTAL = "\x00total"  # tokenizer output is [a-z0-9]+ so this can't collide
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, *, k: int = 20, capacity: int = 512,
+    text_col: str = "text", max_candidates: int = 65536,
+) -> pa.Table:
+    """EXACT global top-k terms by occurrence count, WITHOUT a
+    vocabulary-scale shuffle: two streaming passes with O(capacity)
+    state per batch (the Misra-Gries reduction).
+
+    Pass 1 truncates each batch's exact histogram to its top ``capacity``
+    entries, decremented by the (capacity+1)-th largest count — the MG
+    summary. Summing summaries undercounts any term by at most
+    N/(capacity+1) total, so every term with global count >
+    N/(capacity+1) survives the merge: the merged survivor set provably
+    CONTAINS the true top-k whenever the k-th count clears that
+    threshold. Pass 2 recounts only the survivors exactly (is_in +
+    bincount per batch, candidate-sized partial rows), and the guarantee
+    is CHECKED against the exact counts — if the k-th count does not
+    clear N/(capacity+1) the result could be wrong, so it raises with
+    the capacity to retry at. Exchange traffic: O(batches x capacity)
+    pass-1 rows + O(batches x survivors) pass-2 rows; never O(vocab)."""
+    from ..stages.exchange import partitioned_aggregate
+    from ..util import dataset_to_table
+
+    def mg_summarize(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenized(batch, text_col)
+        vc = pc.value_counts(flat)
+        terms = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        total = int(counts.sum())
+        if counts.size > capacity:
+            order = np.argsort(-counts, kind="stable")
+            cut = counts[order[capacity]]
+            keep = order[:capacity]
+            kept = counts[keep] - cut
+            pos = kept > 0
+            terms = terms.take(pa.array(keep[pos], pa.int64()))
+            counts = kept[pos]
+        out_t = pa.concat_arrays(
+            [terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+             else terms, pa.array([_HH_TOTAL], pa.string())]
+        )
+        out_c = np.append(counts, total)
+        return pa.table({"term": out_t, "c": pa.array(out_c, pa.int64())})
+
+    merged = dataset_to_table(partitioned_aggregate(
+        ds.map_batches(mg_summarize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["term"], [("c", "sum")], rename={"c_sum": "c"},
+    ))
+    is_total = pc.equal(merged.column("term"), _HH_TOTAL)
+    n_tokens = int(merged.filter(is_total).column("c")[0].as_py())
+    cand = merged.filter(pc.invert(is_total)).column("term")
+    if isinstance(cand, pa.ChunkedArray):
+        cand = cand.combine_chunks()
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"{len(cand)} MG survivors exceed max_candidates; "
+            f"raise capacity above {capacity} or max_candidates"
+        )
+
+    def recount(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tokenized(batch, text_col)
+        idx_arr = pc.index_in(flat, value_set=cand)
+        idx = idx_arr.filter(pc.is_valid(idx_arr)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        counts = np.bincount(idx, minlength=len(cand))
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "term": cand.take(pa.array(nz, pa.int64())),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    exact = dataset_to_table(partitioned_aggregate(
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"], [("n", "sum")], rename={"n_sum": "n"},
+    )).sort_by([("n", "descending"), ("term", "ascending")])
+    if exact.num_rows < k:
+        raise ValueError(f"corpus has fewer than k={k} sketch survivors")
+    kth = int(exact.column("n")[k - 1].as_py())
+    threshold = n_tokens / (capacity + 1)
+    if kth <= threshold:
+        raise ValueError(
+            f"top-{k} not certified: k-th count {kth} <= N/(capacity+1) "
+            f"= {threshold:.1f}; retry with capacity >= {int(n_tokens / kth) + 1}"
+        )
+    return exact.slice(0, k)

@@ -85,7 +85,7 @@ NAMES = [
     "filtered_topk", "events_funnel", "events_pivot", "longest_per_lang",
     "boosted_topk", "hit_counts", "value_histogram", "spell_correct",
     "curate_corpus", "mix_sample",
-    "wildcard_topk", "fielded_topk", "events_in_sessions",
+    "wildcard_topk", "fielded_topk", "events_in_sessions", "heavy_hitters",
 ]
 
 

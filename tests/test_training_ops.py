@@ -593,3 +593,34 @@ def test_decontaminate(docs_ds):
             want[d] = len(hit)
     assert got_map == want
     assert 0 in want and 6 not in want and 7 not in want
+
+
+def test_heavy_hitters_sketch_certified(ray_session):
+    """Misra-Gries + exact recount returns the EXACT top-k with per-batch
+    truncation active (capacity << vocab), and refuses to answer when the
+    k-th count cannot be certified against N/(capacity+1)."""
+    import ray.data
+
+    from donkey_ray.pipelines.analyze import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    # Zipf-ish: w00 heaviest, long tail; many docs so batches differ
+    docs = []
+    for _ in range(400):
+        words = [vocab[min(int(rng.zipf(1.5)) - 1, 39)] for _ in range(30)]
+        docs.append(" ".join(words))
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    from collections import Counter
+
+    truth = Counter(w for d in docs for w in d.split())
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ds = ray.data.from_arrow(tbl).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=40
+    )
+    got = heavy_hitters(ds, k=5, capacity=24)
+    assert list(zip(got.column("term").to_pylist(),
+                    got.column("n").to_pylist())) == want
+    # uncertifiable: k deep into the tail with a tiny sketch
+    with pytest.raises(Exception, match="not certified|survivors"):
+        heavy_hitters(ds, k=30, capacity=4)
