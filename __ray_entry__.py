@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": api.q_heavy_hitters,
         "cooccurrence": api.q_cooccurrence,
         "regex_search": api.q_regex_search,
+        "substring_search": api.q_substring_search,
+        "grep_indexed": api.q_grep_indexed,
         "index_stats": api.q_index_stats,
         "suggest": api.q_suggest,
         "stratified_sample": api.q_stratified_sample,
@@ -142,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "ann_topk": api.q_ann_topk,
         "ann_ivf_topk": api.q_ann_ivf_topk,
+        "ann_graph_topk": api.q_ann_graph_topk,
         "embedding_neardup": api.q_embedding_neardup,
         # text analysis
         "quality_scores": api.q_quality_scores,
@@ -1138,6 +1141,33 @@ SELECT doc_id, sha256(text) AS content_sha256 FROM documents
         # generated from api.PINNED_REGEXES (RE2 on both sides: Arrow's
         # count_substring_regex and DuckDB's regexp_extract_all agree on
         # non-overlapping leftmost match counts)
+        # indexed substring grep: non-overlapping count via the replace()
+        # length trick (same semantics as Arrow count_substring)
+        "substring_search": (
+            "WITH p(pattern_id, pat) AS (VALUES "
+            + ",".join(f"({pid},'{pat}')" for pid, pat in api.PINNED_SUBSTRINGS)
+            + """),
+m AS (SELECT p.pattern_id, d.doc_id,
+             ((len(lower(d.text)) - len(replace(lower(d.text), p.pat, '')))
+              / len(p.pat))::BIGINT AS n_hits
+      FROM documents d CROSS JOIN p)
+SELECT pattern_id::BIGINT AS pattern_id, doc_id, n_hits
+FROM m WHERE n_hits > 0
+"""
+        ),
+        # indexed regex grep: identical verification semantics to
+        # regex_search (RE2 non-overlapping), different pattern set
+        "grep_indexed": (
+            "WITH p(pattern_id, pat) AS (VALUES "
+            + ",".join(f"({pid},'{pat}')" for pid, pat in api.PINNED_GREP)
+            + """),
+m AS (SELECT pattern_id, doc_id,
+             len(regexp_extract_all(text, pat))::BIGINT AS n_matches
+      FROM documents CROSS JOIN p)
+SELECT pattern_id::BIGINT AS pattern_id, doc_id, n_matches
+FROM m WHERE n_matches > 0
+"""
+        ),
         "regex_search": (
             "WITH p(pattern_id, pat) AS (VALUES "
             + ",".join(f"({pid},'{pat}')" for pid, pat in api.PINNED_REGEXES)

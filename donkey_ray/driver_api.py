@@ -854,6 +854,75 @@ def q_regex_search(sf_dir: str) -> ray.data.Dataset:
     return analyze.regex_search(_docs(sf_dir), PINNED_REGEXES)
 
 
+def _grep_index_dir(sf_dir: str) -> str:
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    return os.path.join(CACHE_ROOT, f"grep-{key}")
+
+
+def ensure_grep_index(sf_dir: str) -> str:
+    """Build (once; marker-resumable) the content-trigram artifact for
+    indexed substring/regex search over the documents corpus."""
+    from .pipelines.grep import build_content_trigram_index
+
+    return build_content_trigram_index(
+        _docs(sf_dir), _grep_index_dir(sf_dir)
+    )
+
+
+# Pinned substring patterns (case-insensitive grep): a word fragment, a
+# mid-word fragment, a cross-word fragment with a space (content grams,
+# unlike the term dictionary, span token boundaries), an absent string,
+# and a sub-trigram pattern (distributed-scan fallback route)
+PINNED_SUBSTRINGS = [
+    (0, "tab"),
+    (1, "alue"),
+    (2, "a tab"),
+    (3, "zzznope"),
+    (4, "ta"),
+]
+
+# Pinned indexed-grep regexes: two with an indexable mandatory literal
+# ('value', 'wind'), one whose mandatory literal ends at a '+' run
+# ('spa' from spa+rk), one absent-literal (proven empty from the gram
+# table alone), and one dot-class pattern (scan route)
+PINNED_GREP = [
+    (0, "value[sd]?"),
+    (1, "wind[aeiou]w"),
+    (2, "spa+rk"),
+    (3, "zzznope[0-9]*"),
+    (4, "qu..y"),
+]
+
+
+def q_substring_search(sf_dir: str) -> pa.Table:
+    """Code-search substring grep THROUGH THE CONTENT-TRIGRAM INDEX:
+    candidates from rarest-window posting intersection, verified by a
+    doc_id-pushdown read + vectorized count (never a corpus scan for
+    indexable patterns)."""
+    from .pipelines.grep import substring_search
+
+    return substring_search(
+        _docs(sf_dir),
+        ensure_grep_index(sf_dir),
+        PINNED_SUBSTRINGS,
+        docs_path=f"{sf_dir}/documents.parquet",
+    )
+
+
+def q_grep_indexed(sf_dir: str) -> pa.Table:
+    """Regex grep through the content-trigram index (mandatory-literal
+    prefilter, RE2 verification on candidates only); patterns without an
+    indexable literal fall back to the distributed scan."""
+    from .pipelines.grep import regex_search_indexed
+
+    return regex_search_indexed(
+        _docs(sf_dir),
+        ensure_grep_index(sf_dir),
+        PINNED_GREP,
+        docs_path=f"{sf_dir}/documents.parquet",
+    )
+
+
 def q_index_stats(sf_dir: str) -> pa.Table:
     """Corpus summary recomputed FROM THE INDEX ARTIFACT (segment scan);
     the oracle recomputes it from the raw documents table, so this row
@@ -1204,6 +1273,36 @@ def q_ann_ivf_topk(sf_dir: str) -> pa.Table:
     }
     qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
     res = ivf_topk(out, qv, k=ANN_K, nprobe=None)
+    return _round_col(res, "cos_sim")
+
+
+def q_ann_graph_topk(sf_dir: str) -> pa.Table:
+    """Pinned ANN queries through the persisted NN-DESCENT k-NN GRAPH
+    artifact (donkey's kgraph analogue) with beam search. Approximate by
+    construction — recorded rows-only; recall >= 0.9 vs brute force is
+    gated in pytest (test_knng), and at the fixture scale the beam is
+    wide enough to be exact in practice."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.knng import build_knn_graph, graph_topk
+
+    out = os.path.join(
+        CACHE_ROOT, f"knng-{_hl.sha256(sf_dir.encode()).hexdigest()[:16]}"
+    )
+    build_knn_graph(_embeddings(sf_dir), out, k=16, rounds=2)
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = {
+        v: e
+        for v, e in zip(emb.column("vec_id").to_pylist(),
+                        emb.column("embedding").to_pylist())
+    }
+    qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
+    res = graph_topk(out, f"{sf_dir}/embeddings.parquet", qv,
+                     k=ANN_K, beam=64)
     return _round_col(res, "cos_sim")
 
 

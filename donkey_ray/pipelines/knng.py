@@ -1,0 +1,453 @@
+"""k-NN graph ANN index via distributed NN-descent + beam-search serving.
+
+Donkey's default ANN index is kgraph — an NN-descent k-NN graph (Dong,
+Moses & Li, "Efficient k-nearest neighbor graph construction for generic
+similarity measures", WWW 2011 — public paper; SURVEY.md A4 [PK]). This
+module is that capability re-expressed Ray-Data-first:
+
+- INIT: two bucketing tables seed the graph through ONE keyed exchange
+  each — (a) random-hyperplane LSH buckets (locality: likely-close
+  vectors meet early) and (b) splitmix64 random buckets (connectivity:
+  the graph never starts disconnected). Within a bucket the seed edges
+  are exact top-K when the bucket is small (vectorized all-pairs) and a
+  sorted ring otherwise (bounded work for hot buckets).
+
+- NN-DESCENT ROUNDS: the invariant "a neighbor of my neighbor is
+  probably my neighbor". Each round: (1) undirect the graph, (2) one
+  keyed exchange on src emits all neighbor-of-neighbor candidate pairs
+  per node (<= K(2K-1) per node, vectorized triu gather), (3) two
+  cogroup joins attach endpoint vectors partition-locally (the
+  repartition-join primitive — vectors are NEVER broadcast whole),
+  (4) one keyed exchange on src keeps each node's top-K by cosine.
+  Every stage is a bounded keyed exchange; nothing materializes the
+  vector set or the pair set on the driver.
+
+- ARTIFACT: graph/part-%05d.parquet (src, dst, sim) sorted by src with
+  per-partition manifest lineage + meta + _SUCCESS, same resumable
+  treatment as the text/IVF indexes.
+
+- SERVING: greedy best-first beam search (the kgraph/HNSW search loop)
+  from deterministic spread entry points; per-hop neighbor lookups and
+  similarity evaluations are vectorized. Approximate by construction —
+  recall is gated in pytest (>= 0.9 @ beam 64 on the fixture corpus)
+  and the driver records a rows-only check, never an oracle claim.
+
+Scale posture: build cost per round is O(n * K^2) candidate rows moved
+through hash exchanges sized by default_num_partitions(); serving state
+per query is O(beam + visited) with graph reads row-group-pruned on the
+sorted src column (memoized whole only below _SMALL_GRAPH rows — the
+in-sandbox fixture path; the 100 TB path shards the same arrays across
+partition-owning actors like the text dictionary)."""
+
+from __future__ import annotations
+
+import heapq
+import os
+import tempfile
+import time
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..state import manifest as mf
+from ..util import dataset_to_table
+from .ann import _batch_matrix, _normalize
+
+FORMAT_VERSION = 1
+MAX_BF_BUCKET = 256     # all-pairs init below this bucket size
+N_PLANES = 10           # LSH table bits
+RANDOM_BUCKETS = 64     # connectivity table bucket count
+_SMALL_GRAPH = 1_000_000
+
+
+def _hyperplanes(dim: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, N_PLANES))
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bucket_edges(ids: np.ndarray, m: np.ndarray, k: int) -> tuple:
+    """Seed edges within one bucket: exact top-k for small buckets,
+    sorted ring otherwise. Returns (src, dst, sim) arrays."""
+    n = len(ids)
+    if n < 2:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), np.array([], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, m = ids[order], m[order]
+    if n <= MAX_BF_BUCKET:
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, n - 1)
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        src = np.repeat(ids, kk)
+        dst = ids[top.ravel()]
+        sim = np.take_along_axis(sims, top, axis=1).ravel()
+        return src, dst, sim
+    nxt = np.roll(np.arange(n), -1)
+    sim = np.einsum("ij,ij->i", m, m[nxt])
+    return ids, ids[nxt], sim
+
+
+def build_knn_graph(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    k: int = 8,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> dict:
+    """Build (once; _SUCCESS-resumable) the k-NN graph artifact."""
+    from ..stages.exchange import keyed_cogroup_map, keyed_partition_map
+
+    if mf.is_complete(out_dir):
+        return mf.load_meta(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # materialized: every round's two cogroup joins re-read this (O(n·dim)
+    # floats — the index input, not a corpus-scale text payload)
+    vecs = ds.map_batches(
+        lambda b: pa.table({"vec_id": b.column(id_col).cast(pa.int64()),
+                            "embedding": b.column(vec_col)}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    if num_partitions is None:
+        # size exchanges to the data: tiny graphs drown in per-partition
+        # block overhead at the default P (O(CPUs)); ~64k edge rows per
+        # partition keeps every exchange usefully parallel at scale
+        from ..stages.exchange import default_num_partitions
+
+        n_vecs = vecs.count()
+        num_partitions = max(2, min(default_num_partitions(),
+                                    (n_vecs * k) // 65536 + 1))
+
+    # ---- init: LSH-bucket + random-bucket seed edges ----
+    def tag_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch, "embedding"))
+        planes = _hyperplanes(m.shape[1], seed)
+        bits = (m @ planes) > 0
+        lsh = bits @ (1 << np.arange(N_PLANES)).astype(np.int64)
+        rnd = (_splitmix(ids) % np.uint64(RANDOM_BUCKETS)).astype(np.int64)
+        two = pa.concat_tables([
+            pa.table({"bucket": pa.array(lsh, pa.int64()),
+                      "vec_id": batch.column("vec_id").cast(pa.int64()),
+                      "embedding": batch.column("embedding")}),
+            pa.table({"bucket": pa.array(rnd + (1 << 40), pa.int64()),
+                      "vec_id": batch.column("vec_id").cast(pa.int64()),
+                      "embedding": batch.column("embedding")}),
+        ])
+        return two
+
+    def init_edges(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        part = part.sort_by([("bucket", "ascending"), ("vec_id", "ascending")])
+        buckets = part.column("bucket").to_numpy(zero_copy_only=False)
+        ids = part.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(part, "embedding"))
+        cuts = np.flatnonzero(np.diff(buckets)) + 1
+        srcs, dsts, sims = [], [], []
+        for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(buckets)]):
+            s, d, v = _bucket_edges(ids[lo:hi], m[lo:hi], k)
+            srcs.append(s); dsts.append(d); sims.append(v)
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs), pa.int64()),
+            "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            "sim": pa.array(np.concatenate(sims), pa.float64()),
+        })
+
+    init_edges.__name__ = "knng_init"
+    tagged = vecs.map_batches(tag_buckets, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    graph = keyed_partition_map(tagged, ["bucket"], init_edges,
+                                num_partitions=num_partitions)
+
+    def topk_per_src(part: pa.Table) -> pa.Table:
+        """(src, dst, sim) rows -> per src: distinct dst, top-k by
+        (sim desc, dst asc). Vectorized run-slicing."""
+        if part.num_rows == 0:
+            return part
+        s = part.column("src").to_numpy(zero_copy_only=False)
+        d = part.column("dst").to_numpy(zero_copy_only=False)
+        v = part.column("sim").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -v, s))
+        s, d, v = s[order], d[order], v[order]
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        s, d, v = s[first], d[first], v[first]
+        starts = np.r_[0, np.flatnonzero(s[1:] != s[:-1]) + 1]
+        rank = np.arange(len(s)) - np.repeat(starts, np.diff(np.r_[starts, len(s)]))
+        keep = rank < k
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64()),
+                         "sim": pa.array(v[keep], pa.float64())})
+
+    topk_per_src.__name__ = "knng_topk"
+    # each round consumes `graph` TWICE (candidate generation and the
+    # union refresh); materializing per round keeps the lineage linear —
+    # the graph is O(n*k) edge rows, never corpus-scale
+    graph = keyed_partition_map(graph, ["src"], topk_per_src,
+                                num_partitions=num_partitions).materialize()
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            batch,
+            pa.table({"src": batch.column("dst"), "dst": batch.column("src"),
+                      "sim": batch.column("sim")}),
+        ])
+
+    def nn_pairs(part: pa.Table) -> pa.Table:
+        """Per src: all unordered neighbor pairs (the NN-descent
+        candidate generator), deduped within the partition."""
+        if part.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        part = part.sort_by([("src", "ascending"), ("dst", "ascending")])
+        s = part.column("src").to_numpy(zero_copy_only=False)
+        d = part.column("dst").to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(s[1:] != s[:-1]) + 1]
+        ends = np.r_[starts[1:], len(s)]
+        aa, bb = [], []
+        for lo, hi in zip(starts, ends):
+            nbrs = np.unique(d[lo:hi])
+            n = len(nbrs)
+            if n < 2:
+                continue
+            iu = np.triu_indices(n, 1)
+            aa.append(nbrs[iu[0]]); bb.append(nbrs[iu[1]])
+        if not aa:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        av, bv = np.concatenate(aa), np.concatenate(bb)
+        if len(av) and av.min() >= 0 and max(av.max(), bv.max()) < (1 << 32):
+            key = np.unique(av.astype(np.uint64) << np.uint64(32)
+                            | bv.astype(np.uint64))
+            av = (key >> np.uint64(32)).astype(np.int64)
+            bv = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:  # wide ids: dedupe via lexsort (no packing assumption)
+            order = np.lexsort((bv, av))
+            av, bv = av[order], bv[order]
+            keep = np.ones(len(av), dtype=bool)
+            keep[1:] = (av[1:] != av[:-1]) | (bv[1:] != bv[:-1])
+            av, bv = av[keep], bv[keep]
+        return pa.table({"a": pa.array(av, pa.int64()),
+                         "b": pa.array(bv, pa.int64())})
+
+    nn_pairs.__name__ = "knng_pairs"
+
+    def attach(col_key: str, vec_name: str):
+        def fn(cand: pa.Table, emb: pa.Table) -> pa.Table:
+            if cand.num_rows == 0:
+                return cand.append_column(
+                    vec_name, pa.nulls(0, emb.schema.field("embedding").type))
+            emb = emb.sort_by([("vec_id", "ascending")])
+            eids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+            keys = cand.column(col_key).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(eids, keys)
+            return cand.append_column(
+                vec_name, emb.column("embedding").combine_chunks().take(
+                    pa.array(idx, pa.int64())))
+        fn.__name__ = f"knng_attach_{col_key}"
+        return fn
+
+    for _ in range(rounds):
+        und = graph.map_batches(undirect, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        cand = keyed_partition_map(und, ["src"], nn_pairs,
+                                   num_partitions=num_partitions)
+        wa = keyed_cogroup_map(cand, vecs, ["a"], ["vec_id"],
+                               attach("a", "va"),
+                               num_partitions=num_partitions)
+
+        def score(both: pa.Table, emb: pa.Table) -> pa.Table:
+            if both.num_rows == 0:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            emb = emb.sort_by([("vec_id", "ascending")])
+            eids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+            bb = both.column("b").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(eids, bb)
+            me = _normalize(_batch_matrix(emb, "embedding"))
+            ma = _normalize(_batch_matrix(both, "va"))
+            sim = np.einsum("ij,ij->i", ma, me[idx])
+            a = both.column("a").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "src": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "dst": pa.array(np.concatenate([bb, a]), pa.int64()),
+                "sim": pa.array(np.concatenate([sim, sim]), pa.float64()),
+            })
+
+        score.__name__ = "knng_score"
+        scored = keyed_cogroup_map(wa, vecs, ["b"], ["vec_id"], score,
+                                   num_partitions=num_partitions)
+        graph = keyed_partition_map(scored.union(graph), ["src"],
+                                    topk_per_src,
+                                    num_partitions=num_partitions).materialize()
+
+    # ---- persist, manifest-tracked like the IVF index ----
+    class _Writer:
+        def __init__(self, out: str) -> None:
+            self.out = out
+            self.__name__ = "knng_write"
+
+        def __call__(self, part: pa.Table) -> pa.Table:
+            if part.num_rows == 0:
+                return pa.table({"part": pa.array([], pa.int32()),
+                                 "n_edges": pa.array([], pa.int64())})
+            t0 = time.monotonic()
+            pid = int(part.column("__part")[0].as_py())
+            seg = part.drop_columns(["__part"]).sort_by(
+                [("src", "ascending"), ("dst", "ascending")])
+            path = mf.segment_path(self.out, pid)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                                       prefix=f".tmp-knng-{pid:05d}-")
+            os.close(fd)
+            try:
+                pq.write_table(seg, tmp, row_group_size=4096,
+                               compression="zstd")
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            mf.write_partition_manifest(self.out, {
+                "part": pid, "n_edges": seg.num_rows,
+                "n_bytes": os.path.getsize(path),
+                "sha256": mf.file_sha256(path),
+                "wall_s": round(time.monotonic() - t0, 4),
+            })
+            return pa.table({"part": pa.array([pid], pa.int32()),
+                             "n_edges": pa.array([seg.num_rows], pa.int64())})
+
+    from ..stages.exchange import add_partition_column, default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+    tagged_g = graph.map_batches(
+        lambda b: add_partition_column(b, ["src"], P),
+        batch_format="pyarrow", zero_copy_batch=True)
+    entries = tagged_g.groupby("__part").map_groups(
+        _Writer(out_dir), batch_format="pyarrow").take_all()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "knn_graph_cosine",
+        "k": int(k), "rounds": int(rounds), "seed": int(seed),
+        "num_partitions": P,
+        "n_edges": int(sum(e["n_edges"] for e in entries)),
+        "parts_built": sorted(int(e["part"]) for e in entries),
+    }
+    mf.write_meta(out_dir, meta)
+    mf.mark_complete(out_dir)
+    return meta
+
+
+# ---- serving ----
+
+@lru_cache(maxsize=4)
+def _load_graph(index_dir: str):
+    """CSR view of the graph: (sorted unique srcs, offsets, dsts)."""
+    import pyarrow.dataset as pads
+
+    meta = mf.load_meta(index_dir)
+    paths = [mf.segment_path(index_dir, int(p)) for p in meta["parts_built"]]
+    t = pads.dataset([p for p in paths if os.path.exists(p)]).to_table(
+        columns=["src", "dst"])
+    if t.num_rows > _SMALL_GRAPH:
+        raise NotImplementedError(
+            "in-process graph serving is gated to small graphs; shard "
+            "across partition-owning actors at scale (module docstring)")
+    s = t.column("src").to_numpy(zero_copy_only=False)
+    d = t.column("dst").to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    srcs, starts = np.unique(s, return_index=True)
+    return srcs, np.r_[starts, len(s)], d
+
+
+@lru_cache(maxsize=4)
+def _load_vectors(emb_path: str, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    t = pq.read_table(emb_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    m = _normalize(_batch_matrix(t, vec_col))
+    return ids[order], m[order]
+
+
+def graph_topk(
+    index_dir: str,
+    emb_path: str,
+    query_vectors: np.ndarray,
+    *,
+    k: int = 10,
+    beam: int = 64,
+    n_entries: int = 8,
+) -> pa.Table:
+    """Beam-search cosine top-k over the persisted k-NN graph. Entry
+    points are a deterministic spread of node ids; the loop expands the
+    best unexpanded candidate until it scores below the beam's worst
+    (the kgraph/HNSW ef-search termination). Returns (query_id, rank,
+    vec_id, cos_sim) — same shape as ivf_topk."""
+    srcs, offs, dsts = _load_graph(index_dir)
+    ids, m = _load_vectors(emb_path)
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    entry_ids = ids[:: max(1, len(ids) // n_entries)][:n_entries]
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos_sim": []}
+    for qi in range(len(q)):
+        qv = q[qi]
+        pos = np.searchsorted(ids, entry_ids)
+        sims = m[pos] @ qv
+        visited = set(entry_ids.tolist())
+        # candidate max-heap (unexpanded) and result min-heap (beam best)
+        cand = [(-s, int(i)) for s, i in zip(sims, entry_ids)]
+        heapq.heapify(cand)
+        res = [(s, -int(i)) for s, i in zip(sims, entry_ids)]
+        heapq.heapify(res)
+        while len(res) > beam:
+            heapq.heappop(res)
+        while cand:
+            negs, node = heapq.heappop(cand)
+            if len(res) >= beam and -negs < res[0][0]:
+                break
+            gi = np.searchsorted(srcs, node)
+            if gi >= len(srcs) or srcs[gi] != node:
+                continue
+            nbrs = dsts[offs[gi]:offs[gi + 1]]
+            fresh = np.array([x for x in nbrs.tolist() if x not in visited],
+                             dtype=np.int64)
+            if not len(fresh):
+                continue
+            visited.update(fresh.tolist())
+            fp = np.searchsorted(ids, fresh)
+            fs = m[fp] @ qv
+            for s, i in zip(fs, fresh):
+                heapq.heappush(cand, (-float(s), int(i)))
+                heapq.heappush(res, (float(s), -int(i)))
+                if len(res) > beam:
+                    heapq.heappop(res)
+        best = sorted(((s, -ni) for s, ni in res),
+                      key=lambda t: (-t[0], t[1]))[:k]
+        out["query_id"].extend([qi] * len(best))
+        out["rank"].extend(range(1, len(best) + 1))
+        out["vec_id"].extend(i for _, i in best)
+        out["cos_sim"].extend(s for s, _ in best)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "cos_sim": pa.array(out["cos_sim"], pa.float64()),
+    })

@@ -86,6 +86,7 @@ NAMES = [
     "boosted_topk", "hit_counts", "value_histogram", "spell_correct",
     "curate_corpus", "mix_sample",
     "wildcard_topk", "fielded_topk", "events_in_sessions", "heavy_hitters",
+    "substring_search", "grep_indexed",
 ]
 
 
@@ -118,7 +119,8 @@ def test_query_matches_oracle(contract, oracle_con, name):
 def test_rows_only_queries_run(contract):
     qs, sqls = contract
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {"minhash_neardup", "events_distinct_approx"}
+    assert rows_only == {"minhash_neardup", "events_distinct_approx",
+                         "ann_graph_topk"}
     for name in sorted(rows_only):
         df = _to_df(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) >= 2

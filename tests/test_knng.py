@@ -1,0 +1,114 @@
+"""NN-descent k-NN graph: build determinism/resume, recall vs brute
+force, and beam-search serving shape."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+EMB = f"{SF_DIR}/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def graph_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    from donkey_ray.pipelines.knng import build_knn_graph
+
+    out = str(tmp_path_factory.mktemp("knng") / "idx")
+    meta = build_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, k=16, rounds=2,
+    )
+    return out, meta
+
+
+def _brute_topk(qv: np.ndarray, k: int) -> list[list[int]]:
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    q = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    sims = q @ m.T
+    out = []
+    for row in sims:
+        top = np.lexsort((ids, -row))[:k]
+        out.append(ids[top].tolist())
+    return out
+
+
+def test_graph_artifact_shape(graph_index):
+    out, meta = graph_index
+    assert meta["kind"] == "knn_graph_cosine"
+    assert meta["n_edges"] > 0
+    from donkey_ray.state import manifest as mf
+
+    seg = pq.read_table(mf.segment_path(out, meta["parts_built"][0]))
+    assert seg.column_names == ["src", "dst", "sim"]
+    # no self-loops; per-src degree <= k
+    s = seg.column("src").to_numpy(zero_copy_only=False)
+    d = seg.column("dst").to_numpy(zero_copy_only=False)
+    assert (s != d).all()
+    _, counts = np.unique(s, return_counts=True)
+    assert counts.max() <= meta["k"]
+
+
+def test_recall_at_10(graph_index):
+    from donkey_ray.pipelines.knng import graph_topk
+
+    out, _ = graph_index
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    by_id = dict(zip(t.column("vec_id").to_pylist(),
+                     t.column("embedding").to_pylist()))
+    qids = [0, 7, 42, 99, 123, 250, 499]
+    qv = np.asarray([by_id[i] for i in qids], dtype=np.float64)
+    got = graph_topk(out, EMB, qv, k=10, beam=64)
+    want = _brute_topk(qv, 10)
+    hits = total = 0
+    for qi in range(len(qids)):
+        g = {r["vec_id"] for r in got.to_pylist() if r["query_id"] == qi}
+        hits += len(g & set(want[qi]))
+        total += len(want[qi])
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_build_resume_is_noop(graph_index, ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.knng import build_knn_graph
+
+    out, meta = graph_index
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs
+    )
+    meta2 = build_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, k=16, rounds=2,
+    )
+    assert meta2 == meta
+    files_after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs
+    )
+    assert files_before == files_after
+
+
+def test_serving_shape_and_tiebreak(graph_index):
+    from donkey_ray.pipelines.knng import graph_topk
+
+    out, _ = graph_index
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    qv = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+    res = graph_topk(out, EMB, qv, k=5, beam=32)
+    assert res.column_names == ["query_id", "rank", "vec_id", "cos_sim"]
+    df = res.to_pylist()
+    for qi in (0, 1):
+        rows = [r for r in df if r["query_id"] == qi]
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        # a query that IS a corpus vector must find itself first
+        assert rows[0]["vec_id"] == t.column("vec_id")[qi].as_py()
+        assert rows[0]["cos_sim"] == pytest.approx(1.0)
