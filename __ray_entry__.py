@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": api.q_ann_topk,
         "ann_ivf_topk": api.q_ann_ivf_topk,
         "ann_graph_topk": api.q_ann_graph_topk,
+        "object_search": api.q_object_search,
         "embedding_neardup": api.q_embedding_neardup,
         # text analysis
         "quality_scores": api.q_quality_scores,
@@ -1402,6 +1403,33 @@ r AS (SELECT query_id, vec_id, cs,
 SELECT query_id, rank::INT AS rank, vec_id, round(cs, 6) AS cos_sim
 FROM r WHERE rank <= 10
 """,
+        # donkey A6 analogue: feature-pair hits >= R grouped per
+        # (query object, corpus object), object-level rerank
+        "object_search": (
+            "WITH q AS (SELECT label AS query_label, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE label IN ("
+            + ",".join(str(l) for l in api.OBJECT_QUERY_LABELS)
+            + """)),
+e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+hits AS (SELECT q.query_label, e.label,
+                list_cosine_similarity(q.qv, e.v) AS sim
+         FROM e CROSS JOIN q
+         WHERE list_cosine_similarity(q.qv, e.v) >= """
+            + str(api.OBJECT_R)
+            + """),
+agg AS (SELECT query_label, label, count(*)::BIGINT AS n_matches,
+               max(sim) AS max_sim
+        FROM hits GROUP BY query_label, label),
+r AS (SELECT query_label, label, n_matches, max_sim,
+             row_number() OVER (PARTITION BY query_label
+                                ORDER BY n_matches DESC, max_sim DESC,
+                                         label ASC) AS rank
+      FROM agg)
+SELECT query_label::BIGINT AS query_label, rank::INT AS rank,
+       label::BIGINT AS label, n_matches, round(max_sim, 6) AS max_sim
+FROM r WHERE rank <= """
+            + str(api.OBJECT_K)
+        ),
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

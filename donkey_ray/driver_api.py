@@ -1306,6 +1306,41 @@ def q_ann_graph_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "cos_sim")
 
 
+# Multi-feature object search (donkey A6): query OBJECTS are these
+# pinned labels (every vector of the label is one query feature); the
+# corpus object of a vector is its label. R pinned at 0.3 — the nearest
+# sample pair similarity sits >7e-5 away at sf0.01 (vs ~1e-15 cross-engine
+# float noise), so the hit set is rounding-robust.
+OBJECT_QUERY_LABELS = [0, 1, 2]
+OBJECT_R = 0.3
+OBJECT_K = 5
+
+
+def q_object_search(sf_dir: str) -> pa.Table:
+    """Donkey's candidate-grouping + object rerank (A6): per-feature
+    cosine hits >= R, grouped per (query object, corpus object), ranked
+    by (n_matches desc, max_sim desc, label asc), top-K objects."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from .pipelines.ann import object_search
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    qmask = _pc.is_in(emb.column("label"),
+                      value_set=pa.array(OBJECT_QUERY_LABELS, pa.int32()))
+    qt = emb.filter(qmask)
+    q_ids = qt.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    q_feats = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"],
+        override_num_blocks=8,
+    )
+    res = object_search(ds, q_ids, q_feats, threshold=OBJECT_R, k=OBJECT_K)
+    return _round_col(res, "max_sim")
+
+
 def q_embedding_centroids(sf_dir: str) -> pa.Table:
     """Per-label mean embedding (class prototypes) via per-batch partial
     vector sums — only O(labels x dim) doubles leave each worker."""

@@ -268,3 +268,96 @@ def embedding_neardup_pairs(
 
     pairs = bd.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
     return dataset_to_table(pairs.groupby(["vec_a", "vec_b"]).max("cos_sim"))
+
+
+def object_search(
+    ds: ray.data.Dataset,
+    query_object_ids: np.ndarray,
+    query_features: np.ndarray,
+    *,
+    threshold: float,
+    k: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """Multi-feature OBJECT search — donkey's candidate-grouping + rerank
+    (reference capability A6, SURVEY.md §2A: per-feature hits are grouped
+    by owning object, thresholded by R, scored at the object level).
+
+    A query OBJECT is a set of feature vectors (``query_object_ids[i]``
+    owns row i of ``query_features``); the corpus object of a vector is
+    its ``label_col``. A hit is a (query feature, corpus vector) pair
+    with cosine >= ``threshold``. Per (query object, corpus object):
+    ``n_matches`` = hit-pair count, ``max_sim`` = best pair similarity;
+    objects rank by (n_matches desc, max_sim desc, object asc), cut to
+    top-``k``.
+
+    Scale shape: the query feature matrix is broadcast ONCE (ray.put);
+    each batch computes its similarity tile and reduces it to AT MOST
+    O(n_query_objects x n_objects_in_batch) partial rows (np.unique over
+    packed keys + bincount / np.maximum.at) — the corpus never shuffles
+    and the driver combine is O(n_query_objects x n_objects)."""
+    qo = np.asarray(query_object_ids, dtype=np.int64)
+    qm = _normalize(np.asarray(query_features, dtype=np.float64))
+    q_ref = ray.put((qo, qm))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_label": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "mx": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        q_obj, q_m = ray.get(q_ref)
+        labels = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        sims = q_m @ m.T  # (n_query_features, batch) tile
+        fi, bi = np.nonzero(sims >= threshold)
+        if not len(fi):
+            return empty
+        key = q_obj[fi].astype(np.uint64) << np.uint64(32) | labels[bi].astype(np.uint64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq))
+        mx = np.full(len(uniq), -np.inf)
+        np.maximum.at(mx, inv, sims[fi, bi])
+        return pa.table({
+            "query_label": pa.array((uniq >> np.uint64(32)).astype(np.int64)),
+            "label": pa.array((uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+            "mx": pa.array(mx, pa.float64()),
+        })
+
+    tbl = dataset_to_table(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    out = {"query_label": [], "rank": [], "label": [],
+           "n_matches": [], "max_sim": []}
+    if tbl.num_rows:
+        ql = tbl.column("query_label").to_numpy(zero_copy_only=False)
+        lb = tbl.column("label").to_numpy(zero_copy_only=False)
+        nn = tbl.column("n").to_numpy(zero_copy_only=False)
+        mm = tbl.column("mx").to_numpy(zero_copy_only=False)
+        key = ql.astype(np.uint64) << np.uint64(32) | lb.astype(np.uint64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n, inv, nn)
+        mx = np.full(len(uniq), -np.inf)
+        np.maximum.at(mx, inv, mm)
+        uql = (uniq >> np.uint64(32)).astype(np.int64)
+        ulb = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        for q in np.unique(uql):
+            sel = np.nonzero(uql == q)[0]
+            order = sel[np.lexsort((ulb[sel], -mx[sel], -n[sel]))][:k]
+            out["query_label"].extend([int(q)] * len(order))
+            out["rank"].extend(range(1, len(order) + 1))
+            out["label"].extend(ulb[order].tolist())
+            out["n_matches"].extend(n[order].tolist())
+            out["max_sim"].extend(mx[order].tolist())
+    return pa.table({
+        "query_label": pa.array(out["query_label"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "label": pa.array(out["label"], pa.int64()),
+        "n_matches": pa.array(out["n_matches"], pa.int64()),
+        "max_sim": pa.array(out["max_sim"], pa.float64()),
+    })

@@ -86,7 +86,7 @@ NAMES = [
     "boosted_topk", "hit_counts", "value_histogram", "spell_correct",
     "curate_corpus", "mix_sample",
     "wildcard_topk", "fielded_topk", "events_in_sessions", "heavy_hitters",
-    "substring_search", "grep_indexed",
+    "substring_search", "grep_indexed", "object_search",
 ]
 
 

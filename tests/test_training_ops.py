@@ -624,3 +624,47 @@ def test_heavy_hitters_sketch_certified(ray_session):
     # uncertifiable: k deep into the tail with a tiny sketch
     with pytest.raises(Exception, match="not certified|survivors"):
         heavy_hitters(ds, k=30, capacity=4)
+
+
+def test_object_search_matches_bruteforce(ray_session):
+    """Multi-feature object search (donkey A6 analogue): the distributed
+    tile + partial-agg path equals a single-process brute force, and is
+    invariant to batch size (partial combine correctness)."""
+    import ray.data
+
+    from donkey_ray.pipelines.ann import object_search
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 16
+    labels = rng.integers(0, 8, size=n).astype(np.int64)
+    m = rng.standard_normal((n, dim))
+    tbl = pa.table({"label": pa.array(labels, pa.int64()),
+                    "embedding": pa.array(list(m), pa.list_(pa.float64()))})
+    qsel = np.isin(labels, [0, 1])
+    q_ids, q_feats = labels[qsel], m[qsel]
+    R, K = 0.35, 4
+
+    # brute force reference
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q_feats / np.linalg.norm(q_feats, axis=1, keepdims=True)
+    sims = qn @ mn.T
+    want = {}
+    for ql in (0, 1):
+        agg = {}
+        for fi in np.nonzero(q_ids == ql)[0]:
+            for bi in np.nonzero(sims[fi] >= R)[0]:
+                lab = int(labels[bi])
+                cnt, mx = agg.get(lab, (0, -np.inf))
+                agg[lab] = (cnt + 1, max(mx, sims[fi, bi]))
+        ranked = sorted(agg.items(),
+                        key=lambda kv: (-kv[1][0], -kv[1][1], kv[0]))[:K]
+        want[ql] = [(lab, c, round(mx, 9)) for lab, (c, mx) in ranked]
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        res = object_search(ds, q_ids, q_feats, threshold=R, k=K)
+        got = {}
+        for r in res.to_pylist():
+            got.setdefault(r["query_label"], []).append(
+                (r["label"], r["n_matches"], round(r["max_sim"], 9)))
+        assert got == want, f"nblocks={nblocks}"
