@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_clean": api.q_export_clean,
         "lang_id": api.q_lang_id,
         "doc_fingerprints": api.q_doc_fingerprints,
+        "bpe_token_counts": api.q_bpe_token_counts,
         # generic columnar aggregation + distributed joins
         "lineitem_agg": api.q_lineitem_agg,
         "orders_customer_join": api.q_orders_customer_join,
@@ -1437,6 +1438,12 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """,
+        # BPE-ish pretoken counts: same RE2 pattern, DuckDB side
+        "bpe_token_counts": (
+            """SELECT doc_id, len(regexp_extract_all(text, '"""
+            + __import__("donkey_ray.pipelines.analyze", fromlist=["x"]).BPE_PRETOKEN_RE.replace("'", "''")
+            + """'))::BIGINT AS n_pretokens FROM documents"""
+        ),
         "quality_scores": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
 SELECT doc_id, len(toks)::BIGINT AS n_tokens,

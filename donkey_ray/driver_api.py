@@ -1037,6 +1037,11 @@ def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
     return export_clean_corpus(q_dedup_survivors(sf_dir), out)
 
 
+def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc BPE-ish pretoken counts (LLM token-budget estimation)."""
+    return analyze.bpe_token_counts(_docs(sf_dir))
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return analyze.language_id(_docs(sf_dir))
 

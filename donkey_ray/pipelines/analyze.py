@@ -748,3 +748,32 @@ def heavy_hitters(
             f"= {threshold:.1f}; retry with capacity >= {int(n_tokens / kth) + 1}"
         )
     return exact.slice(0, k)
+
+
+# BPE-ish pretokenizer (GPT-2-shaped, RE2-compatible — no lookaheads, so
+# Arrow's count_substring_regex and DuckDB's regexp_extract_all count the
+# same non-overlapping leftmost matches): contraction suffixes, then
+# space-prefixed letter / digit / punctuation runs, then whitespace runs.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_counts(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc BPE-ish pretoken count (the unit LLM token budgets are
+    estimated in) — one vectorized RE2 pass per batch, zero shuffles."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            "n_pretokens": pc.count_substring_regex(
+                col, BPE_PRETOKEN_RE).cast(pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -87,6 +87,7 @@ NAMES = [
     "curate_corpus", "mix_sample",
     "wildcard_topk", "fielded_topk", "events_in_sessions", "heavy_hitters",
     "substring_search", "grep_indexed", "object_search",
+    "bpe_token_counts",
 ]
 
 
