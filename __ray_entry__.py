@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": api.q_embedding_neardup,
         # text analysis
         "quality_scores": api.q_quality_scores,
+        "repetition_scores": api.q_repetition_scores,
         "redact_pii": api.q_redact_pii,
         "quality_filter": api.q_quality_filter,
         "export_clean": api.q_export_clean,
@@ -1454,6 +1455,39 @@ SELECT doc_id, len(toks)::BIGINT AS n_tokens,
     list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
     / len(toks), 6) END AS mean_token_len
 FROM t
+""",
+        # Gopher-style repetition: duplicate-line char fraction, duplicate
+        # 3-gram fraction, top-bigram occupancy. Lines split on \n exactly
+        # like pc.split_pattern; n-grams over the shared tokenizer.
+        "repetition_scores": f"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+),
+lc AS (SELECT doc_id, line, length(line) AS len, count(*) AS c
+       FROM l GROUP BY doc_id, line),
+lf AS (SELECT doc_id,
+  CASE WHEN sum(len * c) = 0 THEN 0.0
+       ELSE round(sum(CASE WHEN c > 1 THEN len * c ELSE 0 END)::DOUBLE
+                  / sum(len * c), 6) END AS dup_line_frac
+  FROM lc GROUP BY doc_id),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM t),
+tstat AS (SELECT doc_id, count(*)::DOUBLE AS total,
+                 count(DISTINCT g)::DOUBLE AS dist FROM tg GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bstat AS (SELECT doc_id, max(c)::DOUBLE AS maxc, sum(c)::DOUBLE AS total
+          FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+  lf.dup_line_frac,
+  COALESCE(round(1.0 - tstat.dist / tstat.total, 6), 0.0) AS dup_ngram_frac,
+  COALESCE(round(bstat.maxc / bstat.total, 6), 0.0) AS top_bigram_frac
+FROM documents d
+LEFT JOIN lf ON d.doc_id = lf.doc_id
+LEFT JOIN tstat ON d.doc_id = tstat.doc_id
+LEFT JOIN bstat ON d.doc_id = bstat.doc_id
 """,
         "redact_pii": r"""
 SELECT doc_id,

@@ -991,6 +991,10 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
     return analyze.quality_scores(_docs(sf_dir))
 
 
+def q_repetition_scores(sf_dir: str) -> ray.data.Dataset:
+    return analyze.repetition_scores(_docs(sf_dir))
+
+
 def q_redact_pii(sf_dir: str) -> ray.data.Dataset:
     return analyze.redact_pii(_docs(sf_dir))
 

@@ -668,3 +668,51 @@ def test_object_search_matches_bruteforce(ray_session):
             got.setdefault(r["query_label"], []).append(
                 (r["label"], r["n_matches"], round(r["max_sim"], 9)))
         assert got == want, f"nblocks={nblocks}"
+
+
+def test_repetition_scores(ray_session):
+    """Vectorized Gopher-style repetition metrics vs a per-doc reference."""
+    import ray.data
+
+    from donkey_ray.functions.tokenize import SimpleTokenizer
+    from donkey_ray.pipelines.analyze import repetition_scores
+
+    texts = [
+        "line one\nline two\nline one\nline three",   # dup lines
+        "a b c a b c a b c",                          # heavy trigram/bigram reps
+        "all tokens unique here none repeat at all",  # no repetition
+        "xy",                                         # <3 tokens
+        "",                                           # empty
+        "same\nsame\nsame",                           # every line duplicated
+    ]
+    tok = SimpleTokenizer()
+
+    def ref(text):
+        lines = text.split("\n")
+        from collections import Counter
+        lc = Counter(lines)
+        tot = sum(len(l) for l in lines)
+        dup = sum(len(l) for l in lines if lc[l] > 1)
+        dup_line = dup / tot if tot else 0.0
+        toks = tok.tokenize(text)
+        tris = [tuple(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        dup_ngram = 1.0 - len(set(tris)) / len(tris) if tris else 0.0
+        bigs = Counter(tuple(toks[i:i + 2]) for i in range(len(toks) - 1))
+        top_big = max(bigs.values()) / sum(bigs.values()) if bigs else 0.0
+        return round(dup_line, 6), round(dup_ngram, 6), round(top_big, 6)
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = dataset_to_table(
+        repetition_scores(ray.data.from_arrow(tbl))
+    ).sort_by("doc_id")
+    for i, text in enumerate(texts):
+        exp = ref(text)
+        got = (
+            out.column("dup_line_frac")[i].as_py(),
+            out.column("dup_ngram_frac")[i].as_py(),
+            out.column("top_bigram_frac")[i].as_py(),
+        )
+        assert got == pytest.approx(exp, abs=1e-6), (i, text, got, exp)
