@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": api.q_spell_correct,
         "curate_corpus": api.q_curate_corpus,
         "mix_sample": api.q_mix_sample,
+        "pack_shards": api.q_pack_shards,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -1257,6 +1258,16 @@ s3 AS (SELECT doc_id, text, xor(z, z >> 27)::HUGEINT AS z FROM s2),
 s4 AS (SELECT doc_id, text, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM s3),
 s5 AS (SELECT doc_id, text, xor(z, z >> 31) AS z FROM s4)
 SELECT doc_id, text FROM s5 WHERE z % 8 = 0
+""",
+        # token-budget shard packing: sequential fill in doc_id order,
+        # shard = floor(cumsum_before(n_tokens) / budget)
+        "pack_shards": f"""
+WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+  ((sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    - n_tokens) // 2000)::BIGINT AS shard
+FROM t
 """,
         # corpus mixing: per-language permille keep rates, splitmix64 gate
         "mix_sample": f"""

@@ -1015,6 +1015,18 @@ def q_export_clean(sf_dir: str) -> ray.data.Dataset:
 
 
 # Pinned mixing rates (permille): keep-all, half, quarter, eighth, drop
+PACK_BUDGET = 2000  # tokens per training shard (pinned, shared with SQL)
+
+
+def q_pack_shards(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget shard packing: sequential fill in doc_id order,
+    shard = floor(cumsum_before(n_tokens) / budget) — a distributed
+    prefix scan (per-range totals -> driver prefix sum -> local scans)."""
+    from .pipelines.sampling import pack_shards
+
+    return pack_shards(_docs(sf_dir), budget=PACK_BUDGET)
+
+
 MIX_RATES = {"en": 1000, "de": 500, "es": 250, "fr": 125, "zh": 0}
 
 

@@ -143,3 +143,114 @@ def mix_sample(
         return batch.filter(pa.array(z < thr))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_shards(
+    ds: ray.data.Dataset,
+    *,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_ranges: int | None = None,
+) -> ray.data.Dataset:
+    """Token-budget shard packing — a distributed prefix scan.
+
+    Assigns each doc to a training shard by sequential fill in ``id_col``
+    order: ``shard = floor(cumsum_before(n_tokens) / budget)``, i.e. docs
+    are laid out id-ascending and a new shard starts whenever the running
+    token total crosses a multiple of ``budget``. Deterministic and
+    parallelism-independent (depends only on ids + token counts).
+
+    Scale shape (classic two-phase scan): the corpus text never shuffles —
+    one tokenize pass projects (doc_id, n_tokens) (16 B/doc) and the tiny
+    projection is MATERIALIZED so later stages never re-tokenize; docs are
+    range-bucketed on doc_id, per-range token totals (O(ranges) rows) come
+    back to the driver for an exclusive prefix sum, and one keyed exchange
+    of the projection computes per-range local cumsums + the broadcast
+    range offset. At 10^12 docs the projection is ~16 TB in the object
+    store (spillable, streaming); everything on the driver is O(ranges).
+    """
+    from ..stages.exchange import default_num_partitions, partitioned_aggregate
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    R = num_ranges or default_num_partitions()
+
+    from ..functions.tokenize import SimpleTokenizer
+
+    tok = SimpleTokenizer()
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _flat, _parents, dl = tok.tokenize_column(col)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "n_tokens": pa.array(
+                    np.asarray(dl, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    proj = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    lo = proj.min(id_col)
+    hi = proj.max(id_col)
+    if lo is None:  # empty input
+        return proj.map_batches(
+            lambda b: b.append_column("shard", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    width = max((int(hi) - int(lo) + R) // R, 1)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rng = (ids - int(lo)) // width
+        return batch.append_column("rng", pa.array(rng, pa.int64()))
+
+    tagged = proj.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-range totals -> driver-side exclusive prefix sum (O(ranges) rows)
+    totals_tbl = partitioned_aggregate(
+        tagged, ["rng"], [("n_tokens", "sum")], rename={"n_tokens_sum": "tot"}
+    ).take_all()
+    sums = np.zeros(R + 1, dtype=np.int64)
+    for row in totals_tbl:
+        sums[int(row["rng"])] = int(row["tot"])
+    offsets = np.concatenate(([0], np.cumsum(sums)))[:R + 1]
+
+    def scan(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                }
+            )
+        rng = part.column("rng").to_numpy(zero_copy_only=False)
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        n = part.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, rng))
+        rng_s, ids_s, n_s = rng[order], ids[order], n[order]
+        cum = np.cumsum(n_s)
+        # reset the running sum at each rng-run start (segmented cumsum)
+        starts = np.concatenate(([0], np.flatnonzero(rng_s[1:] != rng_s[:-1]) + 1))
+        base = np.zeros(len(n_s), dtype=np.int64)
+        base[starts] = cum[starts] - n_s[starts]
+        np.maximum.accumulate(base, out=base)
+        local_before = cum - n_s - base
+        before = offsets[rng_s] + local_before
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s, pa.int64()),
+                "n_tokens": pa.array(n_s, pa.int64()),
+                "shard": pa.array(before // budget, pa.int64()),
+            }
+        )
+
+    return keyed_partition_map(tagged, ["rng"], scan)

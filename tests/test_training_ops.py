@@ -716,3 +716,32 @@ def test_repetition_scores(ray_session):
             out.column("top_bigram_frac")[i].as_py(),
         )
         assert got == pytest.approx(exp, abs=1e-6), (i, text, got, exp)
+
+
+def test_pack_shards_prefix_scan(ray_session):
+    """Distributed prefix scan == serial cumsum, independent of range count."""
+    import ray.data
+
+    from donkey_ray.functions.tokenize import SimpleTokenizer
+    from donkey_ray.pipelines.sampling import pack_shards
+
+    rng = np.random.default_rng(7)
+    texts = [" ".join(f"tok{j}" for j in range(int(k))) for k in rng.integers(0, 40, 200)]
+    ids = rng.permutation(1000)[:200].astype("int64")  # sparse, unordered ids
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    tok = SimpleTokenizer()
+    order = np.argsort(ids)
+    n_tok = np.array([len(tok.tokenize(t)) for t in texts])[order]
+    before = np.cumsum(n_tok) - n_tok
+    expect = dict(zip(ids[order].tolist(), (before // 37).tolist()))
+
+    for num_ranges in (3, 16):
+        out = dataset_to_table(
+            pack_shards(ray.data.from_arrow(tbl), budget=37,
+                        num_ranges=num_ranges)
+        ).sort_by("doc_id")
+        got = dict(zip(out.column("doc_id").to_pylist(),
+                       out.column("shard").to_pylist()))
+        assert got == expect, num_ranges
