@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "quality_scores": api.q_quality_scores,
         "repetition_scores": api.q_repetition_scores,
+        "chunk_docs": api.q_chunk_docs,
         "redact_pii": api.q_redact_pii,
         "quality_filter": api.q_quality_filter,
         "export_clean": api.q_export_clean,
@@ -1466,6 +1467,18 @@ SELECT doc_id, len(toks)::BIGINT AS n_tokens,
     list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
     / len(toks), 6) END AS mean_token_len
 FROM t
+""",
+        # context-window chunking: 500-codepoint windows every 400
+        # (substr is codepoint-based, matching utf8_slice_codeunits)
+        "chunk_docs": """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (SELECT doc_id, text,
+        unnest(range(0, CASE WHEN n <= 500 THEN 1
+                             ELSE 1 + ((n - 500 + 399) // 400) END)) AS i
+      FROM t)
+SELECT doc_id, i::BIGINT AS chunk_id,
+       substr(text, (i * 400 + 1)::BIGINT, 500) AS chunk_text
+FROM c
 """,
         # Gopher-style repetition: duplicate-line char fraction, duplicate
         # 3-gram fraction, top-bigram occupancy. Lines split on \n exactly

@@ -991,6 +991,18 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
     return analyze.quality_scores(_docs(sf_dir))
 
 
+CHUNK_SIZE = 500   # codepoints per context window (pinned, shared with SQL)
+CHUNK_STRIDE = 400  # window step -> 100-codepoint overlap
+
+
+def q_chunk_docs(sf_dir: str) -> ray.data.Dataset:
+    """Context-window chunking of every doc (500-char windows, 400-char
+    stride); one row per (doc_id, chunk_id)."""
+    return analyze.chunk_docs(
+        _docs(sf_dir), size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
 def q_repetition_scores(sf_dir: str) -> ray.data.Dataset:
     return analyze.repetition_scores(_docs(sf_dir))
 

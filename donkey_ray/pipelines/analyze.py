@@ -658,6 +658,62 @@ def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def chunk_docs(ds: ray.data.Dataset, *, size: int, stride: int,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Context-window chunking: split each doc into ``size``-char windows
+    every ``stride`` chars (overlap = size - stride). One row per chunk:
+    (doc_id, chunk_id, chunk_text); chunk i covers codepoints
+    [i*stride, i*stride + size). A doc of <= ``size`` chars (incl. empty)
+    yields exactly one chunk, so every doc stays represented.
+
+    Vectorized by CHUNK INDEX, not by row: pass j slices every doc that
+    still needs chunk j with one scalar-bound utf8_slice_codeunits kernel
+    call — the loop runs max_chunks times (longest doc / stride), never
+    once per row. Codepoint semantics match SQL substr. Pure flat-map:
+    no shuffle, no state."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch.column(id_col).cast(pa.int64())
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        n_chunks = np.where(
+            lens <= size, 1, 1 + (lens - size + stride - 1) // stride
+        ).astype(np.int64)
+        out_ids, out_cid, out_txt = [], [], []
+        for j in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = n_chunks > j
+            sub = col.filter(pa.array(mask))
+            out_txt.append(pc.utf8_slice_codeunits(
+                sub, start=j * stride, stop=j * stride + size
+            ))
+            out_ids.append(ids.filter(pa.array(mask)))
+            out_cid.append(np.full(len(sub), j, dtype=np.int64))
+        if not out_ids:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            })
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in out_ids
+            ),
+            "chunk_id": pa.array(np.concatenate(out_cid), pa.int64()),
+            "chunk_text": pa.concat_arrays(
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in out_txt
+            ),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def repetition_scores(ds: ray.data.Dataset, *, text_col: str = "text",
                       id_col: str = "doc_id") -> ray.data.Dataset:
     """Gopher-style within-document repetition metrics, one row per doc:

@@ -745,3 +745,28 @@ def test_pack_shards_prefix_scan(ray_session):
         got = dict(zip(out.column("doc_id").to_pylist(),
                        out.column("shard").to_pylist()))
         assert got == expect, num_ranges
+
+
+def test_chunk_docs(ray_session):
+    """Window chunking vs a per-doc reference; overlap + unicode + empty."""
+    import ray.data
+
+    from donkey_ray.pipelines.analyze import chunk_docs
+
+    texts = ["abcdefghij", "", "xy", "中文" * 7, "a" * 25]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = dataset_to_table(
+        chunk_docs(ray.data.from_arrow(tbl), size=10, stride=7)
+    ).sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+    expect = []
+    for d, t in enumerate(texts):
+        n = len(t)
+        k = 1 if n <= 10 else 1 + -(-(n - 10) // 7)
+        for i in range(k):
+            expect.append((d, i, t[i * 7:i * 7 + 10]))
+    got = list(zip(out.column("doc_id").to_pylist(),
+                   out.column("chunk_id").to_pylist(),
+                   out.column("chunk_text").to_pylist()))
+    assert got == expect
