@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": api.q_quality_scores,
         "repetition_scores": api.q_repetition_scores,
         "chunk_docs": api.q_chunk_docs,
+        "dedup_lines": api.q_dedup_lines,
         "redact_pii": api.q_redact_pii,
         "quality_filter": api.q_quality_filter,
         "export_clean": api.q_export_clean,
@@ -1467,6 +1468,16 @@ SELECT doc_id, len(toks)::BIGINT AS n_tokens,
     list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
     / len(toks), 6) END AS mean_token_len
 FROM t
+""",
+        # within-doc duplicate-line removal, first occurrence kept
+        "dedup_lines": """
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+e AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS ord FROM t),
+p AS (SELECT doc_id, ord, ls[ord] AS line FROM e),
+f AS (SELECT doc_id, ord, line,
+             min(ord) OVER (PARTITION BY doc_id, line) AS first_ord FROM p)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS cleaned
+FROM f WHERE ord = first_ord GROUP BY doc_id
 """,
         # context-window chunking: 500-codepoint windows every 400
         # (substr is codepoint-based, matching utf8_slice_codeunits)

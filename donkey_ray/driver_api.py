@@ -991,6 +991,11 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
     return analyze.quality_scores(_docs(sf_dir))
 
 
+def q_dedup_lines(sf_dir: str) -> ray.data.Dataset:
+    """Within-doc duplicate-line removal (first occurrence kept)."""
+    return analyze.dedup_lines(_docs(sf_dir))
+
+
 CHUNK_SIZE = 500   # codepoints per context window (pinned, shared with SQL)
 CHUNK_STRIDE = 400  # window step -> 100-codepoint overlap
 

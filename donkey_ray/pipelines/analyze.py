@@ -658,6 +658,55 @@ def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dedup_lines(ds: ray.data.Dataset, *, text_col: str = "text",
+                id_col: str = "doc_id") -> ray.data.Dataset:
+    """C4-style within-document line dedup: drop every repeat of a line
+    already seen earlier in the SAME doc (first occurrence kept, original
+    order preserved, lines split/rejoined on ``\\n``). Note repeated empty
+    lines collapse too — the rule is pinned as plain line equality.
+
+    Vectorized: split_pattern -> dictionary-encode lines -> np.unique on a
+    (row, line) key keeps first occurrences -> rebuild the list offsets
+    with bincount and rejoin via the binary_join kernel. Pure per-row map,
+    no shuffle, no state."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        lines_list = pc.split_pattern(col, pattern="\n")
+        flat = pc.list_flatten(lines_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = pc.list_parent_indices(lines_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(flat):
+            enc = flat.dictionary_encode()
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            key = parents * max(len(enc.dictionary), 1) + idx
+            _, first = np.unique(key, return_index=True)
+            first.sort()  # row-major flat order == original line order
+            kept = flat.take(pa.array(first))
+            kept_parents = parents[first]
+        else:
+            kept = flat
+            kept_parents = parents
+        counts = np.bincount(kept_parents, minlength=n)
+        offsets = pa.array(np.concatenate(([0], np.cumsum(counts))),
+                           pa.int32())
+        relisted = pa.ListArray.from_arrays(offsets, kept)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col).cast(pa.int64()),
+                "cleaned": pc.binary_join(relisted, "\n"),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def chunk_docs(ds: ray.data.Dataset, *, size: int, stride: int,
                text_col: str = "text",
                id_col: str = "doc_id") -> ray.data.Dataset:

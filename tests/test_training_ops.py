@@ -770,3 +770,34 @@ def test_chunk_docs(ray_session):
                    out.column("chunk_id").to_pylist(),
                    out.column("chunk_text").to_pylist()))
     assert got == expect
+
+
+def test_dedup_lines(ray_session):
+    """Within-doc line dedup vs per-doc reference (order kept, first wins)."""
+    import ray.data
+
+    from donkey_ray.pipelines.analyze import dedup_lines
+
+    texts = [
+        "a\nb\na\nc\nb",
+        "same\nsame\nsame",
+        "one line",
+        "",
+        "x\n\ny\n\nx",  # duplicate empty lines collapse too
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = dataset_to_table(
+        dedup_lines(ray.data.from_arrow(tbl))
+    ).sort_by("doc_id")
+
+    def ref(t):
+        seen, keep = set(), []
+        for line in t.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                keep.append(line)
+        return "\n".join(keep)
+
+    got = out.column("cleaned").to_pylist()
+    assert got == [ref(t) for t in texts]
