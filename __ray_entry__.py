@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": api.q_repetition_scores,
         "chunk_docs": api.q_chunk_docs,
         "dedup_lines": api.q_dedup_lines,
+        "hybrid_topk": api.q_hybrid_topk,
         "redact_pii": api.q_redact_pii,
         "quality_filter": api.q_quality_filter,
         "export_clean": api.q_export_clean,
@@ -1468,6 +1469,54 @@ SELECT doc_id, len(toks)::BIGINT AS n_tokens,
     list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
     / len(toks), 6) END AS mean_token_len
 FROM t
+""",
+        # hybrid retrieval: BM25 more-like-this top-50 + cosine top-50,
+        # Reciprocal Rank Fusion (k=60), final top-10 per query.
+        # embeddings.vec_id is pinned as the embedding of doc_id.
+        "hybrid_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+qt AS (SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+       FROM tok WHERE doc_id IN (0, 7, 42)),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2),
+bm AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS r
+       FROM scores),
+bmc AS (SELECT * FROM bm WHERE r <= 50),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 7, 42)),
+cs AS (SELECT q.query_id, e.vec_id AS doc_id,
+              list_cosine_similarity(e.v, q.qv) AS sim
+       FROM q CROSS JOIN e),
+cr AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, doc_id ASC) AS r
+       FROM cs),
+crc AS (SELECT * FROM cr WHERE r <= 50),
+u AS (SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+             COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             COALESCE(1.0/(60 + b.r), 0) + COALESCE(1.0/(60 + c.r), 0) AS rrf
+      FROM bmc b FULL OUTER JOIN crc c
+        ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+f AS (SELECT query_id, doc_id, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM u)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       doc_id::BIGINT AS doc_id, round(rrf, 6) AS rrf
+FROM f WHERE rank <= 10
 """,
         # within-doc duplicate-line removal, first occurrence kept
         "dedup_lines": """

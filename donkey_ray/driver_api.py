@@ -1271,6 +1271,58 @@ def _embeddings(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+HYBRID_C = 50  # per-ranker candidate depth feeding RRF
+RRF_KRRF = 60
+HYBRID_K = 10
+
+
+def q_hybrid_topk(sf_dir: str) -> pa.Table:
+    """HYBRID retrieval: BM25 more-like-this (top-C through the index
+    serving path) and embedding-cosine (top-C brute force) fused by
+    Reciprocal Rank Fusion, final top-10 per query. Pinned convention:
+    ``embeddings.vec_id`` is the embedding of ``documents.doc_id`` (the
+    fixture tables are row-aligned). Both candidate sides are the same
+    engine paths already gated by their own oracles; the fusion itself
+    is a driver-side merge of two C-row lists per query (rrf_fuse)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .pipelines.query import rrf_fuse
+
+    index_dir = ensure_index(sf_dir)
+    src = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(PINNED_MLT_DOCS),
+    )
+    queries = pa.table(
+        {
+            "query_id": src.column("doc_id").cast(pa.int64()),
+            "text": src.column("text").cast(pa.string()),
+            "k": pa.array([HYBRID_C] * src.num_rows, pa.int32()),
+        }
+    )
+    bm = dataset_to_table(score_queries(index_dir, queries, mode="auto"))
+
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = dict(zip(emb.column("vec_id").to_pylist(),
+                     emb.column("embedding").to_pylist()))
+    qv = np.asarray([by_id[i] for i in PINNED_MLT_DOCS], dtype=np.float64)
+    cos = brute_force_topk(_embeddings(sf_dir), qv, k=HYBRID_C)
+    # brute_force_topk query ids are positional -> remap to the pinned docs
+    remap = pa.array(
+        [PINNED_MLT_DOCS[q] for q in cos.column("query_id").to_pylist()],
+        pa.int64(),
+    )
+    cos = cos.set_column(
+        cos.schema.get_field_index("query_id"), "query_id", remap
+    ).rename_columns(["query_id", "rank", "doc_id", "cos_sim"])
+
+    fused = rrf_fuse([bm, cos], k_rrf=RRF_KRRF, k=HYBRID_K)
+    return _round_col(fused, "rrf")
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 

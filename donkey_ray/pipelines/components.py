@@ -142,11 +142,22 @@ def connected_components(
             return empty
         nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
         ai, bi = inv[: len(a)], inv[len(a):]
+        # Symmetrize and CSR-sort the edge list ONCE; each min-label round
+        # is then a gather + minimum.reduceat over the fixed layout. (The
+        # naive np.minimum.at scatter is an unbuffered ufunc — ~30x slower
+        # per round on multi-million-edge batches.)
+        src = np.concatenate([ai, bi])
+        dst = np.concatenate([bi, ai])
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        starts = np.concatenate(([0], np.flatnonzero(src[1:] != src[:-1]) + 1))
+        snodes = src[starts]
         lab = np.arange(len(nodes), dtype=np.int64)
         while True:
             nl = lab.copy()
-            np.minimum.at(nl, ai, lab[bi])
-            np.minimum.at(nl, bi, lab[ai])
+            nl[snodes] = np.minimum(
+                nl[snodes], np.minimum.reduceat(lab[dst], starts)
+            )
             # pointer jumping to FIXPOINT: the label array is O(batch
             # nodes), tiny next to the edge list, so jumping until flat
             # is cheap and collapses label chains — path-shaped batches

@@ -768,3 +768,52 @@ def fielded_topk(
     np.add.at(tot, inv, sc)
     order = scoring.topk_order(u, tot, k)
     return [(int(u[i]), float(tot[i])) for i in order]
+
+
+def rrf_fuse(
+    rankings: "list[pa.Table]",
+    *,
+    doc_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> pa.Table:
+    """Reciprocal Rank Fusion of ranked candidate tables (hybrid search).
+
+    Each input table has (query_id, rank, <doc_col>) and is already
+    truncated to its ranker's candidate depth; the fused score is
+    ``sum_i 1/(k_rrf + rank_i)`` over the rankers that listed the doc
+    (missing entries contribute 0 — standard RRF over the union).
+    Final order (rrf desc, doc asc), cut to ``k`` per query.
+
+    Driver-side by design: inputs are O(queries x depth) rows — the
+    expensive work (BM25 top-C, cosine top-C) already ran distributed;
+    fusing two 50-row lists per query is not a Ray stage. Contribution
+    order is the table order, matching the SQL mirror's b-then-c sum."""
+    acc: dict[tuple[int, int], float] = {}
+    for t in rankings:
+        for qid, did, r in zip(
+            t.column("query_id").to_pylist(),
+            t.column(doc_col).to_pylist(),
+            t.column("rank").to_pylist(),
+        ):
+            acc[(int(qid), int(did))] = acc.get((int(qid), int(did)), 0.0) \
+                + 1.0 / (k_rrf + int(r))
+    by_q: dict[int, list] = {}
+    for (qid, did), s in acc.items():
+        by_q.setdefault(qid, []).append((s, did))
+    out = {"query_id": [], "rank": [], "doc_id": [], "rrf": []}
+    for qid in sorted(by_q):
+        ranked = sorted(by_q[qid], key=lambda x: (-x[0], x[1]))[:k]
+        for i, (s, did) in enumerate(ranked, 1):
+            out["query_id"].append(qid)
+            out["rank"].append(i)
+            out["doc_id"].append(did)
+            out["rrf"].append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int32()),
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "rrf": pa.array(out["rrf"], pa.float64()),
+        }
+    )
