@@ -801,3 +801,23 @@ def test_dedup_lines(ray_session):
 
     got = out.column("cleaned").to_pylist()
     assert got == [ref(t) for t in texts]
+
+
+def test_rrf_fuse():
+    """RRF over two ranked lists: union, missing ranks contribute 0."""
+    from donkey_ray.pipelines.query import rrf_fuse
+
+    bm = pa.table({"query_id": pa.array([1, 1], pa.int64()),
+                   "rank": pa.array([1, 2], pa.int32()),
+                   "doc_id": pa.array([10, 20], pa.int64())})
+    cos = pa.table({"query_id": pa.array([1, 1], pa.int64()),
+                    "rank": pa.array([1, 2], pa.int32()),
+                    "doc_id": pa.array([20, 30], pa.int64())})
+    out = rrf_fuse([bm, cos], k_rrf=60, k=10)
+    got = {d: s for d, s in zip(out.column("doc_id").to_pylist(),
+                                out.column("rrf").to_pylist())}
+    assert got[20] == pytest.approx(1 / 62 + 1 / 61)   # in both lists
+    assert got[10] == pytest.approx(1 / 61)
+    assert got[30] == pytest.approx(1 / 62)
+    # doc 20 outranks both singles; tie-break never needed here
+    assert out.column("doc_id").to_pylist()[0] == 20
