@@ -88,6 +88,9 @@ NAMES = [
     "wildcard_topk", "fielded_topk", "events_in_sessions", "heavy_hitters",
     "substring_search", "grep_indexed", "object_search",
     "bpe_token_counts",
+    # session-5 additions
+    "repetition_scores", "pack_shards", "chunk_docs", "dedup_lines",
+    "hybrid_topk",
 ]
 
 
