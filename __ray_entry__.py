@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_topk": api.q_boosted_topk,
         "hit_counts": api.q_hit_counts,
         "events_distinct_approx": api.q_events_distinct_approx,
+        "perplexity": api.q_perplexity,
         "value_histogram": api.q_value_histogram,
         "spell_correct": api.q_spell_correct,
         "curate_corpus": api.q_curate_corpus,
@@ -1314,6 +1315,32 @@ FROM documents GROUP BY 1
 """,
         # decontamination: corpus docs sharing any token 4-gram with the
         # benchmark side (doc_id % 64 == 0), count of DISTINCT shared grams
+        # bigram-LM perplexity: vocab = top-N terms (count desc, term asc),
+        # OOV -> '<unk>', add-one smoothing over bigram prefix counts,
+        # per-doc cross-entropy quantized x1000 (same spec as pipelines/lm.py)
+        "perplexity": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (SELECT t.toks[g.i] AS term
+        FROM tok t, unnest(generate_series(1, len(t.toks))) AS g(i)),
+cnt AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT {api.LM_VOCAB_SIZE}),
+stream AS (SELECT t.doc_id, g.i,
+                  CASE WHEN t.toks[g.i] IN (SELECT term FROM vocab)
+                       THEN t.toks[g.i] ELSE '<unk>' END AS w
+           FROM tok t, unnest(generate_series(1, len(t.toks))) AS g(i)),
+vm AS (SELECT count(*) + 1 AS v FROM vocab),
+bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM stream a JOIN stream b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+pfx AS (SELECT w1, sum(c) AS cp FROM bc GROUP BY 1)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       CAST(round(-1000.0 * avg(ln((bc.c + 1.0) / (pfx.cp + vm.v))))
+            AS BIGINT) AS ce_x1000
+FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+          JOIN pfx ON pfx.w1 = g.w1, vm
+GROUP BY 1
+""",
         "decontaminate": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 bg AS (SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS gram

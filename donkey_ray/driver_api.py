@@ -1079,6 +1079,20 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return analyze.language_id(_docs(sf_dir))
 
 
+# bigram-LM perplexity filter: vocab pruned to top-N terms (the knob that
+# bounds the broadcast model at scale); shared with the SQL oracle
+LM_VOCAB_SIZE = 256
+
+
+def q_perplexity(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc bigram cross-entropy under an add-one LM trained on the
+    same corpus (KenLM-style perplexity quality filter)."""
+    from .pipelines.lm import perplexity_scores, train_bigram_lm
+
+    lm = train_bigram_lm(_docs(sf_dir), vocab_size=LM_VOCAB_SIZE)
+    return perplexity_scores(_docs(sf_dir), lm)
+
+
 def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     tbl = dataset_to_table(
         dedup.ngram_jaccard_pairs(

@@ -91,6 +91,8 @@ NAMES = [
     # session-5 additions
     "repetition_scores", "pack_shards", "chunk_docs", "dedup_lines",
     "hybrid_topk",
+    # session-6 additions
+    "perplexity",
 ]
 
 

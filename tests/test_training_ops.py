@@ -821,3 +821,48 @@ def test_rrf_fuse():
     assert got[30] == pytest.approx(1 / 62)
     # doc 20 outranks both singles; tie-break never needed here
     assert out.column("doc_id").to_pylist()[0] == 20
+
+
+def test_bigram_lm_perplexity(docs_ds):
+    """Engine vs an independent dict-based reference: vocab pruning
+    (count desc, term asc), <unk> mapping, add-one smoothing, per-doc
+    cross-entropy; docs with <2 tokens omitted."""
+    import math
+    from collections import Counter
+
+    from donkey_ray.pipelines.lm import perplexity_scores, train_bigram_lm
+
+    ds, texts = docs_ds
+    V = 5
+    lm = train_bigram_lm(ds, vocab_size=V)
+
+    # --- slow reference ---
+    toks = [[t for t in txt.lower().split() if t] for txt in texts]
+    # same tokenizer spec: [a-z0-9]+ runs — these texts are plain words
+    uni = Counter(t for doc in toks for t in doc)
+    vocab = [t for t, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:V]]
+    assert sorted(lm.vocab.to_pylist()) == sorted(vocab)
+    vm = len(vocab) + 1
+    vset = set(vocab)
+    mapped = [[t if t in vset else "<unk>" for t in doc] for doc in toks]
+    bc = Counter(p for doc in mapped for p in zip(doc, doc[1:]))
+    cp = Counter()
+    for (w1, _), c in bc.items():
+        cp[w1] += c
+    want = {}
+    for i, doc in enumerate(mapped):
+        pairs = list(zip(doc, doc[1:]))
+        if not pairs:
+            continue
+        lp = [math.log((bc[p] + 1.0) / (cp[p[0]] + vm)) for p in pairs]
+        want[i] = (len(pairs), round(-1000.0 * sum(lp) / len(lp)))
+
+    got = dataset_to_table(perplexity_scores(ds, lm)).to_pydict()
+    got_map = {
+        d: (n, ce) for d, n, ce in
+        zip(got["doc_id"], got["n_bigrams"], got["ce_x1000"])
+    }
+    assert set(got_map) == set(want)          # 'short' and '' omitted
+    for d in want:
+        assert got_map[d][0] == want[d][0], d
+        assert abs(got_map[d][1] - want[d][1]) <= 1, d  # rounding mode slack
