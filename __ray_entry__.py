@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "quality_scores": api.q_quality_scores,
         "repetition_scores": api.q_repetition_scores,
+        "dup_spans": api.q_dup_spans,
         "chunk_docs": api.q_chunk_docs,
         "dedup_lines": api.q_dedup_lines,
         "hybrid_topk": api.q_hybrid_topk,
@@ -1340,6 +1341,24 @@ SELECT g.doc_id,
 FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
           JOIN pfx ON pfx.w1 = g.w1, vm
 GROUP BY 1
+""",
+        # cross-doc duplicated token-8-gram spans: a window is duplicated
+        # when its gram occurs in >= 2 DISTINCT docs; every position of a
+        # duplicated gram counts (pipelines/spans.py pinned spec)
+        "dup_spans": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, (len(toks) - 7)::BIGINT AS n_windows, toks
+      FROM tok WHERE len(toks) >= 8),
+g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM w, unnest(generate_series(1, len(toks)-7)) AS t(i)),
+gp AS (SELECT doc_id, gram, count(*) AS n_pos FROM g GROUP BY 1, 2),
+dup AS (SELECT gram FROM gp GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+dc AS (SELECT doc_id, sum(n_pos) AS n_dup FROM gp
+       JOIN dup USING (gram) GROUP BY 1)
+SELECT w.doc_id, w.n_windows,
+       coalesce(dc.n_dup, 0)::BIGINT AS n_dup_windows
+FROM w LEFT JOIN dc ON dc.doc_id = w.doc_id
 """,
         "decontaminate": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -1012,6 +1012,14 @@ def q_repetition_scores(sf_dir: str) -> ray.data.Dataset:
     return analyze.repetition_scores(_docs(sf_dir))
 
 
+def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document duplicated token-8-gram span counts per doc
+    (exact-substring dedup signal, Lee et al. 2022)."""
+    from .pipelines.spans import duplicated_spans
+
+    return duplicated_spans(_docs(sf_dir), k=8)
+
+
 def q_redact_pii(sf_dir: str) -> ray.data.Dataset:
     return analyze.redact_pii(_docs(sf_dir))
 

@@ -866,3 +866,49 @@ def test_bigram_lm_perplexity(docs_ds):
     for d in want:
         assert got_map[d][0] == want[d][0], d
         assert abs(got_map[d][1] - want[d][1]) <= 1, d  # rounding mode slack
+
+
+def test_duplicated_spans(ray_session):
+    """Cross-doc duplicated k-gram spans vs a brute-force reference:
+    within-doc repetition alone is NOT duplication; every position of a
+    cross-doc gram counts; docs with < k tokens are omitted."""
+    import ray.data
+
+    from collections import Counter
+
+    from donkey_ray.pipelines.spans import duplicated_spans
+    from donkey_ray.util import dataset_to_table
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog end",
+        "the quick brown fox jumps over the lazy dog tail",
+        "repeat me now repeat me now repeat me now",   # within-doc only
+        "totally unrelated content nothing shared here today friend",
+        "too short",                                   # < k tokens -> omitted
+        "",
+    ]
+    k = 3
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    ds = ray.data.from_arrow(tbl)
+
+    # brute-force reference
+    grams = {}   # doc -> list of gram strings (one per position)
+    for d, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        grams[d] = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    owners = Counter()
+    for d, gs in grams.items():
+        for g in set(gs):
+            owners[g] += 1
+    want = {d: (len(gs), sum(1 for g in gs if owners[g] >= 2))
+            for d, gs in grams.items() if gs}
+
+    out = dataset_to_table(duplicated_spans(ds, k=k, num_partitions=3))
+    got = {d: (n, nd) for d, n, nd in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("n_windows").to_pylist(),
+        out.column("n_dup_windows").to_pylist())}
+    assert got == want
+    # the within-doc repeater must show zero duplicated windows
+    assert got[2][1] == 0 and got[2][0] > 0
