@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": api.q_events_quantiles,
         "doclen_quantiles": api.q_doclen_quantiles,
         "events_distinct_users": api.q_events_distinct_users,
+        "events_retention": api.q_events_retention,
         "top_terms_per_lang": api.q_top_terms_per_lang,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
@@ -155,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": api.q_dup_spans,
         "chunk_docs": api.q_chunk_docs,
         "dedup_lines": api.q_dedup_lines,
+        "dedup_lines_global": api.q_dedup_lines_global,
         "hybrid_topk": api.q_hybrid_topk,
         "redact_pii": api.q_redact_pii,
         "quality_filter": api.q_quality_filter,
@@ -991,6 +993,16 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY 1, 2
 """,
+        # cohort retention: first-active epoch-week cohorts x week offsets,
+        # distinct users per cell (offset 0 = cohort size)
+        "events_retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+                   (epoch_us(ts) // 604800000000) AS wk FROM events),
+coh AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+SELECT c.cw::BIGINT AS cohort_week, (u.wk - c.cw)::BIGINT AS offset_weeks,
+       count(*)::BIGINT AS n_users
+FROM uw u JOIN coh c USING (user_id) GROUP BY 1, 2
+""",
         # sliding 1h windows every 15 min: each event joins its 4 windows
         "events_sliding": """
 WITH w AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts)
@@ -1573,6 +1585,26 @@ f AS (SELECT doc_id, ord, line,
              min(ord) OVER (PARTITION BY doc_id, line) AS first_ord FROM p)
 SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS cleaned
 FROM f WHERE ord = first_ord GROUP BY doc_id
+""",
+        # corpus-level line dedup: a non-empty line survives only at its
+        # corpus-wide first occurrence (min (doc_id, idx)); '' lines exempt
+        "dedup_lines_global": """
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+e AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS ord FROM t),
+p AS (SELECT doc_id, ord, ls[ord] AS line FROM e),
+k AS (SELECT doc_id, ord, line,
+             CASE WHEN line = '' THEN 1
+                  ELSE row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, ord)
+             END AS rn
+      FROM p),
+c AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, chr(10) ORDER BY ord) AS cleaned
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT t.doc_id, len(t.ls)::BIGINT AS n_lines,
+       coalesce(c.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(c.cleaned, '') AS cleaned
+FROM t LEFT JOIN c ON c.doc_id = t.doc_id
 """,
         # context-window chunking: 500-codepoint windows every 400
         # (substr is codepoint-based, matching utf8_slice_codeunits)

@@ -996,6 +996,12 @@ def q_dedup_lines(sf_dir: str) -> ray.data.Dataset:
     return analyze.dedup_lines(_docs(sf_dir))
 
 
+def q_dedup_lines_global(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level line dedup (CCNet-style: only the corpus-wide first
+    occurrence of each non-empty line survives; empty lines exempt)."""
+    return analyze.dedup_lines_global(_docs(sf_dir))
+
+
 CHUNK_SIZE = 500   # codepoints per context window (pinned, shared with SQL)
 CHUNK_STRIDE = 400  # window step -> 100-codepoint overlap
 
@@ -1965,6 +1971,18 @@ def q_doclen_quantiles(sf_dir: str) -> ray.data.Dataset:
 
     quants.__name__ = "doclen_quantiles"
     return keyed_partition_map(toks, ["lang"], quants)
+
+
+def q_events_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort-retention matrix: users cohorted by first active epoch-week,
+    distinct-user counts per (cohort_week, offset_weeks) cell."""
+    from .pipelines.windows import cohort_retention
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+        override_num_blocks=8,
+    )
+    return cohort_retention(ds)
 
 
 def q_events_distinct_users(sf_dir: str) -> ray.data.Dataset:

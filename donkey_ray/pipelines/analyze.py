@@ -707,6 +707,140 @@ def dedup_lines(ds: ray.data.Dataset, *, text_col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _lines_table(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(doc_id, idx, line) for every line of every doc in the batch
+    (split on \\n; idx = 0-based position within the doc)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lines_list = pc.split_pattern(col, pattern="\n")
+    flat = pc.list_flatten(lines_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(lines_list).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    counts = pc.list_value_length(lines_list).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, counts)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "doc_id": pa.array(ids[parents], pa.int64()),
+        "idx": pa.array(idx, pa.int64()),
+        "line": flat,
+    })
+
+
+def dedup_lines_global(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """CCNet-style CORPUS-level line dedup: a non-empty line occurrence
+    survives iff it is the corpus-wide FIRST occurrence of that exact
+    line string (minimal (doc_id, idx) over all docs); empty lines are
+    exempt and always kept. Output one row per input doc:
+    (doc_id, n_lines, n_kept, cleaned) — cleaned is the surviving lines
+    rejoined on \\n ('' when nothing survives).
+
+    Scale shape: ONE line-keyed exchange decides winners (all owners of a
+    line co-locate; arg-min is partition-local) and ONE doc-keyed
+    exchange rebuilds the docs, then a distributed left join hangs the
+    rebuilt text onto the per-doc line totals. Empty lines are salted by
+    doc_id on the first exchange — the '' key would otherwise be the
+    corpus's hottest key — which is sound because exempt rows don't need
+    co-location. No broadcast, no driver-side state."""
+    from ..stages.exchange import keyed_partition_map
+    from .joins import hash_join
+
+    def lines_salted(batch: pa.Table) -> pa.Table:
+        t = _lines_table(batch, text_col, id_col)
+        empty = pc.equal(t.column("line"), "").combine_chunks()
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+        salt = np.where(empty.to_numpy(zero_copy_only=False), docs, 0)
+        return t.append_column("salt", pa.array(salt, pa.int64()))
+
+    def winners(part: pa.Table) -> pa.Table:
+        """Keep exempt ('') rows plus the (doc_id, idx)-minimal owner of
+        each non-empty line; every owner of a line is in this partition."""
+        if part.num_rows == 0:
+            return part.select(["doc_id", "idx", "line"])
+        order = pc.sort_indices(part, sort_keys=[
+            ("line", "ascending"), ("doc_id", "ascending"),
+            ("idx", "ascending")])
+        g = part.take(order)
+        lines = g.column("line")
+        first = np.zeros(g.num_rows, dtype=bool)
+        first[0] = True
+        neq = pc.not_equal(lines.slice(1), lines.slice(0, g.num_rows - 1))
+        first[1:] = neq.to_numpy(zero_copy_only=False)
+        keep = first | pc.equal(lines, "").to_numpy(zero_copy_only=False)
+        return g.select(["doc_id", "idx", "line"]).filter(pa.array(keep))
+
+    def rebuild(part: pa.Table) -> pa.Table:
+        """All kept lines of a doc are co-located: rejoin in idx order."""
+        if part.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "cleaned": pa.array([], pa.string())})
+        order = pc.sort_indices(part, sort_keys=[
+            ("doc_id", "ascending"), ("idx", "ascending")])
+        g = part.take(order)
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(docs)])))
+        offsets = pa.array(np.concatenate(([0], np.cumsum(counts))),
+                           pa.int32())
+        flat = g.column("line")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        relisted = pa.ListArray.from_arrays(offsets, flat)
+        return pa.table({
+            "doc_id": pa.array(docs[starts], pa.int64()),
+            "n_kept": pa.array(counts, pa.int64()),
+            "cleaned": pc.binary_join(relisted, "\n"),
+        })
+
+    kept = keyed_partition_map(
+        ds.map_batches(lines_salted, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["line", "salt"], winners, num_partitions=num_partitions)
+    rebuilt = keyed_partition_map(kept, ["doc_id"], rebuild,
+                                  num_partitions=num_partitions)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.list_value_length(pc.split_pattern(col, pattern="\n"))
+        return pa.table({
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            "n_lines": n.cast(pa.int64()),
+        })
+
+    joined = hash_join(
+        ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True),
+        rebuilt, left_on="doc_id", right_on="doc_id", how="left",
+        num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_lines": batch.column("n_lines"),
+            "n_kept": pc.coalesce(batch.column("n_kept"),
+                                  pa.scalar(0, pa.int64())),
+            "cleaned": pc.coalesce(batch.column("cleaned"), pa.scalar("")),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def chunk_docs(ds: ray.data.Dataset, *, size: int, stride: int,
                text_col: str = "text",
                id_col: str = "doc_id") -> ray.data.Dataset:

@@ -324,3 +324,72 @@ def interval_join(
     return keyed_cogroup_map(
         points, intervals, [key_col], [key_col], cogroup
     )
+
+
+WEEK_S = 604_800  # epoch-week bucket (units of 7 days since 1970-01-01)
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Classic cohort-retention matrix over an event stream: users are
+    cohorted by their FIRST active epoch-week; for every later week a
+    user is active, the (cohort, offset) cell counts them once. Output:
+    (cohort_week, offset_weeks, n_users) with week = epoch_seconds //
+    604800 as BIGINT (offset 0 row = cohort size).
+
+    Scale shape: per-batch (user, week) dedup caps map output at the
+    active-user-week count; ONE user-keyed exchange co-locates each
+    user's weeks so the cohort min and the distinct-count contribution
+    are both partition-local; the final (cohort, offset) table is tiny
+    (weeks^2) and folds through the partial-agg exchange."""
+    from ..stages.exchange import partitioned_aggregate
+
+    def user_weeks(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = ts // (WEEK_S * 1_000_000)
+        t = pa.table({
+            user_col: batch.column(user_col).cast(pa.int64()),
+            "wk": pa.array(wk, pa.int64()),
+        })
+        return t.group_by([user_col, "wk"], use_threads=False).aggregate([])
+
+    def offsets(part: pa.Table) -> pa.Table:
+        """All weeks of a user co-locate: dedup (user, wk) globally,
+        subtract each user's min week."""
+        empty = pa.table({"cohort_week": pa.array([], pa.int64()),
+                          "offset_weeks": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        users = part.column(user_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        wks = part.column("wk").to_numpy(zero_copy_only=False)
+        o = np.lexsort((wks, users))
+        users, wks = users[o], wks[o]
+        uniq = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (wks[1:] != wks[:-1])))
+        users, wks = users[uniq], wks[uniq]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(users[1:] != users[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(users)])))
+        cohort = np.repeat(wks[starts], counts)
+        return pa.table({
+            "cohort_week": pa.array(cohort, pa.int64()),
+            "offset_weeks": pa.array(wks - cohort, pa.int64()),
+        })
+
+    weeks = ds.map_batches(user_weeks, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cells = keyed_partition_map(weeks, [user_col], offsets,
+                                num_partitions=num_partitions)
+    return partitioned_aggregate(
+        cells, ["cohort_week", "offset_weeks"],
+        [("offset_weeks", "count")],
+        num_partitions=num_partitions,
+        rename={"offset_weeks_count": "n_users"},
+    )

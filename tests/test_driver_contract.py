@@ -92,7 +92,7 @@ NAMES = [
     "repetition_scores", "pack_shards", "chunk_docs", "dedup_lines",
     "hybrid_topk",
     # session-6 additions
-    "perplexity", "dup_spans",
+    "perplexity", "dup_spans", "dedup_lines_global", "events_retention",
 ]
 
 

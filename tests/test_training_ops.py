@@ -912,3 +912,70 @@ def test_duplicated_spans(ray_session):
     assert got == want
     # the within-doc repeater must show zero duplicated windows
     assert got[2][1] == 0 and got[2][0] > 0
+
+
+def test_dedup_lines_global(ray_session):
+    """Corpus-level line dedup: only the corpus-wide first occurrence
+    (min (doc_id, idx)) of each non-empty line survives; empty lines are
+    always kept; a fully-duplicated doc collapses to ''."""
+    import ray.data
+
+    from donkey_ray.pipelines.analyze import dedup_lines_global
+    from donkey_ray.util import dataset_to_table
+
+    texts = [
+        "alpha\nbeta\n\ngamma",          # doc 0: all firsts (plus empty)
+        "beta\ndelta\nalpha",            # doc 1: beta/alpha dup'd -> delta
+        "alpha\nbeta",                   # doc 2: fully duplicated -> ''
+        "\n\n",                          # doc 3: three empty lines, all kept
+        "epsilon",                       # doc 4: unique
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    out = dataset_to_table(
+        dedup_lines_global(ray.data.from_arrow(tbl), num_partitions=3))
+    got = {d: (nl, nk, c) for d, nl, nk, c in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("n_lines").to_pylist(),
+        out.column("n_kept").to_pylist(),
+        out.column("cleaned").to_pylist())}
+    assert got == {
+        0: (4, 4, "alpha\nbeta\n\ngamma"),
+        1: (3, 1, "delta"),
+        2: (2, 0, ""),
+        3: (3, 3, "\n\n"),
+        4: (1, 1, "epsilon"),
+    }
+
+
+def test_cohort_retention(ray_session):
+    """Retention matrix vs hand computation: cohort = first active
+    epoch-week; each active (user, week) counts once per cell."""
+    import ray.data
+
+    from donkey_ray.pipelines.windows import WEEK_S, cohort_retention
+    from donkey_ray.util import dataset_to_table
+
+    W = WEEK_S * 1_000_000  # a week in microseconds
+    # user 1: weeks 0,1,3 ; user 2: weeks 0,0(dup),1 ; user 3: week 1
+    rows = [
+        (1, 0), (1, W + 5), (1, 3 * W),
+        (2, 10), (2, 20), (2, W),
+        (3, W + 1),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+    })
+    out = dataset_to_table(
+        cohort_retention(ray.data.from_arrow(tbl), num_partitions=3))
+    got = {(c, o): n for c, o, n in zip(
+        out.column("cohort_week").to_pylist(),
+        out.column("offset_weeks").to_pylist(),
+        out.column("n_users").to_pylist())}
+    assert got == {
+        (0, 0): 2,   # users 1, 2
+        (0, 1): 2,   # users 1, 2 active in week 1
+        (0, 3): 1,   # user 1
+        (1, 0): 1,   # user 3's cohort
+    }
