@@ -53,6 +53,31 @@ walk(node, lab) AS (
 ),
 lab AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY 1)"""
 
+# winnowing fingerprint CTE chain (pipelines/winnow.py pinned spec):
+# k=5 token grams hashed as substr(sha256(gram),1,16); over every window
+# of w=4 gram positions select the min hash, rightmost on ties
+_WINNOW_CTE = f"""
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents),
+g AS (SELECT doc_id, (i - 1)::BIGINT AS pos,
+             substr(sha256(array_to_string(toks[i:i+4], ' ')), 1, 16) AS h
+      FROM tok, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+      WHERE len(toks) >= 5),
+nn AS (SELECT doc_id, max(pos) AS mx FROM g GROUP BY 1),
+wmin AS (SELECT g1.doc_id, g1.pos AS strt, min(g2.h) AS mh
+         FROM g g1
+         JOIN nn ON nn.doc_id = g1.doc_id AND g1.pos + 3 <= nn.mx
+         JOIN g g2 ON g2.doc_id = g1.doc_id
+                  AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+         GROUP BY 1, 2),
+sel AS (SELECT w.doc_id, max(g2.pos) AS pos
+        FROM wmin w JOIN g g2 ON g2.doc_id = w.doc_id
+                             AND g2.pos BETWEEN w.strt AND w.strt + 3
+                             AND g2.h = w.mh
+        GROUP BY w.doc_id, w.strt),
+fps AS (SELECT DISTINCT s.doc_id, s.pos, g.h AS fingerprint
+        FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.pos)"""
+
 # first 16 hex chars of sha256(s) -> UBIGINT (big-endian top 8 bytes)
 _HEX64 = (
     "list_aggregate(list_transform(range(1,17), "
@@ -154,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": api.q_quality_scores,
         "repetition_scores": api.q_repetition_scores,
         "dup_spans": api.q_dup_spans,
+        "winnow_fingerprints": api.q_winnow_fingerprints,
+        "winnow_matches": api.q_winnow_matches,
         "chunk_docs": api.q_chunk_docs,
         "dedup_lines": api.q_dedup_lines,
         "dedup_lines_global": api.q_dedup_lines_global,
@@ -1353,6 +1380,22 @@ SELECT g.doc_id,
 FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
           JOIN pfx ON pfx.w1 = g.w1, vm
 GROUP BY 1
+""",
+        "winnow_fingerprints": f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, pos, fingerprint FROM fps
+""",
+        "winnow_matches": f"""
+WITH {_WINNOW_CTE},
+fd AS (SELECT DISTINCT doc_id, fingerprint FROM fps),
+ok AS (SELECT fingerprint FROM fd GROUP BY 1
+       HAVING count(*) BETWEEN 2 AND 50)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS n_shared
+FROM fd a JOIN fd b ON a.fingerprint = b.fingerprint
+                   AND a.doc_id < b.doc_id
+JOIN ok ON ok.fingerprint = a.fingerprint
+GROUP BY 1, 2 HAVING count(*) >= 2
 """,
         # cross-doc duplicated token-8-gram spans: a window is duplicated
         # when its gram occurs in >= 2 DISTINCT docs; every position of a

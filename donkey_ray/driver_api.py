@@ -1026,6 +1026,22 @@ def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
     return duplicated_spans(_docs(sf_dir), k=8)
 
 
+def q_winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing (MOSS) fingerprint selection: k=5 token grams, w=4
+    windows, rightmost-min tie rule; distinct (doc, pos, hash16)."""
+    from .pipelines.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(sf_dir), k=5, w=4)
+
+
+def q_winnow_matches(sf_dir: str) -> ray.data.Dataset:
+    """Doc pairs sharing >= 2 distinct winnowing fingerprints (hashes in
+    > 50 docs excluded as boilerplate)."""
+    from .pipelines.winnow import winnow_matches
+
+    return winnow_matches(_docs(sf_dir), k=5, w=4, min_shared=2, max_df=50)
+
+
 def q_redact_pii(sf_dir: str) -> ray.data.Dataset:
     return analyze.redact_pii(_docs(sf_dir))
 

@@ -979,3 +979,58 @@ def test_cohort_retention(ray_session):
         (0, 3): 1,   # user 1
         (1, 0): 1,   # user 3's cohort
     }
+
+
+def test_winnow_fingerprints_and_matches(ray_session):
+    """Winnowing selection vs a brute-force reference (rightmost-min tie
+    rule), plus the paper's guarantee: two docs sharing a token run of
+    >= k + w - 1 tokens share at least one fingerprint."""
+    import hashlib
+
+    import ray.data
+
+    from donkey_ray.pipelines.winnow import (winnow_fingerprints,
+                                             winnow_matches)
+    from donkey_ray.util import dataset_to_table
+
+    k, w = 3, 2
+    texts = [
+        "the quick brown fox jumps over the lazy dog end of story here",
+        "the quick brown fox jumps over the lazy dog tail of tale here",
+        "completely different content about engines and arrow batches ok",
+        "tiny doc",           # < k tokens -> nothing
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    ds = ray.data.from_arrow(tbl)
+
+    def ref():
+        out = set()
+        for d, t in enumerate(texts):
+            toks = t.lower().split()
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+            hx = [hashlib.sha256(g.encode()).hexdigest()[:16]
+                  for g in grams]
+            hs = [int(h, 16) for h in hx]
+            for i in range(len(hs) - w + 1):
+                wnd = hs[i:i + w]
+                mn = min(wnd)
+                j = max(jj for jj in range(w) if wnd[jj] == mn)
+                out.add((d, i + j, hx[i + j]))
+        return out
+
+    got_t = dataset_to_table(winnow_fingerprints(ds, k=k, w=w))
+    got = set(zip(got_t.column("doc_id").to_pylist(),
+                  got_t.column("pos").to_pylist(),
+                  got_t.column("fingerprint").to_pylist()))
+    assert got == ref()
+
+    m = dataset_to_table(winnow_matches(ds, k=k, w=w, min_shared=1,
+                                        num_partitions=3))
+    pairs = set(zip(m.column("doc_a").to_pylist(),
+                    m.column("doc_b").to_pylist()))
+    # docs 0 and 1 share 8 leading tokens (> k + w - 1 = 4): guaranteed
+    assert (0, 1) in pairs
+    # doc 2 shares no k-gram with anyone
+    assert all(2 not in p for p in pairs)
