@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": api.q_quality_scores,
         "repetition_scores": api.q_repetition_scores,
         "dup_spans": api.q_dup_spans,
+        "remove_dup_spans": api.q_remove_dup_spans,
         "winnow_fingerprints": api.q_winnow_fingerprints,
         "winnow_matches": api.q_winnow_matches,
         "chunk_docs": api.q_chunk_docs,
@@ -1396,6 +1397,33 @@ FROM fd a JOIN fd b ON a.fingerprint = b.fingerprint
                    AND a.doc_id < b.doc_id
 JOIN ok ON ok.fingerprint = a.fingerprint
 GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+        # apply step of exact-substring dedup: drop every token covered by
+        # a cross-doc duplicated 8-gram window; cleaned = surviving token
+        # stream joined by ' ' (token-level removal, pinned in spans.py)
+        "remove_dup_spans": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 8),
+g AS (SELECT doc_id, (i-1)::BIGINT AS pos,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM w, unnest(generate_series(1, len(toks)-7)) AS t(i)),
+dup AS (SELECT gram FROM g GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2),
+dstart AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT d.doc_id, s.p
+        FROM dstart d, unnest(generate_series(d.pos, d.pos + 7)) AS s(p)),
+tp AS (SELECT doc_id, (i-1)::BIGINT AS p, toks[i] AS tokn
+       FROM tok, unnest(generate_series(1, len(toks))) AS t(i)),
+kept AS (SELECT t.doc_id, t.p, t.tokn FROM tp t
+         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+         WHERE c.p IS NULL),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(tokn, ' ' ORDER BY p) AS cleaned
+        FROM kept GROUP BY 1)
+SELECT tok.doc_id, len(tok.toks)::BIGINT AS n_tokens,
+       (len(tok.toks) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.cleaned, '') AS cleaned
+FROM tok LEFT JOIN agg a ON a.doc_id = tok.doc_id
 """,
         # cross-doc duplicated token-8-gram spans: a window is duplicated
         # when its gram occurs in >= 2 DISTINCT docs; every position of a

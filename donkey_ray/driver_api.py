@@ -1026,6 +1026,15 @@ def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
     return duplicated_spans(_docs(sf_dir), k=8)
 
 
+def q_remove_dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Apply step of exact-substring dedup: delete every token covered
+    by a cross-doc duplicated 8-gram window; emits the surviving token
+    stream per doc."""
+    from .pipelines.spans import remove_dup_spans
+
+    return remove_dup_spans(_docs(sf_dir), k=8)
+
+
 def q_winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Winnowing (MOSS) fingerprint selection: k=5 token grams, w=4
     windows, rightmost-min tie rule; distinct (doc, pos, hash16)."""

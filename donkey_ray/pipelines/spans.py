@@ -171,3 +171,136 @@ def duplicated_spans(
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _dup_window_starts(
+    ds: ray.data.Dataset,
+    *,
+    k: int,
+    id_col: str,
+    text_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, pos) of every window whose gram occurs in >= 2 distinct
+    docs — the positional variant of duplicated_spans' gram exchange
+    (positions can't be pre-combined, so rows = total windows)."""
+
+    def gram_positions(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        win, _dl = _windows(batch, text_col, k)
+        if win is None:
+            return empty
+        grams, gdoc = win
+        # window position within its doc: a doc's windows are contiguous
+        # in flat order
+        starts = np.concatenate(
+            ([0], np.flatnonzero(gdoc[1:] != gdoc[:-1]) + 1))
+        runs = np.diff(np.concatenate((starts, [len(gdoc)])))
+        pos = np.arange(len(gdoc), dtype=np.int64) - np.repeat(starts, runs)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({"gram": grams,
+                         "doc_id": pa.array(ids[gdoc], pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    def dup_positions(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        per_gram = part.group_by(["gram"], use_threads=False).aggregate(
+            [("doc_id", "count_distinct")]
+        )
+        dup = per_gram.filter(
+            pc.greater_equal(per_gram.column("doc_id_count_distinct"), 2)
+        ).column("gram")
+        if isinstance(dup, pa.ChunkedArray):
+            dup = dup.combine_chunks()
+        hits = part.filter(pc.is_in(part.column("gram"), value_set=dup))
+        return hits.select(["doc_id", "pos"])
+
+    grams = ds.map_batches(gram_positions, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return keyed_partition_map(grams, ["gram"], dup_positions,
+                               num_partitions=num_partitions)
+
+
+def remove_dup_spans(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022): delete
+    every token covered by at least one cross-doc duplicated k-gram
+    window. Output one row per input doc: (doc_id, n_tokens, n_removed,
+    cleaned) where ``cleaned`` is the surviving TOKEN stream joined by
+    single spaces (token-level removal cannot reconstruct original
+    whitespace — pinned; the oracle mirrors it).
+
+    Scale shape: the gram exchange of duplicated_spans (positional
+    variant) plus ONE doc-keyed cogroup of (docs x dup-window starts);
+    coverage is a difference-array cumsum over the batch's flat token
+    stream — window bounds never cross doc boundaries by construction,
+    so one global cumsum serves every doc in the partition."""
+
+    starts_ds = _dup_window_starts(
+        ds, k=k, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions)
+
+    from ..stages.exchange import keyed_cogroup_map
+
+    def rebuild(docs: pa.Table, dups: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_removed": pa.array([], pa.int64()),
+                          "cleaned": pa.array([], pa.string())})
+        if docs.num_rows == 0:
+            return empty
+        col = docs.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parents, dl = _TOK.tokenize_column(col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ids = docs.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_start = np.concatenate(([0], np.cumsum(dl)))
+        total = int(doc_start[-1])
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if dups.num_rows:
+            order = np.argsort(ids, kind="stable")
+            d_ids = dups.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            rows = order[np.searchsorted(ids[order], d_ids)]
+            a = doc_start[rows] + dups.column("pos").to_numpy(
+                zero_copy_only=False)
+            np.add.at(diff, a, 1)
+            np.add.at(diff, a + k, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept_mask = ~covered
+        kept = flat.filter(pa.array(kept_mask))
+        kept_counts = np.bincount(parents[kept_mask],
+                                  minlength=docs.num_rows)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(kept_counts))), pa.int32())
+        relisted = pa.ListArray.from_arrays(offsets, kept)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(dl.astype(np.int64), pa.int64()),
+            "n_removed": pa.array(
+                (dl - kept_counts).astype(np.int64), pa.int64()),
+            "cleaned": pc.binary_join(relisted, " "),
+        })
+
+    return keyed_cogroup_map(
+        ds.map_batches(
+            lambda b: b.select([id_col, text_col]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        starts_ds, [id_col], ["doc_id"], rebuild,
+        num_partitions=num_partitions)

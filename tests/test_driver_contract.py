@@ -93,7 +93,7 @@ NAMES = [
     "hybrid_topk",
     # session-6 additions
     "perplexity", "dup_spans", "dedup_lines_global", "events_retention",
-    "winnow_fingerprints", "winnow_matches",
+    "winnow_fingerprints", "winnow_matches", "remove_dup_spans",
 ]
 
 

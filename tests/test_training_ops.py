@@ -1034,3 +1034,50 @@ def test_winnow_fingerprints_and_matches(ray_session):
     assert (0, 1) in pairs
     # doc 2 shares no k-gram with anyone
     assert all(2 not in p for p in pairs)
+
+
+def test_remove_dup_spans(ray_session):
+    """Span-removal apply step vs brute force: every token covered by a
+    cross-doc duplicated window is dropped; unique docs untouched."""
+    import ray.data
+
+    from collections import Counter
+
+    from donkey_ray.pipelines.spans import remove_dup_spans
+    from donkey_ray.util import dataset_to_table
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog end",
+        "the quick brown fox jumps over the lazy dog tail",
+        "fresh unique content nothing shared with others today ok",
+        "tiny",
+        "",
+    ]
+    k = 3
+    toks = {d: t.lower().split() for d, t in enumerate(texts)}
+    grams = {d: [" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)]
+             for d, ts in toks.items()}
+    owners = Counter()
+    for gs in grams.values():
+        for g in set(gs):
+            owners[g] += 1
+    want = {}
+    for d, ts in toks.items():
+        cov = [False] * len(ts)
+        for i, g in enumerate(grams[d]):
+            if owners[g] >= 2:
+                cov[i:i + k] = [True] * k
+        want[d] = (len(ts), sum(cov),
+                   " ".join(t for t, c in zip(ts, cov) if not c))
+
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    out = dataset_to_table(remove_dup_spans(
+        ray.data.from_arrow(tbl), k=k, num_partitions=3))
+    got = {d: (n, r, c) for d, n, r, c in zip(
+        out.column("doc_id").to_pylist(),
+        out.column("n_tokens").to_pylist(),
+        out.column("n_removed").to_pylist(),
+        out.column("cleaned").to_pylist())}
+    assert got == want
+    assert got[0] == (10, 9, "end")   # only the divergent tail survives
