@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": api.q_repetition_scores,
         "dup_spans": api.q_dup_spans,
         "remove_dup_spans": api.q_remove_dup_spans,
+        "tfidf_keywords": api.q_tfidf_keywords,
+        "pmi_collocations": api.q_pmi_collocations,
         "winnow_fingerprints": api.q_winnow_fingerprints,
         "winnow_matches": api.q_winnow_matches,
         "chunk_docs": api.q_chunk_docs,
@@ -1397,6 +1399,45 @@ FROM fd a JOIN fd b ON a.fingerprint = b.fingerprint
                    AND a.doc_id < b.doc_id
 JOIN ok ON ok.fingerprint = a.fingerprint
 GROUP BY 1, 2 HAVING count(*) >= 2
+""",
+        # top-20 PMI collocations (Church & Hanks): min bigram count 5,
+        # pmi = ln(n_ab*T^2 / (B*n_a*n_b)) quantized half-away to x1e6;
+        # float assembly order mirrors the numpy side exactly
+        "pmi_collocations": f"""
+WITH tokl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tokp AS (SELECT doc_id, i, toks[i] AS w,
+                CASE WHEN i < len(toks) THEN toks[i + 1] END AS wn
+         FROM tokl, unnest(generate_series(1, len(toks))) AS t(i)),
+uni AS (SELECT w, count(*)::BIGINT AS n_w FROM tokp GROUP BY 1),
+bi AS (SELECT w AS wa, wn AS wb, count(*)::BIGINT AS n_ab
+       FROM tokp WHERE wn IS NOT NULL GROUP BY 1, 2
+       HAVING count(*) >= 5),
+tb AS (SELECT sum(n_w)::BIGINT AS t,
+              (SELECT count(*) FROM tokp WHERE wn IS NOT NULL)::BIGINT AS b
+       FROM uni)
+SELECT bi.wa || ' ' || bi.wb AS bigram, bi.n_ab,
+       CAST(floor(ln((bi.n_ab::DOUBLE * tb.t * tb.t)
+                     / (tb.b::DOUBLE * ua.n_w * ub.n_w)) * 1000000
+                  + 0.5) AS BIGINT) AS pmi_x1e6
+FROM bi JOIN uni ua ON ua.w = bi.wa JOIN uni ub ON ub.w = bi.wb, tb
+ORDER BY pmi_x1e6 DESC, bigram LIMIT 20
+""",
+        # top-5 tf-idf keywords per doc; idf quantized half-away to x1e6
+        # BIGINT so the score (tf * idf_x1e6) hash-compares exactly
+        "tfidf_keywords": f"""
+WITH tokp AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokp GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              tf.tf * CAST(floor(ln((nn.n + 1.0) / (df.df + 1.0)) * 1000000
+                                 + 0.5) AS BIGINT) AS score_x1e6
+       FROM tf JOIN df USING (term), nn),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_x1e6 DESC, term) AS rnk
+      FROM sc)
+SELECT doc_id, term, tf, df, score_x1e6, rnk::BIGINT AS rnk
+FROM r WHERE rnk <= 5
 """,
         # apply step of exact-substring dedup: drop every token covered by
         # a cross-doc duplicated 8-gram window; cleaned = surviving token

@@ -1026,6 +1026,17 @@ def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
     return duplicated_spans(_docs(sf_dir), k=8)
 
 
+def q_pmi_collocations(sf_dir: str) -> pa.Table:
+    """Top-20 PMI collocations over adjacent token pairs (min count 5)."""
+    return analyze.pmi_collocations(_docs(sf_dir), k=20, min_count=5)
+
+
+def q_tfidf_keywords(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 TF-IDF keywords per doc (integer-exact idf quantization,
+    term-asc tie break)."""
+    return analyze.tfidf_keywords(_docs(sf_dir), m=5)
+
+
 def q_remove_dup_spans(sf_dir: str) -> ray.data.Dataset:
     """Apply step of exact-substring dedup: delete every token covered
     by a cross-doc duplicated 8-gram window; emits the surviving token

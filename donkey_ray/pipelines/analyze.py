@@ -1124,3 +1124,254 @@ def bpe_token_counts(
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_keywords(
+    ds: ray.data.Dataset,
+    *,
+    m: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-``m`` TF-IDF keywords per doc: (doc_id, term, tf, df,
+    score_x1e6, rnk). Pinned scoring keeps the driver's value-hash
+    compare exact: idf_x1e6 = floor(ln((N+1)/(df+1)) * 1e6 + 0.5)
+    (half-away rounding, matching DuckDB's round()), score = tf *
+    idf_x1e6 as BIGINT, rank ties broken by term ascending.
+
+    Scale shape: per-batch (doc, term, tf) partials (a doc lives in one
+    row, so pairs are globally unique); ONE term-keyed exchange makes df
+    partition-local and attaches it to every owner row; ONE doc-keyed
+    exchange ranks per doc. No broadcast df table — at code scale the
+    vocabulary is unbounded and must never be driver-side state. N is
+    the only driver scalar (metadata count)."""
+    from ..stages.exchange import keyed_partition_map
+
+    n_docs = ds.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parents, _dl = _TOK.tokenize_column(col)
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"term": flat,
+                      "doc_id": pa.array(ids[parents], pa.int64())})
+        g = t.group_by(["term", "doc_id"], use_threads=False).aggregate(
+            [("doc_id", "count")])
+        return pa.table({"term": g.column("term"),
+                         "doc_id": g.column("doc_id"),
+                         "tf": g.column("doc_id_count").cast(pa.int64())})
+
+    def attach_df(part: pa.Table) -> pa.Table:
+        """All owners of a term co-locate: df = rows per term (pairs are
+        globally unique), idf precomputed once per term."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "score_x1e6": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        enc_src = part.column("term")
+        if isinstance(enc_src, pa.ChunkedArray):
+            enc_src = enc_src.combine_chunks()
+        enc = enc_src.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(idx, minlength=len(enc.dictionary)).astype(np.int64)
+        idf_x1e6 = np.floor(
+            np.log((n_docs + 1.0) / (df + 1.0)) * 1e6 + 0.5
+        ).astype(np.int64)
+        tf = part.column("tf").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": part.column("doc_id"),
+            "term": part.column("term"),
+            "tf": part.column("tf"),
+            "df": pa.array(df[idx], pa.int64()),
+            "score_x1e6": pa.array(tf * idf_x1e6[idx], pa.int64()),
+        })
+
+    def rank_per_doc(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "df": pa.array([], pa.int64()),
+                          "score_x1e6": pa.array([], pa.int64()),
+                          "rnk": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        order = pc.sort_indices(part, sort_keys=[
+            ("doc_id", "ascending"), ("score_x1e6", "descending"),
+            ("term", "ascending")])
+        g = part.take(order)
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+        runs = np.diff(np.concatenate((starts, [len(docs)])))
+        rnk = (np.arange(len(docs), dtype=np.int64)
+               - np.repeat(starts, runs) + 1)
+        g = g.append_column("rnk", pa.array(rnk, pa.int64()))
+        return g.filter(pa.array(rnk <= m))
+
+    rows = ds.map_batches(tf_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    scored = keyed_partition_map(rows, ["term"], attach_df,
+                                 num_partitions=num_partitions)
+    return keyed_partition_map(scored, ["doc_id"], rank_per_doc,
+                               num_partitions=num_partitions)
+
+
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Top-``k`` collocations by pointwise mutual information over
+    adjacent token pairs: pmi = ln(n_ab * T^2 / (B * n_a * n_b)) with
+    T = total tokens, B = total bigram slots, n_* = corpus counts;
+    bigrams below ``min_count`` are noise and excluded (the classic
+    Church & Hanks 1990 guard). Output (bigram, n_ab, pmi_x1e6) ordered
+    by (pmi desc, bigram asc); pmi quantized half-away to x1e6 BIGINT
+    for exact cross-engine compare.
+
+    Scale shape: unigram and bigram counts are pre-combined per batch;
+    attaching n_a / n_b to each bigram is TWO word-keyed cogroup
+    exchanges (bigrams keyed by their first then second word against the
+    unigram stream) — the unigram table is never broadcast (unbounded
+    vocabulary). The final top-k folds per partition, so the driver
+    merges P*k rows."""
+    from ..stages.exchange import keyed_cogroup_map, partitioned_aggregate
+    from ..util import dataset_to_table
+
+    def uni_counts(batch: pa.Table) -> pa.Table:
+        flat, _parents, _dl = _tokenized(batch, text_col)
+        t = pa.table({"w": flat}).group_by(
+            ["w"], use_threads=False).aggregate([("w", "count")])
+        return pa.table({"w": t.column("w").cast(pa.string()),
+                         "n_w": t.column("w_count").cast(pa.int64())})
+
+    def bi_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"wa": pa.array([], pa.string()),
+                          "wb": pa.array([], pa.string()),
+                          "n_ab": pa.array([], pa.int64())})
+        flat, parents, _dl = _tokenized(batch, text_col)
+        if len(flat) < 2:
+            return empty
+        m = pa.array(parents[1:] == parents[:-1])
+        a = flat.slice(0, len(flat) - 1).filter(m)
+        b = flat.slice(1).filter(m)
+        if len(a) == 0:
+            return empty
+        t = pa.table({"wa": a, "wb": b}).group_by(
+            ["wa", "wb"], use_threads=False).aggregate([("wa", "count")])
+        return pa.table({"wa": t.column("wa").cast(pa.string()),
+                         "wb": t.column("wb").cast(pa.string()),
+                         "n_ab": t.column("wa_count").cast(pa.int64())})
+
+    unis = partitioned_aggregate(
+        ds.map_batches(uni_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["w"], [("n_w", "sum")], num_partitions=num_partitions,
+        rename={"n_w_sum": "n_w"})
+    bis = partitioned_aggregate(
+        ds.map_batches(bi_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["wa", "wb"], [("n_ab", "sum")], num_partitions=num_partitions,
+        rename={"n_ab_sum": "n_ab"})
+
+    # corpus scalars T (tokens) and B (bigram slots = sum max(dl-1, 0)):
+    # per-batch partial sums — never materialize the vocabulary
+    def scalar_partials(batch: pa.Table) -> pa.Table:
+        _f, _p, dl = _tokenized(batch, text_col)
+        return pa.table({
+            "t": pa.array([int(dl.sum())], pa.int64()),
+            "b": pa.array([int(np.maximum(dl - 1, 0).sum())], pa.int64()),
+        })
+
+    sc_t = dataset_to_table(
+        ds.map_batches(scalar_partials, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    T = int(pc.sum(sc_t.column("t")).as_py() or 0)
+    B = int(pc.sum(sc_t.column("b")).as_py() or 0)
+    if B == 0:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n_ab": pa.array([], pa.int64()),
+                         "pmi_x1e6": pa.array([], pa.int64())})
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_ab"), min_count))
+
+    bis_g = bis.map_batches(gate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def attach(col_out: str):
+        def f(big: pa.Table, uni: pa.Table) -> pa.Table:
+            if big.num_rows == 0:
+                return big.append_column(
+                    col_out, pa.array([], pa.int64()))
+            joined = big.join(uni, keys=[f"__k"], right_keys=["w"],
+                              join_type="inner")
+            return joined.rename_columns(
+                [col_out if c == "n_w" else c
+                 for c in joined.column_names])
+        return f
+
+    def key_on(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__k", batch.column(col))
+        return f
+
+    b1 = keyed_cogroup_map(
+        bis_g.map_batches(key_on("wa"), batch_format="pyarrow",
+                          zero_copy_batch=True),
+        unis, ["__k"], ["w"], attach("n_a"),
+        num_partitions=num_partitions)
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_columns(["__k"])
+        return batch.append_column("__k", batch.column("wb"))
+
+    b2 = keyed_cogroup_map(
+        b1.map_batches(rekey, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        unis, ["__k"], ["w"], attach("n_b"),
+        num_partitions=num_partitions)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "n_ab": pa.array([], pa.int64()),
+                          "pmi_x1e6": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        n_ab = batch.column("n_ab").to_numpy(zero_copy_only=False)
+        n_a = batch.column("n_a").to_numpy(zero_copy_only=False)
+        n_b = batch.column("n_b").to_numpy(zero_copy_only=False)
+        pmi = np.floor(np.log(
+            n_ab.astype(np.float64) * float(T) * float(T)
+            / (float(B) * n_a.astype(np.float64) * n_b.astype(np.float64))
+        ) * 1e6 + 0.5).astype(np.int64)
+        wa = batch.column("wa")
+        wb = batch.column("wb")
+        if isinstance(wa, pa.ChunkedArray):
+            wa = wa.combine_chunks()
+        if isinstance(wb, pa.ChunkedArray):
+            wb = wb.combine_chunks()
+        t = pa.table({
+            "bigram": pc.binary_join_element_wise(wa, wb, " "),
+            "n_ab": batch.column("n_ab"),
+            "pmi_x1e6": pa.array(pmi, pa.int64()),
+        })
+        return t.sort_by([("pmi_x1e6", "descending"),
+                          ("bigram", "ascending")]).slice(0, k)
+
+    merged = dataset_to_table(
+        b2.map_batches(score_topk, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return merged.sort_by([("pmi_x1e6", "descending"),
+                           ("bigram", "ascending")]).slice(0, k)

@@ -1081,3 +1081,89 @@ def test_remove_dup_spans(ray_session):
         out.column("cleaned").to_pylist())}
     assert got == want
     assert got[0] == (10, 9, "end")   # only the divergent tail survives
+
+
+def test_tfidf_keywords(ray_session):
+    """Top-m tf-idf vs brute force (integer idf quantization, term-asc
+    tie break)."""
+    import math
+
+    import ray.data
+
+    from collections import Counter
+
+    from donkey_ray.pipelines.analyze import tfidf_keywords
+    from donkey_ray.util import dataset_to_table
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple elderberry fig fig fig",
+        "",
+    ]
+    N = len(texts)
+    toks = [t.split() for t in texts]
+    df = Counter()
+    for ts in toks:
+        for w in set(ts):
+            df[w] += 1
+    want = {}
+    for d, ts in enumerate(toks):
+        tf = Counter(ts)
+        scored = []
+        for w, f in tf.items():
+            idf6 = math.floor(math.log((N + 1) / (df[w] + 1)) * 1e6 + 0.5)
+            scored.append((-f * idf6, w, f, df[w], f * idf6))
+        scored.sort()
+        for r, (_, w, f, dfw, s) in enumerate(scored[:2], 1):
+            want[(d, w)] = (f, dfw, s, r)
+
+    tbl = pa.table({"doc_id": pa.array(range(N), pa.int64()),
+                    "text": texts})
+    out = dataset_to_table(tfidf_keywords(
+        ray.data.from_arrow(tbl), m=2, num_partitions=3))
+    got = {(d, t): (f, dfw, s, r) for d, t, f, dfw, s, r in zip(
+        out.column("doc_id").to_pylist(), out.column("term").to_pylist(),
+        out.column("tf").to_pylist(), out.column("df").to_pylist(),
+        out.column("score_x1e6").to_pylist(),
+        out.column("rnk").to_pylist())}
+    assert got == want
+
+
+def test_pmi_collocations(ray_session):
+    """PMI top-k vs brute force on a corpus with one strong collocation."""
+    import math
+
+    import ray.data
+
+    from collections import Counter
+
+    from donkey_ray.pipelines.analyze import pmi_collocations
+
+    # 'ad hoc' always together (high PMI); 'the x' pairs are diluted
+    texts = ["ad hoc the cat", "ad hoc the dog", "ad hoc the cat",
+             "the cat the dog ad hoc"]
+    uni, bi, B = Counter(), Counter(), 0
+    for t in texts:
+        ts = t.split()
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+        B += max(len(ts) - 1, 0)
+    T = sum(uni.values())
+    want = []
+    for (a, b), nab in bi.items():
+        if nab < 2:
+            continue
+        x = (float(nab) * T * T) / (float(B) * uni[a] * uni[b])
+        want.append((math.floor(math.log(x) * 1e6 + 0.5), f"{a} {b}", nab))
+    want.sort(key=lambda r: (-r[0], r[1]))
+
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+    out = pmi_collocations(ray.data.from_arrow(tbl), k=10, min_count=2,
+                           num_partitions=3)
+    got = list(zip(out.column("pmi_x1e6").to_pylist(),
+                   out.column("bigram").to_pylist(),
+                   out.column("n_ab").to_pylist()))
+    assert got == want[:10]
+    assert got[0][1] == "ad hoc"   # the collocation wins
