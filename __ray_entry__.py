@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_graph_topk": api.q_ann_graph_topk,
         "object_search": api.q_object_search,
         "embedding_neardup": api.q_embedding_neardup,
+        "embedding_clusters": api.q_embedding_clusters,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "repetition_scores": api.q_repetition_scores,
@@ -1616,6 +1617,26 @@ SELECT query_label::BIGINT AS query_label, rank::INT AS rank,
 FROM r WHERE rank <= """
             + str(api.OBJECT_K)
         ),
+        # semantic dedup clusters: transitive closure over the SAME
+        # cosine pair graph as embedding_neardup, min-label per node
+        "embedding_clusters": f"""
+WITH RECURSIVE
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+       FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= {api.NEARDUP_COS_THRESHOLD}),
+e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+walk(node, lab) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, walk.lab FROM walk JOIN e ON e.a = walk.node
+    WHERE walk.lab < e.b
+),
+lab AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY 1)
+SELECT node AS vec_id, cluster_id::BIGINT AS cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+FROM lab
+""",
         "embedding_neardup": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1515,6 +1515,26 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     return _round_col(tbl, "cos_sim")
 
 
+def q_embedding_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Semantic dedup clusters: distributed connected components over
+    the exact cosine pair graph (the same pairs as embedding_neardup),
+    labelling each vector with the min vec_id of its component."""
+    from .pipelines.components import connected_components
+
+    pairs_tbl = embedding_neardup_pairs(
+        _embeddings(sf_dir), threshold=NEARDUP_COS_THRESHOLD, exact=True
+    )
+    pairs = ray.data.from_arrow(pairs_tbl.select(["vec_a", "vec_b"]))
+    out = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["vec_id" if c == "doc_id" else c for c in batch.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_bm25_topk_hydrated(sf_dir: str) -> pa.Table:
     """Top-k results joined back to doc metadata (SURVEY.md B20 —
     broadcast-small-side hydrate, never a shuffle join)."""

@@ -94,7 +94,7 @@ NAMES = [
     # session-6 additions
     "perplexity", "dup_spans", "dedup_lines_global", "events_retention",
     "winnow_fingerprints", "winnow_matches", "remove_dup_spans",
-    "tfidf_keywords", "pmi_collocations",
+    "tfidf_keywords", "pmi_collocations", "embedding_clusters",
 ]
 
 
