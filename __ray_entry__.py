@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "object_search": api.q_object_search,
         "embedding_neardup": api.q_embedding_neardup,
         "embedding_clusters": api.q_embedding_clusters,
+        "knn_label_eval": api.q_knn_label_eval,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "repetition_scores": api.q_repetition_scores,
@@ -1617,6 +1618,27 @@ SELECT query_label::BIGINT AS query_label, rank::INT AS rank,
 FROM r WHERE rank <= """
             + str(api.OBJECT_K)
         ),
+        # leave-one-out 5-NN label prediction: neighbor ties vec_id asc,
+        # vote ties count desc then label asc
+        "knn_label_eval": """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS qa, b.vec_id, b.label,
+             list_cosine_similarity(a.v, b.v) AS cs
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+r AS (SELECT qa, vec_id, label,
+             row_number() OVER (PARTITION BY qa
+                                ORDER BY cs DESC, vec_id) AS rn
+      FROM s),
+v AS (SELECT qa, label, count(*) AS c FROM r WHERE rn <= 5 GROUP BY 1, 2),
+p AS (SELECT qa, label AS pred_label,
+             row_number() OVER (PARTITION BY qa
+                                ORDER BY c DESC, label) AS pr
+      FROM v)
+SELECT e.vec_id, e.label::BIGINT AS true_label,
+       p.pred_label::BIGINT AS pred_label,
+       (e.label = p.pred_label)::BIGINT AS correct
+FROM e JOIN p ON p.qa = e.vec_id AND p.pr = 1
+""",
         # semantic dedup clusters: transitive closure over the SAME
         # cosine pair graph as embedding_neardup, min-label per node
         "embedding_clusters": f"""

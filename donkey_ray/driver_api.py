@@ -1515,6 +1515,17 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     return _round_col(tbl, "cos_sim")
 
 
+def q_knn_label_eval(sf_dir: str) -> ray.data.Dataset:
+    """Leave-one-out 5-NN label prediction over the labeled embeddings."""
+    from .pipelines.ann import knn_label_eval
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"], override_num_blocks=8,
+    )
+    return knn_label_eval(ds, k=5)
+
+
 def q_embedding_clusters(sf_dir: str) -> ray.data.Dataset:
     """Semantic dedup clusters: distributed connected components over
     the exact cosine pair graph (the same pairs as embedding_neardup),

@@ -361,3 +361,58 @@ def object_search(
         "n_matches": pa.array(out["n_matches"], pa.int64()),
         "max_sim": pa.array(out["max_sim"], pa.float64()),
     })
+
+
+def knn_label_eval(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Leave-one-out kNN label prediction over a labeled embedding table
+    — the standard embedding-quality eval. For each vector: its k
+    nearest OTHER vectors by cosine (ties: vec_id asc) vote; majority
+    label wins (ties: count desc, label asc). Output (vec_id,
+    true_label, pred_label, correct).
+
+    Scale shape: same broadcast-tile pattern as the exact near-dup path
+    (normalized matrix + labels shipped once via ray.put, O(n*dim));
+    every batch computes its (batch x n) similarity tile in a worker
+    task and reduces it to k votes per row. Beyond broadcastable n*dim,
+    swap the global side for the IVF index's probed lists — the voting
+    logic is unchanged."""
+    mt = dataset_to_table(ds.select_columns([id_col, vec_col, label_col]))
+    gids = mt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    glabels = mt.column(label_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    gm = _normalize(_batch_matrix(mt, vec_col))
+    order = np.argsort(gids)
+    glob_ref = ray.put((gids[order], glabels[order], gm[order]))
+
+    def tile(batch: pa.Table) -> pa.Table:
+        g_ids, g_lab, g_m = ray.get(glob_ref)
+        bids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        blab = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bm = _normalize(_batch_matrix(batch, vec_col))
+        sims = bm @ g_m.T  # (batch, n) tile
+        preds = np.empty(len(bids), dtype=np.int64)
+        for i in range(len(bids)):
+            s = sims[i].copy()
+            s[g_ids == bids[i]] = -np.inf   # leave-one-out
+            nn = np.lexsort((g_ids, -s))[:k]
+            votes, counts = np.unique(g_lab[nn], return_counts=True)
+            preds[i] = votes[np.lexsort((votes, -counts))[0]]
+        return pa.table({
+            "vec_id": pa.array(bids, pa.int64()),
+            "true_label": pa.array(blab, pa.int64()),
+            "pred_label": pa.array(preds, pa.int64()),
+            "correct": pa.array((blab == preds).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return ds.map_batches(tile, batch_format="pyarrow",
+                          zero_copy_batch=True)
