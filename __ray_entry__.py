@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generic columnar aggregation + distributed joins
         "lineitem_agg": api.q_lineitem_agg,
         "orders_customer_join": api.q_orders_customer_join,
+        "tpch_q3": api.q_tpch_q3,
         "orders_semi_building": api.q_orders_semi_building,
     }
 
@@ -1859,6 +1860,20 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_price_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        # TPC-H Q3 shape: revenue quantized per ROW to cents before the
+        # group sum (order-independent, hash-exact); top-10 by revenue
+        "tpch_q3": """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS revenue_x100
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_x100 DESC, l_orderkey LIMIT 10
 """,
         "orders_customer_join": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment

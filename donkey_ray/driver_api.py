@@ -2104,6 +2104,80 @@ def q_lineitem_agg(sf_dir: str) -> pa.Table:
     return pa.table(out)
 
 
+def q_tpch_q3(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment customers x
+    pre-cutoff orders x post-cutoff lineitems, top-10 orders by revenue.
+    Revenue is quantized PER ROW to integer cents before summing, so the
+    group sum is order-independent and hash-exact cross-engine.
+
+    Scale shape: the segment filter runs at the customer read; both
+    joins are the distributed keyed-cogroup hash join (semi-style
+    projections — only join keys plus needed columns move); the revenue
+    aggregate folds through the partial-agg exchange and only the
+    per-partition top-10 survivors reach the driver merge."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import hash_join
+    from .stages.exchange import partitioned_aggregate
+
+    cutoff = 883_612_800_000_000  # 1998-01-01 in epoch us
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+        override_num_blocks=4,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pa.scalar(
+            cutoff, pa.timestamp("us")),
+        override_num_blocks=8,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > pa.scalar(
+            cutoff, pa.timestamp("us")),
+        override_num_blocks=8,
+    )
+    co = hash_join(orders, customer, left_on="o_custkey",
+                   right_on="c_custkey", how="semi")
+    col = hash_join(lineitem, co, left_on="l_orderkey",
+                    right_on="o_orderkey", how="inner")
+
+    def revenue_rows(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "o_orderdate": batch.column("o_orderdate"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "revenue_x100": pa.array(rev, pa.int64()),
+        })
+
+    agg = partitioned_aggregate(
+        col.map_batches(revenue_rows, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("revenue_x100", "sum")], rename={"revenue_x100_sum": "revenue_x100"},
+    )
+
+    def local_top(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        return part.sort_by([("revenue_x100", "descending"),
+                             ("l_orderkey", "ascending")]).slice(0, 10)
+
+    merged = dataset_to_table(
+        agg.map_batches(local_top, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    return merged.sort_by([("revenue_x100", "descending"),
+                           ("l_orderkey", "ascending")]).slice(0, 10)
+
+
 def q_orders_customer_join(sf_dir: str) -> ray.data.Dataset:
     """Distributed hash join (both sides through one keyed cogroup
     exchange, Arrow C++ join per partition): orders enriched with
