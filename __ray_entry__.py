@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_quantiles": api.q_doclen_quantiles,
         "events_distinct_users": api.q_events_distinct_users,
         "events_retention": api.q_events_retention,
+        "events_anomalies": api.q_events_anomalies,
         "top_terms_per_lang": api.q_top_terms_per_lang,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
@@ -1025,6 +1026,29 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(value)::BIGINT AS n_events,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY 1, 2
+""",
+        # hourly volume anomalies per type: |z| >= 2 with population
+        # stddev from exact integer moments (s1, s2) — the float var/z
+        # assembly order mirrors the numpy side exactly
+        "events_anomalies": """
+WITH b AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) * 3600000000
+                      AS window_start_us,
+                  count(*)::BIGINT AS n_events
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, count(*)::BIGINT AS c, sum(n_events)::BIGINT AS s1,
+             sum(n_events * n_events)::BIGINT AS s2 FROM b GROUP BY 1),
+z AS (SELECT b.event_type, b.window_start_us, b.n_events,
+             CASE WHEN (m.s2::DOUBLE / m.c
+                        - (m.s1::DOUBLE / m.c) * (m.s1::DOUBLE / m.c)) > 0
+                  THEN (b.n_events - m.s1::DOUBLE / m.c)
+                       / sqrt(m.s2::DOUBLE / m.c
+                              - (m.s1::DOUBLE / m.c) * (m.s1::DOUBLE / m.c))
+                  ELSE 0 END AS zz
+      FROM b JOIN m USING (event_type))
+SELECT event_type, window_start_us::BIGINT AS window_start_us, n_events,
+       CAST(round(zz * 1000000, 0) AS BIGINT) AS z_x1e6
+FROM z WHERE abs(CAST(round(zz * 1000000, 0) AS BIGINT)) >= 2000000
 """,
         # cohort retention: first-active epoch-week cohorts x week offsets,
         # distinct users per cell (offset 0 = cohort size)

@@ -2040,6 +2040,18 @@ def q_doclen_quantiles(sf_dir: str) -> ray.data.Dataset:
     return keyed_partition_map(toks, ["lang"], quants)
 
 
+def q_events_anomalies(sf_dir: str) -> ray.data.Dataset:
+    """Hourly volume anomalies per event type (|z| >= 2, population
+    stddev from exact integer moments)."""
+    from .pipelines.windows import hourly_anomalies
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"],
+        override_num_blocks=8,
+    )
+    return hourly_anomalies(ds)
+
+
 def q_events_retention(sf_dir: str) -> ray.data.Dataset:
     """Cohort-retention matrix: users cohorted by first active epoch-week,
     distinct-user counts per (cohort_week, offset_weeks) cell."""

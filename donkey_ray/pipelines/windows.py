@@ -393,3 +393,85 @@ def cohort_retention(
         num_partitions=num_partitions,
         rename={"offset_weeks_count": "n_users"},
     )
+
+
+def hourly_anomalies(
+    ds: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z_x1e6_threshold: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Volume-anomaly detection per event type: hours whose event count
+    deviates from the type's mean by more than ``z`` population standard
+    deviations (z quantized half-away to x1e6 BIGINT; default threshold
+    z=2). Output (event_type, window_start_us, n_events, z_x1e6).
+
+    Hours with zero events are NOT imputed — the series is the observed
+    hour buckets only (pinned; the SQL oracle mirrors it). Mean/stddev
+    use integer sums (sum, sum of squares) so the per-type moments are
+    exact regardless of fold order; population (not sample) variance.
+
+    Scale shape: per-batch (type, hour) pre-count caps map output at the
+    active bucket count; ONE type-keyed exchange makes each type's whole
+    hour series partition-local (series length is bounded by the time
+    range, not the corpus, so a type's series always fits); z-scoring is
+    vectorized per partition."""
+    from ..stages.exchange import keyed_partition_map, partitioned_aggregate
+
+    HOUR_US = 3_600_000_000
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = (ts // HOUR_US) * HOUR_US
+        t = pa.table({
+            type_col: batch.column(type_col),
+            "window_start_us": pa.array(hour, pa.int64()),
+        })
+        g = t.group_by([type_col, "window_start_us"],
+                       use_threads=False).aggregate(
+            [("window_start_us", "count")])
+        return pa.table({
+            type_col: g.column(type_col),
+            "window_start_us": g.column("window_start_us"),
+            "n_events": g.column("window_start_us_count").cast(pa.int64()),
+        })
+
+    counts = partitioned_aggregate(
+        ds.map_batches(bucket_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [type_col, "window_start_us"], [("n_events", "sum")],
+        num_partitions=num_partitions, rename={"n_events_sum": "n_events"})
+
+    def zscore(part: pa.Table) -> pa.Table:
+        empty = pa.table({type_col: pa.array([], pa.string()),
+                          "window_start_us": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "z_x1e6": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        order = pc.sort_indices(part, sort_keys=[
+            (type_col, "ascending"), ("window_start_us", "ascending")])
+        g = part.take(order)
+        types = g.column(type_col)
+        n = g.column("n_events").to_numpy(zero_copy_only=False)
+        enc = (types.combine_chunks() if isinstance(types, pa.ChunkedArray)
+               else types).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(idx).astype(np.float64)
+        s1 = np.bincount(idx, weights=n.astype(np.float64))
+        s2 = np.bincount(idx, weights=(n.astype(np.float64)) ** 2)
+        mean = s1 / cnt
+        var = s2 / cnt - mean ** 2
+        sd = np.sqrt(np.maximum(var, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd[idx] > 0, (n - mean[idx]) / sd[idx], 0.0)
+        z6 = np.floor(z * 1e6 + np.where(z >= 0, 0.5, -0.5)).astype(np.int64)
+        keep = np.abs(z6) >= z_x1e6_threshold
+        out = g.append_column("z_x1e6", pa.array(z6, pa.int64()))
+        return out.filter(pa.array(keep))
+
+    return keyed_partition_map(counts, [type_col], zscore,
+                               num_partitions=num_partitions)
