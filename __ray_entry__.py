@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": api.q_events_distinct_users,
         "events_retention": api.q_events_retention,
         "events_anomalies": api.q_events_anomalies,
+        "longest_docs": api.q_longest_docs,
         "top_terms_per_lang": api.q_top_terms_per_lang,
         "term_df": api.q_term_df,
         "doc_token_counts": api.q_doc_token_counts,
@@ -1026,6 +1027,13 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(value)::BIGINT AS n_events,
        CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_x100
 FROM events GROUP BY 1, 2
+""",
+        # top-100 docs by token count via the native global sort
+        "longest_docs": f"""
+WITH c AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       row_number() OVER (ORDER BY n_tokens DESC, doc_id)::BIGINT AS rnk
+FROM c ORDER BY n_tokens DESC, doc_id LIMIT 100
 """,
         # hourly volume anomalies per type: |z| >= 2 with population
         # stddev from exact integer moments (s1, s2) — the float var/z

@@ -2040,6 +2040,22 @@ def q_doclen_quantiles(sf_dir: str) -> ray.data.Dataset:
     return keyed_partition_map(toks, ["lang"], quants)
 
 
+def q_longest_docs(sf_dir: str) -> pa.Table:
+    """Top-100 docs by token count through Ray Data's NATIVE global sort
+    (the engine's one all-to-all range-partitioned sort surface — every
+    other ranked query uses the per-partition top-k fold, which is the
+    preferred scale path; this query pins the native sort path itself).
+    Rank is attached to the 100 surviving rows on the driver."""
+    from .pipelines.analyze import doc_token_counts
+
+    counts = doc_token_counts(_docs(sf_dir))
+    top = counts.sort(["n_tokens", "doc_id"],
+                      descending=[True, False]).limit(100)
+    tbl = dataset_to_table(top)
+    return tbl.append_column(
+        "rnk", pa.array(np.arange(1, tbl.num_rows + 1), pa.int64()))
+
+
 def q_events_anomalies(sf_dir: str) -> ray.data.Dataset:
     """Hourly volume anomalies per event type (|z| >= 2, population
     stddev from exact integer moments)."""

@@ -95,7 +95,7 @@ NAMES = [
     "perplexity", "dup_spans", "dedup_lines_global", "events_retention",
     "winnow_fingerprints", "winnow_matches", "remove_dup_spans",
     "tfidf_keywords", "pmi_collocations", "embedding_clusters",
-    "knn_label_eval", "tpch_q3", "events_anomalies",
+    "knn_label_eval", "tpch_q3", "events_anomalies", "longest_docs",
 ]
 
 
