@@ -1167,3 +1167,38 @@ def test_pmi_collocations(ray_session):
                    out.column("n_ab").to_pylist()))
     assert got == want[:10]
     assert got[0][1] == "ad hoc"   # the collocation wins
+
+
+def test_hourly_anomalies(ray_session):
+    """Anomalous hours vs a numpy reference (population stddev from
+    integer moments; only |z| >= 2 rows emitted)."""
+    import ray.data
+
+    from donkey_ray.pipelines.windows import hourly_anomalies
+    from donkey_ray.util import dataset_to_table
+
+    H = 3_600_000_000
+    # type 'a': 9 quiet hours of 1 event + one 50-event spike
+    rows = []
+    for h in range(9):
+        rows.append(("a", h * H + 7))
+    rows += [("a", 9 * H + i) for i in range(50)]
+    # type 'b': perfectly flat -> sd 0 -> no anomalies
+    rows += [("b", h * H) for h in range(5)]
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    out = dataset_to_table(hourly_anomalies(
+        ray.data.from_arrow(tbl), num_partitions=3))
+    got = {(t, w): (n, z) for t, w, n, z in zip(
+        out.column("event_type").to_pylist(),
+        out.column("window_start_us").to_pylist(),
+        out.column("n_events").to_pylist(),
+        out.column("z_x1e6").to_pylist())}
+
+    n = np.array([1] * 9 + [50], dtype=np.float64)
+    mean, var = n.mean(), (n ** 2).mean() - n.mean() ** 2
+    z = (50 - mean) / np.sqrt(var)
+    z6 = int(np.floor(z * 1e6 + 0.5))
+    assert got == {("a", 9 * H): (50, z6)}
