@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": api.q_embedding_centroids,
         "orders_customer_full": api.q_orders_customer_full,
         "events_running": api.q_events_running,
+        "events_moving": api.q_events_moving,
         "filtered_topk": api.q_filtered_topk,
         "events_funnel": api.q_events_funnel,
         "events_pivot": api.q_events_pivot,
@@ -169,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": api.q_dedup_clusters,
         "cluster_canonical": api.q_cluster_canonical,
         "dedup_survivors": api.q_dedup_survivors,
+        "pagerank": api.q_pagerank,
         "minhash_neardup": api.q_minhash_neardup,
         "simhash_fingerprints": api.q_simhash_fingerprints,
         # similarity search over embeddings
@@ -203,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": api.q_orders_customer_join,
         "tpch_q3": api.q_tpch_q3,
         "orders_semi_building": api.q_orders_semi_building,
+        "orders_semi_bloom": api.q_orders_semi_bloom,
     }
 
 
@@ -319,8 +322,28 @@ def _near_sql() -> str:
     )
 
 
+def _pagerank_sql() -> str:
+    """PageRank oracle: the unrolled integer-exact power iteration
+    (pipelines/graph.pagerank_oracle_sql) over the same near-dup pair
+    graph as ngram_jaccard/dedup_clusters."""
+    from donkey_ray.pipelines.graph import pagerank_oracle_sql
+
+    prelude = [
+        f"pg_sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents)",
+        "pg_sz AS (SELECT doc_id, count(*) AS n FROM pg_sh GROUP BY 1)",
+        """pg_inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM pg_sh a JOIN pg_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)""",
+    ]
+    edge_cte = """SELECT da, db
+FROM pg_inter JOIN pg_sz x ON x.doc_id = da JOIN pg_sz y ON y.doc_id = db
+WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5"""
+    return pagerank_oracle_sql(edge_cte, prelude=prelude)
+
+
 def _oracle_sqls() -> dict[str, str]:
     return {
+        "pagerank": _pagerank_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),
         "bm25_topk": f"""
@@ -1131,6 +1154,16 @@ SELECT event_id, user_id,
          AS running_x100
 FROM events ORDER BY event_id
 """,
+        # per-user 3-row moving sum; inputs cents-quantized half-up so
+        # the frame sums are exact integers on both engines
+        "events_moving": """
+SELECT event_id, user_id,
+       sum(floor(value * 100 + 0.5)::BIGINT)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+         AS moving_x100
+FROM events ORDER BY event_id
+""",
         # interval (range) join: click-only sessions' [min ts, max ts]
         # intervals, then every same-user event inside an interval
         "events_in_sessions": """
@@ -1921,6 +1954,15 @@ FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer
 ON o.o_custkey = c.c_custkey
 """,
         "orders_semi_building": """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+FROM orders o
+WHERE o.o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+        # bloom-prefiltered semi join: by construction identical rows to
+        # orders_semi_building (the filter has no false negatives and an
+        # exact join runs behind it) -> same oracle
+        "orders_semi_bloom": """
 SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
 FROM orders o
 WHERE o.o_custkey IN

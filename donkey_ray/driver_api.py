@@ -2362,3 +2362,78 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
         }
     )
     return score_queries(index_dir, queries, mode="auto")
+
+
+def ensure_pair_graph(sf_dir: str) -> str:
+    """Build (once; cached) the near-dup PAIR GRAPH artifact — the exact
+    n-gram-Jaccard pairs written as parquet. Consumed by graph analytics
+    (pagerank) without re-running candidate generation + verification."""
+    import pyarrow.parquet as pq
+
+    out = _index_dir(sf_dir) + "-pairgraph"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        )
+        tbl = dataset_to_table(pairs)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(tbl, os.path.join(out, "pairs.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """PageRank over the near-dup doc graph (integer parts-per-trillion
+    ranks, 10 power iterations): duplicate-hub centrality as a curation
+    signal. Iterations are keyed exchanges linear in |edges|; the pair
+    graph comes from the cached artifact (ensure_pair_graph)."""
+    from .pipelines.graph import pagerank
+
+    pairs = ray.data.read_parquet(
+        os.path.join(ensure_pair_graph(sf_dir), "pairs.parquet"),
+        columns=["doc_a", "doc_b"],
+    )
+    return pagerank(_docs(sf_dir, columns=("doc_id",)), pairs)
+
+
+def q_events_moving(sf_dir: str) -> pa.Table:
+    """Per-user 3-row moving sum of event value (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW in (ts, event_id) order) — the sliding
+    ROWS-frame window function; cents-quantized inputs make the frame
+    sums exact integers."""
+    from .pipelines.windows import moving_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+        override_num_blocks=8,
+    )
+    return dataset_to_table(moving_sum(ds)).sort_by([("event_id", "ascending")])
+
+
+def q_orders_semi_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-prefiltered SEMI join — same rows as orders_semi_building,
+    but probe-side rows that cannot match are dropped BEFORE the keyed
+    exchange (the 100 TB shuffle-bytes optimization; the exact join
+    behind the filter keeps the result identical)."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import bloom_semi_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+        override_num_blocks=8,
+    )
+    building = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+        override_num_blocks=4,
+    )
+    return bloom_semi_join(orders, building, left_on="o_custkey",
+                           right_on="c_custkey")

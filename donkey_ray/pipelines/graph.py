@@ -1,0 +1,194 @@
+"""Distributed graph analytics over pair graphs (training-data ops).
+
+PageRank over the near-dup pair graph: ranks every document by its
+centrality in the duplicate/similarity graph — a curation signal
+(high-rank nodes are template/boilerplate hubs; Lee et al. 2022 observe
+near-dup clusters concentrate around such hubs).
+
+Integer-exact spec (pinned so a SQL oracle can mirror it bit-for-bit —
+float PageRank sums are order-dependent across engines):
+  - ranks are int64 parts-per-trillion (SCALE = 10^12)
+  - r0(v)      = SCALE // N                      for every node
+  - contrib(u) = r(u) // out_deg(u)              to each out-neighbor
+  - r'(v)      = TELE + (85 * incoming(v)) // 100
+    with TELE  = (15 * SCALE) // (100 * N)       (damping d = 0.85)
+  - dangling mass is dropped (nodes without out-edges contribute
+    nothing); isolated nodes keep TELE — both pinned choices the oracle
+    mirrors exactly.
+All arithmetic is non-negative int64 (85 * incoming <= 85 * SCALE fits
+comfortably), so every sum is order-independent and the distributed
+fold can't drift from the oracle.
+
+Scale shape: per iteration ONE rank->edge cogroup exchange (emit
+per-partition pre-summed contributions), one keyed partial-sum
+exchange, and one nodes-left-join exchange — all linear in |edges| and
+|nodes|; no broadcast, no driver-side state. The rank table
+(2 int64 columns) is materialized per iteration into the (spillable)
+object store — the standard iterative-algorithm working set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..stages.exchange import keyed_cogroup_map, partitioned_aggregate
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def _edges_bidirected(pairs: ray.data.Dataset, a_col: str, b_col: str) -> ray.data.Dataset:
+    """Undirected pair rows -> both directed edges (src, dst)."""
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(np.concatenate((a, b)), pa.int64()),
+             "dst": pa.array(np.concatenate((b, a)), pa.int64())}
+        )
+
+    return pairs.map_batches(bidir, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank(
+    nodes: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iterations: int = 10,
+) -> ray.data.Dataset:
+    """(doc_id, rank_ppt) after ``iterations`` integer-exact power steps
+    over the bidirected pair graph. ``nodes`` is the full node universe
+    (isolated docs included — they hold the teleport rank)."""
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rank_ppt": pa.array([], pa.int64())})
+        )
+    tele = (15 * SCALE) // (100 * n_nodes)
+    r0 = SCALE // n_nodes
+
+    edges = _edges_bidirected(pairs, a_col, b_col)
+    deg = partitioned_aggregate(
+        edges, ["src"], [("dst", "count")], rename={"dst_count": "deg"}
+    )
+
+    def attach_deg(ep: pa.Table, dp: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+        if ep.num_rows == 0:
+            return empty
+        src = ep.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dsrc = dp.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = dp.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(dsrc)
+        pos = np.searchsorted(dsrc[o], src)
+        return pa.table(
+            {"src": ep.column("src"), "dst": ep.column("dst"),
+             "deg": pa.array(dv[o][pos], pa.int64())}
+        )
+
+    # deg is attached once and the (src, dst, deg) edge table is pinned in
+    # the object store — every iteration re-reads it without recompute
+    edges_deg = keyed_cogroup_map(edges, deg, ["src"], ["src"], attach_deg).materialize()
+
+    def node_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column(id_col).cast(pa.int64()),
+                         "r": pa.array(np.full(batch.num_rows, r0, np.int64))})
+
+    ranks = nodes.map_batches(
+        node_ids, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    node_universe = ranks.select_columns(["node"]).materialize()
+
+    for _ in range(iterations):
+        def contribs(rp: pa.Table, ep: pa.Table) -> pa.Table:
+            """Partition-local: rank gather onto edges + pre-sum by dst
+            (the map-side combine before the keyed sum exchange)."""
+            empty = pa.table({"dst": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.int64())})
+            if ep.num_rows == 0:
+                return empty
+            rn = rp.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            rv = rp.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(rn)
+            src = ep.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(rn[o], src)
+            deg_v = ep.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+            per_edge = rv[o][pos] // deg_v
+            t = pa.table({"dst": ep.column("dst"),
+                          "c": pa.array(per_edge, pa.int64())})
+            return t.group_by(["dst"], use_threads=False).aggregate(
+                [("c", "sum")]
+            ).rename_columns(["dst", "c"])
+
+        incoming = partitioned_aggregate(
+            keyed_cogroup_map(ranks, edges_deg, ["node"], ["src"], contribs),
+            ["dst"], [("c", "sum")], rename={"c_sum": "inc"},
+        )
+
+        def apply_rank(np_: pa.Table, ip: pa.Table) -> pa.Table:
+            nodes_v = np_.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            r_new = np.full(len(nodes_v), tele, dtype=np.int64)
+            if ip.num_rows:
+                dst = ip.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+                inc = ip.column("inc").to_numpy(zero_copy_only=False).astype(np.int64)
+                o = np.argsort(nodes_v)
+                pos = np.searchsorted(nodes_v[o], dst)
+                r_new[o[pos]] = tele + (DAMP_NUM * inc) // DAMP_DEN
+            return pa.table({"node": pa.array(nodes_v, pa.int64()),
+                             "r": pa.array(r_new, pa.int64())})
+
+        ranks = keyed_cogroup_map(
+            node_universe, incoming, ["node"], ["dst"], apply_rank
+        ).materialize()
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("node"),
+                         "rank_ppt": batch.column("r")})
+
+    return ranks.map_batches(out, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank_oracle_sql(
+    edge_cte: str, *, iterations: int = 10,
+    nodes_sql: str = "SELECT doc_id FROM documents",
+    prelude: list[str] | None = None,
+) -> str:
+    """The unrolled-CTE DuckDB mirror of ``pagerank`` (aggregation inside
+    a recursive CTE term is not portable SQL, so the fixed iteration
+    count is unrolled). ``edge_cte`` must select undirected pair columns
+    (da, db); ``prelude`` CTE definitions (e.g. the shingle/pair CTEs it
+    references) are inserted first."""
+    tele = f"(SELECT (15 * {SCALE}) // (100 * n) FROM params)"
+    ctes = [
+        *(prelude or []),
+        f"g_nodes AS ({nodes_sql})",
+        "params AS (SELECT count(*) AS n FROM g_nodes)",
+        f"g_pairs AS ({edge_cte})",
+        "g_e AS (SELECT da AS src, db AS dst FROM g_pairs UNION ALL SELECT db, da FROM g_pairs)",
+        "g_deg AS (SELECT src, count(*) AS deg FROM g_e GROUP BY 1)",
+        f"pr0 AS (SELECT doc_id, (SELECT {SCALE} // n FROM params) AS r FROM g_nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""pr{k} AS (
+  SELECT n.doc_id,
+         {tele} + ({DAMP_NUM} * COALESCE(inc.s, 0)) // {DAMP_DEN} AS r
+  FROM g_nodes n LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(p.r // d.deg)::BIGINT AS s
+    FROM pr{k - 1} p JOIN g_e e ON e.src = p.doc_id JOIN g_deg d ON d.src = e.src
+    GROUP BY 1) inc ON inc.doc_id = n.doc_id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, r AS rank_ppt FROM pr{iterations}"
+    )

@@ -128,3 +128,71 @@ def asof_join(
         left, right, [left_key], [right_key], per_partition,
         num_partitions=num_partitions,
     )
+
+
+def bloom_prefilter(
+    probe: ray.data.Dataset,
+    build: ray.data.Dataset,
+    *,
+    probe_on: str,
+    build_on: str,
+) -> ray.data.Dataset:
+    """Drop probe-side rows whose key cannot appear on the build side,
+    using a Bloom filter of the build keys (functions/bloom.py). The
+    big-side shuffle of a subsequent join then moves survivors only; no
+    false negatives, so exact join semantics are preserved by the join
+    itself. The filter is built from per-batch partial bitsets (one
+    O(n_words) row per batch leaves each worker), OR-merged on the
+    driver (n_words uint64s — 1.25 GB/10^9 build keys, the broadcast
+    budget that motivates blooming only the SMALL side), and shipped
+    once per worker via ray.put."""
+    import numpy as np
+    import ray
+
+    from ..functions import bloom
+    from ..util import dataset_to_table
+
+    n_keys = build.count()
+    n_words = bloom.bloom_num_words(n_keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(build_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = bloom.bloom_partial(keys, n_words)
+        return pa.table({"bits": pa.FixedSizeListArray.from_arrays(
+            pa.array(bits, pa.uint64()), n_words)})
+
+    partials_tbl = dataset_to_table(
+        build.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    flat = partials_tbl.column("bits").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.uint64)
+    if len(flat):
+        filt = bloom.bloom_merge(list(flat.reshape(-1, n_words)))
+    else:
+        filt = np.zeros(n_words, np.uint64)
+    filt_ref = ray.put(filt)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        f = ray.get(filt_ref)
+        keys = batch.column(probe_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(bloom.bloom_might_contain(f, keys)))
+
+    keep.__name__ = "bloom_prefilter"
+    return probe.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Semi join with a Bloom prefilter on the probe side: identical
+    rows to hash_join(how='semi'), but only bloom survivors (true
+    matches + ~0.8% false positives) enter the keyed exchange."""
+    pruned = bloom_prefilter(left, right, probe_on=left_on, build_on=right_on)
+    return hash_join(pruned, right, left_on=left_on, right_on=right_on,
+                     how="semi", num_partitions=num_partitions)

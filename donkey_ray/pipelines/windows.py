@@ -475,3 +475,63 @@ def hourly_anomalies(
 
     return keyed_partition_map(counts, [type_col], zscore,
                                num_partitions=num_partitions)
+
+
+def moving_sum(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    preceding: int = 2,
+) -> ray.data.Dataset:
+    """Per-key ROWS-frame moving sum — the sliding window function
+    (SQL: sum(v) OVER (PARTITION BY key ORDER BY ts, order
+    ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT ROW)).
+
+    Values are quantized to integer cents BEFORE summation
+    (floor(v*100 + 0.5), the repo's pinned half-up rule), so the
+    windowed sums are exact integers and can't drift from the oracle no
+    matter how either engine associates the frame additions — unlike
+    running_total, whose frames are prefixes and can pin a float
+    accumulation order, a general frame diff (cumsum[i] - cumsum[i-w])
+    would NOT reproduce the oracle's per-frame float rounding.
+
+    One keyed exchange co-locates each key; the per-partition pass is a
+    lexsort + integer cumsum diff. Emits (order, key, moving_x100)."""
+    w = preceding + 1
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {order_col: pa.array([], pa.int64()),
+             key_col: pa.array([], pa.int64()),
+             "moving_x100": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        keys = part.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order_v = part.column(order_col).to_numpy(zero_copy_only=False)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        o = np.lexsort((order_v, ts, keys))
+        keys, order_v, cents = keys[o], order_v[o], cents[o]
+        seg_starts = np.concatenate(
+            ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1)
+        )
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        idx = np.arange(len(keys))
+        seg0 = np.repeat(seg_starts, np.diff(np.concatenate((seg_starts, [len(keys)]))))
+        lo = np.maximum(idx - w + 1, seg0)
+        moving = csum[idx + 1] - csum[lo]
+        return pa.table(
+            {
+                order_col: pa.array(order_v, pa.int64()),
+                key_col: pa.array(keys, pa.int64()),
+                "moving_x100": pa.array(moving, pa.int64()),
+            }
+        )
+
+    per_partition.__name__ = "moving_sum"
+    return keyed_partition_map(ds, [key_col], per_partition)

@@ -96,6 +96,8 @@ NAMES = [
     "winnow_fingerprints", "winnow_matches", "remove_dup_spans",
     "tfidf_keywords", "pmi_collocations", "embedding_clusters",
     "knn_label_eval", "tpch_q3", "events_anomalies", "longest_docs",
+    # session-8 additions
+    "pagerank", "events_moving", "orders_semi_bloom",
 ]
 
 

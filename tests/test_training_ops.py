@@ -1202,3 +1202,97 @@ def test_hourly_anomalies(ray_session):
     z = (50 - mean) / np.sqrt(var)
     z6 = int(np.floor(z * 1e6 + 0.5))
     assert got == {("a", 9 * H): (50, z6)}
+
+
+def test_bloom_filter_no_false_negatives():
+    """Membership mask is True for every inserted key; FPR on disjoint
+    keys stays near the design point (~0.8% at 10 bits/key, k=7)."""
+    from donkey_ray.functions import bloom
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**62, size=20_000, dtype=np.int64)
+    probe = rng.integers(2**62, 2**63 - 1, size=50_000, dtype=np.int64)
+    n_words = bloom.bloom_num_words(len(keys))
+    filt = bloom.bloom_merge(
+        [bloom.bloom_partial(keys[:9_000], n_words),
+         bloom.bloom_partial(keys[9_000:], n_words)]
+    )
+    assert bloom.bloom_might_contain(filt, keys).all()
+    fpr = bloom.bloom_might_contain(filt, probe).mean()
+    assert fpr < 0.03, fpr
+
+
+def test_bloom_semi_join_equals_plain_semi(ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.joins import bloom_semi_join, hash_join
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(11)
+    left = pa.table({"k": pa.array(rng.integers(0, 500, 5_000), pa.int64()),
+                     "v": pa.array(np.arange(5_000), pa.int64())})
+    right = pa.table({"rk": pa.array(rng.choice(500, 40, replace=False).astype(np.int64))})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    got = dataset_to_table(
+        bloom_semi_join(lds, rds, left_on="k", right_on="rk")
+    ).sort_by([("v", "ascending")])
+    want = dataset_to_table(
+        hash_join(lds, rds, left_on="k", right_on="rk", how="semi")
+    ).sort_by([("v", "ascending")])
+    assert got.equals(want)
+    assert got.num_rows > 0
+
+
+def test_pagerank_tiny_graph(ray_session):
+    """Path graph 1-2-3 (+ isolated node 4) vs a numpy twin of the pinned
+    integer spec."""
+    import ray.data
+
+    from donkey_ray.pipelines.graph import SCALE, pagerank
+    from donkey_ray.util import dataset_to_table
+
+    nodes = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64())})
+    pairs = pa.table({"doc_a": pa.array([1, 2], pa.int64()),
+                      "doc_b": pa.array([2, 3], pa.int64())})
+    out = dataset_to_table(pagerank(
+        ray.data.from_arrow(nodes), ray.data.from_arrow(pairs), iterations=10
+    )).sort_by([("doc_id", "ascending")])
+
+    ids = [1, 2, 3, 4]
+    deg = {1: 1, 2: 2, 3: 1, 4: 0}
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    n = 4
+    tele = (15 * SCALE) // (100 * n)
+    r = {i: SCALE // n for i in ids}
+    for _ in range(10):
+        inc = {i: 0 for i in ids}
+        for s, d in edges:
+            inc[d] += r[s] // deg[s]
+        r = {i: tele + (85 * inc[i]) // 100 if inc[i] else tele for i in ids}
+    assert out.column("rank_ppt").to_pylist() == [r[i] for i in ids]
+    # isolated node holds exactly the teleport rank
+    assert out.column("rank_ppt").to_pylist()[3] == tele
+
+
+def test_moving_sum_window_resets_per_key(ray_session):
+    import ray.data
+
+    from donkey_ray.pipelines.windows import moving_sum
+    from donkey_ray.util import dataset_to_table
+
+    # two users interleaved; values chosen to hit the cents rounding
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "user_id": pa.array([1, 2, 1, 1, 2, 1, 2], pa.int64()),
+        "ts": pa.array([10, 11, 12, 13, 14, 15, 16], pa.timestamp("us")),
+        "value": pa.array([1.005, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]),
+    })
+    out = dataset_to_table(moving_sum(
+        ray.data.from_arrow(tbl), preceding=2
+    )).sort_by([("event_id", "ascending")])
+    # user 1 rows: e1=100 (1.005 is 1.004999... as a double, so the
+    # half-up quantize floors to 100 — the same double both engines see),
+    # e3=100+300, e4=100+300+400, e6=300+400+600 (window slides);
+    # user 2: e2=200, e5=700, e7=1400
+    assert out.column("moving_x100").to_pylist() == [
+        100, 200, 400, 800, 700, 1300, 1400]
