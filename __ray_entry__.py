@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops: dedup family
         "exact_dedup": api.q_exact_dedup,
         "ngram_jaccard": api.q_ngram_jaccard,
+        "ngram_jaccard_delta": api.q_ngram_jaccard_delta,
         "dedup_clusters": api.q_dedup_clusters,
         "cluster_canonical": api.q_cluster_canonical,
         "dedup_survivors": api.q_dedup_survivors,
@@ -1568,6 +1569,20 @@ WITH sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
+""",
+        # incremental dedup: cross pairs between the delta shard
+        # (doc_id % 8 == 7) and the corpus behind the persisted artifact
+        "ngram_jaccard_delta": f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE a.doc_id % 8 <> 7 AND b.doc_id % 8 = 7
           GROUP BY 1, 2)
 SELECT da AS doc_a, db AS doc_b,
        round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard

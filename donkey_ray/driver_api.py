@@ -2437,3 +2437,44 @@ def q_orders_semi_bloom(sf_dir: str) -> ray.data.Dataset:
     )
     return bloom_semi_join(orders, building, left_on="o_custkey",
                            right_on="c_custkey")
+
+
+def ensure_dedup_index(sf_dir: str) -> str:
+    """Build (once; cached) the incremental-dedup ARTIFACT over the
+    corpus partition (doc_id % 8 != 7): pinned df rarity order, PPJoin
+    prefix postings at the pinned threshold, exact-verify shingle sets
+    (pipelines/dedup.build_dedup_index)."""
+    out = _index_dir(sf_dir) + "-dedupindex"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        def corpus_rows(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 8 != 7))
+
+        corpus = _docs(sf_dir).map_batches(
+            corpus_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        dedup.build_dedup_index(
+            corpus, out, n=JACCARD_N, threshold=JACCARD_THRESHOLD
+        )
+    return out
+
+
+def q_ngram_jaccard_delta(sf_dir: str) -> pa.Table:
+    """Incremental dedup: the delta shard (doc_id % 8 == 7) probed
+    against the persisted corpus dedup index — exact cross-pair Jaccard
+    >= threshold without re-reading corpus text."""
+    from .pipelines.dedup import ngram_jaccard_delta
+
+    def delta_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 8 == 7))
+
+    delta = _docs(sf_dir).map_batches(
+        delta_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbl = dataset_to_table(ngram_jaccard_delta(ensure_dedup_index(sf_dir), delta))
+    return _round_col(tbl, "jaccard")

@@ -14,6 +14,8 @@ Partitioning notes (scale path, 10^12 rows):
 from __future__ import annotations
 
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -509,6 +511,47 @@ def _ngram_jaccard_bruteforce(
     return inter.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _prefix_postings_table(
+    batch: pa.Table, dfk: np.ndarray, dfv: np.ndarray, *, text_col: str,
+    id_col: str, n: int, threshold: float,
+) -> pa.Table:
+    """Per doc: keep only the |A| - ceil(t*|A|) + 1 GLOBALLY RAREST
+    shingles (rarity order = (df, hash); ceil guarded so
+    threshold-boundary pairs are never lost to float truncation).
+    Vectorized: one df gather + one global lexsort + rank masking.
+    ``dfk``/``dfv`` are the SORTED shingle keys and their dfs — the
+    pinned total order; shingles absent from dfk get df 0 (rarest),
+    which preserves the prefix-filter guarantee (any common total order
+    works; df order merely minimizes candidates)."""
+    from ..functions.textstats import shingle_hash_column
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values, offsets = shingle_hash_column(col, n)
+    if len(values) == 0:
+        return pa.table({"shingle": pa.array([], pa.uint64()),
+                         "doc_id": pa.array([], pa.int64())})
+    lens = np.diff(offsets)
+    rows = np.repeat(np.arange(len(lens)), lens)
+    dfs = np.zeros(len(values), dtype=np.int64)
+    if len(dfk):
+        pos = np.searchsorted(dfk, values)
+        hit = (pos < len(dfk)) & (dfk[np.minimum(pos, len(dfk) - 1)] == values)
+        dfs[hit] = dfv[pos[hit]]
+    # order within each row by (df asc, hash asc); global lexsort
+    o = np.lexsort((values, dfs, rows))
+    rows_s, vals_s = rows[o], values[o]
+    rank = np.arange(len(rows_s)) - np.repeat(offsets[:-1], lens)
+    plen = lens - np.ceil(threshold * lens - 1e-9).astype(np.int64) + 1
+    keep = rank < np.repeat(plen, lens)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {"shingle": pa.array(vals_s[keep], pa.uint64()),
+         "doc_id": pa.array(ids[rows_s[keep]], pa.int64())}
+    )
+
+
 def _ngram_jaccard_prefix(
     ds: ray.data.Dataset,
     *,
@@ -545,33 +588,10 @@ def _ngram_jaccard_prefix(
     df_ref = ray.put((df_keys[order], df_vals[order]))
 
     def prefix_postings(batch: pa.Table) -> pa.Table:
-        """Per doc: keep only the |A| - ceil(t*|A|) + 1 GLOBALLY RAREST
-        shingles (rarity order = (df, hash); ceil guarded so
-        threshold-boundary pairs are never lost to float truncation).
-        Vectorized: one df gather + one global lexsort + rank masking."""
-        from ..functions.textstats import shingle_hash_column
-
         dfk, dfv = ray.get(df_ref)
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        values, offsets = shingle_hash_column(col, n)
-        if len(values) == 0:
-            return pa.table({"shingle": pa.array([], pa.uint64()),
-                             "doc_id": pa.array([], pa.int64())})
-        lens = np.diff(offsets)
-        rows = np.repeat(np.arange(len(lens)), lens)
-        dfs = dfv[np.searchsorted(dfk, values)]
-        # order within each row by (df asc, hash asc); global lexsort
-        o = np.lexsort((values, dfs, rows))
-        rows_s, vals_s = rows[o], values[o]
-        rank = np.arange(len(rows_s)) - np.repeat(offsets[:-1], lens)
-        plen = lens - np.ceil(threshold * lens - 1e-9).astype(np.int64) + 1
-        keep = rank < np.repeat(plen, lens)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"shingle": pa.array(vals_s[keep], pa.uint64()),
-             "doc_id": pa.array(ids[rows_s[keep]], pa.int64())}
+        return _prefix_postings_table(
+            batch, dfk, dfv, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold,
         )
 
     prefixes = ds.map_batches(
@@ -811,3 +831,162 @@ def simhash_neardup_pairs(
         pairs, ["doc_a", "doc_b"], [("hamming", "min")],
         rename={"hamming_min": "min(hamming)"},
     )
+
+# ---- incremental dedup: delta shard vs a persisted dedup-index artifact ----
+#
+# The production 100 TB shape: the corpus is deduped ONCE and its
+# dedup-side state persisted; every new crawl shard then probes that
+# artifact without re-reading corpus text. Exactness is preserved — the
+# PPJoin prefix guarantee holds under any COMMON total order, so delta
+# docs rank their shingles by the artifact's pinned (corpus df, hash)
+# order (unseen shingles df=0 = rarest) and candidate generation stays
+# complete for J >= threshold cross pairs.
+
+def build_dedup_index(
+    ds: ray.data.Dataset, out_dir: str, *, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 1, threshold: float = 0.5,
+) -> dict:
+    """Persist the corpus side of incremental near-dup detection:
+      df.parquet        (shingle, df)      — the pinned rarity order
+      prefixes.parquet  (shingle, doc_id)  — PPJoin prefix postings at
+                                             the pinned threshold
+      sets.parquet      (doc_id, hashes)   — exact-verify shingle sets
+      meta.json + _DONE — pinned (n, threshold) and build counts
+    Probes must use the SAME (n, threshold) (checked by
+    ngram_jaccard_delta)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    exploded = ds.map_batches(
+        lambda b: _explode_shingle_hashes(b, text_col, id_col, n),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    df_tbl = dataset_to_table(
+        partitioned_aggregate(
+            exploded, ["shingle"], [("doc_id", "count")],
+            rename={"doc_id_count": "df"},
+        )
+    ).sort_by([("shingle", "ascending")])
+    pq.write_table(df_tbl, os.path.join(out_dir, "df.parquet"))
+
+    dfk = df_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
+    dfv = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    df_ref = ray.put((dfk, dfv))
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(df_ref)
+        return _prefix_postings_table(
+            batch, k, v, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold,
+        )
+
+    pref_tbl = dataset_to_table(
+        ds.map_batches(prefixes, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    pq.write_table(pref_tbl, os.path.join(out_dir, "prefixes.parquet"))
+
+    sets_tbl = dataset_to_table(
+        doc_shingle_sets(ds, text_col=text_col, id_col=id_col, n=n)
+    )
+    pq.write_table(sets_tbl, os.path.join(out_dir, "sets.parquet"))
+
+    meta = {"n": n, "threshold": threshold, "n_docs": sets_tbl.num_rows,
+            "vocab": df_tbl.num_rows, "prefix_rows": pref_tbl.num_rows}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(out_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return meta
+
+
+def ngram_jaccard_delta(
+    index_dir: str,
+    delta: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact cross-pair n-gram Jaccard >= threshold between a NEW delta
+    shard and the corpus behind a dedup-index artifact — corpus text is
+    never re-read; its df / prefix / set state streams from the
+    artifact's parquet. Returns (doc_a = corpus doc, doc_b = delta doc,
+    jaccard). Delta and corpus doc ids must be disjoint.
+
+    Same exchange budget as one ngram_jaccard round: a shingle-keyed
+    candidate exchange over (corpus prefixes UNION delta prefixes) that
+    emits CROSS-side pairs only, then the distributed two-stage verify
+    join against (corpus sets UNION delta sets)."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n, threshold = int(meta["n"]), float(meta["threshold"])
+
+    df_tbl = ray.data.read_parquet(
+        os.path.join(index_dir, "df.parquet")
+    ).materialize()
+    dfk_tbl = dataset_to_table(df_tbl)
+    dfk = dfk_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
+    dfv = dfk_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    df_ref = ray.put((dfk, dfv))
+
+    def delta_prefixes(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(df_ref)
+        t = _prefix_postings_table(
+            batch, k, v, text_col=text_col, id_col=id_col, n=n,
+            threshold=threshold,
+        )
+        return t.append_column(
+            "side", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        )
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        )
+
+    pref_union = ray.data.read_parquet(
+        os.path.join(index_dir, "prefixes.parquet")
+    ).map_batches(corpus_side, batch_format="pyarrow", zero_copy_batch=True).union(
+        delta.map_batches(delta_prefixes, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+
+    def cross_pairs_partition(part: pa.Table) -> pa.Table:
+        """Per shingle run: (corpus ids) x (delta ids) cross pairs."""
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        order = pa.compute.sort_indices(
+            part, sort_keys=[("shingle", "ascending"), ("side", "ascending"),
+                             ("doc_id", "ascending")]
+        )
+        g = part.take(order)
+        sh = g.column("shingle").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(sh[1:] != sh[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(sh)]))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            n0 = int(np.searchsorted(sd, 1))  # corpus rows come first
+            if n0 == 0 or n0 == e - s:
+                continue
+            ca, db = ids[s:s + n0], ids[s + n0:e]
+            a_out.append(np.repeat(ca, len(db)))
+            b_out.append(np.tile(db, len(ca)))
+        if not a_out:
+            return empty
+        t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                      "b": pa.array(np.concatenate(b_out), pa.int64())})
+        return t.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    cand = keyed_partition_map(pref_union, ["shingle"], cross_pairs_partition)
+    sets = ray.data.read_parquet(os.path.join(index_dir, "sets.parquet")).union(
+        doc_shingle_sets(delta, text_col=text_col, id_col=id_col, n=n)
+    )
+    return _verify_pairs_distributed(cand, sets, threshold)

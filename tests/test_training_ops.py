@@ -1296,3 +1296,58 @@ def test_moving_sum_window_resets_per_key(ray_session):
     # user 2: e2=200, e5=700, e7=1400
     assert out.column("moving_x100").to_pylist() == [
         100, 200, 400, 800, 700, 1300, 1400]
+
+
+def test_ngram_jaccard_delta_vs_full(ray_session, tmp_path):
+    """Delta-vs-artifact incremental dedup returns EXACTLY the cross
+    pairs of the full-corpus exact Jaccard (artifact rarity order +
+    unseen-shingle df=0 keep the prefix filter complete)."""
+    import ray.data
+
+    from donkey_ray.pipelines.dedup import (
+        build_dedup_index,
+        ngram_jaccard_delta,
+        ngram_jaccard_pairs,
+    )
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = []
+    for i in range(80):
+        toks = list(rng.choice(vocab, size=rng.integers(5, 25)))
+        texts.append(" ".join(toks))
+    # seed guaranteed near-dups across the split
+    texts[7] = texts[16]                       # corpus 7 vs delta 16? split below
+    texts[23] = texts[15] + " extraword"
+    tbl = pa.table({"doc_id": pa.array(np.arange(80), pa.int64()),
+                    "text": pa.array(texts)})
+    corpus = tbl.filter(pa.array(np.arange(80) % 4 != 0))
+    delta = tbl.filter(pa.array(np.arange(80) % 4 == 0))
+
+    idx = str(tmp_path / "dedupindex")
+    meta = build_dedup_index(ray.data.from_arrow(corpus), idx, n=1, threshold=0.5)
+    assert meta["n_docs"] == corpus.num_rows
+
+    got = dataset_to_table(
+        ngram_jaccard_delta(idx, ray.data.from_arrow(delta))
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    full = dataset_to_table(ngram_jaccard_pairs(
+        ray.data.from_arrow(tbl), n=1, threshold=0.5, prefix_filter=False
+    ))
+    a = full.column("doc_a").to_numpy(zero_copy_only=False)
+    b = full.column("doc_b").to_numpy(zero_copy_only=False)
+    # full emits a<b; delta emits (corpus, delta) — normalize to that
+    a_is_delta = (a % 4) == 0
+    b_is_delta = (b % 4) == 0
+    cross = a_is_delta != b_is_delta
+    ca = np.where(a_is_delta, b, a)[cross]
+    db = np.where(a_is_delta, a, b)[cross]
+    jz = full.column("jaccard").to_numpy(zero_copy_only=False)[cross]
+    want = pa.table({"doc_a": pa.array(ca, pa.int64()),
+                     "doc_b": pa.array(db, pa.int64()),
+                     "jaccard": pa.array(jz, pa.float64())}).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")])
+    assert got.num_rows == want.num_rows and got.num_rows > 0
+    assert got.equals(want)
