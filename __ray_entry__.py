@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_full": api.q_orders_customer_full,
         "events_running": api.q_events_running,
         "events_moving": api.q_events_moving,
+        "events_quantiles_sketch": api.q_events_quantiles_sketch,
         "filtered_topk": api.q_filtered_topk,
         "events_funnel": api.q_events_funnel,
         "events_pivot": api.q_events_pivot,
@@ -1164,6 +1165,33 @@ SELECT event_id, user_id,
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
          AS moving_x100
 FROM events ORDER BY event_id
+""",
+        # approximate quantiles from the SAME integer-exact histogram
+        # sketch the engine computes (positive-operand ceil divisions
+        # only: DuckDB // truncates toward zero, numpy floors)
+        "events_quantiles_sketch": """
+WITH cents AS (SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS c
+               FROM events),
+b AS (SELECT event_type, min(c) AS cmin, max(c) AS cmax, count(*) AS n
+      FROM cents GROUP BY 1),
+w AS (SELECT event_type, cmin, cmax, n,
+             greatest(1, (cmax - cmin + 1 + 255) // 256) AS width FROM b),
+bk AS (SELECT c.event_type, (c.c - w.cmin) // w.width AS bucket,
+              count(*) AS cnt
+       FROM cents c JOIN w ON c.event_type = w.event_type GROUP BY 1, 2),
+cum AS (SELECT event_type, bucket,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+        FROM bk),
+qs(q_permille) AS (VALUES (500), (950)),
+tgt AS (SELECT w.event_type, q.q_permille,
+               (q.q_permille * w.n + 999) // 1000 AS target,
+               w.cmin, w.cmax, w.width
+        FROM w CROSS JOIN qs q)
+SELECT t.event_type, t.q_permille::BIGINT AS q_permille,
+       least(t.cmin + (min(c.bucket) + 1) * t.width - 1, t.cmax)::BIGINT
+         AS approx_x100
+FROM tgt t JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.target
+GROUP BY 1, 2, t.cmin, t.width, t.cmax
 """,
         # interval (range) join: click-only sessions' [min ts, max ts]
         # intervals, then every same-user event inside an interval

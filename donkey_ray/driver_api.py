@@ -2478,3 +2478,16 @@ def q_ngram_jaccard_delta(sf_dir: str) -> pa.Table:
     )
     tbl = dataset_to_table(ngram_jaccard_delta(ensure_dedup_index(sf_dir), delta))
     return _round_col(tbl, "jaccard")
+
+
+def q_events_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Approximate per-group quantiles from the mergeable 256-bin
+    histogram sketch — raw values never shuffle (the 10^12-rows-per-
+    group path); integer-exact sketch spec mirrored by the oracle."""
+    from .pipelines.distinct import approx_quantiles_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+        override_num_blocks=8,
+    )
+    return approx_quantiles_per_group(ds)

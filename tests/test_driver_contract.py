@@ -98,7 +98,7 @@ NAMES = [
     "knn_label_eval", "tpch_q3", "events_anomalies", "longest_docs",
     # session-8 additions
     "pagerank", "events_moving", "orders_semi_bloom",
-    "ngram_jaccard_delta",
+    "ngram_jaccard_delta", "events_quantiles_sketch",
 ]
 
 

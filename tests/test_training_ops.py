@@ -1351,3 +1351,37 @@ def test_ngram_jaccard_delta_vs_full(ray_session, tmp_path):
         [("doc_a", "ascending"), ("doc_b", "ascending")])
     assert got.num_rows == want.num_rows and got.num_rows > 0
     assert got.equals(want)
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """Sketch quantiles land within one bucket width of exact
+    quantile_disc values, per group."""
+    import ray.data
+
+    from donkey_ray.pipelines.distinct import approx_quantiles_per_group
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(9)
+    groups = np.repeat(["a", "b"], 5000)
+    vals = np.concatenate([
+        rng.normal(50, 10, 5000),      # smooth
+        rng.exponential(20, 5000),     # skewed
+    ])
+    tbl = pa.table({"event_type": pa.array(groups),
+                    "value": pa.array(vals, pa.float64())})
+    out = dataset_to_table(approx_quantiles_per_group(
+        ray.data.from_arrow(tbl), bins=256
+    ))
+    got = {(t, q): v for t, q, v in zip(
+        out.column("event_type").to_pylist(),
+        out.column("q_permille").to_pylist(),
+        out.column("approx_x100").to_pylist())}
+    assert len(got) == 4
+    for g in ("a", "b"):
+        cents = np.floor(vals[groups == g] * 100 + 0.5).astype(np.int64)
+        width = (cents.max() - cents.min() + 1 + 255) // 256
+        for q in (0.5, 0.95):
+            srt = np.sort(cents)
+            exact = srt[int(np.ceil(q * len(srt))) - 1]
+            approx = got[(g, int(q * 1000))]
+            assert abs(approx - exact) <= width, (g, q, approx, exact, width)
