@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": api.q_tpch_q3,
         "orders_semi_building": api.q_orders_semi_building,
         "orders_semi_bloom": api.q_orders_semi_bloom,
+        "orders_customer_join_skew": api.q_orders_customer_join_skew,
     }
 
 
@@ -1984,6 +1985,11 @@ GROUP BY 1, 2, 3
 ORDER BY revenue_x100 DESC, l_orderkey LIMIT 10
 """,
         "orders_customer_join": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        # skew-aware physical plan, same logical join -> same oracle
+        "orders_customer_join_skew": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,

@@ -2491,3 +2491,25 @@ def q_events_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
         override_num_blocks=8,
     )
     return approx_quantiles_per_group(ds)
+
+
+def q_orders_customer_join_skew(sf_dir: str) -> ray.data.Dataset:
+    """Skew-aware inner join (hot keys joined map-side against a
+    broadcast right slice, cold keys through the keyed exchange) — held
+    to the SAME oracle as orders_customer_join: a different physical
+    plan must never be a different answer."""
+    from .pipelines.joins import skew_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=8,
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        override_num_blocks=4,
+    )
+    # the synthetic custkey distribution is near-uniform; a low threshold
+    # forces a non-empty hot set so BOTH plans execute and union
+    return skew_join(orders, customer, left_on="o_custkey",
+                     right_on="c_custkey", hot_count_threshold=10)

@@ -196,3 +196,94 @@ def bloom_semi_join(
     pruned = bloom_prefilter(left, right, probe_on=left_on, build_on=right_on)
     return hash_join(pruned, right, left_on=left_on, right_on=right_on,
                      how="semi", num_partitions=num_partitions)
+
+
+def skew_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    hot_count_threshold: int = 100_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skew-aware INNER join: keys whose left-side row count exceeds
+    ``hot_count_threshold`` would each flood one partition of the keyed
+    exchange (the classic hot-key straggler), so their matches are
+    computed MAP-SIDE instead — the right side's hot rows are broadcast
+    once (ray.put; bounded: at most n_left/threshold hot keys) and each
+    left batch joins its hot rows locally. Cold keys flow through the
+    normal hash join with the right side's hot rows filtered out of the
+    exchange. Row-identical to hash_join(how='inner'); pytest-proven.
+
+    This is the join-shaped sibling of the index build's salted hot-term
+    exchange (stages/extract.py): detect heavy keys, give them a
+    different physical plan, never a different answer."""
+    import numpy as np
+
+    from ..stages.exchange import partitioned_aggregate
+    from ..util import dataset_to_table
+
+    def key_partials(batch: pa.Table) -> pa.Table:
+        out = batch.select([left_on]).group_by([left_on], use_threads=False)\
+            .aggregate([(left_on, "count")])
+        return out.rename_columns(["k", "c"])
+
+    counts = partitioned_aggregate(
+        left.map_batches(key_partials, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["k"], [("c", "sum")], rename={"c_sum": "c"},
+    )
+
+    def only_hot(part: pa.Table) -> pa.Table:
+        return part.filter(
+            pa.compute.greater(part.column("c"), hot_count_threshold)
+        ).select(["k"])
+
+    hot_tbl = dataset_to_table(
+        counts.map_batches(only_hot, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    hot_keys = hot_tbl.column("k").combine_chunks()
+    if len(hot_keys) == 0:
+        return hash_join(left, right, left_on=left_on, right_on=right_on,
+                         how="inner", num_partitions=num_partitions)
+    hot_ref = ray.put(hot_keys)
+
+    def right_hot(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        return batch.filter(pa.compute.is_in(batch.column(right_on), value_set=hk))
+
+    right_hot_tbl = dataset_to_table(
+        right.map_batches(right_hot, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    rhot_ref = ray.put(right_hot_tbl)
+
+    def left_hot_join(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        lhot = batch.filter(pa.compute.is_in(batch.column(left_on), value_set=hk))
+        return lhot.join(
+            ray.get(rhot_ref), keys=left_on, right_keys=right_on,
+            join_type="inner", right_suffix="_r", use_threads=False,
+        )
+
+    def left_cold(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        return batch.filter(
+            pa.compute.invert(pa.compute.is_in(batch.column(left_on), value_set=hk))
+        )
+
+    def right_cold(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        return batch.filter(
+            pa.compute.invert(pa.compute.is_in(batch.column(right_on), value_set=hk))
+        )
+
+    hot_out = left.map_batches(left_hot_join, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    cold_out = hash_join(
+        left.map_batches(left_cold, batch_format="pyarrow", zero_copy_batch=True),
+        right.map_batches(right_cold, batch_format="pyarrow", zero_copy_batch=True),
+        left_on=left_on, right_on=right_on, how="inner",
+        num_partitions=num_partitions,
+    )
+    return hot_out.union(cold_out)

@@ -1385,3 +1385,33 @@ def test_approx_quantiles_error_bound(ray_session):
             exact = srt[int(np.ceil(q * len(srt))) - 1]
             approx = got[(g, int(q * 1000))]
             assert abs(approx - exact) <= width, (g, q, approx, exact, width)
+
+
+def test_skew_join_equals_hash_join(ray_session):
+    """Hot-key map-side plan + cold-key exchange == plain hash join on a
+    Zipf-skewed key column (one key holds ~40% of all rows)."""
+    import ray.data
+
+    from donkey_ray.pipelines.joins import hash_join, skew_join
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(21)
+    n = 8_000
+    keys = np.where(rng.random(n) < 0.4, 8,
+                    rng.integers(0, 300, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(keys), "lv": pa.array(np.arange(n), pa.int64())})
+    right = pa.table({"rk": pa.array(np.arange(0, 300, 2), pa.int64()),
+                      "rv": pa.array(np.arange(150), pa.int64())})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    got = dataset_to_table(skew_join(
+        lds, rds, left_on="k", right_on="rk", hot_count_threshold=500
+    )).sort_by([("lv", "ascending")])
+    want = dataset_to_table(hash_join(
+        lds, rds, left_on="k", right_on="rk", how="inner"
+    )).sort_by([("lv", "ascending")])
+    assert got.select(sorted(got.column_names)).equals(
+        want.select(sorted(want.column_names)))
+    # the hot key (8, even) matches -> the map-side plan emits its rows
+    hot_rows = (keys == 8).sum()
+    assert got.num_rows > hot_rows > 2_500
+    assert (got.column("k").to_numpy() == 8).sum() == hot_rows
