@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_canonical": api.q_cluster_canonical,
         "dedup_survivors": api.q_dedup_survivors,
         "pagerank": api.q_pagerank,
+        "dedup_triangles": api.q_dedup_triangles,
+        "events_validate": api.q_events_validate,
         "minhash_neardup": api.q_minhash_neardup,
         "simhash_fingerprints": api.q_simhash_fingerprints,
         # similarity search over embeddings
@@ -1603,6 +1605,36 @@ SELECT da AS doc_a, db AS doc_b,
        round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
 FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
 WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
+""",
+        # triangle count over the J >= 0.8 pair graph; the engine's
+        # degree orientation and the oracle's id orientation count the
+        # same triangles (orientation-independent total)
+        "dedup_triangles": f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+e AS (SELECT da, db
+      FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+      WHERE c::DOUBLE / (x.n + y.n - c) >= 0.8)
+SELECT count(*)::BIGINT AS n_triangles
+FROM e e1 JOIN e e2 ON e2.da = e1.da AND e2.db > e1.db
+JOIN e e3 ON e3.da = e1.db AND e3.db = e2.db
+""",
+        # expectation gate: per-rule violation counts over events
+        "events_validate": """
+SELECT 'value_nonnegative' AS rule,
+       count(*) FILTER (WHERE value < 0)::BIGINT AS n_violations FROM events
+UNION ALL
+SELECT 'ts_not_null', count(*) FILTER (WHERE ts IS NULL)::BIGINT FROM events
+UNION ALL
+SELECT 'type_known',
+       count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN
+         ('view', 'click', 'purchase', 'error', 'signup'))::BIGINT FROM events
+UNION ALL
+SELECT 'event_id_unique',
+       (count(*) - count(DISTINCT event_id))::BIGINT FROM events
 """,
         # incremental dedup: cross pairs between the delta shard
         # (doc_id % 8 == 7) and the corpus behind the persisted artifact

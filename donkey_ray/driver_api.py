@@ -2364,20 +2364,22 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
     return score_queries(index_dir, queries, mode="auto")
 
 
-def ensure_pair_graph(sf_dir: str) -> str:
-    """Build (once; cached) the near-dup PAIR GRAPH artifact — the exact
-    n-gram-Jaccard pairs written as parquet. Consumed by graph analytics
-    (pagerank) without re-running candidate generation + verification."""
+def ensure_pair_graph(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> str:
+    """Build (once; cached per threshold) the near-dup PAIR GRAPH
+    artifact — the exact n-gram-Jaccard pairs written as parquet.
+    Consumed by graph analytics (pagerank, triangle counting) without
+    re-running candidate generation + verification."""
     import pyarrow.parquet as pq
 
-    out = _index_dir(sf_dir) + "-pairgraph"
+    suffix = "" if threshold == JACCARD_THRESHOLD else str(int(threshold * 100))
+    out = _index_dir(sf_dir) + "-pairgraph" + suffix
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         import shutil
 
         shutil.rmtree(out, ignore_errors=True)
         pairs = dedup.ngram_jaccard_pairs(
-            _docs(sf_dir), n=JACCARD_N, threshold=JACCARD_THRESHOLD
+            _docs(sf_dir), n=JACCARD_N, threshold=threshold
         )
         tbl = dataset_to_table(pairs)
         os.makedirs(out, exist_ok=True)
@@ -2513,3 +2515,31 @@ def q_orders_customer_join_skew(sf_dir: str) -> ray.data.Dataset:
     # forces a non-empty hot set so BOTH plans execute and union
     return skew_join(orders, customer, left_on="o_custkey",
                      right_on="c_custkey", hot_count_threshold=10)
+
+
+def q_dedup_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Triangle count over the tighter (J >= 0.8) near-dup graph — the
+    clustering-coefficient signal distinguishing genuine duplicate
+    cliques from chained borderline matches; degree-oriented wedge join
+    (skew-safe at clique hubs)."""
+    from .pipelines.graph import triangle_count
+
+    pairs = ray.data.read_parquet(
+        os.path.join(ensure_pair_graph(sf_dir, threshold=0.8), "pairs.parquet"),
+        columns=["doc_a", "doc_b"],
+    )
+    return triangle_count(pairs)
+
+
+def q_events_validate(sf_dir: str) -> ray.data.Dataset:
+    """Data-quality expectation gate over events: per-rule violation
+    counts (O(rules) output; only the event_id count partials ever
+    shuffle)."""
+    from .pipelines.validate import validate_events
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+        override_num_blocks=8,
+    )
+    return validate_events(ds)

@@ -33,7 +33,12 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..stages.exchange import keyed_cogroup_map, partitioned_aggregate
+from ..stages.exchange import (
+    keyed_cogroup_map,
+    keyed_partition_map,
+    partitioned_aggregate,
+)
+from ..util import dataset_to_table
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
@@ -191,4 +196,131 @@ def pagerank_oracle_sql(
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT doc_id, r AS rank_ppt FROM pr{iterations}"
+    )
+
+
+def triangle_count(
+    pairs: ray.data.Dataset, *, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> ray.data.Dataset:
+    """One-row (n_triangles) count over the undirected pair graph.
+
+    Degree-oriented wedge join (the skew-safe plan): every edge is
+    oriented from its (degree, id)-smaller endpoint, so out-degree is
+    bounded by ~sqrt(2|E|) even at near-clique hubs and wedge generation
+    cannot blow up on a hot node. Each triangle closes exactly one wedge
+    at its smallest-(degree, id) corner. Exchanges: one degree count,
+    one deg-attach cogroup per endpoint, one wedge generation, one
+    wedge-vs-edge cogroup — all linear in |E| + |wedges|. The count is
+    orientation-independent, so the SQL oracle may use plain id ordering.
+    """
+
+    def eid(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"u": pa.array(np.concatenate((a, b)), pa.int64()),
+             "v": pa.array(np.concatenate((b, a)), pa.int64())}
+        )
+
+    both = pairs.map_batches(eid, batch_format="pyarrow", zero_copy_batch=True)
+    deg = partitioned_aggregate(
+        both, ["u"], [("v", "count")], rename={"v_count": "deg"}
+    )
+
+    def attach_u(ep: pa.Table, dp: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "du": pa.array([], pa.int64())})
+        if ep.num_rows == 0:
+            return empty
+        un = dp.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = dp.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(un)
+        u = ep.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": ep.column("u"), "v": ep.column("v"),
+                         "du": pa.array(dv[o][np.searchsorted(un[o], u)], pa.int64())})
+
+    with_du = keyed_cogroup_map(both, deg, ["u"], ["u"], attach_u)
+
+    def attach_v_orient(ep: pa.Table, dp: pa.Table) -> pa.Table:
+        """Attach deg(v), then keep only the (deg, id)-increasing
+        orientation of each edge: src -> dst with (d_src, src) <
+        (d_dst, dst)."""
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64()),
+                          "dd": pa.array([], pa.int64())})
+        if ep.num_rows == 0:
+            return empty
+        vn = dp.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = dp.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(vn)
+        v = ep.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ep.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        du = ep.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dvv = dv[o][np.searchsorted(vn[o], v)]
+        keep = (du < dvv) | ((du == dvv) & (u < v))
+        return pa.table({"src": pa.array(u[keep], pa.int64()),
+                         "dst": pa.array(v[keep], pa.int64()),
+                         "dd": pa.array(dvv[keep], pa.int64())})
+
+    oriented = keyed_cogroup_map(with_du, deg, ["v"], ["u"], attach_v_orient)
+
+    def wedges(part: pa.Table) -> pa.Table:
+        """Per src (all its oriented out-edges co-located): every
+        out-neighbor pair, ordered by the SAME (deg, id) key so the
+        wedge (x, y) aligns with the oriented closing edge x -> y."""
+        empty = pa.table({"wa": pa.array([], pa.int64()),
+                          "wb": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        src = part.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = part.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        dd = part.column("dd").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((dst, dd, src))
+        src, dst = src[o], dst[o]
+        starts = np.concatenate(([0], np.flatnonzero(src[1:] != src[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(src)]))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            run = dst[s:e]  # already (deg, id)-ascending
+            if e - s < 2:
+                continue
+            ai, bi = np.triu_indices(e - s, k=1)
+            a_out.append(run[ai])
+            b_out.append(run[bi])
+        if not a_out:
+            return empty
+        t = pa.table({"wa": pa.array(np.concatenate(a_out), pa.int64()),
+                      "wb": pa.array(np.concatenate(b_out), pa.int64())})
+        cnt = t.group_by(["wa", "wb"], use_threads=False).aggregate([("wa", "count")])
+        return cnt.rename_columns(["wa", "wb", "n"])
+
+    w = keyed_partition_map(oriented, ["src"], wedges)
+
+    def close(wp: pa.Table, ep: pa.Table) -> pa.Table:
+        """Wedge (wa, wb) closes iff the oriented edge wa -> wb exists."""
+        if wp.num_rows == 0 or ep.num_rows == 0:
+            return pa.table({"t": pa.array([0], pa.int64())})
+        es = ep.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        ed = ep.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        wa = wp.column("wa").to_numpy(zero_copy_only=False).astype(np.int64)
+        wb = wp.column("wb").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = wp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = max(int(es.max()), int(ed.max()), int(wa.max()), int(wb.max()))
+        if hi >= (1 << 31):
+            raise ValueError(
+                "triangle_count packs (src, dst) into one int64; node ids "
+                f"must be < 2^31, got {hi} — remap ids first")
+        keys = np.sort(es * (1 << 32) + ed)
+        wk = wa * (1 << 32) + wb
+        pos = np.searchsorted(keys, wk)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == wk)
+        return pa.table({"t": pa.array([int(n[hit].sum())], pa.int64())})
+
+    parts = keyed_cogroup_map(w, oriented, ["wa", "wb"], ["src", "dst"], close)
+    tot = dataset_to_table(parts)
+    total = int(pa.compute.sum(tot.column("t")).as_py() or 0)
+    return ray.data.from_arrow(
+        pa.table({"n_triangles": pa.array([total], pa.int64())})
     )

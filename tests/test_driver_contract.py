@@ -99,7 +99,7 @@ NAMES = [
     # session-8 additions
     "pagerank", "events_moving", "orders_semi_bloom",
     "ngram_jaccard_delta", "events_quantiles_sketch",
-    "orders_customer_join_skew",
+    "orders_customer_join_skew", "dedup_triangles", "events_validate",
 ]
 
 

@@ -1415,3 +1415,38 @@ def test_skew_join_equals_hash_join(ray_session):
     hot_rows = (keys == 8).sum()
     assert got.num_rows > hot_rows > 2_500
     assert (got.column("k").to_numpy() == 8).sum() == hot_rows
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    """Degree-oriented wedge join == brute-force triangle enumeration on
+    a random graph plus a planted clique (hub-skew case)."""
+    import itertools
+
+    import ray.data
+
+    from donkey_ray.pipelines.graph import triangle_count
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(17)
+    edges = set()
+    for _ in range(300):
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    for a, b in itertools.combinations(range(8), 2):  # planted clique
+        edges.add((a, b))
+    ea = np.array([e[0] for e in edges], dtype=np.int64)
+    eb = np.array([e[1] for e in edges], dtype=np.int64)
+    pairs = pa.table({"doc_a": pa.array(ea), "doc_b": pa.array(eb)})
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1 for a, b in edges for c in (adj[a] & adj[b]) if c > b
+    )
+    got = dataset_to_table(
+        triangle_count(ray.data.from_arrow(pairs))
+    ).column("n_triangles").to_pylist()[0]
+    assert got == want and want > 56  # clique alone contributes C(8,3)=56
