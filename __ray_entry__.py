@@ -342,7 +342,7 @@ def _pagerank_sql() -> str:
     ]
     edge_cte = """SELECT da, db
 FROM pg_inter JOIN pg_sz x ON x.doc_id = da JOIN pg_sz y ON y.doc_id = db
-WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5"""
+WHERE c::DOUBLE / (x.n + y.n - c) >= 0.8"""
     return pagerank_oracle_sql(edge_cte, prelude=prelude)
 
 

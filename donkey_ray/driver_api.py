@@ -2393,11 +2393,14 @@ def q_pagerank(sf_dir: str) -> ray.data.Dataset:
     """PageRank over the near-dup doc graph (integer parts-per-trillion
     ranks, 10 power iterations): duplicate-hub centrality as a curation
     signal. Iterations are keyed exchanges linear in |edges|; the pair
-    graph comes from the cached artifact (ensure_pair_graph)."""
+    graph comes from the cached artifact (ensure_pair_graph) at the
+    TIGHT J >= 0.8 threshold — the 0.5 graph on this synthetic corpus
+    is near-dense (~8.9M pairs / 5k docs at sf0.1), which is a graph-
+    construction choice, not a PageRank scaling property."""
     from .pipelines.graph import pagerank
 
     pairs = ray.data.read_parquet(
-        os.path.join(ensure_pair_graph(sf_dir), "pairs.parquet"),
+        os.path.join(ensure_pair_graph(sf_dir, threshold=0.8), "pairs.parquet"),
         columns=["doc_a", "doc_b"],
     )
     return pagerank(_docs(sf_dir, columns=("doc_id",)), pairs)

@@ -1257,6 +1257,11 @@ def test_pagerank_tiny_graph(ray_session):
     out = dataset_to_table(pagerank(
         ray.data.from_arrow(nodes), ray.data.from_arrow(pairs), iterations=10
     )).sort_by([("doc_id", "ascending")])
+    out_ex = dataset_to_table(pagerank(
+        ray.data.from_arrow(nodes), ray.data.from_arrow(pairs),
+        iterations=10, mode="exchange",
+    )).sort_by([("doc_id", "ascending")])
+    assert out.equals(out_ex)  # both physical plans, same integer ranks
 
     ids = [1, 2, 3, 4]
     deg = {1: 1, 2: 2, 3: 1, 4: 0}
