@@ -342,7 +342,7 @@ def _pagerank_sql() -> str:
     ]
     edge_cte = """SELECT da, db
 FROM pg_inter JOIN pg_sz x ON x.doc_id = da JOIN pg_sz y ON y.doc_id = db
-WHERE c::DOUBLE / (x.n + y.n - c) >= 0.8"""
+WHERE c::DOUBLE / (x.n + y.n - c) >= 0.95"""
     return pagerank_oracle_sql(edge_cte, prelude=prelude)
 
 
@@ -1606,7 +1606,7 @@ SELECT da AS doc_a, db AS doc_b,
 FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
 WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
 """,
-        # triangle count over the J >= 0.8 pair graph; the engine's
+        # triangle count over the J >= 0.95 pair graph; the engine's
         # degree orientation and the oracle's id orientation count the
         # same triangles (orientation-independent total)
         "dedup_triangles": f"""
@@ -1617,7 +1617,7 @@ inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
           GROUP BY 1, 2),
 e AS (SELECT da, db
       FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-      WHERE c::DOUBLE / (x.n + y.n - c) >= 0.8)
+      WHERE c::DOUBLE / (x.n + y.n - c) >= 0.95)
 SELECT count(*)::BIGINT AS n_triangles
 FROM e e1 JOIN e e2 ON e2.da = e1.da AND e2.db > e1.db
 JOIN e e3 ON e3.da = e1.db AND e3.db = e2.db

@@ -2394,13 +2394,13 @@ def q_pagerank(sf_dir: str) -> ray.data.Dataset:
     ranks, 10 power iterations): duplicate-hub centrality as a curation
     signal. Iterations are keyed exchanges linear in |edges|; the pair
     graph comes from the cached artifact (ensure_pair_graph) at the
-    TIGHT J >= 0.8 threshold — the 0.5 graph on this synthetic corpus
+    TIGHT J >= 0.95 threshold — the 0.5 graph on this synthetic corpus
     is near-dense (~8.9M pairs / 5k docs at sf0.1), which is a graph-
     construction choice, not a PageRank scaling property."""
     from .pipelines.graph import pagerank
 
     pairs = ray.data.read_parquet(
-        os.path.join(ensure_pair_graph(sf_dir, threshold=0.8), "pairs.parquet"),
+        os.path.join(ensure_pair_graph(sf_dir, threshold=0.95), "pairs.parquet"),
         columns=["doc_a", "doc_b"],
     )
     return pagerank(_docs(sf_dir, columns=("doc_id",)), pairs)
@@ -2521,14 +2521,14 @@ def q_orders_customer_join_skew(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_dedup_triangles(sf_dir: str) -> ray.data.Dataset:
-    """Triangle count over the tighter (J >= 0.8) near-dup graph — the
+    """Triangle count over the tighter (J >= 0.95) near-dup graph — the
     clustering-coefficient signal distinguishing genuine duplicate
     cliques from chained borderline matches; degree-oriented wedge join
     (skew-safe at clique hubs)."""
     from .pipelines.graph import triangle_count
 
     pairs = ray.data.read_parquet(
-        os.path.join(ensure_pair_graph(sf_dir, threshold=0.8), "pairs.parquet"),
+        os.path.join(ensure_pair_graph(sf_dir, threshold=0.95), "pairs.parquet"),
         columns=["doc_a", "doc_b"],
     )
     return triangle_count(pairs)
