@@ -251,19 +251,27 @@ def pagerank_oracle_sql(
 
 
 def triangle_count(
-    pairs: ray.data.Dataset, *, a_col: str = "doc_a", b_col: str = "doc_b"
+    pairs: ray.data.Dataset, *, a_col: str = "doc_a", b_col: str = "doc_b",
+    mode: str = "broadcast",
 ) -> ray.data.Dataset:
     """One-row (n_triangles) count over the undirected pair graph.
 
-    Degree-oriented wedge join (the skew-safe plan): every edge is
+    Degree-oriented wedges (the skew-safe plan): every edge is
     oriented from its (degree, id)-smaller endpoint, so out-degree is
     bounded by ~sqrt(2|E|) even at near-clique hubs and wedge generation
     cannot blow up on a hot node. Each triangle closes exactly one wedge
-    at its smallest-(degree, id) corner. Exchanges: one degree count,
-    one deg-attach cogroup per endpoint, one wedge generation, one
-    wedge-vs-edge cogroup — all linear in |E| + |wedges|. The count is
-    orientation-independent, so the SQL oracle may use plain id ordering.
-    """
+    at its smallest-(degree, id) corner. The count is orientation-
+    independent, so the SQL oracle may use plain id ordering.
+
+    ``mode='broadcast'`` (default): the oriented edge KEY SET (8 B/edge,
+    sorted packed int64) ships once via ray.put and wedges are tested
+    map-side inside the same per-src partition task that generates them
+    — wedges never shuffle (they outnumber edges ~deg/2-fold). Right up
+    to ~10^9 edges. ``mode='exchange'``: wedges co-locate with closing
+    edges through a keyed cogroup — per-task memory independent of |E|.
+    Same count, pytest-proven."""
+    if mode not in ("broadcast", "exchange"):
+        raise ValueError(f"mode must be broadcast|exchange, got {mode!r}")
 
     def eid(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -346,6 +354,51 @@ def triangle_count(
                       "wb": pa.array(np.concatenate(b_out), pa.int64())})
         cnt = t.group_by(["wa", "wb"], use_threads=False).aggregate([("wa", "count")])
         return cnt.rename_columns(["wa", "wb", "n"])
+
+    if mode == "broadcast":
+        import ray as _ray
+
+        etbl = dataset_to_table(oriented)
+        es = etbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        ed = etbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(es) and max(int(es.max()), int(ed.max())) >= (1 << 31):
+            raise ValueError(
+                "triangle_count packs (src, dst) into one int64; node ids "
+                "must be < 2^31 — remap ids first")
+        keys_ref = _ray.put(np.sort(es * (1 << 32) + ed))
+
+        def wedge_close(part: pa.Table) -> pa.Table:
+            """Generate this src partition's wedges AND close them against
+            the broadcast oriented-edge key set — wedges never leave the
+            task."""
+            if part.num_rows == 0:
+                return pa.table({"t": pa.array([0], pa.int64())})
+            keys = _ray.get(keys_ref)
+            src = part.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = part.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            dd = part.column("dd").to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.lexsort((dst, dd, src))
+            src, dst = src[o], dst[o]
+            starts = np.concatenate(([0], np.flatnonzero(src[1:] != src[:-1]) + 1))
+            ends = np.concatenate((starts[1:], [len(src)]))
+            total = 0
+            for s, e in zip(starts, ends):
+                run = dst[s:e]
+                if e - s < 2:
+                    continue
+                ai, bi = np.triu_indices(e - s, k=1)
+                wk = run[ai] * (1 << 32) + run[bi]
+                pos = np.searchsorted(keys, wk)
+                total += int(((pos < len(keys))
+                              & (keys[np.minimum(pos, len(keys) - 1)] == wk)).sum())
+            return pa.table({"t": pa.array([total], pa.int64())})
+
+        wedge_close.__name__ = "triangle_wedge_close"
+        tot = dataset_to_table(keyed_partition_map(oriented, ["src"], wedge_close))
+        total = int(pa.compute.sum(tot.column("t")).as_py() or 0)
+        return ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([total], pa.int64())})
+        )
 
     w = keyed_partition_map(oriented, ["src"], wedges)
 

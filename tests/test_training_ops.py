@@ -1454,4 +1454,7 @@ def test_triangle_count_vs_bruteforce(ray_session):
     got = dataset_to_table(
         triangle_count(ray.data.from_arrow(pairs))
     ).column("n_triangles").to_pylist()[0]
-    assert got == want and want > 56  # clique alone contributes C(8,3)=56
+    got_ex = dataset_to_table(
+        triangle_count(ray.data.from_arrow(pairs), mode="exchange")
+    ).column("n_triangles").to_pylist()[0]
+    assert got == got_ex == want and want > 56  # clique alone has C(8,3)=56
