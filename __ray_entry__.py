@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_semi_building": api.q_orders_semi_building,
         "orders_semi_bloom": api.q_orders_semi_bloom,
         "orders_customer_join_skew": api.q_orders_customer_join_skew,
+        "orders_customer_join_auto": api.q_orders_customer_join_auto,
     }
 
 
@@ -2022,6 +2023,11 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
         # skew-aware physical plan, same logical join -> same oracle
         "orders_customer_join_skew": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        # auto-planned (broadcast) physical plan, same logical join
+        "orders_customer_join_auto": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,

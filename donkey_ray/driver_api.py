@@ -2546,3 +2546,23 @@ def q_events_validate(sf_dir: str) -> ray.data.Dataset:
         override_num_blocks=8,
     )
     return validate_events(ds)
+
+
+def q_orders_customer_join_auto(sf_dir: str) -> ray.data.Dataset:
+    """The auto-planned join (pipelines/joins.auto_join): customer is
+    small, so the planner picks the zero-exchange broadcast plan — held
+    to the same oracle as every other physical plan of this join."""
+    from .pipelines.joins import auto_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        override_num_blocks=8,
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"], override_num_blocks=4,
+    )
+    out, plan = auto_join(orders, customer, left_on="o_custkey",
+                          right_on="c_custkey", how="inner")
+    assert plan == "broadcast", plan
+    return out

@@ -287,3 +287,70 @@ def skew_join(
         num_partitions=num_partitions,
     )
     return hot_out.union(cold_out)
+
+
+BROADCAST_MAX_ROWS = 2_000_000  # ~the rows of a table worth shipping whole
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right_tbl: "pa.Table | ray.data.Dataset",
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Map-side join against a SMALL right side shipped once per worker
+    (ray.put) — zero exchanges; every batch joins locally with Arrow's
+    C++ kernel. Left-side semantics: inner | left | semi | anti.
+    Same output schema as hash_join (right columns suffixed _r)."""
+    import ray
+
+    from ..util import dataset_to_table
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"broadcast_join supports inner|left|semi|anti, got {how!r}")
+    if isinstance(right_tbl, ray.data.Dataset):
+        right_tbl = dataset_to_table(right_tbl)
+    join_type = _JOIN_TYPES[how]
+    ref = ray.put(right_tbl.combine_chunks())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        return batch.join(
+            ray.get(ref), keys=left_on, right_keys=right_on,
+            join_type=join_type, right_suffix="_r", use_threads=False,
+        )
+
+    per_batch.__name__ = f"broadcast_join_{how}"
+    return left.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def auto_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    right_rows: int | None = None,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    num_partitions: int | None = None,
+) -> tuple[ray.data.Dataset, str]:
+    """Physical-plan picker for the logical join — returns (result,
+    plan). Rules, in order:
+      1. right side small (<= broadcast_max_rows) and left-side
+         semantics -> 'broadcast' (zero exchanges);
+      2. semi join with a big right side -> 'bloom' (probe rows that
+         cannot match never enter the exchange);
+      3. otherwise -> 'hash' (keyed cogroup both sides).
+    All plans are row-identical (pytest-proven); pass ``right_rows``
+    when the caller already knows the size to skip the count."""
+    n_right = right.count() if right_rows is None else right_rows
+    if how in ("inner", "left", "semi", "anti") and n_right <= broadcast_max_rows:
+        return broadcast_join(left, right, left_on=left_on, right_on=right_on,
+                              how=how), "broadcast"
+    if how == "semi":
+        return bloom_semi_join(left, right, left_on=left_on, right_on=right_on,
+                               num_partitions=num_partitions), "bloom"
+    return hash_join(left, right, left_on=left_on, right_on=right_on,
+                     how=how, num_partitions=num_partitions), "hash"

@@ -126,3 +126,42 @@ def test_interval_join(ray_session):
             ray.data.from_arrow(pts), ray.data.from_arrow(bad),
             point_cols=("event_id",),
         ).materialize()
+
+
+def test_auto_join_plans_and_equality(ray_session):
+    """auto_join picks broadcast/bloom/hash by side size and every plan
+    is row-identical to the plain hash join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from donkey_ray.pipelines.joins import auto_join, hash_join
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(31)
+    left = pa.table({"k": pa.array(rng.integers(0, 200, 4_000), pa.int64()),
+                     "lv": pa.array(np.arange(4_000), pa.int64())})
+    right = pa.table({"rk": pa.array(np.arange(0, 200, 3), pa.int64()),
+                      "rv": pa.array(np.arange(67), pa.int64())})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    def canon(t):
+        return t.select(sorted(t.column_names)).sort_by(
+            [(c, "ascending") for c in sorted(t.column_names)])
+
+    for how in ("inner", "left", "semi", "anti"):
+        got, plan = auto_join(lds, rds, left_on="k", right_on="rk", how=how)
+        assert plan == "broadcast"
+        want = hash_join(lds, rds, left_on="k", right_on="rk", how=how)
+        assert canon(dataset_to_table(got)).equals(canon(dataset_to_table(want))), how
+
+    # force the right side over the broadcast bar -> bloom for semi, hash else
+    got, plan = auto_join(lds, rds, left_on="k", right_on="rk", how="semi",
+                          broadcast_max_rows=10)
+    assert plan == "bloom"
+    want = hash_join(lds, rds, left_on="k", right_on="rk", how="semi")
+    assert canon(dataset_to_table(got)).equals(canon(dataset_to_table(want)))
+
+    got, plan = auto_join(lds, rds, left_on="k", right_on="rk", how="full",
+                          broadcast_max_rows=10)
+    assert plan == "hash"
