@@ -194,3 +194,79 @@ def image_features(ds: ray.data.Dataset, *, height: int = 64, width: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioFingerprintStage:
+    """binary audio -> chromaprint-style sub-fingerprints (donkey A1's
+    audio-fingerprint extractor analogue; stub decode, real math + real
+    layout). Per window of ``frame_len`` samples: ``n_bands`` energies;
+    sub-fingerprint bit b = sign of the band-energy delta's TIME delta
+    (E[w][b]-E[w][b+1]) - (E[w-1][b]-E[w-1][b+1]) — the standard
+    double-delta binarization, robust to level shifts. Output: one row
+    per doc (doc_id, fp:list<uint32>, n_windows); the fp list feeds the
+    same banded-bucket / object-rerank machinery as text simhash."""
+
+    def __init__(self, frame_len: int = 256, n_bands: int = 33,
+                 media_col: str = "media", id_col: str = "doc_id") -> None:
+        self.frame_len = frame_len
+        self.n_bands = n_bands  # 33 bands -> 32 delta bits per window
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, out_fps, out_n = [], [], []
+        for did, buf in zip(
+            batch.column(self.id_col).to_pylist(),
+            batch.column(self.media_col).to_pylist(),
+        ):
+            if not buf:
+                continue
+            # DETERMINISTIC FAKE pcm — CHAINED blocks (a repeating
+            # keystream would make every window identical and all
+            # double-deltas zero)
+            seed = hashlib.sha256(buf).digest()
+            pcm = np.frombuffer(
+                b"".join(hashlib.sha256(seed + i.to_bytes(4, "little")).digest()
+                         for i in range(64)),
+                dtype=np.int16,
+            ).astype(np.float32) / 32768.0
+            n_win = len(pcm) // self.frame_len
+            if n_win < 2:
+                out_ids.append(did)
+                out_fps.append([])
+                out_n.append(n_win)
+                continue
+            w = pcm[: n_win * self.frame_len].reshape(n_win, self.frame_len)
+            # n_bands band energies per window (equal-width sample bands)
+            usable = (self.frame_len // self.n_bands) * self.n_bands
+            bands = (w[:, :usable].reshape(n_win, self.n_bands, -1) ** 2).sum(axis=2)
+            d = bands[:, :-1] - bands[:, 1:]          # intra-window band delta
+            dd = d[1:] - d[:-1]                        # double delta over time
+            bits = (dd > 0).astype(np.uint32)
+            fp = (bits << np.arange(bits.shape[1], dtype=np.uint32)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            ).astype(np.uint32)
+            out_ids.append(did)
+            out_fps.append(fp.tolist())
+            out_n.append(n_win)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "fp": pa.array(out_fps, pa.list_(pa.uint32())),
+                "n_windows": pa.array(out_n, pa.int32()),
+            }
+        )
+
+
+def audio_fingerprints(ds: ray.data.Dataset, *, frame_len: int = 256,
+                       concurrency=(1, 4), batch_size: int = 32) -> ray.data.Dataset:
+    """Actor-pool audio fingerprinting (setup once per actor, small
+    batches — binary payloads are dense)."""
+    return ds.map_batches(
+        AudioFingerprintStage,
+        fn_constructor_kwargs=dict(frame_len=frame_len),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -183,3 +183,27 @@ def test_image_decode_dispatch_by_availability():
         a = mm._fake_rgb(junk, 4, 4)
         assert a.shape == (4, 4, 3) and a.dtype == np.uint8
         assert (a == mm._fake_rgb(junk, 4, 4)).all()  # deterministic
+
+
+def test_audio_fingerprints(ray_session):
+    """Deterministic, level-shift-robust fingerprints: same bytes ->
+    same fp; different bytes -> different fp; empty media skipped."""
+    import ray.data
+
+    from donkey_ray.stages.multimodal import audio_fingerprints
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "media": pa.array([b"tune-a", b"tune-a", b"tune-b", b""], pa.binary()),
+        }
+    )
+    out = dataset_to_table(
+        audio_fingerprints(ray.data.from_arrow(tbl), concurrency=(1, 2))
+    ).sort_by([("doc_id", "ascending")])
+    ids = out.column("doc_id").to_pylist()
+    fps = out.column("fp").to_pylist()
+    assert ids == [1, 2, 3]            # empty media skipped
+    assert fps[0] == fps[1]            # deterministic on content
+    assert fps[0] != fps[2]            # discriminates content
+    assert len(fps[0]) > 0 and all(0 <= v < 2**32 for v in fps[0])
