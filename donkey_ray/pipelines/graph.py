@@ -91,6 +91,20 @@ def pagerank(
     tele = (15 * SCALE) // (100 * n_nodes)
     r0 = SCALE // n_nodes
 
+    if pairs.count() == 0:
+        # no edges: after >= 1 iteration every node holds pure teleport
+        # mass (with 0 iterations the initial uniform rank)
+        rank = tele if iterations >= 1 else r0
+
+        def iso(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": batch.column(id_col).cast(pa.int64()),
+                 "rank_ppt": pa.array(
+                     np.full(batch.num_rows, rank, np.int64))}
+            )
+
+        return nodes.map_batches(iso, batch_format="pyarrow", zero_copy_batch=True)
+
     edges = _edges_bidirected(pairs, a_col, b_col)
     deg = partitioned_aggregate(
         edges, ["src"], [("dst", "count")], rename={"dst_count": "deg"}
@@ -272,6 +286,10 @@ def triangle_count(
     Same count, pytest-proven."""
     if mode not in ("broadcast", "exchange"):
         raise ValueError(f"mode must be broadcast|exchange, got {mode!r}")
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([0], pa.int64())})
+        )
 
     def eid(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)

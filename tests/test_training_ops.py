@@ -1458,3 +1458,28 @@ def test_triangle_count_vs_bruteforce(ray_session):
         triangle_count(ray.data.from_arrow(pairs), mode="exchange")
     ).column("n_triangles").to_pylist()[0]
     assert got == got_ex == want and want > 56  # clique alone has C(8,3)=56
+
+
+def test_graph_ops_empty_edge_set(ray_session):
+    """Isolated nodes: pagerank returns pure teleport mass for every
+    node in BOTH modes; triangle count is zero."""
+    import ray.data
+
+    from donkey_ray.pipelines.graph import SCALE, pagerank, triangle_count
+    from donkey_ray.util import dataset_to_table
+
+    nodes = pa.table({"doc_id": pa.array([5, 9], pa.int64())})
+    no_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    tele = (15 * SCALE) // (100 * 2)
+    for mode in ("broadcast", "exchange"):
+        out = dataset_to_table(pagerank(
+            ray.data.from_arrow(nodes), ray.data.from_arrow(no_pairs),
+            iterations=3, mode=mode,
+        )).sort_by([("doc_id", "ascending")])
+        assert out.column("doc_id").to_pylist() == [5, 9]
+        assert out.column("rank_ppt").to_pylist() == [tele, tele], mode
+    for mode in ("broadcast", "exchange"):
+        t = dataset_to_table(triangle_count(
+            ray.data.from_arrow(no_pairs), mode=mode))
+        assert t.column("n_triangles").to_pylist() == [0], mode
