@@ -161,18 +161,21 @@ def pagerank(
                     [("c", "sum")]
                 ).rename_columns(["dst", "c"])
 
-            inc_tbl = dataset_to_table(partitioned_aggregate(
+            # per-batch (dst, c) pre-aggregates merge DRIVER-SIDE into the
+            # O(nodes) incoming vector — in the broadcast regime that
+            # vector already lives on the driver, so a keyed exchange of
+            # the partials would only add a round of shuffle latency
+            part_tbl = dataset_to_table(
                 edges_deg.map_batches(contribs_b, batch_format="pyarrow",
-                                      zero_copy_batch=True),
-                ["dst"], [("c", "sum")], rename={"c_sum": "inc"},
-            ))
-            r_vec = np.full(len(node_arr), tele, dtype=np.int64)
-            if inc_tbl.num_rows:
-                dst = inc_tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-                inc = inc_tbl.column("inc").to_numpy(zero_copy_only=False).astype(np.int64)
-                r_vec[np.searchsorted(node_arr, dst)] = (
-                    tele + (DAMP_NUM * inc) // DAMP_DEN
-                )
+                                      zero_copy_batch=True)
+            )
+            inc_vec = np.zeros(len(node_arr), dtype=np.int64)
+            if part_tbl.num_rows:
+                dst = part_tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+                c = part_tbl.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+                np.add.at(inc_vec, np.searchsorted(node_arr, dst), c)
+            # zero incoming -> tele + 0, identical to the oracle's COALESCE
+            r_vec = tele + (DAMP_NUM * inc_vec) // DAMP_DEN
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array(node_arr, pa.int64()),
                       "rank_ppt": pa.array(r_vec, pa.int64())})
@@ -376,14 +379,29 @@ def triangle_count(
     if mode == "broadcast":
         import ray as _ray
 
-        etbl = dataset_to_table(oriented)
-        es = etbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        ed = etbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(es) and max(int(es.max()), int(ed.max())) >= (1 << 31):
+        # the whole O(E) prologue (degrees, orientation, closure keys)
+        # is one numpy pass over the driver-side edge table — the same
+        # |E|-fits-the-driver budget the closure broadcast already
+        # assumes; only the O(sum C(deg,2)) wedge work is distributed
+        ptbl = dataset_to_table(pairs.select_columns([a_col, b_col]))
+        a = ptbl.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ptbl.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and max(int(a.max()), int(b.max())) >= (1 << 31):
             raise ValueError(
                 "triangle_count packs (src, dst) into one int64; node ids "
                 "must be < 2^31 — remap ids first")
+        uniq, inv = np.unique(np.concatenate((a, b)), return_inverse=True)
+        degv = np.bincount(inv, minlength=len(uniq))
+        da, db = degv[inv[: len(a)]], degv[inv[len(a):]]
+        a_first = (da < db) | ((da == db) & (a < b))
+        es = np.where(a_first, a, b)
+        ed = np.where(a_first, b, a)
+        dd_v = np.where(a_first, db, da)
         keys_ref = _ray.put(np.sort(es * (1 << 32) + ed))
+        oriented = ray.data.from_arrow(pa.table(
+            {"src": pa.array(es, pa.int64()), "dst": pa.array(ed, pa.int64()),
+             "dd": pa.array(dd_v, pa.int64())}
+        ))
 
         def wedge_close(part: pa.Table) -> pa.Table:
             """Generate this src partition's wedges AND close them against
