@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": api.q_events_running,
         "events_moving": api.q_events_moving,
         "events_quantiles_sketch": api.q_events_quantiles_sketch,
+        "doclen_percentiles": api.q_doclen_percentiles,
         "filtered_topk": api.q_filtered_topk,
         "events_funnel": api.q_events_funnel,
         "events_pivot": api.q_events_pivot,
@@ -1606,6 +1607,18 @@ SELECT da AS doc_a, db AS doc_b,
        round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
 FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
 WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
+""",
+        # per-lang integer-exact percentile rank of doc token counts
+        # (((row_number-1) * 1e6) // (n-1), 0 for singleton groups)
+        "doclen_percentiles": f"""
+WITH tc AS (SELECT doc_id, lang, len({_TOKS})::BIGINT AS n FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM tc)
+SELECT doc_id, lang,
+       (((rn - 1) * 1000000) // greatest(cnt - 1, 1))::BIGINT AS pct_x1e6
+FROM r
 """,
         # triangle count over the J >= 0.95 pair graph; the engine's
         # degree orientation and the oracle's id orientation count the

@@ -2566,3 +2566,34 @@ def q_orders_customer_join_auto(sf_dir: str) -> ray.data.Dataset:
                           right_on="c_custkey", how="inner")
     assert plan == "broadcast", plan
     return out
+
+
+def q_doclen_percentiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-lang percentile rank of every doc's token count — the
+    cross-group quality normalization (integer-exact rank arithmetic;
+    only (doc_id, lang, n_tokens) rows enter the exchange)."""
+    from .pipelines.analyze import doc_token_counts, percentile_rank_per_group
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"],
+        override_num_blocks=8,
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from .functions.tokenize import SimpleTokenizer
+
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, _, dl = SimpleTokenizer().tokenize_column(col)
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "lang": batch.column("lang"),
+             "n_tokens": pa.array(dl, pa.int64())}
+        )
+
+    projected = docs.map_batches(counts, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return percentile_rank_per_group(
+        projected, group_col="lang", value_col="n_tokens"
+    )

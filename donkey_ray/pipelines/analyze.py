@@ -1375,3 +1375,47 @@ def pmi_collocations(
                        zero_copy_batch=True))
     return merged.sort_by([("pmi_x1e6", "descending"),
                            ("bigram", "ascending")]).slice(0, k)
+
+
+def percentile_rank_per_group(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Integer-exact per-group percentile rank — the normalization step
+    that makes a quality signal comparable ACROSS groups (e.g. per-lang
+    before corpus mixing): pct_x1e6 = ((row_number - 1) * 10^6) //
+    (n - 1) in pinned (value, id) ascending order (0 for singleton
+    groups). Pure integer arithmetic, so the SQL oracle mirrors it
+    exactly — no percent_rank() float. One keyed exchange; the
+    per-partition pass is a lexsort + segmented arange."""
+    from ..stages.exchange import keyed_partition_map
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          group_col: pa.array([], pa.string()),
+                          "pct_x1e6": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        grp = part.column(group_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        gi = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids, vals, gi))
+        gi_s, ids_s = gi[o], ids[o]
+        starts = np.concatenate(([0], np.flatnonzero(gi_s[1:] != gi_s[:-1]) + 1))
+        lens = np.diff(np.concatenate((starts, [len(gi_s)])))
+        rn = np.arange(len(gi_s)) - np.repeat(starts, lens)  # row_number - 1
+        denom = np.repeat(np.maximum(lens - 1, 1), lens)
+        pct = (rn * 1_000_000) // denom
+        return pa.table({id_col: pa.array(ids_s, pa.int64()),
+                         group_col: grp.take(pa.array(o)),
+                         "pct_x1e6": pa.array(pct, pa.int64())})
+
+    per_partition.__name__ = "percentile_rank"
+    return keyed_partition_map(ds, [group_col], per_partition)

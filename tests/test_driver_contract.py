@@ -100,7 +100,7 @@ NAMES = [
     "pagerank", "events_moving", "orders_semi_bloom",
     "ngram_jaccard_delta", "events_quantiles_sketch",
     "orders_customer_join_skew", "dedup_triangles", "events_validate",
-    "orders_customer_join_auto",
+    "orders_customer_join_auto", "doclen_percentiles",
 ]
 
 
