@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": api.q_events_sessions,
         "events_in_sessions": api.q_events_in_sessions,
         "lineitem_rollup": api.q_lineitem_rollup,
+        "lineitem_cube": api.q_lineitem_cube,
         "events_asof_error": api.q_events_asof_error,
         "events_quantiles": api.q_events_quantiles,
         "doclen_quantiles": api.q_doclen_quantiles,
@@ -211,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": api.q_tpch_q3,
         "orders_semi_building": api.q_orders_semi_building,
         "orders_semi_bloom": api.q_orders_semi_bloom,
+        "orders_anti_building": api.q_orders_anti_building,
         "orders_customer_join_skew": api.q_orders_customer_join_skew,
         "orders_customer_join_auto": api.q_orders_customer_join_auto,
     }
@@ -1114,6 +1116,12 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "lineitem_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_x100,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         # equal-width histogram of event values
         "value_histogram": """
@@ -2057,6 +2065,14 @@ ON o.o_custkey = c.c_custkey
 SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
 FROM orders o
 WHERE o.o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+""",
+        # bloom-accelerated anti join (sound direction: definite-absent
+        # rows are definite keeps)
+        "orders_anti_building": """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+FROM orders o
+WHERE o.o_custkey NOT IN
       (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """,
         # bloom-prefiltered semi join: by construction identical rows to

@@ -2597,3 +2597,76 @@ def q_doclen_percentiles(sf_dir: str) -> ray.data.Dataset:
     return percentile_rank_per_group(
         projected, group_col="lang", value_col="n_tokens"
     )
+
+
+def q_lineitem_cube(sf_dir: str) -> pa.Table:
+    """CUBE (l_returnflag, l_linestatus): all four grouping sets. Base
+    cells come from the map-side combined aggregate; every coarser set
+    re-aggregates the |groups|-row base (sums are distributive), so the
+    corpus shuffles once no matter how many grouping sets emerge."""
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=keys + ["l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(keys, use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+
+    parts = dataset_to_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    base = parts.group_by(keys, use_threads=False).aggregate(
+        [("l_quantity_sum", "sum"), ("l_quantity_count", "sum")]
+    ).rename_columns(keys + ["s", "c"])
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("l_linestatus", pa.string()),
+                        ("s", pa.float64()), ("c", pa.int64())])
+    levels = [base.select(keys + ["s", "c"])]
+    for keep in (["l_returnflag"], ["l_linestatus"]):
+        lv = base.group_by(keep, use_threads=False).aggregate(
+            [("s", "sum"), ("c", "sum")]
+        ).rename_columns(keep + ["s", "c"])
+        for missing in keys:
+            if missing not in keep:
+                lv = lv.append_column(missing, pa.nulls(lv.num_rows, pa.string()))
+        levels.append(lv.select(keys + ["s", "c"]))
+    levels.append(pa.table({
+        "l_returnflag": pa.array([None], pa.string()),
+        "l_linestatus": pa.array([None], pa.string()),
+        "s": pa.array([pc.sum(base.column("s")).as_py() or 0.0], pa.float64()),
+        "c": pa.array([pc.sum(base.column("c")).as_py() or 0], pa.int64()),
+    }))
+    out = pa.concat_tables([lv.cast(schema) for lv in levels])
+    return pa.table({
+        "l_returnflag": out.column("l_returnflag"),
+        "l_linestatus": out.column("l_linestatus"),
+        "sum_qty_x100": pc.round(
+            pc.multiply(out.column("s"), 100.0)).cast(pa.int64()),
+        "count_order": out.column("c").cast(pa.int64()),
+    })
+
+
+def q_orders_anti_building(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-accelerated ANTI join: orders whose customer is NOT in the
+    BUILDING segment. Bloom 'definitely absent' probe rows are KEEPS
+    that bypass the exchange entirely; only possible members (~matches +
+    0.8% FPs) go through the exact anti join — the dual of the semi
+    optimization, exact by construction."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import bloom_anti_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus"],
+        override_num_blocks=8,
+    )
+    building = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+        override_num_blocks=4,
+    )
+    return bloom_anti_join(orders, building, left_on="o_custkey",
+                           right_on="c_custkey")

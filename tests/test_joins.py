@@ -165,3 +165,26 @@ def test_auto_join_plans_and_equality(ray_session):
     got, plan = auto_join(lds, rds, left_on="k", right_on="rk", how="full",
                           broadcast_max_rows=10)
     assert plan == "hash"
+
+
+def test_bloom_anti_join_equals_plain_anti(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from donkey_ray.pipelines.joins import bloom_anti_join, hash_join
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(41)
+    left = pa.table({"k": pa.array(rng.integers(0, 400, 6_000), pa.int64()),
+                     "lv": pa.array(np.arange(6_000), pa.int64())})
+    right = pa.table({"rk": pa.array(rng.choice(400, 60, replace=False).astype(np.int64))})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    got = dataset_to_table(bloom_anti_join(
+        lds, rds, left_on="k", right_on="rk"
+    )).sort_by([("lv", "ascending")])
+    want = dataset_to_table(hash_join(
+        lds, rds, left_on="k", right_on="rk", how="anti"
+    )).sort_by([("lv", "ascending")])
+    assert got.equals(want)
+    assert 0 < got.num_rows < left.num_rows
