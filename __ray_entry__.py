@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_full": api.q_orders_customer_full,
         "events_running": api.q_events_running,
         "events_moving": api.q_events_moving,
+        "events_delta": api.q_events_delta,
         "events_quantiles_sketch": api.q_events_quantiles_sketch,
         "doclen_percentiles": api.q_doclen_percentiles,
         "filtered_topk": api.q_filtered_topk,
@@ -1178,6 +1179,16 @@ SELECT event_id, user_id,
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
          AS moving_x100
 FROM events ORDER BY event_id
+""",
+        # per-user LAG delta, cents-exact, first row per user omitted
+        "events_delta": """
+WITH q AS (SELECT event_id, user_id,
+                  floor(value * 100 + 0.5)::BIGINT AS c,
+                  lag(floor(value * 100 + 0.5)::BIGINT)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+           FROM events)
+SELECT event_id, user_id, (c - p)::BIGINT AS delta_x100
+FROM q WHERE p IS NOT NULL ORDER BY event_id
 """,
         # approximate quantiles from the SAME integer-exact histogram
         # sketch the engine computes (positive-operand ceil divisions

@@ -2670,3 +2670,16 @@ def q_orders_anti_building(sf_dir: str) -> ray.data.Dataset:
     )
     return bloom_anti_join(orders, building, left_on="o_custkey",
                            right_on="c_custkey")
+
+
+def q_events_delta(sf_dir: str) -> pa.Table:
+    """Per-user LAG difference of event value in (ts, event_id) order
+    (cents-exact); each user's first event is omitted (null LAG)."""
+    from .pipelines.windows import lag_delta
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+        override_num_blocks=8,
+    )
+    return dataset_to_table(lag_delta(ds)).sort_by([("event_id", "ascending")])

@@ -535,3 +535,47 @@ def moving_sum(
 
     per_partition.__name__ = "moving_sum"
     return keyed_partition_map(ds, [key_col], per_partition)
+
+
+def lag_delta(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-key LAG difference — value minus the key's previous value in
+    (ts, order) order (SQL: v - LAG(v) OVER (PARTITION BY key ORDER BY
+    ts, order)); each key's first row is omitted (LAG is null). Inputs
+    are cents-quantized first so the difference is an exact integer.
+    One keyed exchange; per-partition lexsort + shifted subtract."""
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {order_col: pa.array([], pa.int64()),
+             key_col: pa.array([], pa.int64()),
+             "delta_x100": pa.array([], pa.int64())}
+        )
+        if part.num_rows == 0:
+            return empty
+        keys = part.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = part.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order_v = part.column(order_col).to_numpy(zero_copy_only=False)
+        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        o = np.lexsort((order_v, ts, keys))
+        keys, order_v, cents = keys[o], order_v[o], cents[o]
+        same_key = np.concatenate(([False], keys[1:] == keys[:-1]))
+        delta = np.empty_like(cents)
+        delta[1:] = cents[1:] - cents[:-1]
+        return pa.table(
+            {
+                order_col: pa.array(order_v[same_key], pa.int64()),
+                key_col: pa.array(keys[same_key], pa.int64()),
+                "delta_x100": pa.array(delta[same_key], pa.int64()),
+            }
+        )
+
+    per_partition.__name__ = "lag_delta"
+    return keyed_partition_map(ds, [key_col], per_partition)
