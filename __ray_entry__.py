@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_eval": api.q_knn_label_eval,
         # text analysis
         "quality_scores": api.q_quality_scores,
+        "compressibility": api.q_compressibility,
         "repetition_scores": api.q_repetition_scores,
         "dup_spans": api.q_dup_spans,
         "remove_dup_spans": api.q_remove_dup_spans,

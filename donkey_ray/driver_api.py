@@ -2683,3 +2683,9 @@ def q_events_delta(sf_dir: str) -> pa.Table:
         override_num_blocks=8,
     )
     return dataset_to_table(lag_delta(ds)).sort_by([("event_id", "ascending")])
+
+
+def q_compressibility(sf_dir: str) -> ray.data.Dataset:
+    """Compression-ratio quality signal per doc (zlib level 6, pinned;
+    rows-only: zlib is not SQL-expressible)."""
+    return analyze.compressibility_scores(_docs(sf_dir))

@@ -1419,3 +1419,39 @@ def percentile_rank_per_group(
 
     per_partition.__name__ = "percentile_rank"
     return keyed_partition_map(ds, [group_col], per_partition)
+
+
+def compressibility_scores(
+    ds: ray.data.Dataset, *, text_col: str = "text", id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, raw_len, zlib_len, ratio_x1e6) — the compression-ratio
+    quality signal (highly compressible text is boilerplate/repetition;
+    the Gopher/RefinedWeb-style cheap dup proxy). zlib level 6, pinned;
+    ratio = zlib_len / raw_len quantized x1e6 half-up (1e6 for empty
+    docs). Per-row zlib is C-backed; the stage is a pure parallel map —
+    not SQL-expressible, so this query is rows-only with pytest
+    coverage (like minhash_neardup)."""
+    import zlib
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw, comp = [], []
+        for t in col.to_pylist():
+            b = (t or "").encode("utf-8")
+            raw.append(len(b))
+            comp.append(len(zlib.compress(b, 6)))
+        raw_a = np.array(raw, dtype=np.int64)
+        comp_a = np.array(comp, dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(raw_a > 0, comp_a / np.maximum(raw_a, 1), 1.0)
+        r6 = np.floor(ratio * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column(id_col).cast(pa.int64()),
+             "raw_len": pa.array(raw_a, pa.int64()),
+             "zlib_len": pa.array(comp_a, pa.int64()),
+             "ratio_x1e6": pa.array(r6, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -135,7 +135,7 @@ def test_rows_only_queries_run(contract):
     qs, sqls = contract
     rows_only = set(qs) - set(sqls)
     assert rows_only == {"minhash_neardup", "events_distinct_approx",
-                         "ann_graph_topk"}
+                         "ann_graph_topk", "compressibility"}
     for name in sorted(rows_only):
         df = _to_df(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) >= 2

@@ -1483,3 +1483,29 @@ def test_graph_ops_empty_edge_set(ray_session):
         t = dataset_to_table(triangle_count(
             ray.data.from_arrow(no_pairs), mode=mode))
         assert t.column("n_triangles").to_pylist() == [0], mode
+
+
+def test_compressibility_scores(docs_ds):
+    """Repetitive text compresses harder than random-ish text; empty doc
+    pins ratio 1e6; values match a direct zlib reference."""
+    import zlib
+
+    from donkey_ray.pipelines.analyze import compressibility_scores
+
+    ds, texts = docs_ds
+    out = dataset_to_table(compressibility_scores(ds)).sort_by(
+        [("doc_id", "ascending")])
+    ratios = dict(zip(out.column("doc_id").to_pylist(),
+                      out.column("ratio_x1e6").to_pylist()))
+    for i, t in enumerate(texts):
+        b = t.encode()
+        want = (int(np.floor(len(zlib.compress(b, 6)) / len(b) * 1e6 + 0.5))
+                if b else 1_000_000)
+        assert ratios[i] == want, i
+    rep = "spam ham " * 200
+    one = dataset_to_table(compressibility_scores(
+        __import__("ray").data.from_arrow(pa.table(
+            {"doc_id": pa.array([99], pa.int64()),
+             "text": pa.array([rep])}))
+    ))
+    assert one.column("ratio_x1e6").to_pylist()[0] < 100_000  # highly compressible
