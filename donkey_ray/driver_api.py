@@ -2366,11 +2366,9 @@ def flagship(sf_dir: str = "/root/testdata/sf0.001"):
 
 def ensure_pair_graph(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> str:
     """Build (once; cached per threshold) the near-dup PAIR GRAPH
-    artifact — the exact n-gram-Jaccard pairs written as parquet.
-    Consumed by graph analytics (pagerank, triangle counting) without
-    re-running candidate generation + verification."""
-    import pyarrow.parquet as pq
-
+    artifact — the exact n-gram-Jaccard pairs written as PARTITIONED
+    parquet. Consumed by graph analytics (pagerank, triangle counting)
+    without re-running candidate generation + verification."""
     suffix = "" if threshold == JACCARD_THRESHOLD else str(int(threshold * 100))
     out = _index_dir(sf_dir) + "-pairgraph" + suffix
     marker = os.path.join(out, "_DONE")
@@ -2381,9 +2379,9 @@ def ensure_pair_graph(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> str:
         pairs = dedup.ngram_jaccard_pairs(
             _docs(sf_dir), n=JACCARD_N, threshold=threshold
         )
-        tbl = dataset_to_table(pairs)
         os.makedirs(out, exist_ok=True)
-        pq.write_table(tbl, os.path.join(out, "pairs.parquet"))
+        # partitioned directory, not one giant file (resumable-output rule)
+        pairs.write_parquet(os.path.join(out, "pairs"))
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -2400,7 +2398,7 @@ def q_pagerank(sf_dir: str) -> ray.data.Dataset:
     from .pipelines.graph import pagerank
 
     pairs = ray.data.read_parquet(
-        os.path.join(ensure_pair_graph(sf_dir, threshold=0.95), "pairs.parquet"),
+        os.path.join(ensure_pair_graph(sf_dir, threshold=0.95), "pairs"),
         columns=["doc_a", "doc_b"],
     )
     return pagerank(_docs(sf_dir, columns=("doc_id",)), pairs)
@@ -2528,7 +2526,7 @@ def q_dedup_triangles(sf_dir: str) -> ray.data.Dataset:
     from .pipelines.graph import triangle_count
 
     pairs = ray.data.read_parquet(
-        os.path.join(ensure_pair_graph(sf_dir, threshold=0.95), "pairs.parquet"),
+        os.path.join(ensure_pair_graph(sf_dir, threshold=0.95), "pairs"),
         columns=["doc_a", "doc_b"],
     )
     return triangle_count(pairs)

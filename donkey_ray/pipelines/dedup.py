@@ -847,10 +847,12 @@ def build_dedup_index(
     id_col: str = "doc_id", n: int = 1, threshold: float = 0.5,
 ) -> dict:
     """Persist the corpus side of incremental near-dup detection:
-      df.parquet        (shingle, df)      — the pinned rarity order
-      prefixes.parquet  (shingle, doc_id)  — PPJoin prefix postings at
-                                             the pinned threshold
-      sets.parquet      (doc_id, hashes)   — exact-verify shingle sets
+      df.parquet     (shingle, df)      — the pinned rarity order
+                                          (vocab-sized, one sorted file)
+      prefixes/      (shingle, doc_id)   — PPJoin prefix postings at the
+                                           pinned threshold (partitioned)
+      sets/          (doc_id, hashes)    — exact-verify shingle sets
+                                           (partitioned)
       meta.json + _DONE — pinned (n, threshold) and build counts
     Probes must use the SAME (n, threshold) (checked by
     ngram_jaccard_delta)."""
@@ -882,18 +884,19 @@ def build_dedup_index(
             threshold=threshold,
         )
 
-    pref_tbl = dataset_to_table(
-        ds.map_batches(prefixes, batch_format="pyarrow", zero_copy_batch=True)
+    # prefixes and sets are corpus-sized: stream them out as PARTITIONED
+    # parquet directories (many files), never one driver-side table
+    pref_ds = ds.map_batches(
+        prefixes, batch_format="pyarrow", zero_copy_batch=True
     )
-    pq.write_table(pref_tbl, os.path.join(out_dir, "prefixes.parquet"))
+    pref_ds.write_parquet(os.path.join(out_dir, "prefixes"))
+    sets_ds = doc_shingle_sets(ds, text_col=text_col, id_col=id_col, n=n)
+    sets_ds.write_parquet(os.path.join(out_dir, "sets"))
+    n_docs = ray.data.read_parquet(os.path.join(out_dir, "sets")).count()
+    n_pref = ray.data.read_parquet(os.path.join(out_dir, "prefixes")).count()
 
-    sets_tbl = dataset_to_table(
-        doc_shingle_sets(ds, text_col=text_col, id_col=id_col, n=n)
-    )
-    pq.write_table(sets_tbl, os.path.join(out_dir, "sets.parquet"))
-
-    meta = {"n": n, "threshold": threshold, "n_docs": sets_tbl.num_rows,
-            "vocab": df_tbl.num_rows, "prefix_rows": pref_tbl.num_rows}
+    meta = {"n": n, "threshold": threshold, "n_docs": n_docs,
+            "vocab": df_tbl.num_rows, "prefix_rows": n_pref}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
@@ -930,6 +933,8 @@ def ngram_jaccard_delta(
     dfk_tbl = dataset_to_table(df_tbl)
     dfk = dfk_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
     dfv = dfk_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(dfk)  # searchsorted needs sorted keys whatever the
+    dfk, dfv = dfk[o], dfv[o]  # block order of the artifact read was
     df_ref = ray.put((dfk, dfv))
 
     def delta_prefixes(batch: pa.Table) -> pa.Table:
@@ -948,7 +953,7 @@ def ngram_jaccard_delta(
         )
 
     pref_union = ray.data.read_parquet(
-        os.path.join(index_dir, "prefixes.parquet")
+        os.path.join(index_dir, "prefixes")
     ).map_batches(corpus_side, batch_format="pyarrow", zero_copy_batch=True).union(
         delta.map_batches(delta_prefixes, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -986,7 +991,7 @@ def ngram_jaccard_delta(
         return t.group_by(["a", "b"], use_threads=False).aggregate([])
 
     cand = keyed_partition_map(pref_union, ["shingle"], cross_pairs_partition)
-    sets = ray.data.read_parquet(os.path.join(index_dir, "sets.parquet")).union(
+    sets = ray.data.read_parquet(os.path.join(index_dir, "sets")).union(
         doc_shingle_sets(delta, text_col=text_col, id_col=id_col, n=n)
     )
     return _verify_pairs_distributed(cand, sets, threshold)
