@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
+        "term_counts_cms": api.q_term_counts_cms,
         "repetition_scores": api.q_repetition_scores,
         "dup_spans": api.q_dup_spans,
         "remove_dup_spans": api.q_remove_dup_spans,
@@ -352,9 +353,58 @@ WHERE c::DOUBLE / (x.n + y.n - c) >= 0.95"""
     return pagerank_oracle_sql(edge_cte, prelude=prelude)
 
 
+
+def _cms_sql() -> str:
+    """DuckDB mirror of the count-min sketch (functions/sketch.py):
+    identical sha256-top64 keys, splitmix64 bucket hashing (HUGEINT limb
+    chain), same depth/width — the oracle computes the SAME sketch and
+    the SAME min-over-depth estimates."""
+    from donkey_ray.driver_api import CMS_QUERY_TERMS
+    from donkey_ray.functions.sketch import CMS_SEEDS, CMS_WIDTH
+
+    key = ("list_aggregate(list_transform(range(1,17), i -> "
+           "(strpos('0123456789abcdef', substr(sha256(s), i, 1))::UBIGINT - 1)"
+           " * (1::UBIGINT << (4*(16-i)))), 'sum')::UBIGINT")
+
+    def chain(pfx: str, carry: str) -> list[str]:
+        return [
+            f"{pfx}1 AS (SELECT {carry}, xor(z, z >> 30)::HUGEINT AS z FROM {pfx}0)",
+            f"{pfx}2 AS (SELECT {carry}, {_mul64('z', '13787848793156543929')}::UBIGINT AS z FROM {pfx}1)",
+            f"{pfx}3 AS (SELECT {carry}, xor(z, z >> 27)::HUGEINT AS z FROM {pfx}2)",
+            f"{pfx}4 AS (SELECT {carry}, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM {pfx}3)",
+            f"{pfx}5 AS (SELECT {carry}, xor(z, z >> 31) AS z FROM {pfx}4)",
+        ]
+
+    seeds = ", ".join(f"({d}, {s}::UBIGINT)" for d, s in enumerate(CMS_SEEDS))
+    terms = ", ".join(f"('{t}')" for t in CMS_QUERY_TERMS)
+    ctes = [
+        f"tok AS (SELECT unnest({_TOKS}) AS s FROM documents)",
+        f"ck AS (SELECT {key} AS k FROM tok)",
+        f"sd(d, seed) AS (VALUES {seeds})",
+        ("c0 AS (SELECT sd.d, ((xor(ck.k, sd.seed)::HUGEINT + "
+         f"11400714819323198485) % {_M64})::UBIGINT AS z "
+         "FROM ck CROSS JOIN sd)"),
+        *chain("c", "d"),
+        f"cb AS (SELECT d, z % {CMS_WIDTH} AS b, count(*) AS cnt FROM c5 GROUP BY 1, 2)",
+        f"qt(s) AS (VALUES {terms})",
+        f"qk AS (SELECT s AS term, {key} AS k FROM qt)",
+        ("q0 AS (SELECT qk.term, sd.d, ((xor(qk.k, sd.seed)::HUGEINT + "
+         f"11400714819323198485) % {_M64})::UBIGINT AS z "
+         "FROM qk CROSS JOIN sd)"),
+        *chain("q", "term, d"),
+        f"qb AS (SELECT term, d, z % {CMS_WIDTH} AS b FROM q5)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT q.term, min(COALESCE(cb.cnt, 0))::BIGINT AS est_count\n"
+          "FROM qb q LEFT JOIN cb ON cb.d = q.d AND cb.b = q.b GROUP BY 1"
+    )
+
+
 def _oracle_sqls() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(),
+        "term_counts_cms": _cms_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),
         "bm25_topk": f"""

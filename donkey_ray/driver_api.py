@@ -2687,3 +2687,15 @@ def q_compressibility(sf_dir: str) -> ray.data.Dataset:
     """Compression-ratio quality signal per doc (zlib level 6, pinned;
     rows-only: zlib is not SQL-expressible)."""
     return analyze.compressibility_scores(_docs(sf_dir))
+
+
+CMS_QUERY_TERMS = ["the", "data", "table", "window", "zzzabsent"]
+
+
+def q_term_counts_cms(sf_dir: str) -> pa.Table:
+    """Count-min-sketch occurrence estimates for the pinned query terms
+    (bounded-memory frequency structure; one 64 KiB counter row per
+    batch is all that leaves the workers)."""
+    from .pipelines.analyze import term_counts_cms
+
+    return term_counts_cms(_docs(sf_dir, columns=("text",)), CMS_QUERY_TERMS)

@@ -62,3 +62,53 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         return m * np.log(m / zeros)
     return float(est)
+
+
+# ---- count-min sketch (mergeable frequency estimates) ----
+# depth x width counters; bucket_d(key) = splitmix64(key ^ SEED_d) %
+# WIDTH. Seeds are pi-digit constants (public, pinned); WIDTH a power
+# of two. Estimates never undercount; overcount <= 2N/WIDTH w.h.p.
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+CMS_SEEDS = (
+    0x243F6A8885A308D3, 0x13198A2E03707344,
+    0xA4093822299F31D0, 0x082EFA98EC4E6C89,
+)
+
+
+def cms_buckets(keys: np.ndarray) -> np.ndarray:
+    """(CMS_DEPTH, len(keys)) bucket indices."""
+    from .hashing import splitmix64
+
+    k = np.asarray(keys, dtype=np.uint64)
+    return np.stack([
+        (splitmix64(k ^ np.uint64(s)) % np.uint64(CMS_WIDTH)).astype(np.int64)
+        for s in CMS_SEEDS
+    ])
+
+
+def cms_partial(keys: np.ndarray, counts: np.ndarray | None = None) -> np.ndarray:
+    """One batch's partial sketch: (CMS_DEPTH, CMS_WIDTH) int64.
+    ``counts`` weights each key (defaults to 1 per key)."""
+    sk = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    if len(keys) == 0:
+        return sk
+    c = np.ones(len(keys), np.int64) if counts is None else counts.astype(np.int64)
+    b = cms_buckets(keys)
+    for d in range(CMS_DEPTH):
+        np.add.at(sk[d], b[d], c)
+    return sk
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(sk: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates: min over depth of the key's counters."""
+    if len(keys) == 0:
+        return np.zeros(0, np.int64)
+    b = cms_buckets(keys)
+    return np.min(
+        np.stack([sk[d][b[d]] for d in range(CMS_DEPTH)]), axis=0
+    ).astype(np.int64)

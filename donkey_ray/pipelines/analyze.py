@@ -1455,3 +1455,54 @@ def compressibility_scores(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def term_counts_cms(
+    ds: ray.data.Dataset, terms: list[str], *, text_col: str = "text",
+) -> pa.Table:
+    """Count-min-sketch term-occurrence estimates for pinned query
+    terms — the bounded-memory frequency structure for when even the
+    (term, count) table is too big to exchange (10^9+ vocab): each
+    batch emits ONE (depth x width) counter row (64 KiB), partials sum
+    on the driver, point queries take min-over-depth. Estimates never
+    undercount. Keys are fp_token_hash64 (sha256 top-8) so the DuckDB
+    oracle computes the IDENTICAL sketch."""
+    from ..functions.sketch import CMS_DEPTH, CMS_WIDTH, cms_partial, cms_query
+    from ..functions.textstats import fp_token_hash64
+    from ..util import dataset_to_table
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, _ = _TOK.tokenize_column(col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            sk = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+        else:
+            enc = flat.dictionary_encode()
+            uniq = enc.dictionary.to_pylist()
+            keys = np.fromiter((fp_token_hash64(t) for t in uniq),
+                               dtype=np.uint64, count=len(uniq))
+            occ = np.bincount(
+                enc.indices.to_numpy(zero_copy_only=False),
+                minlength=len(uniq),
+            ).astype(np.int64)
+            sk = cms_partial(keys, occ)
+        return pa.table({"sk": pa.FixedSizeListArray.from_arrays(
+            pa.array(sk.ravel(), pa.int64()), CMS_DEPTH * CMS_WIDTH)})
+
+    parts = dataset_to_table(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    flat = parts.column("sk").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    sk = (flat.reshape(-1, CMS_DEPTH, CMS_WIDTH).sum(axis=0)
+          if len(flat) else np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64))
+    qkeys = np.fromiter((fp_token_hash64(t) for t in terms),
+                        dtype=np.uint64, count=len(terms))
+    est = cms_query(sk, qkeys)
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "est_count": pa.array(est, pa.int64())})

@@ -101,7 +101,7 @@ NAMES = [
     "ngram_jaccard_delta", "events_quantiles_sketch",
     "orders_customer_join_skew", "dedup_triangles", "events_validate",
     "orders_customer_join_auto", "doclen_percentiles",
-    "orders_anti_building", "lineitem_cube", "events_delta",
+    "orders_anti_building", "lineitem_cube", "events_delta", "term_counts_cms",
 ]
 
 

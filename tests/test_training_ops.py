@@ -1509,3 +1509,29 @@ def test_compressibility_scores(docs_ds):
              "text": pa.array([rep])}))
     ))
     assert one.column("ratio_x1e6").to_pylist()[0] < 100_000  # highly compressible
+
+
+def test_cms_never_undercounts(ray_session):
+    """Count-min estimates are >= exact occurrence counts, exact for
+    well-separated keys at this load factor, and 0 for absent terms."""
+    import collections
+
+    import ray.data
+
+    from donkey_ray.pipelines.analyze import term_counts_cms
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(200)]
+    exact = collections.Counter(t for s in texts for t in s.split())
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    queries = ["tok0", "tok7", "tok299", "neverseen"]
+    out = term_counts_cms(ds, queries)
+    est = dict(zip(out.column("term").to_pylist(),
+                   out.column("est_count").to_pylist()))
+    for t in queries:
+        assert est[t] >= exact.get(t, 0), t
+    assert est["neverseen"] == 0
+    # 8000 tokens into 4x2048 counters: overcount stays small
+    for t in queries[:3]:
+        assert est[t] - exact[t] <= 50, (t, est[t], exact[t])
