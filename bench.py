@@ -222,7 +222,11 @@ def scaling_parent() -> dict:
     # 1-min load to drop below 1 before firing.
     trials: dict[int, list[dict]] = {8: [], 32: []}
     for _ in range(SCALING_TRIALS):
-        for cpus in (8, 32, 32):
+        # 32-cpu FIRST: its ~25s quiet wall is the one ambient bursts
+        # keep contaminating (runs 13-55), and the quiet window found by
+        # _wait_quiet is freshest at the head of the round — the 8-cpu
+        # trial is 3-4x longer and outlives any window regardless of slot
+        for cpus in (32, 8, 32):
             _wait_quiet()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
