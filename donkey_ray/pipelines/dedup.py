@@ -166,6 +166,7 @@ def _verify_pairs_distributed(
     threshold: float,
     *,
     cache_sets: bool = True,
+    sets_b: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate pairs WITHOUT materializing
     any whole-corpus state: a two-stage keyed cogroup join. Stage A
@@ -173,13 +174,20 @@ def _verify_pairs_distributed(
     and attaches doc_a's shingle set; stage B re-keys by b, attaches
     doc_b's set and scores the pair in the partition task. Per-task
     memory = one hash partition of pairs + one hash partition of doc
-    sets. ``sets`` is consumed by BOTH stages: with cache_sets (default)
-    it is materialized once into the (spillable) object store — ~2x
-    faster than re-running the shingle-hash map per stage; pass
-    cache_sets=False at extremes where spill I/O would cost more than
-    recomputing the shingles."""
-    if cache_sets:
-        sets = sets.materialize()
+    sets.
+
+    Symmetric case (one corpus): ``sets`` feeds BOTH stages; with
+    cache_sets (default) it is materialized once into the (spillable)
+    object store — ~2x faster than re-running the shingle-hash map per
+    stage; pass cache_sets=False at extremes where spill I/O would cost
+    more than recomputing the shingles. Asymmetric case (incremental
+    dedup — every pair is (corpus a, delta b)): pass ``sets_b``; stage A
+    then shuffles only the a-side sets and stage B only the b-side,
+    halving set exchange volume."""
+    if sets_b is None:
+        if cache_sets:
+            sets = sets.materialize()
+        sets_b = sets
 
     def attach_a(pairs: pa.Table, part_sets: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], pa.int64()),
@@ -260,7 +268,7 @@ def _verify_pairs_distributed(
             }
         )
 
-    return keyed_cogroup_map(stage_a, sets, ["b"], ["doc_id"], verify_b)
+    return keyed_cogroup_map(stage_a, sets_b, ["b"], ["doc_id"], verify_b)
 
 
 def _explode_shingle_hashes(
@@ -991,7 +999,10 @@ def ngram_jaccard_delta(
         return t.group_by(["a", "b"], use_threads=False).aggregate([])
 
     cand = keyed_partition_map(pref_union, ["shingle"], cross_pairs_partition)
-    sets = ray.data.read_parquet(os.path.join(index_dir, "sets")).union(
-        doc_shingle_sets(delta, text_col=text_col, id_col=id_col, n=n)
+    # every candidate is (corpus a, delta b): the a-stage consumes only
+    # the artifact's sets, the b-stage only the delta's — no union ships
+    corpus_sets = ray.data.read_parquet(os.path.join(index_dir, "sets"))
+    delta_sets = doc_shingle_sets(delta, text_col=text_col, id_col=id_col, n=n)
+    return _verify_pairs_distributed(
+        cand, corpus_sets, threshold, sets_b=delta_sets
     )
-    return _verify_pairs_distributed(cand, sets, threshold)
