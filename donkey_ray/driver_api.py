@@ -2447,7 +2447,7 @@ def ensure_dedup_index(sf_dir: str) -> str:
     corpus partition (doc_id % 8 != 7): pinned df rarity order, PPJoin
     prefix postings at the pinned threshold, exact-verify shingle sets
     (pipelines/dedup.build_dedup_index)."""
-    out = _index_dir(sf_dir) + "-dedupindex"
+    out = _index_dir(sf_dir) + "-dedupindex-v2"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         import shutil

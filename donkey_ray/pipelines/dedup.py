@@ -539,7 +539,8 @@ def _prefix_postings_table(
     values, offsets = shingle_hash_column(col, n)
     if len(values) == 0:
         return pa.table({"shingle": pa.array([], pa.uint64()),
-                         "doc_id": pa.array([], pa.int64())})
+                         "doc_id": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     lens = np.diff(offsets)
     rows = np.repeat(np.arange(len(lens)), lens)
     dfs = np.zeros(len(values), dtype=np.int64)
@@ -556,7 +557,10 @@ def _prefix_postings_table(
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table(
         {"shingle": pa.array(vals_s[keep], pa.uint64()),
-         "doc_id": pa.array(ids[rows_s[keep]], pa.int64())}
+         "doc_id": pa.array(ids[rows_s[keep]], pa.int64()),
+         # the doc's distinct-shingle count rides along for the PPJoin
+         # LENGTH filter at candidate generation
+         "n": pa.array(lens[rows_s[keep]], pa.int64())}
     )
 
 
@@ -600,7 +604,7 @@ def _ngram_jaccard_prefix(
         return _prefix_postings_table(
             batch, dfk, dfv, text_col=text_col, id_col=id_col, n=n,
             threshold=threshold,
-        )
+        ).drop_columns(["n"])
 
     prefixes = ds.map_batches(
         prefix_postings, batch_format="pyarrow", zero_copy_batch=True
@@ -968,7 +972,10 @@ def ngram_jaccard_delta(
     )
 
     def cross_pairs_partition(part: pa.Table) -> pa.Table:
-        """Per shingle run: (corpus ids) x (delta ids) cross pairs."""
+        """Per shingle run: (corpus ids) x (delta ids) cross pairs,
+        pruned by the PPJoin LENGTH filter — J >= t forces
+        t*|B| <= |A| <= |B|/t, so size-incompatible pairs never reach
+        verification (guarded float compare like the prefix length)."""
         empty = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64())})
         if part.num_rows == 0:
@@ -980,6 +987,7 @@ def ngram_jaccard_delta(
         g = part.take(order)
         sh = g.column("shingle").to_numpy(zero_copy_only=False)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        szs = g.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         side = g.column("side").to_numpy(zero_copy_only=False)
         starts = np.concatenate(([0], np.flatnonzero(sh[1:] != sh[:-1]) + 1))
         ends = np.concatenate((starts[1:], [len(sh)]))
@@ -990,8 +998,15 @@ def ngram_jaccard_delta(
             if n0 == 0 or n0 == e - s:
                 continue
             ca, db = ids[s:s + n0], ids[s + n0:e]
-            a_out.append(np.repeat(ca, len(db)))
-            b_out.append(np.tile(db, len(ca)))
+            na, nb = szs[s:s + n0], szs[s + n0:e]
+            pa_ = np.repeat(ca, len(db))
+            pb_ = np.tile(db, len(ca))
+            ra = np.repeat(na, len(db)).astype(np.float64)
+            rb = np.tile(nb, len(ca)).astype(np.float64)
+            ok = (np.minimum(ra, rb) >= threshold * np.maximum(ra, rb) - 1e-9)
+            if ok.any():
+                a_out.append(pa_[ok])
+                b_out.append(pb_[ok])
         if not a_out:
             return empty
         t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
