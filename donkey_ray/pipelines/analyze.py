@@ -1405,7 +1405,18 @@ def percentile_rank_per_group(
         enc = grp.dictionary_encode()
         gi = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = part.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # Rank on the value column's native numeric dtype: an int64 cast
+        # here would truncate float quality signals (0.9, 0.2, 0.7 all
+        # -> 0) and silently rank by doc_id instead of value.
+        vals = part.column(value_col).to_numpy(zero_copy_only=False)
+        if vals.dtype.kind not in "iuf":
+            raise TypeError(
+                f"percentile_rank_per_group: {value_col!r} must be numeric, "
+                f"got {vals.dtype}")
+        if vals.dtype.kind == "f" and np.isnan(vals).any():
+            raise ValueError(
+                f"percentile_rank_per_group: {value_col!r} contains NaN — "
+                "ranks would be engine-dependent; filter or fill first")
         o = np.lexsort((ids, vals, gi))
         gi_s, ids_s = gi[o], ids[o]
         starts = np.concatenate(([0], np.flatnonzero(gi_s[1:] != gi_s[:-1]) + 1))

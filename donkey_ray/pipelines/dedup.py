@@ -939,10 +939,9 @@ def ngram_jaccard_delta(
         meta = json.load(f)
     n, threshold = int(meta["n"]), float(meta["threshold"])
 
-    df_tbl = ray.data.read_parquet(
-        os.path.join(index_dir, "df.parquet")
-    ).materialize()
-    dfk_tbl = dataset_to_table(df_tbl)
+    dfk_tbl = dataset_to_table(
+        ray.data.read_parquet(os.path.join(index_dir, "df.parquet"))
+    )
     dfk = dfk_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
     dfv = dfk_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(dfk)  # searchsorted needs sorted keys whatever the

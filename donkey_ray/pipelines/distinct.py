@@ -118,7 +118,11 @@ def approx_quantiles_per_group(
              "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64())}
         )
 
-    cents = ds.map_batches(cents_of, batch_format="pyarrow", zero_copy_batch=True)
+    # pinned once: both the bounds pass and the bucket pass consume it —
+    # without the materialize the source read + quantize map run twice
+    cents = ds.map_batches(
+        cents_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     bounds_tbl = dataset_to_table(
         partitioned_aggregate(
             cents, [group_col], [("c", "min"), ("c", "max"), ("c", "count")],

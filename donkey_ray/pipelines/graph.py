@@ -44,6 +44,30 @@ SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
+def _checked_lookup(sorted_arr: np.ndarray, keys: np.ndarray, what: str) -> np.ndarray:
+    """searchsorted with a membership check: a pair endpoint absent from
+    the node universe must raise, not silently credit its rank mass to
+    the lexicographically-next node (e.g. when `nodes` was filtered to
+    survivors but `pairs` still references a removed doc)."""
+    if len(sorted_arr) == 0:
+        if len(keys):
+            raise KeyError(
+                f"pagerank: {what} references node ids missing from `nodes` "
+                f"(e.g. {np.asarray(keys)[:3].tolist()}) — pass the full "
+                "node universe")
+        return np.zeros(0, dtype=np.int64)
+    pos = np.searchsorted(sorted_arr, keys)
+    ok = pos < len(sorted_arr)
+    np.minimum(pos, len(sorted_arr) - 1, out=pos)
+    ok &= sorted_arr[pos] == keys
+    if not ok.all():
+        missing = np.asarray(keys)[~ok][:3].tolist()
+        raise KeyError(
+            f"pagerank: {what} references node ids missing from `nodes` "
+            f"(e.g. {missing}) — pass the full node universe")
+    return pos
+
+
 def _edges_bidirected(pairs: ray.data.Dataset, a_col: str, b_col: str) -> ray.data.Dataset:
     """Undirected pair rows -> both directed edges (src, dst)."""
 
@@ -82,6 +106,11 @@ def pagerank(
     output, pytest-proven)."""
     if mode not in ("broadcast", "exchange"):
         raise ValueError(f"mode must be broadcast|exchange, got {mode!r}")
+    # pin both inputs once: .count() would otherwise execute the (possibly
+    # expensive — e.g. a dedup pair pipeline) upstream graph a second time
+    # when the datasets are consumed below
+    nodes = nodes.materialize()
+    pairs = pairs.materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
         return ray.data.from_arrow(
@@ -154,7 +183,7 @@ def pagerank(
                 na, rv = _ray.get(ref)
                 src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
                 deg_v = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
-                per_edge = rv[np.searchsorted(na, src)] // deg_v
+                per_edge = rv[_checked_lookup(na, src, "an edge src")] // deg_v
                 t = pa.table({"dst": batch.column("dst"),
                               "c": pa.array(per_edge, pa.int64())})
                 return t.group_by(["dst"], use_threads=False).aggregate(
@@ -173,7 +202,7 @@ def pagerank(
             if part_tbl.num_rows:
                 dst = part_tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
                 c = part_tbl.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-                np.add.at(inc_vec, np.searchsorted(node_arr, dst), c)
+                np.add.at(inc_vec, _checked_lookup(node_arr, dst, "an edge dst"), c)
             # zero incoming -> tele + 0, identical to the oracle's COALESCE
             r_vec = tele + (DAMP_NUM * inc_vec) // DAMP_DEN
         return ray.data.from_arrow(
@@ -193,7 +222,7 @@ def pagerank(
             rv = rp.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
             o = np.argsort(rn)
             src = ep.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(rn[o], src)
+            pos = _checked_lookup(rn[o], src, "an edge src")
             deg_v = ep.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
             per_edge = rv[o][pos] // deg_v
             t = pa.table({"dst": ep.column("dst"),
@@ -214,7 +243,7 @@ def pagerank(
                 dst = ip.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
                 inc = ip.column("inc").to_numpy(zero_copy_only=False).astype(np.int64)
                 o = np.argsort(nodes_v)
-                pos = np.searchsorted(nodes_v[o], dst)
+                pos = _checked_lookup(nodes_v[o], dst, "an edge dst")
                 r_new[o[pos]] = tele + (DAMP_NUM * inc) // DAMP_DEN
             return pa.table({"node": pa.array(nodes_v, pa.int64()),
                              "r": pa.array(r_new, pa.int64())})
@@ -289,6 +318,9 @@ def triangle_count(
     Same count, pytest-proven."""
     if mode not in ("broadcast", "exchange"):
         raise ValueError(f"mode must be broadcast|exchange, got {mode!r}")
+    # pin once: .count() plus the consumption below would otherwise run
+    # the upstream pair pipeline twice
+    pairs = pairs.materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(
             pa.table({"n_triangles": pa.array([0], pa.int64())})
@@ -297,6 +329,14 @@ def triangle_count(
     def eid(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # validate here (the one pass every exchange-mode row takes):
+        # the partition-local guard in `close` can miss an out-of-range
+        # id whose wedges all land in clean partitions
+        if len(a) and (max(int(a.max()), int(b.max())) >= (1 << 31)
+                       or min(int(a.min()), int(b.min())) < 0):
+            raise ValueError(
+                "triangle_count packs (src, dst) into one int64; node ids "
+                "must be in [0, 2^31) — remap ids first")
         return pa.table(
             {"u": pa.array(np.concatenate((a, b)), pa.int64()),
              "v": pa.array(np.concatenate((b, a)), pa.int64())}
@@ -386,10 +426,11 @@ def triangle_count(
         ptbl = dataset_to_table(pairs.select_columns([a_col, b_col]))
         a = ptbl.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = ptbl.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(a) and max(int(a.max()), int(b.max())) >= (1 << 31):
+        if len(a) and (max(int(a.max()), int(b.max())) >= (1 << 31)
+                       or min(int(a.min()), int(b.min())) < 0):
             raise ValueError(
                 "triangle_count packs (src, dst) into one int64; node ids "
-                "must be < 2^31 — remap ids first")
+                "must be in [0, 2^31) — remap ids first")
         uniq, inv = np.unique(np.concatenate((a, b)), return_inverse=True)
         degv = np.bincount(inv, minlength=len(uniq))
         da, db = degv[inv[: len(a)]], degv[inv[len(a):]]
@@ -448,10 +489,11 @@ def triangle_count(
         wb = wp.column("wb").to_numpy(zero_copy_only=False).astype(np.int64)
         n = wp.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         hi = max(int(es.max()), int(ed.max()), int(wa.max()), int(wb.max()))
-        if hi >= (1 << 31):
+        lo = min(int(es.min()), int(ed.min()), int(wa.min()), int(wb.min()))
+        if hi >= (1 << 31) or lo < 0:
             raise ValueError(
                 "triangle_count packs (src, dst) into one int64; node ids "
-                f"must be < 2^31, got {hi} — remap ids first")
+                f"must be in [0, 2^31), got [{lo}, {hi}] — remap ids first")
         keys = np.sort(es * (1 << 32) + ed)
         wk = wa * (1 << 32) + wb
         pos = np.searchsorted(keys, wk)

@@ -130,22 +130,36 @@ def asof_join(
     )
 
 
-def bloom_prefilter(
-    probe: ray.data.Dataset,
-    build: ray.data.Dataset,
-    *,
-    probe_on: str,
-    build_on: str,
-) -> ray.data.Dataset:
-    """Drop probe-side rows whose key cannot appear on the build side,
-    using a Bloom filter of the build keys (functions/bloom.py). The
-    big-side shuffle of a subsequent join then moves survivors only; no
-    false negatives, so exact join semantics are preserved by the join
-    itself. The filter is built from per-batch partial bitsets (one
-    O(n_words) row per batch leaves each worker), OR-merged on the
-    driver (n_words uint64s — 1.25 GB/10^9 build keys, the broadcast
-    budget that motivates blooming only the SMALL side), and shipped
-    once per worker via ray.put."""
+def _bloom_keys(col: pa.Array | pa.ChunkedArray):
+    """Exact int64 keys + validity mask for bloom hashing. A plain
+    `.to_numpy(zero_copy_only=False)` on a NULLABLE int column goes
+    through float64 (NaN for nulls), which rounds keys above 2^53 and
+    silently breaks the filter's no-false-negative guarantee — so fill
+    nulls first (the int path stays exact) and report null positions
+    separately. Null keys never equal anything under join semantics:
+    callers hash only valid keys and treat null probes as
+    'definitely absent'."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = None
+    if col.null_count:
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        col = pc.fill_null(col, 0)
+    keys = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if keys.dtype != np.int64:  # defensive: cast above guarantees int64
+        keys = keys.astype(np.int64)
+    return keys, valid
+
+
+def _build_bloom_ref(build: ray.data.Dataset, build_on: str):
+    """Build a Bloom filter of `build`'s non-null keys and ship it once
+    via ray.put. Per-batch partial bitsets (one O(n_words) row per batch
+    leaves each worker) are OR-merged on the driver — n_words uint64s is
+    1.25 GB/10^9 build keys, the broadcast budget that motivates
+    blooming only the SMALL side. Returns (filt_ref, n_words)."""
     import numpy as np
     import ray
 
@@ -156,7 +170,9 @@ def bloom_prefilter(
     n_words = bloom.bloom_num_words(n_keys)
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(build_on).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, valid = _bloom_keys(batch.column(build_on))
+        if valid is not None:
+            keys = keys[valid]
         bits = bloom.bloom_partial(keys, n_words)
         return pa.table({"bits": pa.FixedSizeListArray.from_arrays(
             pa.array(bits, pa.uint64()), n_words)})
@@ -171,12 +187,41 @@ def bloom_prefilter(
         filt = bloom.bloom_merge(list(flat.reshape(-1, n_words)))
     else:
         filt = np.zeros(n_words, np.uint64)
-    filt_ref = ray.put(filt)
+    return ray.put(filt), n_words
+
+
+def _bloom_mask(filt, col) -> "pa.Array":
+    """Boolean 'might be a build-side member' mask for a probe column;
+    null probe keys are definitely-absent (False)."""
+    from ..functions import bloom
+
+    keys, valid = _bloom_keys(col)
+    m = bloom.bloom_might_contain(filt, keys)
+    if valid is not None:
+        m &= valid
+    return pa.array(m)
+
+
+def bloom_prefilter(
+    probe: ray.data.Dataset,
+    build: ray.data.Dataset,
+    *,
+    probe_on: str,
+    build_on: str,
+) -> ray.data.Dataset:
+    """Drop probe-side rows whose key cannot appear on the build side,
+    using a Bloom filter of the build keys (functions/bloom.py). The
+    big-side shuffle of a subsequent join then moves survivors only; no
+    false negatives, so exact join semantics are preserved by the join
+    itself. (Null probe keys are dropped here — they can never satisfy
+    a semi/inner join predicate.)"""
+    import ray
+
+    filt_ref, _ = _build_bloom_ref(build, build_on)
 
     def keep(batch: pa.Table) -> pa.Table:
         f = ray.get(filt_ref)
-        keys = batch.column(probe_on).to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(bloom.bloom_might_contain(f, keys)))
+        return batch.filter(_bloom_mask(f, batch.column(probe_on)))
 
     keep.__name__ = "bloom_prefilter"
     return probe.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
@@ -368,43 +413,21 @@ def bloom_anti_join(
     anti semantics: a 'definitely absent' probe row is a definite KEEP
     that never enters the keyed exchange; 'possibly present' rows (true
     matches + ~0.8% false positives) go through the exact anti join.
-    Row-identical to hash_join(how='anti')."""
-    import numpy as np
+    Row-identical to hash_join(how='anti') — including null-key left
+    rows, which are definite keeps on both paths (a null key matches
+    nothing, so Arrow's left-anti emits them too)."""
+    import pyarrow.compute as pc
     import ray
 
-    from ..functions import bloom
-    from ..util import dataset_to_table
-
-    n_keys = right.count()
-    n_words = bloom.bloom_num_words(n_keys)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(right_on).to_numpy(zero_copy_only=False).astype(np.int64)
-        bits = bloom.bloom_partial(keys, n_words)
-        return pa.table({"bits": pa.FixedSizeListArray.from_arrays(
-            pa.array(bits, pa.uint64()), n_words)})
-
-    partials_tbl = dataset_to_table(
-        right.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    flat = partials_tbl.column("bits").combine_chunks().flatten().to_numpy(
-        zero_copy_only=False
-    ).astype(np.uint64)
-    if len(flat):
-        filt = bloom.bloom_merge(list(flat.reshape(-1, n_words)))
-    else:
-        filt = np.zeros(n_words, np.uint64)
-    filt_ref = ray.put(filt)
+    filt_ref, _ = _build_bloom_ref(right, right_on)
 
     def definite_keeps(batch: pa.Table) -> pa.Table:
         f = ray.get(filt_ref)
-        keys = batch.column(left_on).to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(~bloom.bloom_might_contain(f, keys)))
+        return batch.filter(pc.invert(_bloom_mask(f, batch.column(left_on))))
 
     def possible_members(batch: pa.Table) -> pa.Table:
         f = ray.get(filt_ref)
-        keys = batch.column(left_on).to_numpy(zero_copy_only=False).astype(np.int64)
-        return batch.filter(pa.array(bloom.bloom_might_contain(f, keys)))
+        return batch.filter(_bloom_mask(f, batch.column(left_on)))
 
     keeps = left.map_batches(definite_keeps, batch_format="pyarrow",
                              zero_copy_batch=True)

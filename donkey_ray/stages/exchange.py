@@ -38,12 +38,31 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Stable (process-independent) uint64 hash per value."""
+    """Stable (process-independent) uint64 hash per value. Null keys are
+    hashed as a sentinel FOR ROUTING ONLY — a nullable int column would
+    otherwise go to numpy through float64 (crashing _mix64 and rounding
+    keys above 2^53); the per-partition kernel still sees the original
+    nulls, and null join keys match nothing there."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
+    if col.null_count:
+        import pyarrow.compute as pc
+
+        if pa.types.is_integer(t):
+            col = pc.fill_null(col, 0)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            col = pc.fill_null(col, "")
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            col = pc.fill_null(col, b"")
     if pa.types.is_integer(t):
-        return _mix64(col.cast(pa.uint64()).to_numpy(zero_copy_only=False))
+        if pa.types.is_unsigned_integer(t):
+            return _mix64(col.cast(pa.uint64()).to_numpy(zero_copy_only=False))
+        # signed: reinterpret the int64 BIT PATTERN (a value cast to
+        # uint64 raises on negative keys); same hash as the value cast
+        # for non-negatives, so existing routing is unchanged
+        arr = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return _mix64(arr.view(np.uint64))
     import hashlib
 
     # strings/binary: hash unique values once, then scatter

@@ -188,3 +188,38 @@ def test_bloom_anti_join_equals_plain_anti(ray_session):
     )).sort_by([("lv", "ascending")])
     assert got.equals(want)
     assert 0 < got.num_rows < left.num_rows
+
+
+def test_joins_nullable_and_large_keys(ray_session):
+    """Nullable int64 keys must not detour through float64: above 2^53
+    the float path rounds distinct keys together (2^60+1 and 2^60+3 both
+    round to 2^60), breaking bloom's no-false-negative guarantee and
+    exchange routing. Null keys must match nothing (SQL semantics) on
+    every plan."""
+    import ray.data
+
+    from donkey_ray.pipelines.joins import bloom_anti_join, bloom_semi_join
+    from donkey_ray.util import dataset_to_table
+
+    big = (1 << 60) + 1
+    big2 = (1 << 60) + 3  # same float64 as big
+    left = pa.table({"k": pa.array([big, big2, None, 7, 8], pa.int64()),
+                     "lv": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    right = pa.table({"rk": pa.array([big, 7, None], pa.int64())})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    def lvs(ds):
+        t = dataset_to_table(ds)
+        return sorted(t.column("lv").to_pylist())
+
+    # reference: Arrow kernel on the undistributed tables
+    want_semi = sorted(left.join(right, keys="k", right_keys="rk",
+                                 join_type="left semi").column("lv").to_pylist())
+    want_anti = sorted(left.join(right, keys="k", right_keys="rk",
+                                 join_type="left anti").column("lv").to_pylist())
+    assert want_semi == [0, 3] and want_anti == [1, 2, 4]
+
+    assert lvs(hash_join(lds, rds, left_on="k", right_on="rk", how="semi")) == want_semi
+    assert lvs(hash_join(lds, rds, left_on="k", right_on="rk", how="anti")) == want_anti
+    assert lvs(bloom_semi_join(lds, rds, left_on="k", right_on="rk")) == want_semi
+    assert lvs(bloom_anti_join(lds, rds, left_on="k", right_on="rk")) == want_anti

@@ -1535,3 +1535,61 @@ def test_cms_never_undercounts(ray_session):
     # 8000 tokens into 4x2048 counters: overcount stays small
     for t in queries[:3]:
         assert est[t] - exact[t] <= 50, (t, est[t], exact[t])
+
+
+def test_percentile_rank_float_values(ray_session):
+    """Float quality signals must rank by VALUE — the old int64 cast
+    truncated 0.9/0.2/0.7 all to 0 and silently ranked by doc_id."""
+    import ray.data
+
+    from donkey_ray.pipelines.analyze import percentile_rank_per_group
+    from donkey_ray.util import dataset_to_table
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "lang": pa.array(["en"] * 3, pa.string()),
+                    "quality": pa.array([0.9, 0.2, 0.7], pa.float64())})
+    out = dataset_to_table(percentile_rank_per_group(
+        ray.data.from_arrow(tbl), group_col="lang", value_col="quality"
+    )).sort_by([("doc_id", "ascending")])
+    assert out.column("pct_x1e6").to_pylist() == [1_000_000, 0, 500_000]
+
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "lang": pa.array(["en"], pa.string()),
+                    "quality": pa.array([float("nan")], pa.float64())})
+    with pytest.raises(Exception, match="NaN"):
+        dataset_to_table(percentile_rank_per_group(
+            ray.data.from_arrow(bad), group_col="lang", value_col="quality"))
+
+
+def test_pagerank_missing_node_raises(ray_session):
+    """A pair endpoint absent from `nodes` must raise, not silently
+    credit its mass to the lexicographically-next node."""
+    import ray.data
+
+    from donkey_ray.pipelines.graph import pagerank
+    from donkey_ray.util import dataset_to_table
+
+    nodes = pa.table({"doc_id": pa.array([1, 2], pa.int64())})
+    pairs = pa.table({"doc_a": pa.array([1, 2], pa.int64()),
+                      "doc_b": pa.array([2, 3], pa.int64())})
+    for mode in ("broadcast", "exchange"):
+        with pytest.raises(Exception, match="missing from"):
+            dataset_to_table(pagerank(
+                ray.data.from_arrow(nodes), ray.data.from_arrow(pairs),
+                iterations=2, mode=mode))
+
+
+def test_triangle_count_negative_ids_raise(ray_session):
+    """Negative node ids collide under the (src,dst)->int64 packing and
+    must be rejected, not silently miscounted."""
+    import ray.data
+
+    from donkey_ray.pipelines.graph import triangle_count
+    from donkey_ray.util import dataset_to_table
+
+    pairs = pa.table({"doc_a": pa.array([-1, -1, 2], pa.int64()),
+                      "doc_b": pa.array([2, 3, 3], pa.int64())})
+    for mode in ("broadcast", "exchange"):
+        with pytest.raises(Exception, match="remap ids"):
+            dataset_to_table(triangle_count(
+                ray.data.from_arrow(pairs), mode=mode))
