@@ -916,6 +916,115 @@ def build_dedup_index(
     return meta
 
 
+# corpus-bitset broadcast budget for the dense delta path: n_docs x W
+# uint64 words must ship once per worker (256 MB ~= 0.5M docs at the
+# 4096-bit vocab ceiling); beyond it the prefix+verify join path wins
+_DENSE_BCAST_MAX_BYTES = 1 << 28
+
+
+def _masks_from_sets(batch: pa.Table, vocab_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, rows x W uint64 bitsets) from a (doc_id, hashes) sets batch
+    — the artifact-side twin of _bitset_rows (which starts from text)."""
+    W = (len(vocab_arr) + 63) // 64
+    values, offsets = _list_column_slices(batch.column("hashes"))
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.zeros((batch.num_rows, W), dtype=np.uint64)
+    if len(values):
+        rows = np.repeat(np.arange(batch.num_rows), np.diff(offsets))
+        bits = np.searchsorted(vocab_arr, values).astype(np.uint64)
+        np.bitwise_or.at(
+            m, (rows, (bits >> np.uint64(6)).astype(np.int64)),
+            np.uint64(1) << (bits & np.uint64(63)),
+        )
+    return ids, m
+
+
+def _ngram_jaccard_delta_dense(
+    index_dir: str,
+    delta: ray.data.Dataset,
+    *,
+    corpus_vocab: np.ndarray,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset | None:
+    """Small-vocab fast path for the delta probe: when the UNION
+    vocabulary (corpus df keys + the delta's distinct shingles) fits
+    DENSE_VOCAB_MAX, candidate generation cannot prune (most cross pairs
+    genuinely qualify) and per-pair set shipping dominates — so compute
+    ALL cross pairs directly: corpus bitsets built from the artifact's
+    sets/ parquet broadcast once (gated by _DENSE_BCAST_MAX_BYTES), each
+    delta batch AND+popcount tiles against them. Exact — identical
+    output to the prefix+verify path (PPJoin completeness makes that
+    path a no-loss filter; this one skips the filter entirely). Returns
+    None when the vocab or broadcast budget rules the path out."""
+    ex = delta.map_batches(
+        lambda b: _explode_shingle_hashes(b, text_col, id_col, n),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def batch_uniques(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("shingle").to_numpy(zero_copy_only=False))
+        return pa.table({"shingle": pa.array(u, pa.uint64())})
+
+    d_uniq_tbl = dataset_to_table(ex.map_batches(
+        batch_uniques, batch_format="pyarrow", zero_copy_batch=True))
+    d_uniq = np.unique(
+        d_uniq_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64))
+    vocab_arr = np.union1d(corpus_vocab, d_uniq)
+    W = (len(vocab_arr) + 63) // 64
+    if len(vocab_arr) > DENSE_VOCAB_MAX:
+        return None
+
+    sets_ds = ray.data.read_parquet(os.path.join(index_dir, "sets"))
+
+    def corpus_masks(batch: pa.Table) -> pa.Table:
+        ids, m = _masks_from_sets(batch, vocab_arr)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "mask": pa.FixedSizeListArray.from_arrays(
+                 pa.array(m.ravel(), pa.uint64()), W)})
+
+    mtbl = dataset_to_table(sets_ds.map_batches(
+        corpus_masks, batch_format="pyarrow", zero_copy_batch=True))
+    if mtbl.num_rows * W * 8 > _DENSE_BCAST_MAX_BYTES:
+        return None
+    gids = mtbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    gmasks = mtbl.column("mask").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.uint64).reshape(len(gids), W)
+    gsizes = _popcount64(gmasks).sum(axis=1)
+    glob_ref = ray.put((gids, gmasks, gsizes))
+
+    def tile(batch: pa.Table) -> pa.Table:
+        cids, cmasks, csizes = ray.get(glob_ref)
+        ids, ms = _bitset_rows(batch, vocab_arr, text_col=text_col,
+                               id_col=id_col, n=n)
+        sz = _popcount64(ms).sum(axis=1)
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            inter = _popcount64(ms[i][None, :] & cmasks).sum(axis=1)
+            union = sz[i] + csizes - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            m = jac >= threshold
+            a_out.append(cids[m])
+            b_out.append(np.full(int(m.sum()), ids[i], dtype=np.int64))
+            j_out.append(jac[m])
+        if not a_out:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        return pa.table(
+            {"doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+             "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+             "jaccard": pa.array(np.concatenate(j_out), pa.float64())})
+
+    tile.__name__ = "delta_dense_tile"
+    return delta.map_batches(tile, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=256)
+
+
 def ngram_jaccard_delta(
     index_dir: str,
     delta: ray.data.Dataset,
@@ -946,6 +1055,19 @@ def ngram_jaccard_delta(
     dfv = dfk_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(dfk)  # searchsorted needs sorted keys whatever the
     dfk, dfv = dfk[o], dfv[o]  # block order of the artifact read was
+
+    if len(dfk) <= DENSE_VOCAB_MAX and threshold > 0:
+        # small corpus vocab: try the dense cross-tile path (returns
+        # None when the union vocab or the corpus-mask broadcast budget
+        # rules it out, in which case fall through to prefix+verify)
+        delta = delta.materialize()  # consumed twice below (vocab probe + tiles)
+        out = _ngram_jaccard_delta_dense(
+            index_dir, delta, corpus_vocab=dfk, n=n, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        if out is not None:
+            return out
+
     df_ref = ray.put((dfk, dfv))
 
     def delta_prefixes(batch: pa.Table) -> pa.Table:

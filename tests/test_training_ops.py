@@ -1593,3 +1593,42 @@ def test_triangle_count_negative_ids_raise(ray_session):
         with pytest.raises(Exception, match="remap ids"):
             dataset_to_table(triangle_count(
                 ray.data.from_arrow(pairs), mode=mode))
+
+
+def test_ngram_jaccard_delta_dense_equals_prefix(ray_session, tmp_path, monkeypatch):
+    """The dense cross-tile fast path must emit EXACTLY the prefix+
+    verify-join path's pairs — including when the delta holds shingles
+    the corpus has never seen (union-vocab coverage)."""
+    import ray.data
+
+    from donkey_ray.pipelines import dedup
+    from donkey_ray.pipelines.dedup import build_dedup_index, ngram_jaccard_delta
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(60):
+        toks = list(rng.choice(vocab, size=rng.integers(4, 15)))
+        texts.append(" ".join(toks))
+    texts[8] = texts[21]  # cross-split near-dup (21 % 3 == 0 -> delta)
+    # delta-only tokens: must count toward the union, shrinking jaccard
+    texts[9] = texts[14] + " zonlya zonlyb"
+    tbl = pa.table({"doc_id": pa.array(np.arange(60), pa.int64()),
+                    "text": pa.array(texts)})
+    corpus = tbl.filter(pa.array(np.arange(60) % 3 != 0))
+    delta_tbl = tbl.filter(pa.array(np.arange(60) % 3 == 0))
+
+    idx = str(tmp_path / "didx")
+    build_dedup_index(ray.data.from_arrow(corpus), idx, n=1, threshold=0.5)
+
+    def run():
+        return dataset_to_table(
+            ngram_jaccard_delta(idx, ray.data.from_arrow(delta_tbl))
+        ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    dense = run()                                  # vocab 62 -> dense path
+    monkeypatch.setattr(dedup, "DENSE_VOCAB_MAX", 0)
+    prefix = run()                                 # forced prefix+verify
+    assert dense.num_rows == prefix.num_rows > 0
+    assert dense.equals(prefix)
