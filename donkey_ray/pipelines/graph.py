@@ -43,6 +43,13 @@ from ..util import dataset_to_table
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
+# driver-local fast-path gates (the graph analogue of dedup's dense
+# dispatch): below these sizes the whole job is a few numpy passes and
+# per-iteration Ray round-trips dominate wall time; above them the
+# distributed broadcast/exchange paths run unchanged
+_LOCAL_MAX_EDGES = 4_000_000
+_LOCAL_MAX_WEDGES = 8_000_000
+
 
 def _checked_lookup(sorted_arr: np.ndarray, keys: np.ndarray, what: str) -> np.ndarray:
     """searchsorted with a membership check: a pair endpoint absent from
@@ -66,6 +73,31 @@ def _checked_lookup(sorted_arr: np.ndarray, keys: np.ndarray, what: str) -> np.n
             f"pagerank: {what} references node ids missing from `nodes` "
             f"(e.g. {missing}) — pass the full node universe")
     return pos
+
+
+def _closed_wedge_count(src: np.ndarray, dst: np.ndarray, dd: np.ndarray,
+                        keys: np.ndarray) -> int:
+    """Count wedges (per-src out-neighbor pairs in (deg, id) order) that
+    close against the sorted packed oriented-edge key set. Shared by the
+    distributed wedge_close kernel and the driver-local small-graph
+    path."""
+    if len(src) == 0:
+        return 0
+    o = np.lexsort((dst, dd, src))
+    src, dst = src[o], dst[o]
+    starts = np.concatenate(([0], np.flatnonzero(src[1:] != src[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [len(src)]))
+    total = 0
+    for s, e in zip(starts, ends):
+        run = dst[s:e]
+        if e - s < 2:
+            continue
+        ai, bi = np.triu_indices(e - s, k=1)
+        wk = run[ai] * (1 << 32) + run[bi]
+        pos = np.searchsorted(keys, wk)
+        total += int(((pos < len(keys))
+                      & (keys[np.minimum(pos, len(keys) - 1)] == wk)).sum())
+    return total
 
 
 def _edges_bidirected(pairs: ray.data.Dataset, a_col: str, b_col: str) -> ray.data.Dataset:
@@ -119,8 +151,37 @@ def pagerank(
         )
     tele = (15 * SCALE) // (100 * n_nodes)
     r0 = SCALE // n_nodes
+    n_pairs = pairs.count()
 
-    if pairs.count() == 0:
+    if mode == "broadcast" and 0 < 2 * n_pairs <= _LOCAL_MAX_EDGES:
+        # small-graph short circuit: the broadcast plan's driver already
+        # holds the rank vector AND merges every iteration's partials, so
+        # below the edge gate the whole 10-iteration job is pure numpy —
+        # per-iteration Ray round-trips would dominate. Identical pinned
+        # integer arithmetic; pytest holds it to the exchange mode.
+        ptbl = dataset_to_table(pairs.select_columns([a_col, b_col]))
+        a = ptbl.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ptbl.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate((a, b))
+        dst = np.concatenate((b, a))
+        ntbl = dataset_to_table(nodes.select_columns([id_col]))
+        node_arr = np.sort(
+            ntbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        spos = _checked_lookup(node_arr, src, "an edge src")
+        dpos = _checked_lookup(node_arr, dst, "an edge dst")
+        deg = np.bincount(spos, minlength=len(node_arr)).astype(np.int64)
+        r_vec = np.full(len(node_arr), r0, dtype=np.int64)
+        for _ in range(iterations):
+            per_edge = r_vec[spos] // deg[spos]
+            inc_vec = np.zeros(len(node_arr), dtype=np.int64)
+            np.add.at(inc_vec, dpos, per_edge)
+            r_vec = tele + (DAMP_NUM * inc_vec) // DAMP_DEN
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(node_arr, pa.int64()),
+                      "rank_ppt": pa.array(r_vec, pa.int64())})
+        )
+
+    if n_pairs == 0:
         # no edges: after >= 1 iteration every node holds pure teleport
         # mass (with 0 iterations the initial uniform rank)
         rank = tele if iterations >= 1 else r0
@@ -438,7 +499,20 @@ def triangle_count(
         es = np.where(a_first, a, b)
         ed = np.where(a_first, b, a)
         dd_v = np.where(a_first, db, da)
-        keys_ref = _ray.put(np.sort(es * (1 << 32) + ed))
+        keys_arr = np.sort(es * (1 << 32) + ed)
+
+        # small-graph short circuit: the driver already holds the whole
+        # oriented edge table; when the wedge count (sum C(outdeg, 2)) is
+        # bounded, the one exchange + task fan-out costs more than the
+        # numpy pass itself
+        out_cnt = np.unique(es, return_counts=True)[1]
+        if int((out_cnt * (out_cnt - 1) // 2).sum()) <= _LOCAL_MAX_WEDGES:
+            total = _closed_wedge_count(es, ed, dd_v, keys_arr)
+            return ray.data.from_arrow(
+                pa.table({"n_triangles": pa.array([total], pa.int64())})
+            )
+
+        keys_ref = _ray.put(keys_arr)
         oriented = ray.data.from_arrow(pa.table(
             {"src": pa.array(es, pa.int64()), "dst": pa.array(ed, pa.int64()),
              "dd": pa.array(dd_v, pa.int64())}
@@ -454,20 +528,7 @@ def triangle_count(
             src = part.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
             dst = part.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
             dd = part.column("dd").to_numpy(zero_copy_only=False).astype(np.int64)
-            o = np.lexsort((dst, dd, src))
-            src, dst = src[o], dst[o]
-            starts = np.concatenate(([0], np.flatnonzero(src[1:] != src[:-1]) + 1))
-            ends = np.concatenate((starts[1:], [len(src)]))
-            total = 0
-            for s, e in zip(starts, ends):
-                run = dst[s:e]
-                if e - s < 2:
-                    continue
-                ai, bi = np.triu_indices(e - s, k=1)
-                wk = run[ai] * (1 << 32) + run[bi]
-                pos = np.searchsorted(keys, wk)
-                total += int(((pos < len(keys))
-                              & (keys[np.minimum(pos, len(keys) - 1)] == wk)).sum())
+            total = _closed_wedge_count(src, dst, dd, keys)
             return pa.table({"t": pa.array([total], pa.int64())})
 
         wedge_close.__name__ = "triangle_wedge_close"

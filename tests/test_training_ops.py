@@ -1632,3 +1632,41 @@ def test_ngram_jaccard_delta_dense_equals_prefix(ray_session, tmp_path, monkeypa
     prefix = run()                                 # forced prefix+verify
     assert dense.num_rows == prefix.num_rows > 0
     assert dense.equals(prefix)
+
+
+def test_graph_local_fastpath_equals_distributed(ray_session, monkeypatch):
+    """The driver-local small-graph short circuits must emit EXACTLY the
+    distributed plans' output (pagerank: all three paths; triangles:
+    local == distributed wedge fan-out)."""
+    import ray.data
+
+    from donkey_ray.pipelines import graph
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(23)
+    ea = rng.integers(0, 50, 150).astype(np.int64)
+    eb = rng.integers(0, 50, 150).astype(np.int64)
+    keep = ea != eb
+    lo, hi = np.minimum(ea, eb)[keep], np.maximum(ea, eb)[keep]
+    uniq = np.unique(lo * 64 + hi)
+    pairs = pa.table({"doc_a": pa.array(uniq // 64, pa.int64()),
+                      "doc_b": pa.array(uniq % 64, pa.int64())})
+    nodes = pa.table({"doc_id": pa.array(np.arange(50), pa.int64())})
+
+    def pr(mode):
+        return dataset_to_table(graph.pagerank(
+            ray.data.from_arrow(nodes), ray.data.from_arrow(pairs),
+            iterations=5, mode=mode,
+        )).sort_by([("doc_id", "ascending")])
+
+    def tri():
+        return dataset_to_table(graph.triangle_count(
+            ray.data.from_arrow(pairs))).column("n_triangles").to_pylist()[0]
+
+    local_pr, local_tri = pr("broadcast"), tri()   # gates open -> local
+    monkeypatch.setattr(graph, "_LOCAL_MAX_EDGES", 0)
+    monkeypatch.setattr(graph, "_LOCAL_MAX_WEDGES", -1)
+    dist_pr, dist_tri = pr("broadcast"), tri()     # forced distributed
+    exch_pr = pr("exchange")
+    assert local_pr.equals(dist_pr) and local_pr.equals(exch_pr)
+    assert local_tri == dist_tri > 0
