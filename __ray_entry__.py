@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": api.q_embedding_neardup,
         "embedding_clusters": api.q_embedding_clusters,
         "knn_label_eval": api.q_knn_label_eval,
+        "pca_component": api.q_pca_component,
+        "pca_residuals": api.q_pca_residuals,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -334,6 +336,22 @@ def _near_sql() -> str:
     )
 
 
+def _pca_sql() -> str:
+    """Distributed-PCA oracle: the identical pinned integer power
+    iteration unrolled in DuckDB CTEs (pipelines/ann.pca_oracle_sql)."""
+    from donkey_ray.pipelines.ann import pca_oracle_sql
+
+    return pca_oracle_sql()
+
+
+def _pca_residuals_sql() -> str:
+    """Top-component-removal oracle: the PCA CTE chain + the mirrored
+    float-assembly projection removal (pipelines/ann)."""
+    from donkey_ray.pipelines.ann import pca_residuals_oracle_sql
+
+    return pca_residuals_oracle_sql()
+
+
 def _pagerank_sql() -> str:
     """PageRank oracle: the unrolled integer-exact power iteration
     (pipelines/graph.pagerank_oracle_sql) over the same near-dup pair
@@ -404,6 +422,8 @@ def _cms_sql() -> str:
 def _oracle_sqls() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(),
+        "pca_component": _pca_sql(),
+        "pca_residuals": _pca_residuals_sql(),
         "term_counts_cms": _cms_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),

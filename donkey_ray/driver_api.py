@@ -1526,6 +1526,34 @@ def q_knn_label_eval(sf_dir: str) -> ray.data.Dataset:
     return knn_label_eval(ds, k=5)
 
 
+def q_pca_component(sf_dir: str) -> pa.Table:
+    """Dominant principal component of the embeddings table via pinned
+    integer power iteration (pipelines/ann.pca_power_iteration) — the
+    distributed-PCA primitive for embedding whitening / drift checks."""
+    from .pipelines.ann import pca_power_iteration
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"],
+        override_num_blocks=8,
+    )
+    return pca_power_iteration(ds)
+
+
+def q_pca_residuals(sf_dir: str) -> ray.data.Dataset:
+    """All-but-the-top common-direction removal: the pinned PCA
+    component's projection subtracted from every embedding
+    (pipelines/ann.remove_top_component) — O(dim) closure state, the
+    corpus streams shuffle-free."""
+    from .pipelines.ann import pca_power_iteration, remove_top_component
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+    )
+    comp = pca_power_iteration(emb)
+    return remove_top_component(emb, comp)
+
+
 def q_embedding_clusters(sf_dir: str) -> ray.data.Dataset:
     """Semantic dedup clusters: distributed connected components over
     the exact cosine pair graph (the same pairs as embedding_neardup),

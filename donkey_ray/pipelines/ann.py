@@ -162,6 +162,224 @@ def brute_force_topk(
     )
 
 
+PCA_SCALE = 10**6  # quantization scale for inputs AND iteration vectors
+
+
+def pca_power_iteration(
+    ds: ray.data.Dataset,
+    *,
+    vec_col: str = "embedding",
+    iterations: int = 8,
+) -> pa.Table:
+    """Dominant principal component via pinned INTEGER power iteration
+    (the distributed-PCA primitive of an embedding-curation pipeline:
+    whitening, drift monitoring, ABTT-style common-direction removal).
+
+    Pinned spec (the DuckDB oracle mirrors it exactly):
+
+    * Inputs quantize half-up in float64: q = floor(v*1e6 + 0.5), int.
+    * Scatter matrix C = N * sum(q q^T) - (sum q)(sum q)^T — the
+      covariance times N^2, kept as EXACT integers so no cross-engine
+      float-sum drift exists.
+    * w_0 = [1e6] * dim; each of ``iterations`` steps: u = C @ w,
+      w = floor-div(u * 1e6, max(abs(u))) elementwise (floor toward
+      -inf on both engines — DuckDB's `//` truncates toward zero and is
+      explicitly corrected in the oracle).
+    * Sign pin: the entry of max |w| (ties: smallest dim) is made
+      positive. Output (dim 1-based, weight_x1e6), |weight| <= 1e6.
+
+    Convergence is the usual power-iteration rate (lambda2/lambda1)^k:
+    with a real eigengap (pytest plants one; lambda ratio 0.1 -> 1e-8
+    residual at k=8) the result IS the dominant eigenvector; on a
+    near-isotropic input the output is still a deterministic pinned
+    vector in the top eigenspace region, identical across engines and
+    block layouts, just not a converged PC — raise ``iterations`` to
+    taste (the oracle unrolls the same count).
+
+    Scale shape: each batch reduces to ONE (count, sum-vector,
+    flattened q^T q matrix) partial — O(dim^2) int64 per batch leaves a
+    worker, the corpus never shuffles, and the driver fold + dim x dim
+    iteration runs in unbounded Python ints (int64 would overflow at
+    ~1e10 rows; the partials stay safe because per-batch sums are
+    bounded by batch_size * max_q^2)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        d = {
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.list_(pa.int64())),
+            "p": pa.array([], pa.list_(pa.int64())),
+        }
+        if batch.num_rows == 0:
+            return pa.table(d)
+        mat = _batch_matrix(batch, vec_col)
+        q = np.floor(mat * PCA_SCALE + 0.5).astype(np.int64)
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "s": pa.array([q.sum(axis=0)], pa.list_(pa.int64())),
+            "p": pa.array([(q.T @ q).ravel()], pa.list_(pa.int64())),
+        })
+
+    tbl = dataset_to_table(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if tbl.num_rows == 0:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "weight_x1e6": pa.array([], pa.int64())})
+    n = sum(tbl.column("n").to_pylist())
+    s_rows = tbl.column("s").to_pylist()
+    p_rows = tbl.column("p").to_pylist()
+    dim = len(s_rows[0])
+    # unbounded Python-int fold (the partials are int64-safe; the fold
+    # and the iteration below are not, at extreme N)
+    s = [sum(r[i] for r in s_rows) for i in range(dim)]
+    t = [sum(r[k] for r in p_rows) for k in range(dim * dim)]
+    c = [[n * t[i * dim + j] - s[i] * s[j] for j in range(dim)]
+         for i in range(dim)]
+    w = [PCA_SCALE] * dim
+    for _ in range(iterations):
+        u = [sum(c[i][j] * w[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            raise ValueError("zero scatter matrix: power iteration is undefined")
+        w = [(x * PCA_SCALE) // m for x in u]
+    lead = min(range(dim), key=lambda i: (-abs(w[i]), i))
+    if w[lead] < 0:
+        w = [-x for x in w]
+    return pa.table({
+        "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+        "weight_x1e6": pa.array(w, pa.int64()),
+    })
+
+
+def _pca_cte_chain(iterations: int = 8) -> str:
+    """The shared DuckDB CTE chain of pca_power_iteration: the identical
+    integer spec with the ``iterations`` steps unrolled, ending in
+    ``wfin`` = the sign-pinned weight vector. DuckDB's integer `//`
+    truncates toward zero, so each step's floor-division is corrected
+    with the remainder CASE (m > 0 always). Every CTE is MATERIALIZED —
+    inlining would re-run the parquet scan once per reference."""
+    sc = PCA_SCALE
+    parts = [f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {sc} + 0.5) AS HUGEINT) AS q
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+nn AS MATERIALIZED (SELECT COUNT(DISTINCT vec_id) AS n FROM q),
+s AS MATERIALIZED (SELECT i, SUM(q) AS s FROM q GROUP BY i),
+tmat AS MATERIALIZED (SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS t
+         FROM q a JOIN q b USING (vec_id) GROUP BY a.i, b.i),
+c AS MATERIALIZED (SELECT tmat.i, tmat.j,
+             (SELECT n FROM nn) * tmat.t - sa.s * sb.s AS c
+      FROM tmat JOIN s sa ON sa.i = tmat.i JOIN s sb ON sb.i = tmat.j),
+w0 AS MATERIALIZED (SELECT DISTINCT i, CAST({sc} AS HUGEINT) AS w FROM q)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+u{k} AS MATERIALIZED (SELECT c.i, SUM(c.c * w.w) AS u
+         FROM c JOIN w{k - 1} w ON w.i = c.j GROUP BY c.i),
+m{k} AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u{k}),
+w{k} AS MATERIALIZED (SELECT i,
+           CASE WHEN (u * {sc}) % (SELECT m FROM m{k}) <> 0 AND u < 0
+                THEN (u * {sc}) // (SELECT m FROM m{k}) - 1
+                ELSE (u * {sc}) // (SELECT m FROM m{k}) END AS w
+         FROM u{k})""")
+    last = f"w{iterations}"
+    parts.append(f""",
+lead AS (SELECT w FROM {last} ORDER BY ABS(w) DESC, i ASC LIMIT 1),
+wfin AS MATERIALIZED (
+  SELECT i, CASE WHEN (SELECT w FROM lead) < 0 THEN -w ELSE w END AS w
+  FROM {last})""")
+    return "".join(parts)
+
+
+def pca_oracle_sql(iterations: int = 8) -> str:
+    """DuckDB mirror of pca_power_iteration: the pinned CTE chain plus
+    the final (dim, weight_x1e6) projection."""
+    return _pca_cte_chain(iterations) + """
+SELECT i::BIGINT AS dim, w::BIGINT AS weight_x1e6 FROM wfin ORDER BY dim"""
+
+
+def pca_residuals_oracle_sql(iterations: int = 8) -> str:
+    """DuckDB mirror of remove_top_component: the PCA chain's wfin
+    feeds the per-(vec, dim) projection removal. The float assembly
+    order (dot * w, then / norm2, subtract, + 0.5, floor) is mirrored
+    exactly; every float operand is an integer < 2^53 so the
+    int->double conversions are exact on both engines."""
+    return _pca_cte_chain(iterations) + """,
+norm2 AS (SELECT SUM(w * w) AS n2 FROM wfin),
+dots AS MATERIALIZED (
+  SELECT q.vec_id, SUM(q.q * wfin.w) AS dot
+  FROM q JOIN wfin ON wfin.i = q.i GROUP BY q.vec_id)
+SELECT q.vec_id, q.i::BIGINT AS dim,
+       CAST(floor(CAST(q.q AS DOUBLE)
+                  - CAST(d.dot AS DOUBLE) * CAST(w.w AS DOUBLE)
+                    / CAST((SELECT n2 FROM norm2) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS resid_x1e6
+FROM q JOIN dots d USING (vec_id) JOIN wfin w ON w.i = q.i
+ORDER BY q.vec_id, dim"""
+
+
+def remove_top_component(
+    ds: ray.data.Dataset,
+    component: "pa.Table | np.ndarray | list[int]",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """All-but-the-top common-direction removal (Mu & Viswanath 2018):
+    subtract each vector's projection onto the dominant component —
+    the standard embedding post-process before cosine retrieval.
+
+    Pinned spec (pca_residuals_oracle_sql mirrors it exactly):
+    q = floor(v*1e6 + 0.5); dot = sum_j q_j*w_j and norm2 = sum_j w_j^2
+    as EXACT integers; resid_x1e6 = floor(q - (dot*w)/norm2 + 0.5) with
+    the multiply-then-divide float64 assembly order fixed (all operands
+    are integers < 2^53, so the int->double conversions are exact and
+    the IEEE op sequence is engine-independent).
+
+    Scale shape: ``component`` (the dim-sized pca_power_iteration
+    output) rides the task closure — O(dim) bytes; the corpus streams
+    through one map_batches, no shuffle, no driver materialization.
+    Output rows: (vec_id, dim 1-based, resid_x1e6)."""
+    if isinstance(component, pa.Table):
+        w = np.asarray(component.column("weight_x1e6").to_pylist(),
+                       dtype=np.int64)
+    else:
+        w = np.asarray(component, dtype=np.int64)
+    n2 = int((w.astype(object) * w.astype(object)).sum())
+    if n2 == 0:
+        raise ValueError("zero component: nothing to remove")
+    wf = w.astype(np.float64)
+    n2f = float(n2)
+
+    def residuals(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "resid_x1e6": pa.array([], pa.int64())})
+        mat = _batch_matrix(batch, vec_col)
+        if mat.shape[1] != len(w):
+            raise ValueError(
+                f"component dim {len(w)} != embedding dim {mat.shape[1]}")
+        q = np.floor(mat * PCA_SCALE + 0.5).astype(np.int64)
+        dot = q @ w  # exact: |dot| <= dim * max|q| * 1e6 < 2^63
+        r = np.floor(
+            q.astype(np.float64) - (dot.astype(np.float64)[:, None] * wf) / n2f
+            + 0.5
+        ).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = len(w)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(ids))),
+            "resid_x1e6": pa.array(r.ravel()),
+        })
+
+    return ds.map_batches(residuals, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def embedding_neardup_pairs(
     ds: ray.data.Dataset,
     *,

@@ -102,6 +102,8 @@ NAMES = [
     "orders_customer_join_skew", "dedup_triangles", "events_validate",
     "orders_customer_join_auto", "doclen_percentiles",
     "orders_anti_building", "lineitem_cube", "events_delta", "term_counts_cms",
+    # session-9 additions
+    "pca_component", "pca_residuals",
 ]
 
 

@@ -1670,3 +1670,106 @@ def test_graph_local_fastpath_equals_distributed(ray_session, monkeypatch):
     exch_pr = pr("exchange")
     assert local_pr.equals(dist_pr) and local_pr.equals(exch_pr)
     assert local_tri == dist_tri > 0
+
+
+def test_pca_power_iteration(ray_session, tmp_path):
+    """Planted dominant direction: the pinned integer power iteration
+    must converge to the eigh eigenvector (cos > 0.999), match the
+    DuckDB oracle exactly, and be invariant to block layout."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from donkey_ray.pipelines.ann import (
+        PCA_SCALE, pca_oracle_sql, pca_power_iteration)
+
+    rng = np.random.default_rng(7)
+    dim, n = 16, 400
+    direction = rng.standard_normal(dim)
+    direction /= np.linalg.norm(direction)
+    mat = (rng.standard_normal((n, 1)) * 3.0 * direction
+           + 0.3 * rng.standard_normal((n, dim))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r for r in mat.tolist()],
+                              pa.list_(pa.float32())),
+    })
+    res = pca_power_iteration(ray.data.from_arrow(tbl))
+    w = np.array(res.column("weight_x1e6").to_pylist(), dtype=np.float64)
+
+    # converged to the true dominant eigenvector
+    cov = np.cov(mat.astype(np.float64).T)
+    v1 = np.linalg.eigh(cov)[1][:, -1]
+    cos = abs(float(v1 @ (w / np.linalg.norm(w))))
+    assert cos > 0.999, cos
+
+    # block-layout invariance (exact: integer spec has no fold order)
+    res4 = pca_power_iteration(ray.data.from_arrow(tbl).repartition(7))
+    assert res.equals(res4)
+
+    # DuckDB oracle equality on the same table
+    p = tmp_path / "emb.parquet"
+    pq.write_table(tbl, p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+    rows = sorted(con.execute(pca_oracle_sql()).fetchall())
+    assert [r[1] for r in rows] == res.column("weight_x1e6").to_pylist()
+    assert rows[0][0] == 1 and len(rows) == dim
+    # sign pin: the max-|w| entry is positive
+    assert w[int(np.argmax(np.abs(w)))] > 0
+    assert int(np.max(np.abs(w))) <= PCA_SCALE
+
+
+def test_remove_top_component(ray_session, tmp_path):
+    """ABTT residuals: engine output equals the DuckDB oracle exactly,
+    residuals are near-orthogonal to the removed component, and the
+    map is block-layout invariant."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from donkey_ray.pipelines.ann import (
+        pca_power_iteration, pca_residuals_oracle_sql, remove_top_component)
+
+    rng = np.random.default_rng(11)
+    dim, n = 12, 300
+    direction = rng.standard_normal(dim)
+    direction /= np.linalg.norm(direction)
+    mat = (rng.standard_normal((n, 1)) * 4.0 * direction
+           + 0.2 * rng.standard_normal((n, dim))).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r for r in mat.tolist()],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    comp = pca_power_iteration(ds)
+    out = dataset_to_table(remove_top_component(ds, comp)).sort_by(
+        [("vec_id", "ascending"), ("dim", "ascending")])
+
+    # residual matrix is near-orthogonal to the component
+    r = np.array(out.column("resid_x1e6").to_pylist(),
+                 dtype=np.float64).reshape(n, dim)
+    w = np.array(comp.column("weight_x1e6").to_pylist(), dtype=np.float64)
+    w /= np.linalg.norm(w)
+    proj = np.abs(r @ w) / (np.linalg.norm(r, axis=1) + 1e-9)
+    assert float(proj.max()) < 1e-3
+
+    # layout invariance
+    out7 = dataset_to_table(
+        remove_top_component(ds.repartition(7), comp)).sort_by(
+        [("vec_id", "ascending"), ("dim", "ascending")])
+    assert out.equals(out7)
+
+    # oracle equality
+    p = tmp_path / "emb.parquet"
+    pq.write_table(tbl, p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+    sql = con.execute(pca_residuals_oracle_sql()).fetchall()
+    eng = list(zip(out.column("vec_id").to_pylist(),
+                   out.column("dim").to_pylist(),
+                   out.column("resid_x1e6").to_pylist()))
+    assert sorted(sql) == sorted(eng)
