@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_eval": api.q_knn_label_eval,
         "pca_component": api.q_pca_component,
         "pca_residuals": api.q_pca_residuals,
+        "kmeans_clusters": api.q_kmeans_clusters,
+        "kmeans_centroids": api.q_kmeans_centroids,
+        "sif_embeddings": api.q_sif_embeddings,
+        "dsir_weights": api.q_dsir_weights,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -352,6 +356,37 @@ def _pca_residuals_sql() -> str:
     return pca_residuals_oracle_sql()
 
 
+def _sif_sql() -> str:
+    """SIF-embedding oracle: identical tokenization, pinned rational
+    weights, sha256 sign vectors, floor division (pipelines/sif.py)."""
+    from donkey_ray.pipelines.sif import sif_oracle_sql
+
+    return sif_oracle_sql()
+
+
+def _dsir_sql() -> str:
+    """DSIR oracle: identical bucket hash + quantized log-likelihoods
+    (pipelines/dsir.dsir_oracle_sql)."""
+    from donkey_ray.pipelines.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql()
+
+
+def _kmeans_clusters_sql() -> str:
+    """k-means oracle: the pinned integer Lloyd iteration unrolled in
+    DuckDB CTEs (pipelines/kmeans.kmeans_clusters_oracle_sql)."""
+    from donkey_ray.pipelines.kmeans import kmeans_clusters_oracle_sql
+
+    return kmeans_clusters_oracle_sql()
+
+
+def _kmeans_centroids_sql() -> str:
+    """k-means centroid-table oracle (pipelines/kmeans)."""
+    from donkey_ray.pipelines.kmeans import kmeans_centroids_oracle_sql
+
+    return kmeans_centroids_oracle_sql()
+
+
 def _pagerank_sql() -> str:
     """PageRank oracle: the unrolled integer-exact power iteration
     (pipelines/graph.pagerank_oracle_sql) over the same near-dup pair
@@ -424,6 +459,10 @@ def _oracle_sqls() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "pca_component": _pca_sql(),
         "pca_residuals": _pca_residuals_sql(),
+        "kmeans_clusters": _kmeans_clusters_sql(),
+        "kmeans_centroids": _kmeans_centroids_sql(),
+        "sif_embeddings": _sif_sql(),
+        "dsir_weights": _dsir_sql(),
         "term_counts_cms": _cms_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),

@@ -21,7 +21,9 @@ Layout:
               scatter-gather + rerank), dedup, components (clusters +
               canonical), ann, ivf, fuzzy (trigram edit-distance),
               analyze, introspect (index stats, suggest), export,
-              joins (hash + as-of), windows, distinct, incremental
+              joins (hash + as-of), windows, distinct, incremental,
+              kmeans (pinned-int Lloyd's), sif (SIF doc embeddings),
+              dsir (importance-weight data selection)
   state/      manifest / lineage / stats (checkpoint + resume)
   serve.py    named-actor index server (ping/search/insert/flush/compact)
   synth.py    deterministic synthetic corpus generator (FIXTURES.md)

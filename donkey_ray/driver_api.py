@@ -1515,6 +1515,66 @@ def q_embedding_neardup(sf_dir: str) -> pa.Table:
     return _round_col(tbl, "cos_sim")
 
 
+def q_dsir_weights(sf_dir: str) -> ray.data.Dataset:
+    """DSIR importance weights (Xie et al. 2023): per-doc target-vs-raw
+    hashed-unigram log-likelihood ratio, target domain lang='en'
+    (pipelines/dsir.py) — the data-selection scorer for building a
+    target-like training corpus. Zero shuffles: fixed-B bucket counts
+    fold on the driver, scoring is a pure map."""
+    from .pipelines.dsir import dsir_weights
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"],
+        override_num_blocks=8,
+    )
+    return dsir_weights(ds, target_lang="en")
+
+
+def q_sif_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """SIF document embeddings (Arora et al. 2017) — pinned integer
+    frequency-weighted sign-vector average (pipelines/sif.py); the
+    model-free documents -> dense-embedding bridge."""
+    from .pipelines.sif import sif_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+    return sif_embeddings(ds)
+
+
+def _kmeans_fit_cached(sf_dir: str) -> list[list[int]]:
+    from .pipelines.kmeans import kmeans_fit
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+    )
+    return kmeans_fit(emb)
+
+
+def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Pinned-integer Lloyd's k-means over the embeddings table: fit K=4
+    centroids (smallest-vec_id init, 4 exact-int iterations), then stream
+    the final (vec_id, cluster) assignment (pipelines/kmeans.py)."""
+    from .pipelines.kmeans import kmeans_assign
+
+    cents = _kmeans_fit_cached(sf_dir)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+    )
+    return kmeans_assign(emb, cents)
+
+
+def q_kmeans_centroids(sf_dir: str) -> pa.Table:
+    """The fitted k-means centroids unnested to (cluster, dim, c_x1e6) —
+    the IVF-coarse-quantizer artifact of the k-means fit."""
+    from .pipelines.kmeans import kmeans_centroids_table
+
+    return kmeans_centroids_table(_kmeans_fit_cached(sf_dir))
+
+
 def q_knn_label_eval(sf_dir: str) -> ray.data.Dataset:
     """Leave-one-out 5-NN label prediction over the labeled embeddings."""
     from .pipelines.ann import knn_label_eval

@@ -103,7 +103,8 @@ NAMES = [
     "orders_customer_join_auto", "doclen_percentiles",
     "orders_anti_building", "lineitem_cube", "events_delta", "term_counts_cms",
     # session-9 additions
-    "pca_component", "pca_residuals",
+    "pca_component", "pca_residuals", "kmeans_clusters", "kmeans_centroids",
+    "sif_embeddings", "dsir_weights",
 ]
 
 

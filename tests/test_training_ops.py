@@ -1773,3 +1773,202 @@ def test_remove_top_component(ray_session, tmp_path):
                    out.column("dim").to_pylist(),
                    out.column("resid_x1e6").to_pylist()))
     assert sorted(sql) == sorted(eng)
+
+
+def test_kmeans_pinned(ray_session, tmp_path):
+    """Planted 4 separated clusters: the pinned integer Lloyd's must
+    recover the planted partition, match the DuckDB oracle exactly, and
+    be invariant to block layout."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from donkey_ray.pipelines.kmeans import (
+        kmeans_assign, kmeans_centroids_oracle_sql, kmeans_centroids_table,
+        kmeans_clusters_oracle_sql, kmeans_fit)
+
+    rng = np.random.default_rng(23)
+    dim, per = 16, 120
+    centers = rng.standard_normal((4, dim)) * 6.0
+    mat = np.concatenate([
+        centers[c] + 0.4 * rng.standard_normal((per, dim))
+        for c in range(4)
+    ]).astype(np.float32)
+    n = 4 * per
+    # shuffle rows so the smallest-vec_id init spans arbitrary clusters
+    perm = rng.permutation(n)
+    planted = np.repeat(np.arange(4), per)[perm]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([r for r in mat[perm].tolist()],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    cents = kmeans_fit(ds)
+    out = dataset_to_table(kmeans_assign(ds, cents)).sort_by("vec_id")
+    got = np.asarray(out.column("cluster").to_pylist())
+
+    # planted partition recovered: every engine cluster maps 1:1 to one
+    # planted cluster (well-separated blobs -> Lloyd's converges)
+    for c in np.unique(got):
+        assert len(set(planted[got == c])) == 1, c
+    assert len(np.unique(got)) == 4
+
+    # layout invariance (exact integer spec)
+    cents7 = kmeans_fit(ds.repartition(7))
+    assert cents7 == cents
+    out7 = dataset_to_table(kmeans_assign(ds.repartition(5), cents7)).sort_by("vec_id")
+    assert out.equals(out7)
+
+    # DuckDB oracle equality on both surfaces
+    p = tmp_path / "emb.parquet"
+    pq.write_table(tbl, p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+    sql_assign = con.execute(kmeans_clusters_oracle_sql()).fetchall()
+    eng_assign = list(zip(out.column("vec_id").to_pylist(),
+                          out.column("cluster").to_pylist()))
+    assert sorted(sql_assign) == sorted(eng_assign)
+    ct = kmeans_centroids_table(cents)
+    sql_cent = con.execute(kmeans_centroids_oracle_sql()).fetchall()
+    eng_cent = list(zip(ct.column("cluster").to_pylist(),
+                        ct.column("dim").to_pylist(),
+                        ct.column("c_x1e6").to_pylist()))
+    assert sorted(sql_cent) == sorted(eng_cent)
+
+
+def test_kmeans_empty_cluster_carry(ray_session):
+    """An init centroid that captures no points must carry unchanged
+    through the update (pinned empty-cluster rule)."""
+    from donkey_ray.pipelines.kmeans import kmeans_fit
+
+    # 3 tight blobs + one outlier point used as an init seed that
+    # immediately loses all points: ids 0..3 are seeds; id 3 duplicates
+    # id 2's location so cluster 4 goes empty after the first assign.
+    # All points sit EXACTLY on 3 locations; seed id 3 duplicates id 2's
+    # location, so every point there ties between clusters 3 and 4 and the
+    # smallest-c rule sends them all to 3 — cluster 4 stays empty in every
+    # iteration and must carry its init vector.
+    base = np.asarray([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [0.0, 10.0]])
+    rows = [base[0], base[1], base[2], base[3]] + [
+        base[i % 3] for i in range(4, 40)
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    import ray.data
+    cents = kmeans_fit(ray.data.from_arrow(tbl))
+    # cluster 4 (0-indexed 3) kept its init vector: quantized base[3]
+    assert cents[3] == [0, 10_000_000]
+
+
+def test_sif_embeddings(ray_session, tmp_path):
+    """SIF doc embeddings: oracle equality, layout invariance, and the
+    SIF semantics (identical docs -> identical vectors; rare terms
+    outweigh ubiquitous ones)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from donkey_ray.pipelines.sif import (
+        SIF_DIM, sif_embeddings, sif_oracle_sql)
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "the the the the the common words only the",
+        "zyzzyva axolotl quine",
+        "",  # token-less doc: must produce no rows
+        "mixed the zyzzyva the the",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = dataset_to_table(sif_embeddings(ds)).sort_by(
+        [("doc_id", "ascending"), ("dim", "ascending")])
+
+    ids = out.column("doc_id").to_pylist()
+    assert 4 not in ids  # empty doc dropped
+    e = {}
+    for d, j, v in zip(ids, out.column("dim").to_pylist(),
+                       out.column("e_x1e6").to_pylist()):
+        e.setdefault(d, []).append(v)
+    assert all(len(v) == SIF_DIM for v in e.values())
+    assert e[0] == e[1]  # identical docs -> identical vectors
+    # doc 5 mixes one rare term among 4 'the': the rare term's weight
+    # must dominate, so doc 5 should be closer (cosine) to doc 3 (rare
+    # terms) than to doc 2 (all-common)
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos(e[5], e[3]) > cos(e[5], e[2])
+
+    # layout invariance
+    out7 = dataset_to_table(sif_embeddings(ds.repartition(5))).sort_by(
+        [("doc_id", "ascending"), ("dim", "ascending")])
+    assert out.equals(out7)
+
+    # DuckDB oracle equality
+    p = tmp_path / "docs.parquet"
+    pq.write_table(tbl, p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    sql = con.execute(sif_oracle_sql()).fetchall()
+    eng = list(zip(out.column("doc_id").to_pylist(),
+                   out.column("dim").to_pylist(),
+                   out.column("e_x1e6").to_pylist()))
+    assert sorted(sql) == sorted(eng)
+
+
+def test_dsir_weights(ray_session, tmp_path):
+    """DSIR scores: oracle equality, layout invariance, and the
+    selection semantics — target-like docs outscore off-target docs."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from donkey_ray.pipelines.dsir import dsir_weights, dsir_oracle_sql
+
+    en = ["the model trains on curated data",
+          "training data quality drives the model",
+          "curated corpora improve model quality",
+          "data selection via importance resampling"]
+    fr = ["le chat dort sur le canapé rouge",
+          "la maison est près de la rivière",
+          "les enfants jouent dans le jardin"]
+    docs = en + fr + ["training data curated quality model",  # en-like holdout
+                      "le jardin de la maison rouge"]          # fr-like holdout
+    langs = ["en"] * 4 + ["fr"] * 3 + ["xx", "xx"]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+        "lang": pa.array(langs),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = dataset_to_table(dsir_weights(ds, target_lang="en")).sort_by("doc_id")
+    scores = dict(zip(out.column("doc_id").to_pylist(),
+                      out.column("score_x1e6").to_pylist()))
+    # the en-like holdout (id 7) must outscore the fr-like holdout (id 8)
+    assert scores[7] > scores[8]
+
+    # layout invariance
+    out5 = dataset_to_table(
+        dsir_weights(ds.repartition(5), target_lang="en")).sort_by("doc_id")
+    assert out.equals(out5)
+
+    # oracle equality
+    p = tmp_path / "docs.parquet"
+    pq.write_table(tbl, p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    sql = con.execute(dsir_oracle_sql(target_lang="en")).fetchall()
+    eng = list(zip(out.column("doc_id").to_pylist(),
+                   out.column("score_x1e6").to_pylist()))
+    assert sorted(sql) == sorted(eng)
