@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": api.q_curate_corpus,
         "mix_sample": api.q_mix_sample,
         "pack_shards": api.q_pack_shards,
+        "stratified_split": api.q_stratified_split,
+        "weighted_sample": api.q_weighted_sample,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
         "prefix_topk": api.q_prefix_topk,
@@ -194,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_centroids": api.q_kmeans_centroids,
         "sif_embeddings": api.q_sif_embeddings,
         "dsir_weights": api.q_dsir_weights,
+        "nb_scores": api.q_nb_scores,
+        "nb_confusion": api.q_nb_confusion,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -372,6 +376,21 @@ def _dsir_sql() -> str:
     return dsir_oracle_sql()
 
 
+def _nb_scores_sql() -> str:
+    """NB classifier oracle: identical bucket hash, class-split counts,
+    quantized per-class log-likelihoods + prior (pipelines/classify)."""
+    from donkey_ray.pipelines.classify import nb_scores_oracle_sql
+
+    return nb_scores_oracle_sql()
+
+
+def _nb_confusion_sql() -> str:
+    """NB holdout confusion-matrix oracle (pipelines/classify)."""
+    from donkey_ray.pipelines.classify import nb_confusion_oracle_sql
+
+    return nb_confusion_oracle_sql()
+
+
 def _kmeans_clusters_sql() -> str:
     """k-means oracle: the pinned integer Lloyd iteration unrolled in
     DuckDB CTEs (pipelines/kmeans.kmeans_clusters_oracle_sql)."""
@@ -463,6 +482,8 @@ def _oracle_sqls() -> dict[str, str]:
         "kmeans_centroids": _kmeans_centroids_sql(),
         "sif_embeddings": _sif_sql(),
         "dsir_weights": _dsir_sql(),
+        "nb_scores": _nb_scores_sql(),
+        "nb_confusion": _nb_confusion_sql(),
         "term_counts_cms": _cms_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),
@@ -1561,6 +1582,47 @@ rates(lang, r) AS (VALUES ('en', 1000), ('de', 500), ('es', 250),
                           ('fr', 125), ('zh', 0))
 SELECT s5.doc_id, s5.lang, s5.text
 FROM s5 JOIN rates USING (lang) WHERE z % 1000 < r
+""",
+        # exact-proportion stratified 80/10/10 split: per-lang rank by
+        # (splitmix64(doc_id), doc_id), integer cut tests r*1000 < n*cut
+        "stratified_split": f"""
+WITH s0 AS (SELECT doc_id, lang,
+        ((doc_id::HUGEINT + 11400714819323198485) % {_M64})::UBIGINT AS z
+        FROM documents),
+s1 AS (SELECT doc_id, lang, xor(z, z >> 30)::HUGEINT AS z FROM s0),
+s2 AS (SELECT doc_id, lang, {_mul64('z', '13787848793156543929')}::UBIGINT AS z FROM s1),
+s3 AS (SELECT doc_id, lang, xor(z, z >> 27)::HUGEINT AS z FROM s2),
+s4 AS (SELECT doc_id, lang, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM s3),
+s5 AS (SELECT doc_id, lang, xor(z, z >> 31) AS z FROM s4),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY z, doc_id) - 1
+               AS r,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s5)
+SELECT doc_id, lang,
+       CASE WHEN r * 1000 < n * 800 THEN 'train'
+            WHEN r * 1000 < n * 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+""",
+        # Efraimidis-Spirakis weighted sample without replacement:
+        # u = (splitmix64(id)+1)/2^64, integer exponential key
+        # (floor(-ln(u)*1e6 + 0.5) * 1e6) // weight, k=50 smallest
+        "weighted_sample": f"""
+WITH s0 AS (SELECT doc_id, n_chars,
+        ((doc_id::HUGEINT + 11400714819323198485) % {_M64})::UBIGINT AS z
+        FROM documents),
+s1 AS (SELECT doc_id, n_chars, xor(z, z >> 30)::HUGEINT AS z FROM s0),
+s2 AS (SELECT doc_id, n_chars, {_mul64('z', '13787848793156543929')}::UBIGINT AS z FROM s1),
+s3 AS (SELECT doc_id, n_chars, xor(z, z >> 27)::HUGEINT AS z FROM s2),
+s4 AS (SELECT doc_id, n_chars, {_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM s3),
+s5 AS (SELECT doc_id, n_chars, xor(z, z >> 31) AS z FROM s4),
+e AS (SELECT doc_id, n_chars::BIGINT AS n_chars,
+             (CAST(floor(-ln((z::DOUBLE + 1) / 18446744073709551616.0)
+                         * 1000000 + 0.5) AS BIGINT) * 1000000)
+               // n_chars::BIGINT AS ekey
+      FROM s5)
+SELECT doc_id, n_chars, ekey FROM e ORDER BY ekey, doc_id LIMIT 50
 """,
         # rolling polynomial hash over per-token sha256-top-8-byte hashes
         # mod 2^61-1 (functions.textstats.fingerprint, pinned): Horner as

@@ -2787,3 +2787,40 @@ def q_term_counts_cms(sf_dir: str) -> pa.Table:
     from .pipelines.analyze import term_counts_cms
 
     return term_counts_cms(_docs(sf_dir, columns=("text",)), CMS_QUERY_TERMS)
+
+
+def q_nb_scores(sf_dir: str) -> ray.data.Dataset:
+    """Naive-Bayes holdout classification (pipelines/classify.py): fit
+    hashed-unigram NB (target lang='en') on even doc_ids, score the odd
+    holdout — (doc_id, score_x1e6, pred, actual). The model-based
+    quality/domain filter of the GPT-3/CCNet curation recipe."""
+    from .pipelines.classify import nb_scores, nb_train
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+    model = nb_train(ds)
+    return nb_scores(_docs(sf_dir, columns=("doc_id", "text", "lang")), model)
+
+
+def q_nb_confusion(sf_dir: str) -> pa.Table:
+    """Holdout confusion matrix of the NB classifier — the eval half of
+    model-based filtering: (actual, pred, n), 4 rows."""
+    from .pipelines.classify import nb_confusion
+
+    return nb_confusion(q_nb_scores(sf_dir))
+
+
+def q_stratified_split(sf_dir: str) -> ray.data.Dataset:
+    """Exact-proportion 80/10/10 train/val/test split, stratified per
+    lang (pipelines/sampling.stratified_split)."""
+    from .pipelines.sampling import stratified_split
+
+    return stratified_split(_docs(sf_dir, columns=("doc_id", "lang")))
+
+
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys, weight = n_chars): the 50 winners."""
+    from .pipelines.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir, columns=("doc_id", "n_chars")), k=50)

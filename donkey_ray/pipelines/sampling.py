@@ -254,3 +254,130 @@ def pack_shards(
         )
 
     return keyed_partition_map(tagged, ["rng"], scan)
+
+
+def stratified_split(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    permille: tuple[int, int] = (800, 100),
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT-proportion stratified train/val/test split: within each
+    ``key_col`` stratum, rows ranked by ascending (splitmix64(id), id)
+    take the first floor-share as 'train', the next as 'val', the rest
+    as 'test' (integer test ``r * 1000 < n * cut`` — no float ratios).
+    Unlike the hash-mod gate (``mix_sample``) the per-stratum
+    proportions are exact, not expected values. Deterministic and
+    layout-independent: the assignment depends only on the stratum's
+    id set. Returns (id_col, key_col, split).
+
+    Scale shape: only a (key, id, z) projection (~24 B/row) enters the
+    stratum-keyed exchange; text never moves. Rank-exact splits need a
+    stratum's projection co-located (1.6 TB of projection per 10^11
+    docs spread across strata — partition-sized in practice); for a
+    single stratum too large for one partition, fall back to the
+    mix_sample hash gate or threshold z against approx_quantiles."""
+    c1, c2 = permille
+    assert c1 + c2 < 1000
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        z = splitmix64(ids.astype(np.uint64))
+        return pa.table({
+            key_col: batch.column(key_col),
+            id_col: pa.array(ids, pa.int64()),
+            "__z": pa.array(z, pa.uint64()),
+        })
+
+    proj = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def assign(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.string()),
+            "split": pa.array([], pa.string()),
+        })
+        if part.num_rows == 0:
+            return empty
+        keys = part.column(key_col).to_numpy(zero_copy_only=False)
+        ids = part.column(id_col).to_numpy(zero_copy_only=False)
+        z = part.column("__z").to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(keys, return_inverse=True)
+        order = np.lexsort((ids, z, inv))
+        ks = inv[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        run_id = np.zeros(len(ks), dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        sizes = np.diff(np.concatenate((starts, [len(ks)])))
+        n = sizes[run_id]
+        r = np.arange(len(ks), dtype=np.int64) - starts[run_id]
+        split = np.where(
+            r * 1000 < n * c1, "train",
+            np.where(r * 1000 < n * (c1 + c2), "val", "test"))
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            key_col: pa.array(keys[order]),
+            "split": pa.array(split, pa.string()),
+        })
+
+    assign.__name__ = "stratified_split"
+    return keyed_partition_map(proj, [key_col], assign,
+                               num_partitions=num_partitions)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    *,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, one distributed pass): each row draws u = (splitmix64(id)+1)
+    / 2^64 and an exponential key e = -ln(u) / w; the k SMALLEST keys
+    win — inclusion probability proportional to the weight column.
+    Pinned integers: e_x = (floor(-ln(u) * 1e6 + 0.5) * 1_000_000) // w
+    (positive operands, so numpy floor-div == DuckDB trunc-div), ties
+    by id asc. The single ln is mirrored operand-for-operand in SQL.
+    Returns (id_col, weight_col, ekey) of the k winners, ekey asc.
+
+    Scale shape: every batch pre-reduces to its local k smallest
+    (vectorized argpartition), so the driver folds O(blocks * k) rows
+    — the corpus never shuffles and no per-row state leaves a worker."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            weight_col: pa.array([], pa.int64()),
+            "ekey": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        z = splitmix64(ids.astype(np.uint64))
+        u = (z.astype(np.float64) + 1.0) / 18446744073709551616.0
+        num = np.floor(-np.log(u) * 1_000_000 + 0.5).astype(np.int64)
+        ekey = (num * 1_000_000) // w
+        m = min(k, len(ekey))
+        sel = np.lexsort((ids, ekey))[:m]
+        return pa.table({
+            id_col: pa.array(ids[sel], pa.int64()),
+            weight_col: pa.array(w[sel], pa.int64()),
+            "ekey": pa.array(ekey[sel], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    from ..util import dataset_to_table
+
+    tbl = dataset_to_table(parts)
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    ekey = tbl.column("ekey").to_numpy(zero_copy_only=False)
+    sel = np.lexsort((ids, ekey))[:k]
+    out = tbl.take(pa.array(sel, pa.int64()))
+    return out

@@ -105,6 +105,7 @@ NAMES = [
     # session-9 additions
     "pca_component", "pca_residuals", "kmeans_clusters", "kmeans_centroids",
     "sif_embeddings", "dsir_weights",
+    "nb_scores", "nb_confusion", "stratified_split", "weighted_sample",
 ]
 
 
