@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": api.q_dsir_weights,
         "nb_scores": api.q_nb_scores,
         "nb_confusion": api.q_nb_confusion,
+        "jl_project": api.q_jl_project,
+        "token_entropy": api.q_token_entropy,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -376,6 +378,22 @@ def _dsir_sql() -> str:
     return dsir_oracle_sql()
 
 
+def _jl_project_sql() -> str:
+    """JL projection oracle: identical quantization + sha256 signs
+    (pipelines/project.jl_project_oracle_sql)."""
+    from donkey_ray.pipelines.project import jl_project_oracle_sql
+
+    return jl_project_oracle_sql()
+
+
+def _token_entropy_sql() -> str:
+    """Token-entropy oracle: per-term quantized contributions, exact
+    integer fold (pipelines/analyze.token_entropy_oracle_sql)."""
+    from donkey_ray.pipelines.analyze import token_entropy_oracle_sql
+
+    return token_entropy_oracle_sql()
+
+
 def _nb_scores_sql() -> str:
     """NB classifier oracle: identical bucket hash, class-split counts,
     quantized per-class log-likelihoods + prior (pipelines/classify)."""
@@ -484,6 +502,8 @@ def _oracle_sqls() -> dict[str, str]:
         "dsir_weights": _dsir_sql(),
         "nb_scores": _nb_scores_sql(),
         "nb_confusion": _nb_confusion_sql(),
+        "jl_project": _jl_project_sql(),
+        "token_entropy": _token_entropy_sql(),
         "term_counts_cms": _cms_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),

@@ -2824,3 +2824,24 @@ def q_weighted_sample(sf_dir: str) -> pa.Table:
 
     return weighted_sample(
         _docs(sf_dir, columns=("doc_id", "n_chars")), k=50)
+
+
+def q_jl_project(sf_dir: str) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss +-1 projection of the embeddings to 16 dims
+    (pipelines/project.py) — the dimensionality-reduction front of the
+    ANN stack; exact-int outputs, shuffle-free map."""
+    from .pipelines.project import jl_project
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        override_num_blocks=8,
+    )
+    return jl_project(ds)
+
+
+def q_token_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc unigram Shannon entropy (pinned exact-integer spec) —
+    the low-entropy boilerplate/keyword-stuffing quality signal."""
+    from .pipelines.analyze import token_entropy
+
+    return token_entropy(_docs(sf_dir))

@@ -1517,3 +1517,86 @@ def term_counts_cms(
     est = cms_query(sk, qkeys)
     return pa.table({"term": pa.array(terms, pa.string()),
                      "est_count": pa.array(est, pa.int64())})
+
+
+def token_entropy(ds: ray.data.Dataset, *, text_col: str = "text",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc unigram Shannon entropy — the "natural text vs keyword
+    stuffing / boilerplate" quality signal (low entropy = few distinct
+    tokens dominate). Pinned exact-integer spec:
+
+        H(d) = ln(n) - (1/n) * sum_t m_t ln(m_t)
+
+    with each term's contribution quantized BEFORE the sum —
+    L_t = floor(m_t * ln(m_t) * 1e6 + 0.5) — so the per-doc sum S is an
+    exact integer and entropy_x1e6 = floor(ln(n) * 1e6 + 0.5) - S // n
+    (nonnegative operands: numpy floor-div == DuckDB trunc-div). The
+    only float op is one ln per distinct (doc, term), mirrored
+    operand-for-operand in the oracle. Token-less docs emit no rows.
+
+    Scale shape: shuffle-free pure per-batch map (docs are whole rows,
+    so in-batch term counts are global term counts); one lexsort per
+    batch makes the (doc, term) multiplicities."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "entropy_x1e6": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, parents, _ = _TOK.tokenize_column(col)
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        tidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parents.astype(np.int64)
+        order = np.lexsort((tidx, par))
+        ps, ts = par[order], tidx[order]
+        new = np.concatenate(([True], (ps[1:] != ps[:-1])
+                              | (ts[1:] != ts[:-1])))
+        starts = np.flatnonzero(new)
+        m = np.diff(np.concatenate((starts, [len(ps)])))
+        run_doc = ps[starts]
+        L = np.floor(m * np.log(m) * 1_000_000 + 0.5).astype(np.int64)
+        nrows = batch.num_rows
+        S = np.zeros(nrows, dtype=np.int64)
+        np.add.at(S, run_doc, L)
+        n = np.bincount(par, minlength=nrows).astype(np.int64)
+        seen = n > 0
+        ln_n = np.floor(np.log(n[seen]) * 1_000_000 + 0.5).astype(np.int64)
+        ent = ln_n - S[seen] // n[seen]
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[seen]),
+            "n_tokens": pa.array(n[seen]),
+            "entropy_x1e6": pa.array(ent),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_entropy_oracle_sql(*, table: str = "documents") -> str:
+    """DuckDB mirror of token_entropy: identical tokenization, per-term
+    quantized contributions, exact-integer fold, trunc-div (operands
+    nonnegative so trunc == floor)."""
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM {table}),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*)::BIGINT AS m FROM tok GROUP BY 1, 2),
+s AS MATERIALIZED (
+  SELECT doc_id,
+         sum(CAST(floor(m * ln(m) * 1000000 + 0.5) AS BIGINT))::BIGINT AS s,
+         sum(m)::BIGINT AS n
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens,
+       (CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) - s // n)::BIGINT
+         AS entropy_x1e6
+FROM s
+ORDER BY doc_id"""

@@ -106,6 +106,7 @@ NAMES = [
     "pca_component", "pca_residuals", "kmeans_clusters", "kmeans_centroids",
     "sif_embeddings", "dsir_weights",
     "nb_scores", "nb_confusion", "stratified_split", "weighted_sample",
+    "jl_project", "token_entropy",
 ]
 
 
