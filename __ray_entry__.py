@@ -33,6 +33,25 @@ def _mul64(a: str, c: str) -> str:
     )
 
 
+def _smix(prefix: str, src: str, cols: str, inexpr: str) -> str:
+    """CTE stages applying the engine's pinned splitmix64 finalization
+    (functions.hashing.splitmix64 / textstats._mix64_np) to ``inexpr``
+    — a HUGEINT expression in [0, 2^64) — carrying ``cols`` through.
+    The last stage is ``{prefix}5`` with the mixed value in column z
+    (UBIGINT). 64-bit multiplies wrap via _mul64 limb products."""
+    c = f"{cols}, " if cols else ""
+    return f"""
+{prefix}0 AS (SELECT {c}((({inexpr}) + 11400714819323198485) % {_M64})::UBIGINT AS z FROM {src}),
+{prefix}1 AS (SELECT {c}xor(z, z >> 30)::HUGEINT AS z FROM {prefix}0),
+{prefix}2 AS (SELECT {c}{_mul64('z', '13787848793156543929')}::UBIGINT AS z FROM {prefix}1),
+{prefix}3 AS (SELECT {c}xor(z, z >> 27)::HUGEINT AS z FROM {prefix}2),
+{prefix}4 AS (SELECT {c}{_mul64('z', '10723151780598845931')}::UBIGINT AS z FROM {prefix}3),
+{prefix}5 AS (SELECT {c}xor(z, z >> 31) AS z FROM {prefix}4)"""
+
+
+# FNV-64 prime: the pinned shingle/band polynomial multiplier
+_FNV = "1099511628211"
+
 # shared CTE chain: exact unigram-Jaccard pair graph -> per-node
 # component-min label (used by dedup_clusters and cluster_canonical)
 _CLUSTER_CTE = """
@@ -1818,6 +1837,90 @@ SELECT da AS doc_a, db AS doc_b,
        round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
 FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
 WHERE c::DOUBLE / (x.n + y.n - c) >= 0.5
+""",
+        # MinHash+LSH near-dup pairs, the FULL engine chain recomputed in
+        # SQL (pipelines/dedup.minhash_neardup_pairs): sha256-top64 token
+        # hashes -> FNV-combined 3-gram windows -> splitmix-finalized
+        # shingle hashes -> 128 splitmix-derived universal-hash perms mod
+        # 2^31-1 -> per-perm min signature -> 32x4 FNV-banded splitmix keys
+        # -> pairs sharing any band key -> exact shingle-Jaccard >= 0.5
+        "minhash_neardup": f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+tu AS (SELECT doc_id, i, toks[i] AS s
+       FROM tok, unnest(generate_series(1, len(toks))) AS t(i)),
+th AS (SELECT doc_id, i, ({_HEX64})::HUGEINT AS h FROM tu),
+w0 AS (SELECT a.doc_id, ({_mul64('a.h', _FNV)} + b.h) % {_M64} AS acc, c.h AS h2
+       FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                 JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+w1 AS (SELECT doc_id, ({_mul64('acc', _FNV)} + h2) % {_M64} AS v FROM w0),
+{_smix('g', 'w1', 'doc_id', 'v')},
+sh AS (SELECT DISTINCT doc_id, z AS s FROM g5),
+szh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pi AS (SELECT unnest(generate_series(0, 127))::HUGEINT AS i),
+{_smix('pa', 'pi', 'i', '2*i + 1')},
+{_smix('pb', 'pi', 'i', '2*i + 2')},
+perm AS (SELECT pa5.i AS p, (pa5.z % 2147483646)::HUGEINT + 1 AS a,
+                (pb5.z % 2147483647)::HUGEINT AS b
+         FROM pa5 JOIN pb5 ON pa5.i = pb5.i),
+xs AS (SELECT doc_id, (s % 2147483647)::HUGEINT AS x FROM sh),
+sig AS (SELECT doc_id, p, min((a * x + b) % 2147483647) AS sv
+        FROM xs CROSS JOIN perm GROUP BY 1, 2),
+sigl AS (SELECT doc_id, p // 4 AS band_i, list(sv ORDER BY p) AS svs
+         FROM sig GROUP BY 1, 2),
+b0 AS (SELECT doc_id, band_i, svs[3] AS s2, svs[4] AS s3,
+              ({_mul64('svs[1]', _FNV)} + svs[2]) % {_M64} AS acc FROM sigl),
+b1 AS (SELECT doc_id, band_i, s3,
+              ({_mul64('acc', _FNV)} + s2) % {_M64} AS acc FROM b0),
+b2 AS (SELECT doc_id, band_i,
+              ({_mul64('acc', _FNV)} + s3) % {_M64} AS acc FROM b1),
+bx AS (SELECT doc_id, band_i,
+              xor(acc::UBIGINT,
+                  ({_mul64('band_i::HUGEINT', '11400714819323198485')})::UBIGINT
+                  )::HUGEINT AS v FROM b2),
+{_smix('k', 'bx', 'doc_id, band_i', 'v')},
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM k5 x JOIN k5 y ON x.z = y.z AND x.doc_id < y.doc_id),
+iv AS (SELECT c.a, c.b, count(*) AS c
+       FROM cand c JOIN sh p ON p.doc_id = c.a
+                   JOIN sh q ON q.doc_id = c.b AND q.s = p.s
+       GROUP BY 1, 2)
+SELECT iv.a AS doc_a, iv.b AS doc_b,
+       round(iv.c::DOUBLE / (x.n + y.n - iv.c), 6) AS jaccard
+FROM iv JOIN szh x ON x.doc_id = iv.a JOIN szh y ON y.doc_id = iv.b
+WHERE iv.c::DOUBLE / (x.n + y.n - iv.c) >= 0.5
+""",
+        # HyperLogLog p=12 approximate distinct users per event type —
+        # the IDENTICAL sketch recomputed in SQL (functions/sketch.py
+        # hll_partial/hll_estimate): splitmix64 value hash, register =
+        # top-12 bits, rank = leading zeros of (h<<12 | 0xFFF) + 1 via
+        # bin() length, exact HUGEINT harmonic sum S = sum 2^(64-r),
+        # pinned float assembly alpha*m*m*2^64 / S, linear counting for
+        # the small range
+        "events_distinct_approx": f"""
+WITH va AS (SELECT event_type, user_id::HUGEINT AS u FROM events),
+{_smix('h', 'va', 'event_type', 'u')},
+rk AS (SELECT event_type, z >> 52 AS idx,
+              65 - length(bin(((z::HUGEINT % 4503599627370496) * 4096
+                               + 4095)::UBIGINT)) AS r
+       FROM h5),
+regs AS (SELECT event_type, idx, max(r) AS r FROM rk GROUP BY 1, 2),
+agg AS (SELECT event_type, count(*) AS np,
+               sum(4::HUGEINT * (1::UBIGINT << (62 - r))::HUGEINT) AS sp
+        FROM regs GROUP BY 1),
+fin AS (SELECT event_type, (4096 - np) AS zeros,
+               ((4096 - np)::HUGEINT * 18446744073709551616::HUGEINT + sp)
+                 AS s_scaled
+        FROM agg),
+est AS (SELECT event_type, zeros,
+               ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096
+                * 18446744073709551616.0) / s_scaled::DOUBLE AS e
+        FROM fin)
+SELECT event_type,
+       round(CASE WHEN e <= 10240.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE e END, 6)
+         AS n_distinct_approx
+FROM est
 """,
         # per-lang integer-exact percentile rank of doc token counts
         # (((row_number-1) * 1e6) // (n-1), 0 for singleton groups)

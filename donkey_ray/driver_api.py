@@ -23,7 +23,10 @@ from .pipelines.query import score_queries
 from .sources.corpus import documents_as_corpus
 from .util import dataset_to_table
 
-CACHE_ROOT = "/tmp/donkey_ray_cache"
+# v3: token_hash64 pinned to sha256-top64 (minhash SQL oracle) — every
+# shingle-hash-bearing artifact (pair graph, clusters, dedup index)
+# changes value, so the whole cache namespace is versioned
+CACHE_ROOT = "/tmp/donkey_ray_cache_v3"
 
 # Pinned query set over the documents corpus (terms from its vocabulary,
 # plus an absent term and a duplicated term — FIXTURES.md section 2 mix)
@@ -2009,16 +2012,18 @@ def q_events_distinct_approx(sf_dir: str) -> pa.Table:
     """Approximate distinct users per event type via mergeable HLL
     register partials (p=12, ~1% typical error) — the sketch shape for
     10^12-row groups where even distinct pairs are too many to shuffle.
-    No SQL oracle (approximate by design); accuracy is pytest-gated
-    against the exact count."""
+    The DuckDB oracle recomputes the IDENTICAL sketch (splitmix64 hash,
+    register max, exact-integer harmonic sum, pinned float assembly) in
+    SQL; accuracy vs the exact count is additionally pytest-gated."""
     from .pipelines.distinct import approx_distinct_per_group
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
         override_num_blocks=8,
     )
-    return approx_distinct_per_group(
-        ds, group_col="event_type", value_col="user_id"
+    return _round_col(
+        approx_distinct_per_group(ds, group_col="event_type", value_col="user_id"),
+        "n_distinct_approx",
     )
 
 

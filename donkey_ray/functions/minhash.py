@@ -2,9 +2,11 @@
 
 MinHash: 128 universal-hash permutations h_i(x) = (a_i*x + b_i) mod p over
 64-bit shingle hashes (p = 2^31-1, so a_i*x fits uint64 and the whole
-signature vectorizes); LSH banding NUM_BANDS=32 bands x ROWS_PER_BAND=4
-rows. SimHash: 64-bit sign-of-weighted-bit-sums over token hashes,
-near-dup via 4x16-bit band buckets + Hamming check.
+signature vectorizes); params a_i/b_i are splitmix64-derived and the
+shingle hashes sha256-based, so a DuckDB oracle can recompute the FULL
+signature + LSH chain in SQL. LSH banding NUM_BANDS=32 bands x
+ROWS_PER_BAND=4 rows. SimHash: 64-bit sign-of-weighted-bit-sums over
+token hashes, near-dup via 4x16-bit band buckets + Hamming check.
 
 All numpy-vectorized over the shingle/token hash arrays.
 """
@@ -27,10 +29,15 @@ _P = np.uint64((1 << 31) - 1)
 _TOK = SimpleTokenizer()
 
 
-def _perm_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_P), size=NUM_PERMS, dtype=np.uint64)
-    b = rng.integers(0, int(_P), size=NUM_PERMS, dtype=np.uint64)
+def _perm_params() -> tuple[np.ndarray, np.ndarray]:
+    """Permutation params pinned to splitmix64 (NOT an RNG object) so the
+    DuckDB oracle can regenerate the identical a_i/b_i in SQL:
+    a_i = splitmix64(2i+1) % (p-1) + 1, b_i = splitmix64(2i+2) % p."""
+    from .hashing import splitmix64
+
+    i = np.arange(NUM_PERMS, dtype=np.uint64)
+    a = splitmix64(np.uint64(2) * i + np.uint64(1)) % (_P - np.uint64(1)) + np.uint64(1)
+    b = splitmix64(np.uint64(2) * i + np.uint64(2)) % _P
     return a, b
 
 

@@ -10,6 +10,8 @@ process-independent mixer), so partials from any worker merge exactly.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 _SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -54,13 +56,25 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def hll_estimate(regs: np.ndarray) -> float:
-    """Cardinality estimate with linear counting for the small range."""
+    """Cardinality estimate with linear counting for the small range.
+
+    The harmonic sum is assembled as the EXACT integer S = sum_j 2^(64-r_j)
+    (each term a power of two; the fold can't lose bits), then one pinned
+    float expression alpha*m*m*2^64 / float(S) — so the DuckDB oracle
+    computes the bit-identical estimate (HUGEINT sum + the same literal
+    float assembly), with no order-dependent float summation anywhere."""
     m = len(regs)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int((regs == 0).sum())
+    counts = np.bincount(regs.astype(np.int64), minlength=65)
+    s_scaled = 0
+    for r in range(65):
+        c = int(counts[r])
+        if c:
+            s_scaled += c << (64 - r)
+    est = (alpha * m * m * 18446744073709551616.0) / float(s_scaled)
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
-        return m * np.log(m / zeros)
+        return float(m) * math.log(m / zeros)
     return float(est)
 
 

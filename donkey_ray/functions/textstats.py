@@ -65,14 +65,18 @@ def lang_id(text: str) -> str:
 
 
 def token_hash64(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
+    """Pinned token hash: top 8 bytes of sha256, big-endian. sha256 (not
+    blake2b) so DuckDB oracles can mirror every shingle/minhash chain
+    exactly (`sha256()` exists in SQL; blake2b does not). Hashed once per
+    UNIQUE token everywhere (dictionary encode), so the digest choice is
+    off the hot path."""
+    return int.from_bytes(hashlib.sha256(token.encode()).digest()[:8], "big")
 
 
 def fp_token_hash64(token: str) -> int:
-    """Token hash for FINGERPRINTS only: top 8 bytes of sha256, big-endian.
-    Pinned to sha256 (not blake2b) so the DuckDB oracle can mirror it
-    exactly (`sha256()` exists in SQL; blake2b does not)."""
-    return int.from_bytes(hashlib.sha256(token.encode()).digest()[:8], "big")
+    """Alias kept for the fingerprint call sites (same pinned sha256-top64
+    hash as token_hash64 since the minhash oracle landed)."""
+    return token_hash64(token)
 
 
 def fingerprint(text: str) -> int:
@@ -96,7 +100,7 @@ def shingles(text: str, n: int = 3) -> list[str]:
     return list(seen)
 
 
-# Shingle hashing is pinned as: blake2b-8 per TOKEN, combined across the
+# Shingle hashing is pinned as: sha256-top-8 per TOKEN, combined across the
 # n-gram window by an order-sensitive polynomial over uint64 (wrapping),
 # then splitmix-finalized. Chosen over hashing the joined string so the
 # COLUMN kernel below can compute every shingle of a batch with shifted
@@ -136,7 +140,7 @@ def shingle_hash_column(col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch twin of ``shingle_hashes``: for a string column,
     returns (values, offsets) where values[offsets[i]:offsets[i+1]] is
     row i's SORTED DISTINCT shingle-hash set. Tokens are hashed once per
-    unique token (dictionary encode + blake2b); window combination and
+    unique token (dictionary encode + sha256-top64); window combination and
     per-row dedup are shifted-array numpy ops."""
     import pyarrow as pa
 

@@ -627,7 +627,7 @@ def doc_fingerprints(ds: ray.data.Dataset, *, text_col: str = "text",
     """(doc_id, fingerprint) rolling-hash document fingerprints.
 
     Token hashes are computed once per UNIQUE token (dictionary encode +
-    blake2b per dictionary entry); the Horner recurrence itself stays a
+    sha256-top64 per dictionary entry); the Horner recurrence itself stays a
     per-doc loop because each step is a 61-bit modular multiply of the
     previous state — sequential by definition and >64-bit intermediate,
     so numpy cannot express it. Semantics pinned by textstats.fingerprint."""

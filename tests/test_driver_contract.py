@@ -107,6 +107,8 @@ NAMES = [
     "sif_embeddings", "dsir_weights",
     "nb_scores", "nb_confusion", "stratified_split", "weighted_sample",
     "jl_project", "token_entropy",
+    # session-11 additions
+    "minhash_neardup", "events_distinct_approx",
 ]
 
 
@@ -139,8 +141,7 @@ def test_query_matches_oracle(contract, oracle_con, name):
 def test_rows_only_queries_run(contract):
     qs, sqls = contract
     rows_only = set(qs) - set(sqls)
-    assert rows_only == {"minhash_neardup", "events_distinct_approx",
-                         "ann_graph_topk", "compressibility"}
+    assert rows_only == {"ann_graph_topk", "compressibility"}
     for name in sorted(rows_only):
         df = _to_df(qs[name](SF_DIR))
         assert len(df) >= 0 and len(df.columns) >= 2
