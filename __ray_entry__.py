@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_confusion": api.q_nb_confusion,
         "jl_project": api.q_jl_project,
         "token_entropy": api.q_token_entropy,
+        "bpe_merges": api.q_bpe_merges,
+        "bpe_encode": api.q_bpe_encode,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -413,6 +415,22 @@ def _token_entropy_sql() -> str:
     return token_entropy_oracle_sql()
 
 
+def _bpe_merges_sql() -> str:
+    """BPE training oracle: the pinned spec unrolled round-by-round in
+    MATERIALIZED CTEs (pipelines/bpe.bpe_merges_oracle_sql)."""
+    from donkey_ray.pipelines.bpe import bpe_merges_oracle_sql
+
+    return bpe_merges_oracle_sql(api.BPE_NUM_MERGES)
+
+
+def _bpe_encode_sql() -> str:
+    """BPE encode oracle: per-unique-word symbol counts after the full
+    merge chain, joined back onto each doc's word stream."""
+    from donkey_ray.pipelines.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(api.BPE_NUM_MERGES)
+
+
 def _nb_scores_sql() -> str:
     """NB classifier oracle: identical bucket hash, class-split counts,
     quantized per-class log-likelihoods + prior (pipelines/classify)."""
@@ -523,6 +541,8 @@ def _oracle_sqls() -> dict[str, str]:
         "nb_confusion": _nb_confusion_sql(),
         "jl_project": _jl_project_sql(),
         "token_entropy": _token_entropy_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "term_counts_cms": _cms_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),

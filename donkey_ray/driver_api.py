@@ -2850,3 +2850,29 @@ def q_token_entropy(sf_dir: str) -> ray.data.Dataset:
     from .pipelines.analyze import token_entropy
 
     return token_entropy(_docs(sf_dir))
+
+
+# BPE merge count: 10 rounds keeps the unrolled SQL-oracle CTE chain
+# tractable while exercising multi-char merges (round 8+ merges a
+# 2-char symbol at sf0.01)
+BPE_NUM_MERGES = 10
+
+
+def q_bpe_merges(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer training (pipelines/bpe.py): the first
+    10 learned merges (merge_round, lhs, rhs, pair_count).  One corpus
+    pass for word counts; each round is one vocab-bounded keyed exchange
+    + a P-row driver argmax."""
+    from .pipelines.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), num_merges=BPE_NUM_MERGES)
+
+
+def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token counts under the learned BPE merges — the encode
+    half of the tokenizer: merge table ships once, corpus streams
+    through one shuffle-free map."""
+    from .pipelines.bpe import bpe_encode_counts, bpe_train
+
+    merges = bpe_train(_docs(sf_dir), num_merges=BPE_NUM_MERGES)
+    return bpe_encode_counts(_docs(sf_dir), merges)
