@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": api.q_token_entropy,
         "bpe_merges": api.q_bpe_merges,
         "bpe_encode": api.q_bpe_encode,
+        "prf_topk": api.q_prf_topk,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -883,6 +884,66 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # pseudo-relevance feedback: stage-1 BM25 top-10 feedback docs,
+        # 3 expansion terms by integer-exact tf-idf (summed feedback tf x
+        # floor(ln((N+1)/(df+1))*1e6+0.5), ties term asc, original terms
+        # excluded), stage-2 boosted BM25 (expansion weight 0.5)
+        "prf_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text) AS (VALUES (0,'table'),(1,'spark merge'),
+                             (2,'window sort key'),(3,'zzzabsent'),
+                             (4,'value value')),
+qt AS (SELECT DISTINCT query_id,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+s1 AS (
+  SELECT qt.query_id, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2),
+fb AS (SELECT query_id, doc_id FROM (
+         SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+         FROM s1) WHERE rank <= 10),
+ftf AS (SELECT f.query_id, t.term, sum(t.tf)::BIGINT AS tfs
+        FROM fb f JOIN tf t ON t.doc_id = f.doc_id GROUP BY 1,2),
+cand AS (SELECT c.query_id, c.term,
+                c.tfs * CAST(floor(ln((s.n_docs + 1.0)/(df.df + 1.0))
+                                   * 1000000 + 0.5) AS BIGINT) AS sc
+         FROM ftf c JOIN df ON df.term = c.term CROSS JOIN stats s
+         LEFT JOIN qt ON qt.query_id = c.query_id AND qt.term = c.term
+         WHERE qt.term IS NULL),
+exp AS (SELECT query_id, term FROM (
+          SELECT query_id, term,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sc DESC, term ASC) AS rnk
+          FROM cand) WHERE rnk <= 3),
+q2 AS (SELECT query_id, term, 1.0 AS w FROM qt
+       UNION ALL SELECT query_id, term, 0.5 AS w FROM exp),
+s2 AS (
+  SELECT q2.query_id, tf.doc_id,
+    sum( q2.w * ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q2 JOIN tf ON tf.term = q2.term
+  JOIN df ON df.term = q2.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2),
+ranked2 AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC) AS rank
+            FROM s2)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked2 WHERE rank <= 10
 """,
         # exact hit counts: union cardinality of matching docs per query
         "hit_counts": f"""

@@ -2876,3 +2876,25 @@ def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
 
     merges = bpe_train(_docs(sf_dir), num_merges=BPE_NUM_MERGES)
     return bpe_encode_counts(_docs(sf_dir), merges)
+
+
+def q_prf_topk(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback retrieval: BM25 top-10 feedback docs,
+    3 integer-exact tf-idf expansion terms at boost 0.5, one boosted
+    re-query (pipelines/query.prf_topk)."""
+    from .pipelines.query import prf_topk
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = prf_topk(
+        index_dir, queries, f"{sf_dir}/documents.parquet",
+        feedback_docs=10, expansion_terms=3, expansion_weight=0.5, k=10,
+    )
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")

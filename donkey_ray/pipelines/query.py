@@ -817,3 +817,91 @@ def rrf_fuse(
             "rrf": pa.array(out["rrf"], pa.float64()),
         }
     )
+
+
+def prf_topk(
+    index_dir: str,
+    queries: pa.Table,
+    texts: pa.Table | str,
+    *,
+    feedback_docs: int = 10,
+    expansion_terms: int = 3,
+    expansion_weight: float = 0.5,
+    k: int = 10,
+    mode: str = "auto",
+) -> pa.Table:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM-style
+    two-pass retrieval): stage 1 retrieves top-``feedback_docs`` per
+    query with plain BM25; the ``expansion_terms`` best NEW terms across
+    those docs — integer-exact tf-idf, score = (summed feedback tf) x
+    idf_x1e6 with the tfidf_keywords-pinned quantization
+    ``floor(ln((N+1)/(df+1))*1e6 + 0.5)``, ties term asc — are appended
+    to the query with boost ``expansion_weight``; stage 2 is one boosted
+    disjunctive BM25 (original terms boost 1.0). Final ties: score desc,
+    doc_id asc.
+
+    Scale shape: expansion cost is O(queries x feedback_docs x doc
+    length) BY CONSTRUCTION — feedback texts are hydrated with a doc_id
+    pushdown read after the candidate set is known, df comes from the
+    index's sharded dictionary, and the corpus is never re-read."""
+    import math
+
+    from ..stages.score import QueryEngine
+    from ..util import dataset_to_table
+
+    res = dataset_to_table(
+        score_queries(index_dir, queries.set_column(
+            queries.column_names.index("k"), "k",
+            pa.array([feedback_docs] * queries.num_rows, pa.int32()),
+        ), mode=mode)
+    )
+    eng = QueryEngine(index_dir)
+    if isinstance(texts, str):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        texts = pads.dataset(texts).to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(pc.unique(res.column("doc_id"))),
+        )
+    text_by_id = {
+        int(i): (t or "")
+        for i, t in zip(texts.column("doc_id").to_pylist(),
+                        texts.column("text").to_pylist())
+    }
+    out_q, out_r, out_d, out_s = [], [], [], []
+    res_q = res.column("query_id").to_numpy(zero_copy_only=False)
+    res_d = res.column("doc_id").to_numpy(zero_copy_only=False)
+    n = eng.n_docs
+    for qrow in queries.to_pylist():
+        qid = int(qrow["query_id"])
+        orig = set(eng._tok.tokenize(qrow["text"]))
+        ftf: dict[str, int] = {}
+        for d in res_d[res_q == qid]:
+            for t in eng._tok.tokenize(text_by_id.get(int(d), "")):
+                ftf[t] = ftf.get(t, 0) + 1
+        cand = []
+        for t, tfs in ftf.items():
+            if t in orig:
+                continue
+            idf_x1e6 = math.floor(
+                math.log((n + 1.0) / (eng.term_df(t) + 1.0)) * 1e6 + 0.5)
+            cand.append((-tfs * idf_x1e6, t))
+        cand.sort()
+        expansion = [t for _, t in cand[:expansion_terms]]
+        text2 = qrow["text"] + " " + " ".join(expansion)
+        boosts = {t: expansion_weight for t in expansion}
+        for r, (d, s) in enumerate(eng.boosted_topk(text2, k, boosts),
+                                   start=1):
+            out_q.append(qid)
+            out_r.append(r)
+            out_d.append(d)
+            out_s.append(s)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )

@@ -549,3 +549,80 @@ def test_fielded_topk_combines_untruncated_fields(built, tmp_path):
     assert [s for _, s in got] == pytest.approx([s for _, s in want])
     # empty/absent field queries contribute nothing
     assert fielded_topk({"content": out}, {"content": ""}, {}, 10) == []
+
+
+def test_prf_topk_matches_reference(built):
+    """PRF (two-pass Rocchio-style expansion) vs an independent
+    dict-based reference: stage-1 BM25 top-N feedback docs, expansion
+    term pick by integer-exact tf-idf (summed feedback tf x quantized
+    idf, ties term asc, originals excluded), stage-2 boosted BM25."""
+    import math
+
+    from donkey_ray.functions import scoring
+    from donkey_ray.functions.tokenize import get_tokenizer
+    from donkey_ray.pipelines.query import prf_topk
+
+    corpus, out, _, oracle = built
+    from donkey_ray.functions.hashing import doc_id_from_key
+
+    ids = [
+        doc_id_from_key(r, p, c)
+        for r, p, c in zip(corpus.column("repo").to_pylist(),
+                           corpus.column("path").to_pylist(),
+                           corpus.column("commit").to_pylist())
+    ]
+    texts = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": corpus.column("content").cast(pa.string())})
+    text_by_id = dict(zip(ids, corpus.column("content").to_pylist()))
+
+    queries = make_queries(10, seed=7)
+    got = prf_topk(out, queries, texts, feedback_docs=5,
+                   expansion_terms=3, expansion_weight=0.5, k=8)
+
+    tok = get_tokenizer("code")
+    expect = []
+    for row in queries.to_pylist():
+        fb = oracle.topk(row["text"], 5, lang="code")
+        orig = set(tok.tokenize(row["text"]))
+        from collections import Counter
+
+        ftf: Counter = Counter()
+        for d, _ in fb:
+            ftf.update(tok.tokenize(text_by_id[d]))
+        cand = []
+        for t, tfs in ftf.items():
+            if t in orig:
+                continue
+            df = len(oracle.postings.get(t, {}))
+            idf6 = math.floor(
+                math.log((oracle.n_docs + 1.0) / (df + 1.0)) * 1e6 + 0.5)
+            cand.append((-tfs * idf6, t))
+        cand.sort()
+        exp_terms = [t for _, t in cand[:3]]
+        # stage 2: weighted disjunctive BM25 over orig(1.0) + exp(0.5)
+        weights = {t: 1.0 for t in orig}
+        weights.update({t: 0.5 for t in exp_terms})
+        scores: dict[int, float] = {}
+        for t, w in weights.items():
+            plist = oracle.postings.get(t)
+            if not plist:
+                continue
+            w_idf = w * float(scoring.idf(len(plist), oracle.n_docs))
+            for d, tf in plist.items():
+                scores[d] = scores.get(d, 0.0) + w_idf * float(
+                    scoring.tf_weight(tf, oracle.dl[d], oracle.avgdl))
+        if scores:
+            i = np.fromiter(scores.keys(), np.int64, len(scores))
+            v = np.fromiter(scores.values(), np.float64, len(scores))
+            order = scoring.topk_order(i, v, 8)
+            for r, j in enumerate(order, start=1):
+                expect.append((int(row["query_id"]), r, int(i[j]),
+                               float(v[j])))
+
+    got_rows = list(zip(got.column("query_id").to_pylist(),
+                        got.column("rank").to_pylist(),
+                        got.column("doc_id").to_pylist()))
+    exp_rows = [(q, r, d) for q, r, d, _ in expect]
+    assert got_rows == exp_rows
+    assert got.column("score").to_pylist() == pytest.approx(
+        [s for _, _, _, s in expect])
