@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": api.q_bpe_merges,
         "bpe_encode": api.q_bpe_encode,
         "prf_topk": api.q_prf_topk,
+        "bool_topk": api.q_bool_topk,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -944,6 +945,72 @@ ranked2 AS (SELECT query_id, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked2 WHERE rank <= 10
+""",
+        # nested boolean DSL (generated semantics from api.PINNED_BOOL):
+        # per-query EXISTS set algebra for the match set, disjunctive
+        # BM25 over the positive-context terms (negated terms filter but
+        # never score), matches with no positive term keep score 0
+        "bool_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+has AS (SELECT DISTINCT doc_id, term FROM terms),
+m(query_id, doc_id) AS (
+  -- q0: table AND (value OR key)
+  SELECT 0, d.doc_id FROM dl d
+   WHERE EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='table')
+     AND (EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='value')
+          OR EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='key'))
+  UNION ALL
+  -- q1: spark OR merge NOT window   (OR loosest; NOT = minus)
+  SELECT 1, d.doc_id FROM dl d
+   WHERE EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='spark')
+      OR (EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='merge')
+          AND NOT EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='window'))
+  UNION ALL
+  -- q2: (sort OR window) NOT (key AND value)
+  SELECT 2, d.doc_id FROM dl d
+   WHERE (EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='sort')
+          OR EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='window'))
+     AND NOT (EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='key')
+              AND EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='value'))
+  UNION ALL
+  -- q3: zzzabsent AND table   (empty)
+  SELECT 3, d.doc_id FROM dl d
+   WHERE EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='zzzabsent')
+     AND EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='table')
+  UNION ALL
+  -- q4: table value   (implicit AND)
+  SELECT 4, d.doc_id FROM dl d
+   WHERE EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='table')
+     AND EXISTS (SELECT 1 FROM has h WHERE h.doc_id=d.doc_id AND h.term='value')
+),
+st(query_id, term) AS (VALUES (0,'table'),(0,'value'),(0,'key'),
+                              (1,'spark'),(1,'merge'),
+                              (2,'sort'),(2,'window'),
+                              (3,'zzzabsent'),(3,'table'),
+                              (4,'table'),(4,'value')),
+contrib AS (
+  SELECT st.query_id, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM st JOIN tf ON tf.term = st.term
+  JOIN df ON df.term = st.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2),
+scored AS (SELECT m.query_id, m.doc_id, coalesce(c.score, 0.0) AS score
+           FROM m LEFT JOIN contrib c
+             ON c.query_id = m.query_id AND c.doc_id = m.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= 10
 """,
         # exact hit counts: union cardinality of matching docs per query
         "hit_counts": f"""

@@ -369,6 +369,35 @@ def q_bm25_topk_not(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned boolean-DSL query set: nested parens, OR-loosest precedence,
+# binary NOT at both levels, absent-term AND (empty), implicit AND
+PINNED_BOOL = [
+    (0, "table AND (value OR key)", 10),
+    (1, "spark OR merge NOT window", 10),
+    (2, "(sort OR window) NOT (key AND value)", 10),
+    (3, "zzzabsent AND table", 10),
+    (4, "table value", 10),
+]
+
+
+def q_bool_topk(sf_dir: str) -> pa.Table:
+    """Nested boolean retrieval (Lucene-style DSL: AND/OR/NOT + parens,
+    implicit AND): match set from posting-list set algebra, scored by
+    disjunctive BM25 over the positive-context terms
+    (stages/score.QueryEngine.bool_topk)."""
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_BOOL], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_BOOL], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_BOOL], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, kind="bool"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 # Pinned source docs for more-like-this (present at every sf)
 PINNED_MLT_DOCS = [0, 7, 42]
 MLT_K = 10

@@ -46,6 +46,9 @@ class QueryScorerStage:
             self.run = lambda text, k: eng.near_topk(text, k, window=window)
         elif kind == "and":
             self.run = self.engine.and_topk
+        elif kind == "bool":
+            # nested boolean DSL: text IS the expression
+            self.run = self.engine.bool_topk
         elif kind == "prefix":
             self.run = self.engine.prefix_topk
         elif kind == "all":

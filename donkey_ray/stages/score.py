@@ -860,6 +860,136 @@ class QueryEngine:
         order = scoring.topk_order(docs, scores, k)
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def bool_topk(self, expr: str, k: int) -> list[tuple[int, float]]:
+        """Nested boolean retrieval (a Lucene-style query DSL). Pinned
+        grammar: ``OR`` binds loosest; ``AND`` and binary ``NOT``
+        (``x NOT y`` = x minus y) bind tighter, left-associative;
+        adjacent operands imply ``AND``; parentheses group. An atom is
+        run through the query tokenizer and its terms are ANDed (an atom
+        with a missing term matches nothing). Scoring is disjunctive
+        BM25 over the distinct POSITIVE-context terms — context parity
+        flips across each NOT's right operand — so negated terms filter
+        but never score; a matched doc containing no positive term keeps
+        score 0.0. Ties: score desc, doc_id asc. Malformed expressions
+        (unbalanced parens, dangling operators) return [] rather than
+        raising — a bad query must not kill the serving actor. SQL
+        mirror: per-query EXISTS predicates over the term table plus the
+        bag-of-words scorer left-joined on the positive term list."""
+        import re as _re
+
+        if k <= 0:
+            return []
+        toks: list = []
+        for m in _re.finditer(r"\(|\)|[^\s()]+", expr):
+            s = m.group(0)
+            toks.append(
+                s if s in ("(", ")", "AND", "OR", "NOT") else ("atom", s))
+
+        def _unary(i):
+            if i < len(toks) and toks[i] == "(":
+                node, i = _or(i + 1)
+                if i >= len(toks) or toks[i] != ")":
+                    raise ValueError("unbalanced paren")
+                return node, i + 1
+            if i < len(toks) and isinstance(toks[i], tuple):
+                return ("atom", self._tok.tokenize(toks[i][1])), i + 1
+            raise ValueError("expected operand")
+
+        def _and(i):
+            node, i = _unary(i)
+            while i < len(toks) and (
+                toks[i] in ("AND", "NOT") or toks[i] == "("
+                or isinstance(toks[i], tuple)
+            ):
+                if toks[i] == "AND":
+                    rhs, i = _unary(i + 1)
+                    node = ("and", node, rhs)
+                elif toks[i] == "NOT":
+                    rhs, i = _unary(i + 1)
+                    node = ("not", node, rhs)
+                else:  # implicit AND between adjacent operands
+                    rhs, i = _unary(i)
+                    node = ("and", node, rhs)
+            return node, i
+
+        def _or(i):
+            node, i = _and(i)
+            while i < len(toks) and toks[i] == "OR":
+                rhs, i = _and(i + 1)
+                node = ("or", node, rhs)
+            return node, i
+
+        try:
+            tree, end = _or(0)
+            if end != len(toks):
+                raise ValueError("trailing tokens")
+        except ValueError:
+            return []
+
+        # one postings load per distinct term (positive or negative)
+        post: dict[str, _PhrasePostings | None] = {}
+        pos_terms: set[str] = set()
+
+        def _walk(node, parity: int) -> None:
+            if node[0] == "atom":
+                for t in node[1]:
+                    if t not in post:
+                        rows = self.term_runs(t)
+                        post[t] = (
+                            _PhrasePostings(rows, self.block_size)
+                            if rows else None
+                        )
+                    if parity == 0:
+                        pos_terms.add(t)
+                return
+            _walk(node[1], parity)
+            _walk(node[2], parity ^ (node[0] == "not"))
+
+        _walk(tree, 0)
+        empty = np.empty(0, dtype=np.int64)
+
+        def _eval(node) -> np.ndarray:
+            if node[0] == "atom":
+                if not node[1]:
+                    return empty
+                out: np.ndarray | None = None
+                for t in node[1]:
+                    p = post[t]
+                    if p is None:
+                        return empty
+                    out = p.docs if out is None else np.intersect1d(
+                        out, p.docs, assume_unique=True)
+                return out
+            left, right = _eval(node[1]), _eval(node[2])
+            if node[0] == "and":
+                return np.intersect1d(left, right, assume_unique=True)
+            if node[0] == "or":
+                return np.union1d(left, right)
+            return np.setdiff1d(left, right, assume_unique=True)
+
+        matched = _eval(tree)
+        if matched.size == 0:
+            return []
+        scores = np.zeros(matched.size, dtype=np.float64)
+        for t in sorted(pos_terms):
+            p = post[t]
+            if p is None:
+                continue
+            sel = np.searchsorted(p.docs, matched)
+            inb = sel < p.docs.size
+            present = inb.copy()
+            present[inb] = p.docs[sel[inb]] == matched[inb]
+            if not present.any():
+                continue
+            idf = float(self.scorer.idf(int(p.docs.size), self.n_docs))
+            scores[present] += idf * self.scorer.tf_weight(
+                p.tfs[sel[present]].astype(np.float64),
+                p.dls[sel[present]].astype(np.float64),
+                self.avgdl,
+            )
+        order = scoring.topk_order(matched, scores, k)
+        return [(int(matched[i]), float(scores[i])) for i in order]
+
     def _score_conjunctive(
         self,
         post: dict[str, _PhrasePostings],

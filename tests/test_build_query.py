@@ -626,3 +626,112 @@ def test_prf_topk_matches_reference(built):
     assert got_rows == exp_rows
     assert got.column("score").to_pylist() == pytest.approx(
         [s for _, _, _, s in expect])
+
+
+def test_bool_topk_matches_reference(built):
+    """Nested boolean DSL vs an independent set-based reference over the
+    oracle's dict postings: OR loosest, AND/NOT tighter left-assoc,
+    implicit AND, parens, parity-flip scoring under NOT's right operand,
+    score-0 pure-filter matches, malformed -> []."""
+    import re
+
+    from donkey_ray.functions import scoring
+    from donkey_ray.functions.tokenize import get_tokenizer
+
+    corpus, out, _, oracle = built
+    engine = QueryEngine(out)
+    tok = get_tokenizer("code")
+
+    terms = sorted(t for t, p in oracle.postings.items()
+                   if 5 <= len(p) <= 150)
+    a, b, c, d2 = terms[0], terms[7], terms[13], terms[21]
+    exprs = [
+        f"{a} AND ({b} OR {c})",
+        f"{a} OR {b} NOT {c}",
+        f"({a} OR {b}) NOT ({c} AND {d2})",
+        f"{a} {b}",                        # implicit AND
+        f"{a} NOT ({b} NOT {c})",          # parity 2: c scores again
+        f"zzzneverseen AND {a}",           # absent term annihilates AND
+        f"{COMMON_TOKEN} NOT {COMMON_TOKEN}",  # self-negation: empty
+        f"{a} OR ({b} AND {c}) OR {d2}",
+        # COMMON_TOKEN is in every doc: these always produce hits
+        f"{COMMON_TOKEN} AND ({a} OR {b})",
+        f"{COMMON_TOKEN} NOT {a}",
+        f"({COMMON_TOKEN} NOT {a}) OR {b}",
+    ]
+
+    def ref_bool(expr, k):
+        toks = [s if s in ("(", ")", "AND", "OR", "NOT") else ("atom", s)
+                for s in re.findall(r"\(|\)|[^\s()]+", expr)]
+        pos: set[str] = set()
+
+        def unary(i, par):
+            if i < len(toks) and toks[i] == "(":
+                node, i = orx(i + 1, par)
+                assert toks[i] == ")"
+                return node, i + 1
+            assert isinstance(toks[i], tuple)
+            ts = tok.tokenize(toks[i][1])
+            if par == 0:
+                pos.update(ts)
+            sets = [set(oracle.postings.get(t, {})) for t in ts]
+            if not sets:
+                return set(), i + 1
+            out = sets[0]
+            for s in sets[1:]:
+                out &= s
+            return out, i + 1
+
+        def andx(i, par):
+            node, i = unary(i, par)
+            while i < len(toks) and (toks[i] in ("AND", "NOT")
+                                     or toks[i] == "("
+                                     or isinstance(toks[i], tuple)):
+                if toks[i] == "AND":
+                    r, i = unary(i + 1, par)
+                    node = node & r
+                elif toks[i] == "NOT":
+                    r, i = unary(i + 1, par ^ 1)
+                    node = node - r
+                else:
+                    r, i = unary(i, par)
+                    node = node & r
+            return node, i
+
+        def orx(i, par):
+            node, i = andx(i, par)
+            while i < len(toks) and toks[i] == "OR":
+                r, i = andx(i + 1, par)
+                node = node | r
+            return node, i
+
+        matched, end = orx(0, 0)
+        assert end == len(toks)
+        if not matched:
+            return []
+        scores = {d: 0.0 for d in matched}
+        for t in pos:
+            plist = oracle.postings.get(t)
+            if not plist:
+                continue
+            w_idf = float(scoring.idf(len(plist), oracle.n_docs))
+            for d in matched & plist.keys():
+                scores[d] += w_idf * float(scoring.tf_weight(
+                    plist[d], oracle.dl[d], oracle.avgdl))
+        i_arr = np.fromiter(scores.keys(), np.int64, len(scores))
+        v_arr = np.fromiter(scores.values(), np.float64, len(scores))
+        order = scoring.topk_order(i_arr, v_arr, k)
+        return [(int(i_arr[j]), float(v_arr[j])) for j in order]
+
+    hit_any = 0
+    for expr in exprs:
+        got = engine.bool_topk(expr, 12)
+        want = ref_bool(expr, 12)
+        assert [d for d, _ in got] == [d for d, _ in want], expr
+        assert [s for _, s in got] == pytest.approx(
+            [s for _, s in want]), expr
+        hit_any += bool(got)
+    assert hit_any >= 6  # the fixture corpus must exercise real matches
+
+    for bad in ["(", f"{a} AND", f"OR {a}", f"({a} OR {b}", "", ") junk ("]:
+        assert engine.bool_topk(bad, 10) == []
