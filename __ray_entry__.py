@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_component": api.q_pca_component,
         "pca_residuals": api.q_pca_residuals,
         "kmeans_clusters": api.q_kmeans_clusters,
+        "semdedup": api.q_semdedup,
         "kmeans_centroids": api.q_kmeans_centroids,
         "sif_embeddings": api.q_sif_embeddings,
         "dsir_weights": api.q_dsir_weights,
@@ -456,6 +457,15 @@ def _kmeans_clusters_sql() -> str:
     return kmeans_clusters_oracle_sql()
 
 
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: k-means chain + within-cluster smaller-id cosine
+    anti-join (pipelines/kmeans.semdedup_oracle_sql)."""
+    from donkey_ray.driver_api import NEARDUP_COS_THRESHOLD
+    from donkey_ray.pipelines.kmeans import semdedup_oracle_sql
+
+    return semdedup_oracle_sql(NEARDUP_COS_THRESHOLD)
+
+
 def _kmeans_centroids_sql() -> str:
     """k-means centroid-table oracle (pipelines/kmeans)."""
     from donkey_ray.pipelines.kmeans import kmeans_centroids_oracle_sql
@@ -536,6 +546,7 @@ def _oracle_sqls() -> dict[str, str]:
         "pca_component": _pca_sql(),
         "pca_residuals": _pca_residuals_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
+        "semdedup": _semdedup_sql(),
         "kmeans_centroids": _kmeans_centroids_sql(),
         "sif_embeddings": _sif_sql(),
         "dsir_weights": _dsir_sql(),

@@ -1599,6 +1599,18 @@ def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
     return kmeans_assign(emb, cents)
 
 
+def q_semdedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup semantic dedup (Abbas et al. 2023): pinned k-means
+    bucketing, then within-cluster any-smaller-id cosine pruning at the
+    near-dup threshold; min-id survivor rule (pipelines/kmeans.semdedup)."""
+    from .pipelines.kmeans import semdedup
+
+    cents = _kmeans_fit_cached(sf_dir)
+    return semdedup(
+        _embeddings(sf_dir), cents, threshold=NEARDUP_COS_THRESHOLD
+    )
+
+
 def q_kmeans_centroids(sf_dir: str) -> pa.Table:
     """The fitted k-means centroids unnested to (cluster, dim, c_x1e6) —
     the IVF-coarse-quantizer artifact of the k-means fit."""

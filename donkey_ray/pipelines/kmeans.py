@@ -179,6 +179,84 @@ def kmeans_assign(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def semdedup(
+    ds: ray.data.Dataset,
+    cents: list[list[int]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means bucketing + within-cluster cosine pruning. Each vector is
+    assigned to its pinned-integer k-means cluster — the paper's core
+    trick: candidate pairs exist only WITHIN a cluster, so pair work is
+    sum(n_c^2), never n^2. Inside a cluster a vector is a duplicate iff
+    ANY smaller ``vec_id`` in the cluster has cosine >= ``threshold``
+    with it (pinned keep-rule: the min-id representative survives —
+    deterministic stand-in for the paper's keep-one choice; the test is
+    against all smaller ids regardless of their own keep flag, exactly
+    mirroring the SQL anti-join). Output rows: (vec_id, cluster, keep).
+
+    Scale shape: assignment is a shuffle-free map (centroids ride in the
+    closure, O(K*dim)); ONE cluster-keyed exchange co-locates each
+    cluster; per-cluster gram work is blocked 512 rows at a time so peak
+    memory is O(512 * n_c), not O(n_c^2). K must grow with n (the paper
+    runs 50k clusters at 1e8 docs) to bound n_c per worker."""
+    from .ann import _normalize
+
+    cn = np.asarray(cents, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "vec": pa.array([], batch.schema.field(vec_col).type),
+            })
+        q = _quantize(_batch_matrix(batch, vec_col))
+        a = _assign_ids(q, cn) + 1
+        return pa.table({
+            "vec_id": batch.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            "vec": batch.column(vec_col),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def prune(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+            })
+        ids = group.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_batch_matrix(group, "vec"))[order]
+        keep = np.ones(n, dtype=bool)
+        blk = 512
+        for lo in range(1, n, blk):  # the smallest id is always kept
+            hi = min(lo + blk, n)
+            sims = m[lo:hi] @ m[:hi].T  # (hi-lo, hi) tile
+            jmask = (np.arange(hi)[None, :]
+                     < np.arange(lo, hi)[:, None])
+            keep[lo:hi] = ~((sims >= threshold) & jmask).any(axis=1)
+        c = int(group.column("cluster")[0].as_py())
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(np.full(n, c, dtype=np.int64)),
+            "keep": pa.array(keep),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow")
+
+
 # --- DuckDB oracle: the identical spec unrolled in CTEs ---------------
 
 def _kmeans_cte_chain(k: int = KM_K, iterations: int = KM_ITERS) -> str:
@@ -237,3 +315,23 @@ def kmeans_centroids_oracle_sql(k: int = KM_K, iterations: int = KM_ITERS) -> st
     return _kmeans_cte_chain(k, iterations) + """
 SELECT c::BIGINT AS cluster, i::BIGINT AS dim, w::BIGINT AS c_x1e6 FROM cfin
 ORDER BY cluster, dim"""
+
+
+def semdedup_oracle_sql(
+    threshold: float, k: int = KM_K, iterations: int = KM_ITERS
+) -> str:
+    """DuckDB mirror of semdedup: the k-means chain's final assignment
+    plus an any-smaller-id-within-threshold anti-join per cluster."""
+    return _kmeans_cte_chain(k, iterations) + f""",
+sd_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sd_dup AS (
+  SELECT a.vec_id
+  FROM afin a JOIN afin b ON b.c = a.c AND b.vec_id < a.vec_id
+  JOIN sd_e ea ON ea.vec_id = a.vec_id
+  JOIN sd_e eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+  GROUP BY 1)
+SELECT a.vec_id::BIGINT AS vec_id, a.c::BIGINT AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM afin a LEFT JOIN sd_dup d ON d.vec_id = a.vec_id
+ORDER BY vec_id"""

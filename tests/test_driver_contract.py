@@ -109,7 +109,7 @@ NAMES = [
     "jl_project", "token_entropy",
     # session-11 additions
     "minhash_neardup", "events_distinct_approx",
-    "bpe_merges", "bpe_encode", "prf_topk", "bool_topk",
+    "bpe_merges", "bpe_encode", "prf_topk", "bool_topk", "semdedup",
 ]
 
 

@@ -1972,3 +1972,78 @@ def test_dsir_weights(ray_session, tmp_path):
     eng = list(zip(out.column("doc_id").to_pylist(),
                    out.column("score_x1e6").to_pylist()))
     assert sorted(sql) == sorted(eng)
+
+
+def test_semdedup(ray_session):
+    """SemDeDup: (1) handcrafted geometry pins the rules — min-id
+    survivor, duplicate-tested-against-DROPPED-smaller-ids (v2's only
+    witness v1 is itself a dup), cross-cluster isolation (a same
+    -direction vector in another cluster survives); (2) a randomized
+    corpus must equal an independent O(n^2) numpy reference and be
+    block-layout invariant."""
+    import math
+
+    import ray.data
+
+    from donkey_ray.pipelines.kmeans import kmeans_fit, semdedup
+
+    deg = math.pi / 180.0
+    vecs = np.array([
+        [1.0, 0.0],                                    # 0: keep (min id)
+        [math.cos(12 * deg), math.sin(12 * deg)],      # 1: dup of 0
+        [math.cos(24 * deg), math.sin(24 * deg)],      # 2: dup of 1 only
+        [0.0, -1.0],                                   # 3: keep (far)
+        [9.0 * math.cos(12 * deg), 9.0 * math.sin(12 * deg)],  # 4: c2
+    ], dtype=np.float64)
+    # centroids (x1e6): c1 near the unit vectors, c2 far along 12 deg
+    cents = [[1_000_000, 0],
+             [int(10e6 * math.cos(12 * deg)), int(10e6 * math.sin(12 * deg))]]
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in vecs], pa.list_(pa.float64())),
+    })
+    out = dataset_to_table(
+        semdedup(ray.data.from_arrow(tbl), cents, threshold=0.95)
+    ).sort_by("vec_id")
+    assert out.column("keep").to_pylist() == [True, False, False, True, True]
+    assert out.column("cluster").to_pylist() == [1, 1, 1, 1, 2]
+
+    # --- randomized reference equality + layout invariance ---
+    rng = np.random.default_rng(5)
+    dim, per = 8, 60
+    centers = rng.standard_normal((4, dim)) * 6.0
+    mat = np.concatenate([
+        centers[c] + 0.8 * rng.standard_normal((per, dim))
+        for c in range(4)
+    ])
+    # plant exact near-dups: every 10th vector ~= its predecessor
+    mat[10::10] = mat[9::10][: len(mat[10::10])] + 1e-4
+    n = len(mat)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    cents = kmeans_fit(ds)
+    tau = 0.9
+    out = dataset_to_table(semdedup(ds, cents, threshold=tau)).sort_by("vec_id")
+
+    # independent reference: integer assignment + O(n^2) cosine scan
+    from donkey_ray.pipelines.kmeans import _assign_ids, _quantize
+
+    assign = _assign_ids(_quantize(mat), np.asarray(cents, np.int64)) + 1
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    keep_ref = [
+        not any(sims[i, j] >= tau and assign[j] == assign[i]
+                for j in range(i))
+        for i in range(n)
+    ]
+    assert out.column("cluster").to_pylist() == list(assign)
+    assert out.column("keep").to_pylist() == keep_ref
+    assert sum(keep_ref) < n  # planted dups actually dropped
+
+    out5 = dataset_to_table(
+        semdedup(ds.repartition(5), cents, threshold=tau)
+    ).sort_by("vec_id")
+    assert out.equals(out5)
