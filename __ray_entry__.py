@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": api.q_bpe_encode,
         "prf_topk": api.q_prf_topk,
         "bool_topk": api.q_bool_topk,
+        "bm25f_topk": api.q_bm25f_topk,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -956,6 +957,55 @@ ranked2 AS (SELECT query_id, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked2 WHERE rank <= 10
+""",
+        # BM25F (generated semantics from api.PINNED_BM25F): per-field
+        # normalized+weighted tfs blended into one pseudo-tf, saturated
+        # once; idf from the union doc set across fields
+        "bm25f_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stok AS (SELECT doc_id,
+                regexp_extract_all(lower(source), '[a-z0-9]+') AS toks
+         FROM documents),
+sdl AS (SELECT doc_id, len(toks) AS dl FROM stok),
+fstats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                  (SELECT avg(dl) FROM dl)::DOUBLE AS avgdl_c,
+                  (SELECT avg(dl) FROM sdl)::DOUBLE AS avgdl_s),
+q(query_id, text, k) AS (VALUES (0,'table src18',10),(1,'spark merge',10),
+                                (2,'src12',10),(3,'zzzabsent',10),
+                                (4,'value value src7',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+cterms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+ctf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM cterms GROUP BY 1,2),
+sterms AS (SELECT doc_id, unnest(toks) AS term FROM stok),
+stf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM sterms GROUP BY 1,2),
+dfu AS (SELECT term, count(*)::DOUBLE AS df FROM (
+          SELECT DISTINCT doc_id, term FROM cterms
+          UNION SELECT DISTINCT doc_id, term FROM sterms) GROUP BY 1),
+pair AS (SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+                coalesce(c.term, s.term) AS term,
+                coalesce((1.0 * c.tf) / (1 - 0.75 + 0.75 * dl.dl / st.avgdl_c), 0)
+              + coalesce((2.0 * s.tf) / (1 - 0.75 + 0.75 * sdl.dl / st.avgdl_s), 0) AS tfw
+         FROM ctf c FULL OUTER JOIN stf s
+           ON s.doc_id = c.doc_id AND s.term = c.term
+         LEFT JOIN dl ON dl.doc_id = coalesce(c.doc_id, s.doc_id)
+         LEFT JOIN sdl ON sdl.doc_id = coalesce(c.doc_id, s.doc_id)
+         CROSS JOIN fstats st),
+fscores AS (
+  SELECT qt.query_id, qt.k, p.doc_id,
+    sum( ln((st.n_docs - dfu.df + 0.5)/(dfu.df + 0.5) + 1)
+         * p.tfw * (1.2 + 1) / (p.tfw + 1.2) ) AS score
+  FROM qt JOIN pair p ON p.term = qt.term
+  JOIN dfu ON dfu.term = qt.term CROSS JOIN fstats st
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM fscores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
 """,
         # nested boolean DSL (generated semantics from api.PINNED_BOOL):
         # per-query EXISTS set algebra for the match set, disjunctive

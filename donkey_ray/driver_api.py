@@ -369,6 +369,44 @@ def q_bm25_topk_not(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned BM25F query set: one text across both fields — both-field hits,
+# content-only, source-only, absent, duplicated terms
+PINNED_BM25F = [
+    (0, "table src18", 10),
+    (1, "spark merge", 10),
+    (2, "src12", 10),
+    (3, "zzzabsent", 10),
+    (4, "value value src7", 10),
+]
+
+
+def q_bm25f_topk(sf_dir: str) -> pa.Table:
+    """BM25F multi-field retrieval: per-field length-normalized, field
+    -weighted tfs blended into one pseudo-tf that saturates once; idf
+    from the union doc set (pipelines/query.bm25f_topk)."""
+    from .pipelines.query import bm25f_topk
+
+    idx = {"content": ensure_index(sf_dir),
+           "source": ensure_source_index(sf_dir)}
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, k in PINNED_BM25F:
+        hits = bm25f_topk(idx, FIELD_WEIGHTS, text, k)
+        for r, (d, s) in enumerate(hits, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
+
 # Pinned boolean-DSL query set: nested parens, OR-loosest precedence,
 # binary NOT at both levels, absent-term AND (empty), implicit AND
 PINNED_BOOL = [

@@ -822,6 +822,80 @@ def rrf_fuse(
     )
 
 
+def bm25f_topk(
+    field_indexes: dict[str, str],
+    weights: dict[str, float],
+    text: str,
+    k: int,
+) -> list[tuple[int, float]]:
+    """BM25F (Robertson & Zaragoza 2009, 'simple BM25F'): ONE query over
+    several fields of the same doc_id space. Per-field term frequencies
+    are length-normalized and field-weighted FIRST, then summed into a
+    single pseudo-tf that saturates ONCE:
+
+      tfw(t,d)  = sum_f w_f * tf_f / (1 - b + b * dl_f / avgdl_f)
+      score(d)  = sum_t idf_union(t) * tfw * (k1+1) / (tfw + k1)
+
+    idf_union uses df = |docs containing t in ANY field| (union of the
+    fields' posting doc sets) and N = max n_docs across the field
+    indexes. Contrast fielded_topk (weighted sum of per-field BM25
+    scores): BM25F blends BEFORE saturation, so a term present in many
+    fields cannot multiply-count past the k1 ceiling — the principled
+    multi-field scorer. Fields are processed in sorted name order and
+    must share a query_lang (asserted). Ties: score desc, doc_id asc.
+
+    Scale shape: per-term work is O(union postings) vectorized passes
+    over the fields' decoded postings — same cost class as score_all;
+    the combine is one np.unique + add.at sized by hits, never corpus."""
+    import numpy as np
+
+    from ..functions import scoring
+    from ..stages.score import _PhrasePostings
+
+    engines = {f: QueryEngine(d) for f, d in sorted(field_indexes.items())}
+    langs = {e.meta.get("query_lang") for e in engines.values()}
+    if len(langs) > 1:
+        raise ValueError(f"field indexes disagree on query_lang: {langs}")
+    first = next(iter(engines.values()))
+    terms = sorted(set(first._tok.tokenize(text)))
+    if not terms or k <= 0:
+        return []
+    n_docs = max(e.n_docs for e in engines.values())
+    parts_docs: list[np.ndarray] = []
+    parts_sc: list[np.ndarray] = []
+    for t in terms:
+        fps = []
+        for f, e in engines.items():  # dict keeps sorted insertion order
+            rows = e.term_runs(t)
+            if rows:
+                fps.append((f, e, _PhrasePostings(rows, e.block_size)))
+        if not fps:
+            continue
+        union = fps[0][2].docs
+        for _, _, p in fps[1:]:
+            union = np.union1d(union, p.docs)
+        tfw = np.zeros(union.size, dtype=np.float64)
+        for f, e, p in fps:
+            pos = np.searchsorted(union, p.docs)
+            w = float(weights.get(f, 1.0))
+            tfw[pos] += (w * p.tfs) / (
+                1.0 - scoring.B + scoring.B * p.dls / e.avgdl
+            )
+        idf = float(scoring.idf(union.size, n_docs))
+        parts_docs.append(union)
+        parts_sc.append(
+            idf * tfw * (scoring.K1 + 1.0) / (tfw + scoring.K1))
+    if not parts_docs:
+        return []
+    docs = np.concatenate(parts_docs)
+    sc = np.concatenate(parts_sc)
+    u, inv = np.unique(docs, return_inverse=True)
+    tot = np.zeros(u.size, dtype=np.float64)
+    np.add.at(tot, inv, sc)
+    order = scoring.topk_order(u, tot, k)
+    return [(int(u[i]), float(tot[i])) for i in order]
+
+
 def prf_topk(
     index_dir: str,
     queries: pa.Table,

@@ -735,3 +735,76 @@ def test_bool_topk_matches_reference(built):
 
     for bad in ["(", f"{a} AND", f"OR {a}", f"({a} OR {b}", "", ") junk ("]:
         assert engine.bool_topk(bad, 10) == []
+
+
+def test_bm25f_topk_matches_reference(built, tmp_path):
+    """BM25F vs an independent dict reference: per-field normalized,
+    weighted tfs blend BEFORE the single saturation; idf over the union
+    doc set; and the saturation ceiling separates it from fielded_topk's
+    per-field score sum."""
+    import ray.data
+
+    from donkey_ray.pipelines.query import bm25f_topk
+
+    corpus, out, _, oracle = built
+    field_tbl = corpus.set_column(
+        corpus.schema.get_field_index("content"), "content",
+        corpus.column("repo").cast(pa.string()),
+    )
+    out2 = str(tmp_path / "bm25f_repo")
+    build_index(ray.data.from_arrow(field_tbl), out2,
+                num_partitions=4, query_lang="code", id_col=None)
+    oracle2 = BM25Oracle.from_corpus(field_tbl)
+    weights = {"content": 1.0, "repo": 3.0}
+    repo_term = field_tbl.column("content")[0].as_py().lower()
+    queries = [f"{COMMON_TOKEN} {repo_term}", repo_term, COMMON_TOKEN,
+               "zzzneverseen", f"{COMMON_TOKEN} {COMMON_TOKEN}"]
+
+    from donkey_ray.functions import scoring
+    from donkey_ray.functions.tokenize import get_tokenizer
+
+    tok = get_tokenizer("code")
+    n = max(oracle.n_docs, oracle2.n_docs)
+    oracles = {"content": (oracle, weights["content"]),
+               "repo": (oracle2, weights["repo"])}
+
+    def ref(text, k):
+        scores: dict[int, float] = {}
+        for t in sorted(set(tok.tokenize(text))):
+            union: set[int] = set()
+            for o, _ in oracles.values():
+                union |= set(o.postings.get(t, {}))
+            if not union:
+                continue
+            idf = float(scoring.idf(len(union), n))
+            for d in union:
+                tfw = 0.0
+                for o, w in oracles.values():  # sorted field order
+                    plist = o.postings.get(t, {})
+                    if d in plist:
+                        tfw += (w * plist[d]) / (
+                            1 - scoring.B + scoring.B * o.dl[d] / o.avgdl)
+                scores[d] = scores.get(d, 0.0) + (
+                    idf * tfw * (scoring.K1 + 1) / (tfw + scoring.K1))
+        if not scores:
+            return []
+        i = np.fromiter(scores.keys(), np.int64, len(scores))
+        v = np.fromiter(scores.values(), np.float64, len(scores))
+        order = scoring.topk_order(i, v, k)
+        return [(int(i[j]), float(v[j])) for j in order]
+
+    idx = {"content": out, "repo": out2}
+    hit_any = 0
+    for text in queries:
+        got = bm25f_topk(idx, weights, text, 12)
+        want = ref(text, 12)
+        assert [d for d, _ in got] == [d for d, _ in want], text
+        assert [s for _, s in got] == pytest.approx(
+            [s for _, s in want]), text
+        hit_any += bool(got)
+    assert hit_any == 4  # only zzzneverseen is empty
+
+    # saturation ceiling: every per-term contribution < idf * (k1 + 1)
+    got = bm25f_topk(idx, weights, COMMON_TOKEN, 5)
+    idf_c = float(scoring.idf(oracle.n_docs, n))  # COMMON in every doc
+    assert all(s < idf_c * (scoring.K1 + 1) + 1e-12 for _, s in got)
