@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_residuals": api.q_pca_residuals,
         "kmeans_clusters": api.q_kmeans_clusters,
         "semdedup": api.q_semdedup,
+        "pq_codes": api.q_pq_codes,
+        "pq_search": api.q_pq_search,
         "kmeans_centroids": api.q_kmeans_centroids,
         "sif_embeddings": api.q_sif_embeddings,
         "dsir_weights": api.q_dsir_weights,
@@ -467,6 +469,24 @@ def _semdedup_sql() -> str:
     return semdedup_oracle_sql(NEARDUP_COS_THRESHOLD)
 
 
+def _pq_codes_sql() -> str:
+    """PQ codes oracle: per-subspace pinned k-means chains unrolled in
+    DuckDB CTEs (pipelines/pq.pq_codes_oracle_sql); dim read from the
+    sf0.01 embeddings table shape (64)."""
+    from donkey_ray.pipelines.pq import pq_codes_oracle_sql
+
+    return pq_codes_oracle_sql(dim=64)
+
+
+def _pq_search_sql() -> str:
+    """PQ ADC search oracle over the pinned ANN query ids
+    (pipelines/pq.pq_search_oracle_sql)."""
+    from donkey_ray.driver_api import ANN_K, ANN_QUERY_IDS
+    from donkey_ray.pipelines.pq import pq_search_oracle_sql
+
+    return pq_search_oracle_sql(dim=64, query_ids=ANN_QUERY_IDS, topk=ANN_K)
+
+
 def _kmeans_centroids_sql() -> str:
     """k-means centroid-table oracle (pipelines/kmeans)."""
     from donkey_ray.pipelines.kmeans import kmeans_centroids_oracle_sql
@@ -548,6 +568,8 @@ def _oracle_sqls() -> dict[str, str]:
         "pca_residuals": _pca_residuals_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
         "semdedup": _semdedup_sql(),
+        "pq_codes": _pq_codes_sql(),
+        "pq_search": _pq_search_sql(),
         "kmeans_centroids": _kmeans_centroids_sql(),
         "sif_embeddings": _sif_sql(),
         "dsir_weights": _dsir_sql(),

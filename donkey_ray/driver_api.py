@@ -1623,6 +1623,46 @@ def _kmeans_fit_cached(sf_dir: str) -> list[list[int]]:
     return kmeans_fit(emb)
 
 
+_PQ_BOOKS_CACHE: dict[str, list] = {}
+
+
+def _pq_books_cached(sf_dir: str) -> list[list[list[int]]]:
+    from .pipelines.pq import pq_train
+
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[sf_dir] = pq_train(_embeddings(sf_dir))
+    return _PQ_BOOKS_CACHE[sf_dir]
+
+
+def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization codes (Jegou et al. 2011): fused per-subspace
+    pinned-int k-means codebooks, every vector encoded to M=4 codes of
+    K=16 — unnested (vec_id, sub, code) (pipelines/pq.py)."""
+    from .pipelines.pq import pq_codes_unnested, pq_encode
+
+    books = _pq_books_cached(sf_dir)
+    return pq_codes_unnested(pq_encode(_embeddings(sf_dir), books))
+
+
+def q_pq_search(sf_dir: str) -> pa.Table:
+    """PQ ADC top-k for the pinned ANN queries: per-query integer
+    distance tables, M lookups per stored code, exact int64 distances
+    (pipelines/pq.pq_search)."""
+    import pyarrow.parquet as pq_
+
+    from .pipelines.pq import pq_encode, pq_search
+
+    books = _pq_books_cached(sf_dir)
+    emb = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = dict(zip(emb.column("vec_id").to_pylist(),
+                     emb.column("embedding").to_pylist()))
+    qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
+    return pq_search(pq_encode(_embeddings(sf_dir), books), books, qv,
+                     k=ANN_K)
+
+
 def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
     """Pinned-integer Lloyd's k-means over the embeddings table: fit K=4
     centroids (smallest-vec_id init, 4 exact-int iterations), then stream

@@ -84,3 +84,63 @@ def test_resume_rebuilds_only_missing_partition(vec_ds, tmp_path):
     assert meta2["parts_skipped_on_resume"] == [0, 1, 3]
     after = {p: mf.file_sha256(mf.segment_path(out, p)) for p in range(4)}
     assert after == hashes  # byte-identical (deterministic writer)
+
+
+def test_pq_train_encode_search(vec_ds):
+    """PQ: (1) fused training equals M independent pinned k-means runs
+    over the sliced sub-vectors; (2) codes equal per-subspace integer
+    assignment recomputed in numpy; (3) training and encoding are block
+    -layout invariant; (4) ADC top-k has usable recall vs exact L2 on
+    clustered data and exact self-consistency on reordered input."""
+    import ray.data
+
+    from donkey_ray.pipelines.kmeans import _assign_ids, _quantize, kmeans_fit
+    from donkey_ray.pipelines.pq import (
+        pq_encode, pq_search, pq_train)
+    from donkey_ray.util import dataset_to_table
+
+    ds, vecs = vec_ds
+    m, k = 4, 16
+    books = pq_train(ds, m=m, k=k, iterations=2)
+    assert len(books) == m and all(len(b) == k for b in books)
+
+    # (1) fused == per-subspace kmeans_fit over sliced datasets
+    w = vecs.shape[1] // m
+    for s in range(m):
+        sub_tbl = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs[:, s * w:(s + 1) * w].tolist(),
+                                  pa.list_(pa.float64())),
+        })
+        ref = kmeans_fit(ray.data.from_arrow(sub_tbl), k=k, iterations=2)
+        assert books[s] == ref, f"subspace {s}"
+
+    # (2) + (3): codes match reference assignment; layout invariant
+    enc = dataset_to_table(pq_encode(ds, books)).sort_by("vec_id")
+    q = _quantize(vecs)
+    for s in range(m):
+        ref_codes = _assign_ids(q[:, s * w:(s + 1) * w],
+                                np.asarray(books[s], np.int64)) + 1
+        got = [c[s] for c in enc.column("codes").to_pylist()]
+        assert got == list(ref_codes), f"subspace {s}"
+    books7 = pq_train(ds.repartition(7), m=m, k=k, iterations=2)
+    assert books7 == books
+    enc5 = dataset_to_table(pq_encode(ds.repartition(5), books)
+                            ).sort_by("vec_id")
+    assert enc.equals(enc5)
+
+    # (4) ADC quality on clustered blobs: PQ quantization collapses
+    # WITHIN-blob detail (same codes -> tied distances), so the right
+    # bar is blob-level: results must come from the query's own blob
+    # (vec i belongs to blob i % 8 by construction)
+    rng = np.random.default_rng(9)
+    qidx = rng.choice(len(vecs), size=10, replace=False)
+    res = pq_search(pq_encode(ds, books), books, vecs[qidx], k=10)
+    same_blob = 0
+    for q_, v in zip(res.column("query_id").to_pylist(),
+                     res.column("vec_id").to_pylist()):
+        same_blob += (v % 8) == (int(qidx[q_]) % 8)
+    assert same_blob / (10 * len(qidx)) >= 0.9, same_blob
+    res5 = pq_search(pq_encode(ds.repartition(5), books), books,
+                     vecs[qidx], k=10)
+    assert res.equals(res5)
