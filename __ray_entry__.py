@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prf_topk": api.q_prf_topk,
         "bool_topk": api.q_bool_topk,
         "bm25f_topk": api.q_bm25f_topk,
+        "search_eval": api.q_search_eval,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -979,6 +980,58 @@ ranked2 AS (SELECT query_id, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked2 WHERE rank <= 10
+""",
+        # retrieval-quality metrics: BM25 top-10 run scored against the
+        # conjunctive-match relevance set (binary qrels derived from the
+        # corpus itself); precision@10, MRR, nDCG@10
+        "search_eval": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+nqt AS (SELECT query_id, count(DISTINCT term) AS nt FROM qt GROUP BY 1),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+rel AS (SELECT x.query_id, x.doc_id FROM (
+          SELECT qt.query_id, tf.doc_id, count(DISTINCT tf.term) AS c
+          FROM qt JOIN tf ON tf.term = qt.term GROUP BY 1,2) x
+        JOIN nqt ON nqt.query_id = x.query_id AND nqt.nt = x.c),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+run AS (SELECT query_id, k, doc_id, rank FROM (
+          SELECT query_id, k, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scores) WHERE rank <= k),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+hits AS (SELECT r.query_id, r.rank FROM run r
+         JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id),
+dcg AS (SELECT query_id, sum(1.0/log2(rank + 1)) AS dcg,
+               count(*) AS nhit, min(rank) AS minr
+        FROM hits GROUP BY 1),
+idcg AS (SELECT q.query_id, sum(1.0/log2(i + 1)) AS idcg
+         FROM q JOIN nrel USING (query_id),
+              unnest(generate_series(1, least(nrel.n_rel, q.k))) AS t(i)
+         GROUP BY 1)
+SELECT q.query_id::BIGINT AS query_id,
+       coalesce(nrel.n_rel, 0)::BIGINT AS n_rel,
+       round(coalesce(d.nhit, 0)::DOUBLE / q.k, 6) AS p_at_k,
+       round(coalesce(1.0 / d.minr, 0), 6) AS mrr,
+       round(CASE WHEN coalesce(i.idcg, 0) > 0
+                  THEN coalesce(d.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg
+FROM q LEFT JOIN nrel USING (query_id)
+LEFT JOIN dcg d USING (query_id) LEFT JOIN idcg i USING (query_id)
 """,
         # BM25F (generated semantics from api.PINNED_BM25F): per-field
         # normalized+weighted tfs blended into one pseudo-tf, saturated

@@ -369,6 +369,26 @@ def q_bm25_topk_not(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_search_eval(sf_dir: str) -> pa.Table:
+    """Retrieval-quality metrics (precision@10, MRR, nDCG@10) of the
+    BM25 run against the conjunctive-match relevance set
+    (pipelines/query.search_eval)."""
+    from .pipelines.query import search_eval
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = search_eval(index_dir, queries, k=10).sort_by("query_id")
+    for col in ("p_at_k", "mrr", "ndcg"):
+        res = _round_col(res, col)
+    return res
+
+
 # Pinned BM25F query set: one text across both fields — both-field hits,
 # content-only, source-only, absent, duplicated terms
 PINNED_BM25F = [

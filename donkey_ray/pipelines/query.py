@@ -822,6 +822,58 @@ def rrf_fuse(
     )
 
 
+def search_eval(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    k: int = 10,
+) -> pa.Table:
+    """Retrieval-quality metrics of the BM25 run against a derived
+    relevance set — the engine's own evaluation harness (every serving
+    stack needs one; qrels here are synthesized, binary, and pinned):
+    rel(q) = docs containing EVERY distinct query term (the conjunctive
+    match set). Per query over the top-``k`` run:
+
+      p_at_k = |run ∩ rel| / k
+      mrr    = 1 / rank of the first relevant hit (0 if none in top-k)
+      ndcg   = sum_{i in run, rel} 1/log2(i+1)
+               / sum_{i=1..min(|rel|,k)} 1/log2(i+1)     (0 if |rel|=0)
+
+    All float64, emitted rounded by the caller. SQL mirror: conjunctive
+    HAVING-count rel CTE + the standard ranked scorer + log2 window
+    sums."""
+    import math
+
+    from ..stages.score import QueryEngine
+
+    eng = QueryEngine(index_dir)
+    out = {"query_id": [], "n_rel": [], "p_at_k": [], "mrr": [],
+           "ndcg": []}
+    for row in queries.to_pylist():
+        qid = int(row["query_id"])
+        run = [d for d, _ in eng.topk(row["text"], k)]
+        rel = {d for d, _ in eng.and_topk(row["text"], 1 << 62)}
+        inter = [d for d in run if d in rel]
+        first = next((i for i, d in enumerate(run, start=1) if d in rel),
+                     None)
+        dcg = sum(1.0 / math.log2(i + 1)
+                  for i, d in enumerate(run, start=1) if d in rel)
+        idcg = sum(1.0 / math.log2(i + 1)
+                   for i in range(1, min(len(rel), k) + 1))
+        out["query_id"].append(qid)
+        out["n_rel"].append(len(rel))
+        out["p_at_k"].append(len(inter) / k)
+        out["mrr"].append(1.0 / first if first else 0.0)
+        out["ndcg"].append(dcg / idcg if idcg > 0 else 0.0)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "n_rel": pa.array(out["n_rel"], pa.int64()),
+        "p_at_k": pa.array(out["p_at_k"], pa.float64()),
+        "mrr": pa.array(out["mrr"], pa.float64()),
+        "ndcg": pa.array(out["ndcg"], pa.float64()),
+    })
+
+
 def bm25f_topk(
     field_indexes: dict[str, str],
     weights: dict[str, float],

@@ -808,3 +808,40 @@ def test_bm25f_topk_matches_reference(built, tmp_path):
     got = bm25f_topk(idx, weights, COMMON_TOKEN, 5)
     idf_c = float(scoring.idf(oracle.n_docs, n))  # COMMON in every doc
     assert all(s < idf_c * (scoring.K1 + 1) + 1e-12 for _, s in got)
+
+
+def test_search_eval_matches_reference(built):
+    """Retrieval metrics vs an oracle-derived reference: qrels are the
+    conjunctive match sets; p@k / MRR / nDCG recomputed independently."""
+    import math
+
+    from donkey_ray.pipelines.query import search_eval
+
+    _, out, _, oracle = built
+    queries = make_queries(12, seed=3)
+    got = search_eval(out, queries, k=8).sort_by("query_id")
+
+    for i, row in enumerate(queries.to_pylist()):
+        run = [d for d, _ in oracle.topk(row["text"], 8, lang="code")]
+        rel = {d for d, _ in
+               oracle.and_topk(row["text"], 10 ** 9, lang="code")}
+        p = sum(d in rel for d in run) / 8
+        first = next((r for r, d in enumerate(run, 1) if d in rel), None)
+        dcg = sum(1 / math.log2(r + 1)
+                  for r, d in enumerate(run, 1) if d in rel)
+        idcg = sum(1 / math.log2(r + 1)
+                   for r in range(1, min(len(rel), 8) + 1))
+        assert got.column("n_rel")[i].as_py() == len(rel)
+        assert got.column("p_at_k")[i].as_py() == pytest.approx(p)
+        assert got.column("mrr")[i].as_py() == pytest.approx(
+            1 / first if first else 0.0)
+        assert got.column("ndcg")[i].as_py() == pytest.approx(
+            dcg / idcg if idcg else 0.0)
+
+    # a single-term query's run is entirely relevant by construction
+    single = pa.table({"query_id": pa.array([0], pa.int64()),
+                       "text": pa.array([COMMON_TOKEN], pa.string()),
+                       "k": pa.array([8], pa.int32())})
+    se = search_eval(out, single, k=8)
+    assert se.column("p_at_k")[0].as_py() == 1.0
+    assert se.column("mrr")[0].as_py() == 1.0
