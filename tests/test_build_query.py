@@ -845,3 +845,72 @@ def test_search_eval_matches_reference(built):
     se = search_eval(out, single, k=8)
     assert se.column("p_at_k")[0].as_py() == 1.0
     assert se.column("mrr")[0].as_py() == 1.0
+
+
+def test_jsonl_and_text_dir_sources(ray_session, tmp_path):
+    """Raw-ingest adapters: a JSONL corpus and a source-file tree both
+    land in the corpus shape; the JSONL-built index answers queries
+    identically to the parquet-built one."""
+    import json as _json
+
+    import ray.data
+
+    from donkey_ray.sources.corpus import (
+        read_corpus_jsonl, read_corpus_text_dir)
+
+    corpus = make_corpus(80, seed=19)
+    jl = tmp_path / "corpus.jsonl"
+    with open(jl, "w") as f:
+        for row in corpus.to_pylist():
+            f.write(_json.dumps(row) + "\n")
+    got = (
+        read_corpus_jsonl(str(jl))
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = (
+        corpus.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns.tolist()])
+
+    # lang filter pushes through
+    langs = sorted(set(corpus.column("lang").to_pylist()))[:1]
+    flt = read_corpus_jsonl(str(jl), langs=langs).to_pandas()
+    assert set(flt["lang"]) == set(langs)
+    assert len(flt) == want[want.lang.isin(langs)].shape[0]
+
+    # missing required key fails fast
+    bad = tmp_path / "bad.jsonl"
+    with open(bad, "w") as f:
+        f.write(_json.dumps({"repo": "r", "path": "p"}) + "\n")
+    with pytest.raises(Exception, match="missing"):
+        read_corpus_jsonl(str(bad)).materialize()
+
+    # end-to-end: index built from the JSONL answers like the parquet one
+    out_a = str(tmp_path / "idx_jsonl")
+    out_b = str(tmp_path / "idx_table")
+    build_index(read_corpus_jsonl(str(jl)), out_a, num_partitions=4,
+                query_lang="code", detect_hot=False)
+    build_index(ray.data.from_arrow(corpus), out_b, num_partitions=4,
+                query_lang="code", detect_hot=False)
+    ea, eb = QueryEngine(out_a), QueryEngine(out_b)
+    for row in make_queries(15, seed=2).to_pylist():
+        assert ea.topk(row["text"], 10) == eb.topk(row["text"], 10)
+
+    # text-dir tree: relative paths, extension lang map, content intact
+    root = tmp_path / "tree"
+    (root / "pkg").mkdir(parents=True)
+    (root / "pkg" / "a.py").write_text("def alpha(): return 1\n")
+    (root / "b.rs").write_text("fn beta() -> u32 { 2 }\n")
+    (root / "notes.txt").write_text("plain text\n")
+    td = (
+        read_corpus_text_dir(str(root), repo="r1", commit="c1")
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    assert td["path"].tolist() == ["b.rs", "notes.txt", "pkg/a.py"]
+    assert td["lang"].tolist() == ["rust", "simple", "python"]
+    assert td["content"][2] == "def alpha(): return 1\n"
+    assert set(td["repo"]) == {"r1"} and set(td["commit"]) == {"c1"}
