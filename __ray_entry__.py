@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_topk": api.q_bool_topk,
         "bm25f_topk": api.q_bm25f_topk,
         "search_eval": api.q_search_eval,
+        "mmr_topk": api.q_mmr_topk,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -470,6 +471,18 @@ def _semdedup_sql() -> str:
     return semdedup_oracle_sql(NEARDUP_COS_THRESHOLD)
 
 
+def _mmr_sql() -> str:
+    """MMR oracle: BM25 candidate CTE + pair-cosine CTE + the greedy
+    selection unrolled k rounds (pipelines/query.mmr_oracle_sql)."""
+    from donkey_ray.driver_api import (MMR_C, MMR_K, MMR_LAM,
+                                       PINNED_QUERIES)
+    from donkey_ray.pipelines.query import mmr_oracle_sql
+
+    values = ",".join(f"({q},'{t}')" for q, t, _ in PINNED_QUERIES)
+    return mmr_oracle_sql(queries_values=values, toks_expr=_TOKS,
+                          c=MMR_C, k=MMR_K, lam=MMR_LAM)
+
+
 def _pq_codes_sql() -> str:
     """PQ codes oracle: per-subspace pinned k-means chains unrolled in
     DuckDB CTEs (pipelines/pq.pq_codes_oracle_sql); dim read from the
@@ -570,6 +583,7 @@ def _oracle_sqls() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_sql(),
         "semdedup": _semdedup_sql(),
         "pq_codes": _pq_codes_sql(),
+        "mmr_topk": _mmr_sql(),
         "pq_search": _pq_search_sql(),
         "kmeans_centroids": _kmeans_centroids_sql(),
         "sif_embeddings": _sif_sql(),

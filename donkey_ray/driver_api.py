@@ -369,6 +369,31 @@ def q_bm25_topk_not(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+MMR_C, MMR_K, MMR_LAM = 50, 10, 0.7
+
+
+def q_mmr_topk(sf_dir: str) -> pa.Table:
+    """MMR result diversification (Carbonell & Goldstein 1998): BM25
+    top-50 candidates, greedy lam=0.7 relevance-vs-max-cosine selection
+    of 10 (pipelines/query.mmr_topk)."""
+    from .pipelines.query import mmr_topk
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = mmr_topk(
+        index_dir, f"{sf_dir}/embeddings.parquet", queries,
+        c=MMR_C, k=MMR_K, lam=MMR_LAM,
+    )
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "mmr")
+
+
 def q_search_eval(sf_dir: str) -> pa.Table:
     """Retrieval-quality metrics (precision@10, MRR, nDCG@10) of the
     BM25 run against the conjunctive-match relevance set

@@ -822,6 +822,178 @@ def rrf_fuse(
     )
 
 
+def mmr_topk(
+    index_dir: str,
+    embeddings: str | pa.Table,
+    queries: pa.Table,
+    *,
+    c: int = 50,
+    k: int = 10,
+    lam: float = 0.7,
+    mode: str = "auto",
+) -> pa.Table:
+    """Maximal Marginal Relevance result diversification (Carbonell &
+    Goldstein 1998): retrieve the BM25 top-``c`` candidates, hydrate
+    their embeddings with a doc_id-pushdown read (embeddings.vec_id is
+    pinned as the embedding of doc_id, as in hybrid_topk), then greedily
+    select ``k``:
+
+      pick_1 = argmax rel(d)                      (max-sim term empty)
+      pick_t = argmax  lam * rel(d)
+                     - (1 - lam) * max_{s in S} cos(d, s)
+
+    over candidates not yet selected, ties -> smallest doc_id. rel is
+    the raw BM25 score; cos is float64 over normalized vectors. Output:
+    (query_id, rank, doc_id, mmr) where mmr is pick_t's objective value
+    (rank 1 reports lam * rel to match the shared objective form). SQL
+    mirror: the selection unrolled k rounds of argmax CTEs
+    (mmr_oracle_sql below).
+
+    Scale shape: candidate generation is the ordinary serving path; MMR
+    itself is O(queries * c * k) driver work on c-row slices — the
+    corpus is touched only through the index and one pushdown read."""
+    import numpy as np
+
+    from ..util import dataset_to_table
+
+    res = dataset_to_table(
+        score_queries(index_dir, queries.set_column(
+            queries.column_names.index("k"), "k",
+            pa.array([c] * queries.num_rows, pa.int32()),
+        ), mode=mode)
+    )
+    cand_ids = res.column("doc_id")
+    if isinstance(embeddings, str):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        embeddings = pads.dataset(embeddings).to_table(
+            columns=["vec_id", "embedding"],
+            filter=pads.field("vec_id").isin(pc.unique(cand_ids)),
+        )
+    emb_by_id = {
+        int(v): np.asarray(e, dtype=np.float64)
+        for v, e in zip(embeddings.column("vec_id").to_pylist(),
+                        embeddings.column("embedding").to_pylist())
+    }
+    out = {"query_id": [], "rank": [], "doc_id": [], "mmr": []}
+    res_q = res.column("query_id").to_numpy(zero_copy_only=False)
+    res_d = res.column("doc_id").to_numpy(zero_copy_only=False)
+    res_s = res.column("score").to_numpy(zero_copy_only=False)
+    for qrow in queries.to_pylist():
+        qid = int(qrow["query_id"])
+        sel = res_q == qid
+        ids, rel = res_d[sel], res_s[sel]
+        if ids.size == 0:
+            continue
+        m = np.stack([emb_by_id[int(d)] for d in ids])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        chosen: list[int] = []
+        avail = np.ones(ids.size, dtype=bool)
+        for rank in range(1, min(k, ids.size) + 1):
+            if chosen:
+                mx = sims[:, chosen].max(axis=1)
+                obj = lam * rel - (1.0 - lam) * mx
+            else:
+                obj = lam * rel
+            obj_a = np.where(avail, obj, -np.inf)
+            best = np.lexsort((ids, -obj_a))[0]
+            chosen.append(int(best))
+            avail[best] = False
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["doc_id"].append(int(ids[best]))
+            out["mmr"].append(float(obj[best]))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "mmr": pa.array(out["mmr"], pa.float64()),
+    })
+
+
+def mmr_oracle_sql(
+    *,
+    queries_values: str,
+    toks_expr: str,
+    c: int = 50,
+    k: int = 10,
+    lam: float = 0.7,
+) -> str:
+    """DuckDB mirror of mmr_topk: the standard BM25 candidate CTE, a
+    candidate-pair cosine CTE, then the greedy selection unrolled as k
+    argmax rounds (sel1..selk); ties doc_id asc at every argmax.
+
+    ``queries_values`` is the SQL VALUES list for q(query_id, text) and
+    ``toks_expr`` the tokenizer expression over documents.text."""
+    rounds = []
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, doc_id, {r} AS rank, mmr FROM sel{r}"
+            for r in range(1, t)
+        )
+        rounds.append(f""",
+prev{t} AS MATERIALIZED ({prev}),
+obj{t} AS (
+  SELECT c.query_id, c.doc_id,
+         {lam} * c.rel - (1 - {lam}) * max(s.cos) AS mmr
+  FROM cand c
+  JOIN prev{t} p ON p.query_id = c.query_id
+  JOIN sims s ON s.query_id = c.query_id
+             AND s.doc_a = c.doc_id AND s.doc_b = p.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM prev{t} x
+                         WHERE x.query_id = c.query_id)
+  GROUP BY c.query_id, c.doc_id, c.rel),
+sel{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, doc_id ASC) AS rn
+    FROM obj{t}) WHERE rn = 1)""")
+    final = " UNION ALL ".join(
+        f"SELECT query_id, {r} AS rank, doc_id, mmr FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id, {toks_expr} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text) AS (VALUES {queries_values}),
+qt AS (SELECT DISTINCT query_id,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2),
+cand AS MATERIALIZED (SELECT query_id, doc_id, score AS rel FROM (
+           SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+           FROM scores) WHERE rn <= {c}),
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS MATERIALIZED (SELECT a.query_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                list_cosine_similarity(ea.v, eb.v) AS cos
+         FROM cand a JOIN cand b ON b.query_id = a.query_id
+         JOIN e ea ON ea.vec_id = a.doc_id
+         JOIN e eb ON eb.vec_id = b.doc_id),
+sel1 AS MATERIALIZED (SELECT query_id, doc_id, {lam} * rel AS mmr FROM (
+           SELECT query_id, doc_id, rel,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {lam} * rel DESC, doc_id ASC) AS rn
+           FROM cand) WHERE rn = 1){"".join(rounds)}
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(mmr, 6) AS mmr
+FROM ({final}) ORDER BY query_id, rank"""
+
+
 def search_eval(
     index_dir: str,
     queries: pa.Table,

@@ -914,3 +914,68 @@ def test_jsonl_and_text_dir_sources(ray_session, tmp_path):
     assert td["lang"].tolist() == ["rust", "simple", "python"]
     assert td["content"][2] == "def alpha(): return 1\n"
     assert set(td["repo"]) == {"r1"} and set(td["commit"]) == {"c1"}
+
+
+def test_mmr_topk_matches_reference(built):
+    """MMR diversification vs an independent greedy reference over
+    synthetic per-doc embeddings, plus the defining behavior: a
+    candidate identical-in-embedding to an already-selected doc is
+    demoted below a slightly-less-relevant but novel one."""
+    from donkey_ray.pipelines.query import mmr_topk
+
+    corpus, out, _, oracle = built
+    ids = sorted(oracle.dl)
+    rng = np.random.default_rng(77)
+    emb = {d: rng.standard_normal(8) for d in ids}
+    # make the BM25 top-2 docs for COMMON_TOKEN embedding-identical
+    top2 = [d for d, _ in oracle.topk(COMMON_TOKEN, 2, lang="code")]
+    emb[top2[1]] = emb[top2[0]].copy()
+    emb_tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(emb[d]) for d in ids],
+                              pa.list_(pa.float64())),
+    })
+    queries = make_queries(8, seed=13)
+    lam, c, k = 0.5, 20, 6
+    got = mmr_topk(out, emb_tbl, queries, c=c, k=k, lam=lam)
+
+    def ref(text):
+        hits = oracle.topk(text, c, lang="code")
+        if not hits:
+            return []
+        ids_c = np.array([d for d, _ in hits], dtype=np.int64)
+        rel = np.array([s for _, s in hits])
+        m = np.stack([emb[int(d)] for d in ids_c])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        chosen, avail, outr = [], np.ones(len(ids_c), bool), []
+        for rank in range(1, min(k, len(ids_c)) + 1):
+            obj = (lam * rel - (1 - lam) * sims[:, chosen].max(axis=1)
+                   if chosen else lam * rel)
+            oa = np.where(avail, obj, -np.inf)
+            b = np.lexsort((ids_c, -oa))[0]
+            chosen.append(b)
+            avail[b] = False
+            outr.append((rank, int(ids_c[b]), float(obj[b])))
+        return outr
+
+    gq = got.column("query_id").to_pylist()
+    rows = list(zip(got.column("rank").to_pylist(),
+                    got.column("doc_id").to_pylist(),
+                    got.column("mmr").to_pylist()))
+    for qrow in queries.to_pylist():
+        qid = int(qrow["query_id"])
+        mine = [r for r, g in zip(rows, gq) if g == qid]
+        want = ref(qrow["text"])
+        assert [(r, d) for r, d, _ in mine] == [(r, d) for r, d, _ in want]
+        assert [s for _, _, s in mine] == pytest.approx(
+            [s for _, _, s in want])
+
+    # the embedding-duplicate of the rank-1 doc must NOT be pick 2
+    cq = pa.table({"query_id": pa.array([0], pa.int64()),
+                   "text": pa.array([COMMON_TOKEN], pa.string()),
+                   "k": pa.array([6], pa.int32())})
+    res = mmr_topk(out, emb_tbl, cq, c=c, k=3, lam=lam)
+    picks = res.column("doc_id").to_pylist()
+    assert picks[0] == top2[0]
+    assert picks[1] != top2[1]  # exact duplicate demoted
