@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": api.q_bm25f_topk,
         "search_eval": api.q_search_eval,
         "mmr_topk": api.q_mmr_topk,
+        "passage_topk": api.q_passage_topk,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -994,6 +995,53 @@ ranked2 AS (SELECT query_id, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked2 WHERE rank <= 10
+""",
+        # best-passage-per-document (MaxP) retrieval: the pinned 500/400
+        # chunking as a passage corpus, BM25 over chunks, best chunk per
+        # parent (score desc, chunk asc), parents ranked
+        "passage_topk": f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+ch AS MATERIALIZED (
+  SELECT doc_id * 100000 + i AS cid, doc_id AS parent, i AS chunk_id,
+         substr(text, (i * 400 + 1)::BIGINT, 500) AS ctext
+  FROM (SELECT doc_id, text,
+               unnest(range(0, CASE WHEN n <= 500 THEN 1
+                                    ELSE 1 + ((n - 500 + 399) // 400) END)) AS i
+        FROM t)),
+ptok AS MATERIALIZED (
+  SELECT cid, parent, chunk_id,
+         regexp_extract_all(lower(ctext), '[a-z0-9]+') AS toks FROM ch),
+pdl AS MATERIALIZED (SELECT cid, parent, chunk_id, len(toks) AS dl FROM ptok),
+pstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM pdl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+pterms AS (SELECT cid, unnest(toks) AS term FROM ptok),
+ptf AS (SELECT cid, term, count(*)::DOUBLE AS tf FROM pterms GROUP BY 1,2),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY 1),
+pscores AS (
+  SELECT qt.query_id, qt.k, ptf.cid,
+    sum( ln((s.n_docs - pdf.df + 0.5)/(pdf.df + 0.5) + 1) *
+         ptf.tf*(1.2+1)/(ptf.tf + 1.2*(1 - 0.75 + 0.75*d.dl/s.avgdl)) ) AS score
+  FROM qt JOIN ptf ON ptf.term = qt.term
+  JOIN pdf ON pdf.term = qt.term
+  JOIN pdl d ON d.cid = ptf.cid CROSS JOIN pstats s
+  GROUP BY 1,2,3),
+best AS (SELECT query_id, k, parent, chunk_id, score FROM (
+  SELECT s.query_id, s.k, d.parent, d.chunk_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id, d.parent
+                            ORDER BY s.score DESC, s.cid ASC) AS rn
+  FROM pscores s JOIN pdl d ON d.cid = s.cid) WHERE rn = 1),
+ranked AS (SELECT query_id, k, parent, chunk_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, parent ASC) AS rank
+           FROM best)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank,
+       parent AS doc_id, chunk_id::BIGINT AS chunk_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
 """,
         # retrieval-quality metrics: BM25 top-10 run scored against the
         # conjunctive-match relevance set (binary qrels derived from the

@@ -369,6 +369,66 @@ def q_bm25_topk_not(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+PASSAGE_SIZE, PASSAGE_STRIDE, PASSAGE_SHIFT = 500, 400, 100_000
+
+
+def ensure_passage_index(sf_dir: str) -> str:
+    """Build (once; resumable) the PASSAGE index: documents chunked with
+    the pinned chunk_docs rule (500-char windows every 400), chunk doc
+    ids = parent_doc_id * PASSAGE_SHIFT + chunk_id."""
+    from .pipelines.analyze import chunk_docs
+
+    out = _index_dir(sf_dir) + "_passages"
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    chunks = chunk_docs(docs, size=PASSAGE_SIZE, stride=PASSAGE_STRIDE)
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        cid = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+               * PASSAGE_SHIFT
+               + batch.column("chunk_id").to_numpy(zero_copy_only=False))
+        n = batch.num_rows
+        return pa.table({
+            "repo": pa.array(["passages"] * n, pa.string()),
+            "path": pa.array([str(v) for v in cid], pa.string()),
+            "commit": pa.array([""] * n, pa.string()),
+            "lang": pa.array(["simple"] * n, pa.string()),
+            "content": batch.column("chunk_text").cast(pa.string()),
+            "doc_id": pa.array(cid, pa.int64()),
+        })
+
+    build_index(
+        chunks.map_batches(adapt, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        out,
+        num_partitions=8,
+        id_col="doc_id",
+        query_lang="simple",
+        sample_mod=16,
+    )
+    return out
+
+
+def q_passage_topk(sf_dir: str) -> pa.Table:
+    """Best-passage-per-document retrieval (MaxP): BM25 over the pinned
+    500/400 passage index, collapsed to each parent doc's best chunk
+    (pipelines/query.passage_topk)."""
+    from .pipelines.query import passage_topk
+
+    index_dir = ensure_passage_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = passage_topk(index_dir, queries, k=10, shift=PASSAGE_SHIFT)
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 MMR_C, MMR_K, MMR_LAM = 50, 10, 0.7
 
 

@@ -822,6 +822,59 @@ def rrf_fuse(
     )
 
 
+def passage_topk(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    k: int = 10,
+    shift: int = 100_000,
+) -> pa.Table:
+    """Best-passage-per-document retrieval (long-doc search: rank docs
+    by their best-matching PASSAGE, the MaxP strategy of Dai & Callan
+    2019): queries run against a PASSAGE index whose doc ids encode
+    ``parent_doc_id * shift + chunk_id``; per query the UNTRUNCATED
+    passage hit set collapses to one best chunk per parent (max score,
+    ties -> smaller chunk), parents rank by (best score desc, parent
+    asc). Output: (query_id, rank, doc_id, chunk_id, score).
+
+    Scale shape: passage scoring is the ordinary serving path (the
+    passage corpus is just a corpus); the collapse is one lexsort +
+    unique over the HIT set per query, never corpus-sized."""
+    import numpy as np
+
+    from ..stages.score import QueryEngine
+
+    eng = QueryEngine(index_dir)
+    out = {"query_id": [], "rank": [], "doc_id": [], "chunk_id": [],
+           "score": []}
+    for row in queries.to_pylist():
+        res = eng.score_all(row["text"])
+        if res is None:
+            continue
+        cids, scores = res
+        parents = cids // shift
+        # score desc, then chunk id asc — first occurrence per parent
+        # is its best passage with the pinned tie-break
+        order = np.lexsort((cids, -scores))
+        _, first = np.unique(parents[order], return_index=True)
+        best = order[first]
+        b_par, b_cid, b_sc = parents[best], cids[best], scores[best]
+        top = np.lexsort((b_par, -b_sc))[:int(row.get("k", k) or k)]
+        for r, j in enumerate(top, start=1):
+            out["query_id"].append(int(row["query_id"]))
+            out["rank"].append(r)
+            out["doc_id"].append(int(b_par[j]))
+            out["chunk_id"].append(int(b_cid[j] % shift))
+            out["score"].append(float(b_sc[j]))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "chunk_id": pa.array(out["chunk_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+    })
+
+
 def mmr_topk(
     index_dir: str,
     embeddings: str | pa.Table,
@@ -843,7 +896,10 @@ def mmr_topk(
                      - (1 - lam) * max_{s in S} cos(d, s)
 
     over candidates not yet selected, ties -> smallest doc_id. rel is
-    the raw BM25 score; cos is float64 over normalized vectors. Output:
+    the raw BM25 score; cos is float64 over normalized vectors. A
+    candidate with NO embedding row is pinned orthogonal to everything
+    (cos 0 both directions): it takes no diversity penalty and imposes
+    none, but still competes on relevance. Output:
     (query_id, rank, doc_id, mmr) where mmr is pick_t's objective value
     (rank 1 reports lam * rel to match the shared objective form). SQL
     mirror: the selection unrolled k rounds of argmax CTEs
@@ -886,9 +942,16 @@ def mmr_topk(
         ids, rel = res_d[sel], res_s[sel]
         if ids.size == 0:
             continue
-        m = np.stack([emb_by_id[int(d)] for d in ids])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
+        # candidates without an embedding are pinned ORTHOGONAL to
+        # everything (sim 0 both directions) — they take no diversity
+        # penalty and impose none; they can still win on relevance
+        have = np.array([int(d) in emb_by_id for d in ids])
+        sims = np.zeros((ids.size, ids.size), dtype=np.float64)
+        if have.any():
+            m = np.stack([emb_by_id[int(d)] for d in ids[have]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            hi = np.flatnonzero(have)
+            sims[np.ix_(hi, hi)] = m @ m.T
         chosen: list[int] = []
         avail = np.ones(ids.size, dtype=bool)
         for rank in range(1, min(k, ids.size) + 1):
@@ -937,10 +1000,10 @@ def mmr_oracle_sql(
 prev{t} AS MATERIALIZED ({prev}),
 obj{t} AS (
   SELECT c.query_id, c.doc_id,
-         {lam} * c.rel - (1 - {lam}) * max(s.cos) AS mmr
+         {lam} * c.rel - (1 - {lam}) * max(coalesce(s.cos, 0)) AS mmr
   FROM cand c
   JOIN prev{t} p ON p.query_id = c.query_id
-  JOIN sims s ON s.query_id = c.query_id
+  LEFT JOIN sims s ON s.query_id = c.query_id
              AND s.doc_a = c.doc_id AND s.doc_b = p.doc_id
   WHERE c.doc_id NOT IN (SELECT doc_id FROM prev{t} x
                          WHERE x.query_id = c.query_id)

@@ -979,3 +979,68 @@ def test_mmr_topk_matches_reference(built):
     picks = res.column("doc_id").to_pylist()
     assert picks[0] == top2[0]
     assert picks[1] != top2[1]  # exact duplicate demoted
+
+
+def test_passage_topk_matches_reference(ray_session, tmp_path):
+    """MaxP passage retrieval vs a brute reference: chunk with the
+    pinned rule, score chunks with the chunk-corpus BM25 oracle,
+    collapse to best chunk per parent (score desc, chunk asc), rank
+    parents (score desc, parent asc)."""
+    import ray.data
+
+    from donkey_ray.pipelines.analyze import chunk_docs
+    from donkey_ray.pipelines.query import passage_topk
+
+    corpus = make_corpus(80, seed=29)
+    texts = corpus.column("content").to_pylist()
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    size, stride, shift = 120, 80, 1000
+    chunks = (
+        chunk_docs(ray.data.from_arrow(docs), size=size, stride=stride)
+        .to_pandas()
+    )
+    cid = (chunks.doc_id * shift + chunks.chunk_id).astype("int64")
+    chunk_corpus = pa.table({
+        "repo": pa.array(["p"] * len(chunks), pa.string()),
+        "path": pa.array(cid.astype(str).tolist(), pa.string()),
+        "commit": pa.array([""] * len(chunks), pa.string()),
+        "lang": pa.array(["code"] * len(chunks), pa.string()),
+        "content": pa.array(chunks.chunk_text.tolist(), pa.string()),
+        "doc_id": pa.array(cid.tolist(), pa.int64()),
+    })
+    out = str(tmp_path / "pidx")
+    build_index(ray.data.from_arrow(chunk_corpus), out, num_partitions=4,
+                query_lang="code", id_col="doc_id", detect_hot=False)
+    chunk_oracle = BM25Oracle.from_corpus(chunk_corpus, id_col="doc_id")
+
+    queries = make_queries(10, seed=21)
+    queries = queries.set_column(
+        queries.column_names.index("k"), "k",
+        pa.array([6] * queries.num_rows, pa.int32()),
+    )  # the per-row k column wins over the default param
+    got = passage_topk(out, queries, k=6, shift=shift)
+    rows = list(zip(got.column("query_id").to_pylist(),
+                    got.column("rank").to_pylist(),
+                    got.column("doc_id").to_pylist(),
+                    got.column("chunk_id").to_pylist(),
+                    got.column("score").to_pylist()))
+    any_multi = 0
+    for qrow in queries.to_pylist():
+        qid = int(qrow["query_id"])
+        hits = chunk_oracle.topk(qrow["text"], 10 ** 9, lang="code")
+        best: dict[int, tuple[int, float]] = {}
+        for c, s in hits:  # oracle order: score desc, id asc
+            p = c // shift
+            if p not in best:
+                best[p] = (c % shift, s)
+        want = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[0]))[:6]
+        mine = [(r, d, c, s) for q, r, d, c, s in rows if q == qid]
+        assert [(d, c) for _, d, c, _ in mine] == [
+            (p, c) for p, (c, _) in want], qrow["text"]
+        assert [s for *_, s in mine] == pytest.approx(
+            [s for _, (_, s) in want])
+        any_multi += sum(c > 0 for _, _, c, _ in mine)
+    assert any_multi > 0  # non-first chunks actually win sometimes
