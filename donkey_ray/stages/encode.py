@@ -227,7 +227,17 @@ class SegmentWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({"part": pa.array([], pa.int32())})
+            # full manifest schema so empty blocks match non-empty ones
+            # (a mixed-schema RefBundle makes Ray Data warn loudly)
+            return pa.table({
+                "part": pa.array([], pa.int32()),
+                "n_terms": pa.array([], pa.int64()),
+                "n_postings": pa.array([], pa.int64()),
+                "sum_tf": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+                "sha256": pa.array([], pa.string()),
+                "wall_s": pa.array([], pa.float64()),
+            })
         t0 = time.monotonic()
         part = int(group.column("part")[0].as_py())
         seg, stats = encode_partition_any(group, self.block_size)
