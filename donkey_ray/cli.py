@@ -117,6 +117,51 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Integrity-check an index on disk: every partition's segment must
+    exist and hash to its manifest sha256, the docs table and _SUCCESS
+    marker must be present, and meta stats must be internally
+    consistent. Exit 0 = sound; 1 = problems (listed on stdout) — the
+    offline half of donkey's sync/checkpoint surface (SURVEY.md A8)."""
+    import os
+
+    from .state import manifest as mf
+
+    idx = args.index
+    problems: list[str] = []
+    try:
+        meta = mf.load_meta(idx)
+    except (OSError, ValueError) as exc:
+        print(f"FAIL: unreadable index meta: {exc}")
+        return 1
+    if not mf.is_complete(idx):
+        problems.append("missing _SUCCESS marker (incomplete build)")
+    npart = int(meta["num_partitions"])
+    done = mf.validated_done_parts(idx, npart, verify_checksum=True)
+    missing = sorted(set(meta.get("parts_built", range(npart))) - set(done))
+    for part in missing:
+        seg = mf.segment_path(idx, part)
+        why = "missing" if not os.path.exists(seg) else "checksum mismatch"
+        problems.append(f"partition {part}: segment {why}")
+    if not os.path.isdir(os.path.join(idx, "docs")):
+        problems.append("missing docs table")
+    n_postings = sum(int(e.get("n_postings", 0)) for e in done.values())
+    if not missing and n_postings != int(meta.get("n_postings", -1)):
+        problems.append(
+            f"meta n_postings {meta.get('n_postings')} != "
+            f"manifest sum {n_postings}")
+    if problems:
+        for pr in problems:
+            print(f"FAIL: {pr}")
+        return 1
+    print(json.dumps({
+        "ok": True, "partitions": len(done),
+        "n_docs": meta.get("n_docs"), "n_postings": n_postings,
+        "format_version": meta.get("format_version"),
+    }))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Start the named serving actor and answer queries from stdin
     (one query text per line; JSON hits per line). The actor outlives
@@ -193,6 +238,11 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats", help="print index metadata")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    vf = sub.add_parser(
+        "verify", help="integrity-check an index (checksums, manifest)")
+    vf.add_argument("--index", required=True)
+    vf.set_defaults(fn=cmd_verify)
 
     v = sub.add_parser("serve", help="serve an index from a named Ray actor")
     v.add_argument("--index", required=True)

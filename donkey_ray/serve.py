@@ -124,6 +124,7 @@ class IndexServer:
         intersection), "msm" (>= ``min_match`` distinct terms), "not"
         (positive scoring excluding docs containing any ``neg_text``
         term), "prefix" (wildcard expansion over the dictionary),
+        "bool" (nested AND/OR/NOT expression DSL),
         "phrase" (exact positional phrase) or "near" (proximity within
         ``window``); the latter two need every federated member built
         with positions=True.
@@ -146,6 +147,9 @@ class IndexServer:
             hits = self.engine.prefix_topk(text, fetch_k)
         elif kind == "msm":
             hits = self.engine.msm_topk(text, fetch_k, min_match)
+        elif kind == "bool":
+            # nested boolean DSL: text IS the expression
+            hits = self.engine.bool_topk(text, fetch_k)
         elif kind == "topk":
             hits = (self.engine.boosted_topk(text, fetch_k, boosts)
                     if boosts else self.engine.topk(text, fetch_k))

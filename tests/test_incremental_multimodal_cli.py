@@ -207,3 +207,47 @@ def test_audio_fingerprints(ray_session):
     assert fps[0] == fps[1]            # deterministic on content
     assert fps[0] != fps[2]            # discriminates content
     assert len(fps[0]) > 0 and all(0 <= v < 2**32 for v in fps[0])
+
+
+def test_cli_verify(tmp_path, ray_session):
+    """cli verify: sound index -> ok JSON + exit 0; corrupted segment ->
+    checksum FAIL; deleted _SUCCESS -> incomplete FAIL (no subprocess —
+    cmd_verify is pure file work)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import ray.data
+
+    from donkey_ray.cli import main as cli_main
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.state import manifest as mf
+
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(make_corpus(40, seed=5)), idx,
+                num_partitions=3, detect_hot=False, query_lang="code")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["verify", "--index", idx])
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    assert out["ok"] and out["partitions"] == 3
+
+    # corrupt one segment byte -> checksum mismatch
+    seg = mf.segment_path(idx, 1)
+    data = bytearray(open(seg, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(seg, "wb").write(bytes(data))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["verify", "--index", idx])
+    assert rc == 1 and "checksum" in buf.getvalue()
+
+    # restore; missing _SUCCESS -> incomplete
+    open(seg, "wb").write(bytes(b ^ 0xFF if i == len(data) // 2 else b
+                                for i, b in enumerate(data)))
+    os.remove(os.path.join(idx, "_SUCCESS"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["verify", "--index", idx])
+    assert rc == 1 and "_SUCCESS" in buf.getvalue()

@@ -261,3 +261,25 @@ def test_serve_msm_and_boosted(served_index):
     ]
     # a huge boost on the rarer term must float a doc containing it to #1
     assert want_b[0][0] in {d for d, _ in eng.topk(other, 10**6)}
+
+
+def test_serve_bool_kind(served_index):
+    """kind='bool' through the server equals engine.bool_topk, and the
+    tombstone over-fetch filters apply to boolean matches too."""
+    from donkey_ray.functions.tokenize import get_tokenizer
+    from donkey_ray.stages.score import QueryEngine
+    from donkey_ray.synth import COMMON_TOKEN
+
+    corpus, out = served_index
+    srv = IndexServer(out)
+    eng = QueryEngine(out)
+    toks = get_tokenizer("code").tokenize(corpus.column("content")[0].as_py())
+    other = next(t for t in toks if t != COMMON_TOKEN and eng.term_runs(t))
+    expr = f"{COMMON_TOKEN} NOT ({other} AND {COMMON_TOKEN})"
+    want = eng.bool_topk(expr, 5)
+    got = srv.search(expr, 5, kind="bool")
+    assert [(h["doc_id"], h["score"]) for h in got] == [
+        (d, s) for d, s in want
+    ]
+    assert all(h["doc_id"] not in {d for d, _ in eng.topk(other, 10**6)}
+               for h in got)
