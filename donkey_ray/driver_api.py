@@ -369,6 +369,39 @@ def q_bm25_topk_not(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+PRUNE_KEEP_FRAC = 0.5
+
+
+def ensure_pruned_index(sf_dir: str) -> str:
+    """Prune (once) the documents index at keep_frac=0.5 — the lossy
+    static-pruning artifact (pipelines/prune.py)."""
+    from .pipelines.prune import prune_index
+    from .state import manifest as mf
+
+    out = _index_dir(sf_dir) + "_pruned50"
+    if not mf.is_complete(out):
+        prune_index(ensure_index(sf_dir), out, keep_frac=PRUNE_KEEP_FRAC)
+    return out
+
+
+def q_pruned_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-k over the statically PRUNED index (Carmel-style: each
+    term keeps its top ceil(0.5*df) postings by tf desc, doc asc; idf
+    shifts to the pruned df, corpus stats stay original) — the standard
+    serving path over the smaller artifact."""
+    index_dir = ensure_pruned_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 PASSAGE_SIZE, PASSAGE_STRIDE, PASSAGE_SHIFT = 500, 400, 100_000
 
 

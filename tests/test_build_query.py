@@ -1044,3 +1044,138 @@ def test_passage_topk_matches_reference(ray_session, tmp_path):
             [s for _, (_, s) in want])
         any_multi += sum(c > 0 for _, _, c, _ in mine)
     assert any_multi > 0  # non-first chunks actually win sometimes
+
+
+def test_bool_topk_random_expressions(built):
+    """Property test: random boolean expression trees over real vocab
+    terms — engine bool_topk must equal a set-based evaluation of the
+    SAME tree (sidestepping the parser) for match set, scoring terms,
+    and scores."""
+    import random
+
+    from donkey_ray.functions import scoring
+
+    _, out, _, oracle = built
+    engine = QueryEngine(out)
+    rng = random.Random(123)
+    vocab = sorted(t for t, p in oracle.postings.items() if len(p) >= 3)
+    terms_pool = [vocab[i] for i in
+                  rng.sample(range(len(vocab)), min(12, len(vocab)))]
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return ("atom", rng.choice(terms_pool))
+        op = rng.choice(["and", "or", "not"])
+        return (op, gen(depth - 1), gen(depth - 1))
+
+    def render(node, parent=None):
+        if node[0] == "atom":
+            return node[1]
+        sym = {"and": "AND", "or": "OR", "not": "NOT"}[node[0]]
+        s = f"{render(node[1], node[0])} {sym} {render(node[2], node[0])}"
+        # parenthesize everything so precedence never reinterprets
+        return f"({s})"
+
+    def ev(node, parity, pos):
+        if node[0] == "atom":
+            if parity == 0:
+                pos.add(node[1])
+            return set(oracle.postings.get(node[1], {}))
+        left = ev(node[1], parity, pos)
+        right = ev(node[2], parity ^ (node[0] == "not"), pos)
+        return {"and": left & right, "or": left | right,
+                "not": left - right}[node[0]]
+
+    for _ in range(40):
+        tree = gen(3)
+        expr = render(tree)
+        pos: set[str] = set()
+        matched = ev(tree, 0, pos)
+        got = engine.bool_topk(expr, 15)
+        if not matched:
+            assert got == []
+            continue
+        scores = {d: 0.0 for d in matched}
+        for t in pos:
+            plist = oracle.postings.get(t)
+            if not plist:
+                continue
+            w_idf = float(scoring.idf(len(plist), oracle.n_docs))
+            for d in matched & plist.keys():
+                scores[d] += w_idf * float(scoring.tf_weight(
+                    plist[d], oracle.dl[d], oracle.avgdl))
+        i = np.fromiter(scores.keys(), np.int64, len(scores))
+        v = np.fromiter(scores.values(), np.float64, len(scores))
+        order = scoring.topk_order(i, v, 15)
+        want = [(int(i[j]), float(v[j])) for j in order]
+        assert [d for d, _ in got] == [d for d, _ in want], expr
+        assert [s for _, s in got] == pytest.approx(
+            [s for _, s in want]), expr
+
+
+def test_prune_index(built, tmp_path):
+    """Static pruning: per-term top-ceil(frac*df) postings by (tf desc,
+    doc asc) survive; scores match a reference over the pruned dict
+    postings (pruned idf, original dl/avgdl/N); keep_frac=1 is lossless;
+    the artifact is genuinely smaller and every vocab term survives."""
+    from donkey_ray.functions import scoring
+    from donkey_ray.pipelines.prune import prune_index
+    from donkey_ray.state import manifest as mf_
+
+    corpus, out, meta, oracle = built
+    pr = str(tmp_path / "pruned")
+    pmeta = prune_index(out, pr, keep_frac=0.5)
+    assert pmeta["n_postings"] < meta["n_postings"]
+    assert pmeta["n_docs"] == meta["n_docs"]
+    assert pmeta["avgdl"] == meta["avgdl"]
+    assert mf_.is_complete(pr)
+
+    # pruned reference postings from the oracle's dicts
+    pruned: dict[str, dict[int, int]] = {}
+    for t, plist in oracle.postings.items():
+        kn = max(1, int(np.ceil(0.5 * len(plist) - 1e-9)))
+        keep = sorted(plist.items(), key=lambda kv: (-kv[1], kv[0]))[:kn]
+        pruned[t] = dict(keep)
+    assert all(len(p) >= 1 for p in pruned.values())
+
+    eng = QueryEngine(pr)
+    # vocabulary preserved, per-term df = pruned count
+    for t in list(oracle.postings)[::7]:
+        assert eng.term_df(t) == len(pruned[t]), t
+
+    def ref(text, k):
+        scores: dict[int, float] = {}
+        from donkey_ray.functions.tokenize import get_tokenizer
+
+        for t in sorted(set(get_tokenizer("code").tokenize(text))):
+            plist = pruned.get(t)
+            if not plist:
+                continue
+            w_idf = float(scoring.idf(len(plist), oracle.n_docs))
+            for d, tf in plist.items():
+                scores[d] = scores.get(d, 0.0) + w_idf * float(
+                    scoring.tf_weight(tf, oracle.dl[d], oracle.avgdl))
+        if not scores:
+            return []
+        i = np.fromiter(scores.keys(), np.int64, len(scores))
+        v = np.fromiter(scores.values(), np.float64, len(scores))
+        order = scoring.topk_order(i, v, k)
+        return [(int(i[j]), float(v[j])) for j in order]
+
+    for row in make_queries(25, seed=6).to_pylist():
+        got = eng.topk(row["text"], int(row["k"]))
+        want = ref(row["text"], int(row["k"]))
+        assert [d for d, _ in got] == [d for d, _ in want], row["text"]
+        assert [s for _, s in got] == pytest.approx(
+            [s for _, s in want]), row["text"]
+
+    # keep_frac = 1.0 -> lossless: identical results to the full index
+    full = str(tmp_path / "pruned_full")
+    prune_index(out, full, keep_frac=1.0)
+    ef, e0 = QueryEngine(full), QueryEngine(out)
+    for row in make_queries(15, seed=8).to_pylist():
+        assert ef.topk(row["text"], 10) == pytest.approx(
+            e0.topk(row["text"], 10))
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        prune_index(out, str(tmp_path / "bad"), keep_frac=0.0)
