@@ -1761,15 +1761,24 @@ def _kmeans_fit_cached(sf_dir: str) -> list[list[int]]:
     return kmeans_fit(emb)
 
 
-_PQ_BOOKS_CACHE: dict[str, list] = {}
+def ensure_pq_index(sf_dir: str) -> str:
+    """Build (once; resumable artifact) the persisted PQ index over the
+    embeddings table (pipelines/pq.build_pq_index)."""
+    import hashlib as _hl
+
+    from .pipelines.pq import build_pq_index
+
+    out = os.path.join(
+        CACHE_ROOT, f"pq-{_hl.sha256(sf_dir.encode()).hexdigest()[:16]}"
+    )
+    build_pq_index(_embeddings(sf_dir), out, num_partitions=8)
+    return out
 
 
 def _pq_books_cached(sf_dir: str) -> list[list[list[int]]]:
-    from .pipelines.pq import pq_train
+    from .pipelines.pq import load_pq_books
 
-    if sf_dir not in _PQ_BOOKS_CACHE:
-        _PQ_BOOKS_CACHE[sf_dir] = pq_train(_embeddings(sf_dir))
-    return _PQ_BOOKS_CACHE[sf_dir]
+    return load_pq_books(ensure_pq_index(sf_dir))
 
 
 def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
@@ -1783,22 +1792,22 @@ def q_pq_codes(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_pq_search(sf_dir: str) -> pa.Table:
-    """PQ ADC top-k for the pinned ANN queries: per-query integer
+    """PQ ADC top-k for the pinned ANN queries THROUGH the persisted
+    index artifact (books.json + code segments): per-query integer
     distance tables, M lookups per stored code, exact int64 distances
-    (pipelines/pq.pq_search)."""
+    (pipelines/pq.build_pq_index / pq_index_topk)."""
     import pyarrow.parquet as pq_
 
-    from .pipelines.pq import pq_encode, pq_search
+    from .pipelines.pq import pq_index_topk
 
-    books = _pq_books_cached(sf_dir)
+    out = ensure_pq_index(sf_dir)
     emb = pq_.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     by_id = dict(zip(emb.column("vec_id").to_pylist(),
                      emb.column("embedding").to_pylist()))
     qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
-    return pq_search(pq_encode(_embeddings(sf_dir), books), books, qv,
-                     k=ANN_K)
+    return pq_index_topk(out, qv, k=ANN_K)
 
 
 def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:

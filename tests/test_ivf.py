@@ -144,3 +144,45 @@ def test_pq_train_encode_search(vec_ds):
     res5 = pq_search(pq_encode(ds.repartition(5), books), books,
                      vecs[qidx], k=10)
     assert res.equals(res5)
+
+
+def test_pq_index_artifact(vec_ds, tmp_path):
+    """Persisted PQ index: artifact search == direct pq_search over a
+    fresh encode; layout has books + segments + manifests + _SUCCESS;
+    a rebuild call reuses the artifact (no segment rewrite)."""
+    import json
+    import os
+    import time
+
+    from donkey_ray.pipelines.pq import (
+        build_pq_index, load_pq_books, pq_encode, pq_index_topk, pq_search)
+    from donkey_ray.state import manifest as mf
+
+    ds, vecs = vec_ds
+    out = str(tmp_path / "pq_idx")
+    meta = build_pq_index(ds, out, m=4, k=16, num_partitions=4)
+    assert meta["n_vecs"] == len(vecs)
+    assert meta["parts_built"] == [0, 1, 2, 3]
+    assert mf.is_complete(out)
+    assert os.path.exists(os.path.join(out, "books.json"))
+
+    books = load_pq_books(out)
+    q = vecs[[0, 17, 333]]
+    got = pq_index_topk(out, q, k=10)
+    want = pq_search(pq_encode(ds, books), books, q, k=10)
+    assert got.equals(want)
+
+    # resume: a second build call must not rewrite any segment
+    mtimes = {p: os.path.getmtime(mf.segment_path(out, p))
+              for p in meta["parts_built"]}
+    time.sleep(0.05)
+    meta2 = build_pq_index(ds, out, m=4, k=16, num_partitions=4)
+    assert meta2["n_vecs"] == meta["n_vecs"]
+    for p, t0 in mtimes.items():
+        assert os.path.getmtime(mf.segment_path(out, p)) == t0
+
+    # the artifact is genuinely compressed: code bytes << raw vector bytes
+    seg_bytes = sum(os.path.getsize(mf.segment_path(out, p))
+                    for p in meta["parts_built"])
+    raw_bytes = vecs.size * 8
+    assert seg_bytes < raw_bytes / 4
