@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_topk": api.q_mmr_topk,
         "passage_topk": api.q_passage_topk,
         "pruned_topk": api.q_pruned_topk,
+        "tiered_topk": api.q_tiered_topk,
         # text analysis
         "quality_scores": api.q_quality_scores,
         "compressibility": api.q_compressibility,
@@ -1034,6 +1035,61 @@ ranked AS (SELECT query_id, k, doc_id, score,
            FROM scores)
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # tiered serving: pruned tier-1 answers unless it has < k
+        # matching docs for the query, then the full index answers
+        "tiered_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10),(5,'dup',20)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf0 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+keepn AS (SELECT term,
+                 greatest(1, CAST(ceil(0.5 * count(*) - 1e-9) AS BIGINT)) AS kn
+          FROM tf0 GROUP BY term),
+ptf AS (SELECT doc_id, term, tf FROM (
+          SELECT t.doc_id, t.term, t.tf, kk.kn,
+                 row_number() OVER (PARTITION BY t.term
+                                    ORDER BY t.tf DESC, t.doc_id ASC) AS rn
+          FROM tf0 t JOIN keepn kk USING (term)) WHERE rn <= kn),
+pdf AS (SELECT term, count(*)::DOUBLE AS df FROM ptf GROUP BY 1),
+fdf AS (SELECT term, count(*)::DOUBLE AS df FROM tf0 GROUP BY 1),
+pscores AS (
+  SELECT qt.query_id, qt.k, p.doc_id,
+    sum( ln((s.n_docs - pdf.df + 0.5)/(pdf.df + 0.5) + 1) *
+         p.tf*(1.2+1)/(p.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN ptf p ON p.term = qt.term
+  JOIN pdf ON pdf.term = qt.term
+  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+fscores AS (
+  SELECT qt.query_id, qt.k, t.doc_id,
+    sum( ln((s.n_docs - fdf.df + 0.5)/(fdf.df + 0.5) + 1) *
+         t.tf*(1.2+1)/(t.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf0 t ON t.term = qt.term
+  JOIN fdf ON fdf.term = qt.term
+  JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+pcnt AS (SELECT query_id, count(*) AS c FROM pscores GROUP BY 1),
+cand AS (
+  SELECT s.query_id, s.k, s.doc_id, s.score, 1 AS tier
+  FROM pscores s JOIN pcnt ON pcnt.query_id = s.query_id AND pcnt.c >= s.k
+  UNION ALL
+  SELECT s.query_id, s.k, s.doc_id, s.score, 2 AS tier
+  FROM fscores s LEFT JOIN pcnt ON pcnt.query_id = s.query_id
+  WHERE coalesce(pcnt.c, 0) < s.k),
+ranked AS (SELECT query_id, k, doc_id, score, tier,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM cand)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score, tier::INT AS tier
 FROM ranked WHERE rank <= k
 """,
         # best-passage-per-document (MaxP) retrieval: the pinned 500/400

@@ -402,6 +402,31 @@ def q_pruned_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+def q_tiered_topk(sf_dir: str) -> pa.Table:
+    """Tiered serving: answer from the pruned tier-1 index, falling back
+    to the full index only for queries tier-1 cannot fill to k
+    (pipelines/query.tiered_topk)."""
+    from .pipelines.query import tiered_topk
+
+    pruned = ensure_pruned_index(sf_dir)
+    full = ensure_index(sf_dir)
+    # The pinned set plus one rare-term query ("dup", df=25 in the
+    # synthetic corpus; pruned tier-1 keeps ceil(0.5*25)=13 < k=20) so
+    # the tier-2 fallback path is exercised at the driver surface, not
+    # only in pytest.
+    pinned = PINNED_QUERIES + [(5, "dup", 20)]
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in pinned], pa.int64()),
+            "text": pa.array([q[1] for q in pinned], pa.string()),
+            "k": pa.array([q[2] for q in pinned], pa.int32()),
+        }
+    )
+    res = tiered_topk(pruned, full, queries, k=10)
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 PASSAGE_SIZE, PASSAGE_STRIDE, PASSAGE_SHIFT = 500, 400, 100_000
 
 

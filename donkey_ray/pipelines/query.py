@@ -822,6 +822,53 @@ def rrf_fuse(
     )
 
 
+def tiered_topk(
+    pruned_dir: str,
+    full_dir: str,
+    queries: pa.Table,
+    *,
+    k: int = 10,
+) -> pa.Table:
+    """Tiered retrieval — the standard way a statically PRUNED index is
+    actually served (Carmel et al.'s deployment shape): answer from the
+    small tier-1 (pruned) index, and only when it cannot fill the top-k
+    (fewer than ``k`` matching docs) fall back to the full tier-2 index
+    for that query. Output rows carry ``tier`` (1 or 2) so callers can
+    measure the fallback rate. Pinned rule: fallback iff tier-1 returns
+    < k hits; tier-1 answers are returned as-is (their scores use the
+    pruned df — self-consistent with pruned_topk).
+
+    Scale shape: both tiers are ordinary serving-path engines; the
+    fallback decision is per-query on the tier-1 result size, so tier-2
+    (the expensive index) is touched only for the fallback fraction."""
+    from ..stages.score import QueryEngine
+
+    e1 = QueryEngine(pruned_dir)
+    e2 = QueryEngine(full_dir)
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": [],
+           "tier": []}
+    for row in queries.to_pylist():
+        kk = int(row.get("k", k) or k)
+        hits = e1.topk(row["text"], kk)
+        tier = 1
+        if len(hits) < kk:
+            hits = e2.topk(row["text"], kk)
+            tier = 2
+        for r, (d, s) in enumerate(hits, start=1):
+            out["query_id"].append(int(row["query_id"]))
+            out["rank"].append(r)
+            out["doc_id"].append(d)
+            out["score"].append(s)
+            out["tier"].append(tier)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "tier": pa.array(out["tier"], pa.int32()),
+    })
+
+
 def passage_topk(
     index_dir: str,
     queries: pa.Table,

@@ -1179,3 +1179,39 @@ def test_prune_index(built, tmp_path):
 
     with pytest.raises(ValueError, match="keep_frac"):
         prune_index(out, str(tmp_path / "bad"), keep_frac=0.0)
+
+
+def test_tiered_topk(built, tmp_path):
+    """Tiered serving: ample queries answer from the pruned tier-1 with
+    tier-1 scores; queries tier-1 cannot fill to k fall back to the
+    full index (tier 2, full-index scores); absent terms yield no rows."""
+    from donkey_ray.pipelines.prune import prune_index
+    from donkey_ray.pipelines.query import tiered_topk
+
+    corpus, out, _, oracle = built
+    pr = str(tmp_path / "tier1")
+    prune_index(out, pr, keep_frac=0.5)
+    e1, e2 = QueryEngine(pr), QueryEngine(out)
+
+    rare = min((t for t in oracle.postings if 2 <= len(oracle.postings[t]) < 8),
+               key=lambda t: (len(oracle.postings[t]), t))
+    queries = pa.table({
+        "query_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([COMMON_TOKEN, rare, "zzznever"], pa.string()),
+        "k": pa.array([8, 8, 8], pa.int32()),
+    })
+    got = tiered_topk(pr, out, queries, k=8)
+    rows = got.to_pylist()
+
+    q0 = [r for r in rows if r["query_id"] == 0]
+    assert len(q0) == 8 and all(r["tier"] == 1 for r in q0)
+    assert [(r["doc_id"], r["score"]) for r in q0] == pytest.approx(
+        e1.topk(COMMON_TOKEN, 8))
+
+    q1 = [r for r in rows if r["query_id"] == 1]
+    assert q1 and all(r["tier"] == 2 for r in q1)  # df < 8 -> fallback
+    assert [(r["doc_id"], r["score"]) for r in q1] == pytest.approx(
+        e2.topk(rare, 8))
+    assert len(q1) == len(oracle.postings[rare])
+
+    assert not [r for r in rows if r["query_id"] == 2]
