@@ -21,6 +21,15 @@ read in parallel), one term-keyed exchange (the same hash partitioning
 as a build — a term's postings must co-locate for the global keep
 rule), and the per-partition prune is a single lexsort + segmented
 rank; the docs table is copied via a streaming read->write.
+
+Known skew ceiling (documented, not yet needed at tested scale): the
+co-locating exchange un-salts hot terms, so the owner partition of the
+single hottest term receives keep_frac * df rows where the salted build
+split them 2^salt_bits ways. Bounded refinement for the 100 TB path:
+per-(term, salt-shard) tf histograms (run metadata only, no posting
+bytes) -> merged per-term threshold tf* -> shards keep tf > tf* locally
+and exchange ONLY the tf == tf* boundary postings for the exact
+(doc asc) tie cut, writing the hot term's pruned postings still salted.
 """
 
 from __future__ import annotations
