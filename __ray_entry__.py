@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_topk": api.q_hybrid_topk,
         "redact_pii": api.q_redact_pii,
         "quality_filter": api.q_quality_filter,
+        "blocklist_filter": api.q_blocklist_filter,
         "export_clean": api.q_export_clean,
         "lang_id": api.q_lang_id,
         "doc_fingerprints": api.q_doc_fingerprints,
@@ -2732,6 +2733,13 @@ SELECT doc_id, text FROM t
 WHERE len(toks) >= 5 AND
   round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))::DOUBLE
         / len(toks), 6) <= 0.5
+""",
+        # C4-style banned-term gate: token-level membership against the
+        # pinned blocklist (substrings don't count on either side)
+        "blocklist_filter": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, text FROM t
+WHERE len(list_filter(toks, x -> x IN ('dup','slow','zzzbanned'))) = 0
 """,
         # the export sink = quality_filter composed with redact_pii,
         # round-tripped through the parquet artifact on the engine side

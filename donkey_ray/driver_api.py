@@ -1303,6 +1303,12 @@ def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
     return analyze.quality_filter(_docs(sf_dir))
 
 
+def q_blocklist_filter(sf_dir: str) -> ray.data.Dataset:
+    """C4-style banned-term gate over the pinned BLOCKLIST
+    (analyze.blocklist_filter)."""
+    return analyze.blocklist_filter(_docs(sf_dir))
+
+
 def q_export_clean(sf_dir: str) -> ray.data.Dataset:
     """The training-data export sink end-to-end: quality gate -> PII
     scrub -> partitioned parquet artifact -> read-back (the returned

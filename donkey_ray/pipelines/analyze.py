@@ -387,6 +387,38 @@ def quality_filter(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+BLOCKLIST = ("dup", "slow", "zzzbanned")
+
+
+def blocklist_filter(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: tuple[str, ...] = BLOCKLIST,
+) -> ray.data.Dataset:
+    """C4-style banned-term gate (Raffel et al. 2020 drop any page
+    containing a blocklisted word): a doc survives iff NONE of its
+    TOKENS (same pinned tokenizer as the index — substrings don't
+    count) is in the blocklist; surviving rows stream through whole.
+
+    Scale shape: pure streaming map, zero shuffles; the blocklist rides
+    in the closure (it is pinned and small — a huge blocklist would go
+    through ``ray.put`` like the bloom build sides)."""
+    bad = pa.array(list(blocklist), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        flat, parents, _dl = _tokenized(batch, text_col)
+        n = batch.num_rows
+        bad_mask = pc.is_in(flat, value_set=bad).to_numpy(
+            zero_copy_only=False
+        )
+        bad_counts = np.bincount(parents[bad_mask], minlength=n)
+        return batch.filter(pa.array(bad_counts == 0))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pivot_counts(
     ds: ray.data.Dataset,
     row_col: str,

@@ -111,7 +111,7 @@ NAMES = [
     "minhash_neardup", "events_distinct_approx",
     "bpe_merges", "bpe_encode", "prf_topk", "bool_topk", "semdedup",
     "bm25f_topk", "pq_codes", "pq_search", "search_eval", "mmr_topk",
-    "passage_topk", "pruned_topk", "tiered_topk",
+    "passage_topk", "pruned_topk", "tiered_topk", "blocklist_filter",
 ]
 
 

@@ -547,6 +547,27 @@ def test_export_clean_roundtrip(docs_ds, tmp_path):
     assert os.path.getmtime(os.path.join(out, "_EXPORT_SUCCESS")) == mtime
 
 
+def test_blocklist_filter(docs_ds):
+    """Token-level banned-term gate: docs containing any blocklisted
+    TOKEN drop; substrings of tokens never match; token-free docs
+    survive; an all-absent blocklist is a no-op."""
+    from donkey_ray.pipelines.analyze import blocklist_filter
+
+    ds, texts = docs_ds
+    got = dataset_to_table(
+        blocklist_filter(ds, blocklist=("lazy", "zzzneverseen"))
+    )
+    # docs 0/1/3 contain the token 'lazy'; 6 ('short') and 7 ('') don't
+    assert sorted(got.column("doc_id").to_pylist()) == [2, 4, 5, 6, 7]
+
+    # substring must NOT match a token ('azy' ⊂ 'lazy', 'he' ⊂ 'the')
+    sub = dataset_to_table(blocklist_filter(ds, blocklist=("azy", "he")))
+    assert sub.num_rows == len(texts)
+
+    noop = dataset_to_table(blocklist_filter(ds, blocklist=("zzznope",)))
+    assert noop.num_rows == len(texts)
+
+
 def test_simhash_neardup_two_bands(docs_ds):
     """max_hamming=1 -> n_bands=2: the widest bands (32-bit chunks) used
     to overflow uint64 in the band keying; exact dups must still pair."""
