@@ -237,11 +237,14 @@ def pagerank(
             rank_tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         )
         r_vec = np.full(len(node_arr), r0, dtype=np.int64)
+        # node_arr is static — ship it to the object store ONCE; only
+        # the changing rank vector is re-put per iteration
+        node_ref = _ray.put(node_arr)
         for _ in range(iterations):
-            ref = _ray.put((node_arr, r_vec))
+            ref = _ray.put(r_vec)
 
             def contribs_b(batch: pa.Table) -> pa.Table:
-                na, rv = _ray.get(ref)
+                na, rv = _ray.get(node_ref), _ray.get(ref)
                 src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
                 deg_v = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
                 per_edge = rv[_checked_lookup(na, src, "an edge src")] // deg_v
@@ -487,6 +490,12 @@ def triangle_count(
         ptbl = dataset_to_table(pairs.select_columns([a_col, b_col]))
         a = ptbl.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = ptbl.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # drop self-loops (a == b): the exchange path's orientation rule
+        # already excludes them — keeping them here manufactured wedges
+        # through the oriented self edge, diverging from exchange mode
+        loop_free = a != b
+        if not loop_free.all():
+            a, b = a[loop_free], b[loop_free]
         if len(a) and (max(int(a.max()), int(b.max())) >= (1 << 31)
                        or min(int(a.min()), int(b.min())) < 0):
             raise ValueError(

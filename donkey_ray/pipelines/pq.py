@@ -559,10 +559,14 @@ def pq_index_topk(
     from ..state import manifest as mf
 
     meta = mf.load_meta(out_dir)
-    paths = [
-        mf.segment_path(out_dir, p)
-        for p in meta["parts_built"]
-        if os.path.exists(mf.segment_path(out_dir, p))
-    ]
+    paths = [mf.segment_path(out_dir, p) for p in meta["parts_built"]]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        # silently serving 7/8 of the corpus would be a wrong top-k with
+        # no symptom — a lost code segment is an integrity error
+        raise FileNotFoundError(
+            f"PQ index {out_dir} is missing {len(missing)} code "
+            f"segment(s): {missing[:3]}"
+        )
     encoded = ray.data.read_parquet(paths)
     return pq_search(encoded, load_pq_books(out_dir), query_vectors, k=k)

@@ -96,13 +96,16 @@ def prune_index(
                          "semantics; prune the non-positional index")
     P = num_partitions or int(src_meta["num_partitions"])
 
-    from ..functions.hashing import stable_term_hash
+    from ..functions.hashing import term_partition
 
     def add_part(batch: pa.Table) -> pa.Table:
         terms = batch.column("term").to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(terms, return_inverse=True)
+        # the UNSALTED base route on purpose (keep rule needs the whole
+        # term co-located); must stay the engine's read-side routing —
+        # term_partition is the single source of truth
         base = np.fromiter(
-            (stable_term_hash(str(t)) % P for t in uniq),
+            (term_partition(str(t), P) for t in uniq),
             dtype=np.int32, count=len(uniq),
         )
         return batch.append_column("part", pa.array(base[inv], pa.int32()))
@@ -119,9 +122,17 @@ def prune_index(
 
     docs_paths = sorted(_glob.glob(os.path.join(src_dir, "docs", "*.parquet")))
     if docs_paths:
-        ray.data.read_parquet(docs_paths).write_parquet(
-            os.path.join(out_dir, "docs"))
-        mf.atomic_write_bytes(os.path.join(out_dir, "_DOCS_SUCCESS"), b"")
+        docs_out = os.path.join(out_dir, "docs")
+        marker = os.path.join(out_dir, "_DOCS_SUCCESS")
+        if not os.path.exists(marker):
+            # a partial docs dir from a crashed run must be cleared:
+            # Ray's write_parquet APPENDS (uuid filenames), so a rerun
+            # over leftovers would silently duplicate every doc row
+            import shutil
+
+            shutil.rmtree(docs_out, ignore_errors=True)
+            ray.data.read_parquet(docs_paths).write_parquet(docs_out)
+            mf.atomic_write_bytes(marker, b"")
 
     meta = {
         "format_version": 2,

@@ -95,6 +95,14 @@ class QueryScorerStage:
             elif self.kind == "msm":
                 hits = self.run(row["text"], int(row["k"]),
                                 int(row["min_match"]))
+            elif self.kind == "prefix":
+                # a too-broad prefix raises in the library API (a guard,
+                # not a crash); in serving it must cost one empty result,
+                # never the whole batch/actor (same invariant as bool)
+                try:
+                    hits = self.run(row["text"], int(row["k"]))
+                except ValueError:
+                    hits = []
             else:
                 hits = self.run(row["text"], int(row["k"]))
             for r, (d, s) in enumerate(hits, start=1):
@@ -296,6 +304,10 @@ def scatter_gather_topk(
     per_query_k: dict[int, int] = {}
     for row in queries.to_pylist():
         qid, k = int(row["query_id"]), int(row["k"])
+        if qid in per_query_k:
+            # a duplicated id would double-count every shared term's
+            # contribution in the partial-sum exchange — reject loudly
+            raise ValueError(f"duplicate query_id {qid} in queries table")
         per_query_k[qid] = k
         for term in sorted(set(eng._tok.tokenize(row["text"]))):
             for part in eng._candidate_parts(0, term):
@@ -303,7 +315,15 @@ def scatter_gather_topk(
                     route_rows.append((part, term, qid, k))
     if not route_rows:
         return empty
+    # tolerate a lost segment file exactly like QueryEngine._shard does
+    # (degraded results, not a FileNotFoundError inside the Ray task)
     seg_path = {p: mf.segment_path(index_dir, p) for p in eng._parts_built[0]}
+    import os as _os
+
+    live_parts = {p for p, sp in seg_path.items() if _os.path.exists(sp)}
+    route_rows = [r for r in route_rows if r[0] in live_parts]
+    if not route_rows:
+        return empty
 
     # --- pass 1: global df per term (dictionary df column only) ---
     df_routes = sorted({(p, t) for p, t, _q, _k in route_rows})

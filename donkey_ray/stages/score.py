@@ -679,6 +679,13 @@ class QueryEngine:
             return self._dispatch_topk(runs_by_term, k)
         hits = self._topk_exact(runs_by_term, 1 << 62)  # full sorted order
         s_a, d_a = float(after[0]), int(after[1])
+        # anchor on the cursor DOC when it still matches: immune to the
+        # cursor score having come from the WAND path, whose float sums
+        # can differ from the exact path's by an ulp (different
+        # accumulation order) and would shift the strict (s, d) cut
+        for i, (d, _s) in enumerate(hits):
+            if d == d_a:
+                return hits[i + 1:i + 1 + k]
         start = len(hits)
         for i, (d, s) in enumerate(hits):
             if s < s_a or (s == s_a and d > d_a):

@@ -1481,6 +1481,36 @@ def test_triangle_count_vs_bruteforce(ray_session):
     assert got == got_ex == want and want > 56  # clique alone has C(8,3)=56
 
 
+def test_triangle_count_self_loops(ray_session):
+    """Self-loop pairs contribute no wedges in EITHER mode: the repro
+    graph (1,1),(1,4),(4,5),(4,6),(4,7) is triangle-free, but the
+    broadcast prologue used to orient the self edge and close a phantom
+    wedge through it."""
+    import ray.data
+
+    from donkey_ray.pipelines.graph import triangle_count
+    from donkey_ray.util import dataset_to_table
+
+    pairs = pa.table({
+        "doc_a": pa.array([1, 1, 4, 4, 4], pa.int64()),
+        "doc_b": pa.array([1, 4, 5, 6, 7], pa.int64()),
+    })
+    for mode in ("broadcast", "exchange"):
+        t = dataset_to_table(triangle_count(
+            ray.data.from_arrow(pairs), mode=mode))
+        assert t.column("n_triangles").to_pylist() == [0], mode
+
+    # and self-loops never break a REAL triangle's count
+    tri = pa.table({
+        "doc_a": pa.array([1, 2, 3, 2], pa.int64()),
+        "doc_b": pa.array([2, 3, 1, 2], pa.int64()),
+    })
+    for mode in ("broadcast", "exchange"):
+        t = dataset_to_table(triangle_count(
+            ray.data.from_arrow(tri), mode=mode))
+        assert t.column("n_triangles").to_pylist() == [1], mode
+
+
 def test_graph_ops_empty_edge_set(ray_session):
     """Isolated nodes: pagerank returns pure teleport mass for every
     node in BOTH modes; triangle count is zero."""
