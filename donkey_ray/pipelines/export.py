@@ -47,8 +47,9 @@ def export_clean_corpus(
             id_col=id_col,
         )
         cleaned.write_parquet(out_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
+        from ..state import manifest as mf
+
+        mf.atomic_write_bytes(marker, b"ok")
     return ray.data.read_parquet(
         out_dir, file_extensions=["parquet"]
     )

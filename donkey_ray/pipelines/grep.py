@@ -154,12 +154,20 @@ def build_content_trigram_index(ds: ray.data.Dataset, out: str) -> str:
 # ---- query ----
 
 @lru_cache(maxsize=8)
-def _gram_df(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _gram_df_at(index_dir: str, _mtime_ns: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(index_dir, "gram_df.parquet"))
     return (t.column("gram").to_numpy().astype(np.uint32),
             t.column("df").to_numpy())
+
+
+def _gram_df(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Cache keyed by (dir, _DONE mtime) so an in-process REBUILD of the
+    artifact (marker cleared + rewritten) never serves the stale vocab —
+    a stale absent-gram verdict is 'proof of zero matches' downstream."""
+    mt = os.stat(os.path.join(index_dir, "_DONE")).st_mtime_ns
+    return _gram_df_at(index_dir, mt)
 
 
 def _pattern_grams(pat_bytes: bytes) -> np.ndarray:
@@ -326,6 +334,10 @@ def mandatory_literal(pattern: str) -> str | None:
             cur = []
             if c == "[":  # skip the class body
                 j = pattern.find("]", i + 1)
+                i = (j if j != -1 else len(pattern)) + 1
+            elif c == "{":  # skip the quantifier body: its digits are
+                # NOT literal text ('ab{2,3}cd' must never yield '2,3')
+                j = pattern.find("}", i + 1)
                 i = (j if j != -1 else len(pattern)) + 1
             else:
                 i += 1

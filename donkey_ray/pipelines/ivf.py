@@ -79,7 +79,10 @@ class _IVFPartWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({"part": pa.array([], pa.int32())})
+            # same schema as the non-empty return: a one-column empty
+            # table would make the meta's n_vecs fold KeyError
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "n_vecs": pa.array([], pa.int64())})
         t0 = time.monotonic()
         part = int(group.column("part")[0].as_py())
         seg = group.drop_columns(["part"]).sort_by(

@@ -198,6 +198,13 @@ def semdedup(
     against all smaller ids regardless of their own keep flag, exactly
     mirroring the SQL anti-join). Output rows: (vec_id, cluster, keep).
 
+    KNOWN UNPINNED PREDICATE: the cosine >= threshold compare is the one
+    float predicate in this module (exact integer pinning needs 128-bit
+    dot/norm products). numpy and DuckDB associate the arithmetic
+    differently, so a pair whose true cosine sits within ~1 ulp of the
+    threshold could in principle flip keep between engines — a ~1e-16
+    tail risk accepted over a slow Python-int pairwise path.
+
     Scale shape: assignment is a shuffle-free map (centroids ride in the
     closure, O(K*dim)); ONE cluster-keyed exchange co-locates each
     cluster; per-cluster gram work is blocked 512 rows at a time so peak

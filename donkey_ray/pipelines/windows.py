@@ -19,6 +19,15 @@ import ray.data
 from ..stages.exchange import keyed_partition_map
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """DuckDB round() semantics (half AWAY from zero) as int64 —
+    np.round is half-to-even and floor(x - 0.5) rounds negatives toward
+    -inf; either diverges from the SQL oracles on ties / negatives."""
+    return np.where(
+        x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+    ).astype(np.int64)
+
+
 def sessionize(
     ds: ray.data.Dataset,
     *,
@@ -66,7 +75,7 @@ def sessionize(
                 ),
                 "n_events": pa.array(n_ev, pa.int64()),
                 "sum_value_x100": pa.array(
-                    np.round(sums * 100.0).astype(np.int64), pa.int64()
+                    _round_half_away(sums * 100.0), pa.int64()
                 ),
             }
         )
@@ -118,7 +127,7 @@ def running_total(
                 order_col: pa.array(order_v, pa.int64()),
                 key_col: pa.array(keys, pa.int64()),
                 "running_x100": pa.array(
-                    np.round(running * 100.0).astype(np.int64), pa.int64()
+                    _round_half_away(running * 100.0), pa.int64()
                 ),
             }
         )
@@ -468,7 +477,7 @@ def hourly_anomalies(
         sd = np.sqrt(np.maximum(var, 0.0))
         with np.errstate(divide="ignore", invalid="ignore"):
             z = np.where(sd[idx] > 0, (n - mean[idx]) / sd[idx], 0.0)
-        z6 = np.floor(z * 1e6 + np.where(z >= 0, 0.5, -0.5)).astype(np.int64)
+        z6 = _round_half_away(z * 1e6)
         keep = np.abs(z6) >= z_x1e6_threshold
         out = g.append_column("z_x1e6", pa.array(z6, pa.int64()))
         return out.filter(pa.array(keep))

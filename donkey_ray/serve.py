@@ -76,6 +76,32 @@ class IndexServer:
                     self._apply_delete(obj["doc_ids"])
                 else:
                     self._buffer.append(obj)
+        if self._buffer and len(self._dirs) > 1:
+            # crash window: a flush's delta completed but the journal
+            # rewrite didn't — replayed inserts already in a delta
+            # member must not be re-flushed (double-counted postings).
+            # Deltas are small by construction, so reading their doc_id
+            # columns on this rare path is cheap; the BASE is never
+            # scanned (colliding with it violates the insert contract).
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            from .functions.hashing import doc_id_from_key
+
+            existing: set[int] = set()
+            for d in self._dirs[1:]:
+                for p in _glob.glob(os.path.join(d, "docs", "*.parquet")):
+                    existing.update(
+                        _pq.read_table(p, columns=["doc_id"])
+                        .column("doc_id").to_pylist()
+                    )
+            if existing:
+                self._buffer = [
+                    r for r in self._buffer
+                    if doc_id_from_key(r["repo"], r["path"], r["commit"])
+                    not in existing
+                ]
 
     def _journal_append(self, rows: list[dict]) -> None:
         with open(self._journal_path, "a") as f:
@@ -175,6 +201,12 @@ class IndexServer:
             missing = [c for c in self.CORPUS_COLS if c not in r]
             if missing:
                 raise ValueError(f"insert row missing columns {missing}")
+            if "_op" in r:
+                # reserved journal key: a row carrying _op would be
+                # replayed as an OPERATION (e.g. a delete) on recover,
+                # silently diverging pre- vs post-restart state
+                raise ValueError("insert rows must not carry the "
+                                 "reserved '_op' key")
             if self._tombstones and doc_id_from_key(
                 r["repo"], r["path"], r["commit"]
             ) in self._tombstones:
@@ -233,6 +265,14 @@ class IndexServer:
             for c in self.CORPUS_COLS
         }
         delta_dir = f"{self.base_dir}_delta_{len(self._dirs) - 1}"
+        if os.path.exists(delta_dir) and not mf.is_complete(delta_dir):
+            # a crashed earlier flush left a partial build here; its
+            # resume markers (_DOCS_SUCCESS, finished partitions) were
+            # cut from a DIFFERENT buffer snapshot — resuming over them
+            # would silently drop rows inserted since. Start clean.
+            import shutil
+
+            shutil.rmtree(delta_dir)
         build_index(
             ray.data.from_arrow(pa.table(cols)),
             delta_dir,
@@ -245,13 +285,21 @@ class IndexServer:
         )
         n = len(self._buffer)
         self._buffer.clear()
-        os.unlink(self._journal_path)
+        # tombstones outlive the flushed buffer. REWRITE the journal
+        # atomically (temp + rename) instead of unlink-then-append: a
+        # crash between those two steps would permanently lose deletes
         if self._tombstones:
-            # tombstones outlive the flushed buffer: re-journal them so a
-            # restart between flush and compact still sees the deletes
-            self._journal_append(
-                [{"_op": "delete", "doc_ids": sorted(self._tombstones)}]
-            )
+            tmp = self._journal_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(
+                    {"_op": "delete",
+                     "doc_ids": sorted(self._tombstones)},
+                    sort_keys=True) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._journal_path)
+        else:
+            os.unlink(self._journal_path)
         self._dirs.append(delta_dir)
         self.engine = QueryEngine(self._dirs, mode=self.mode)
         return {"flushed": n, "delta_dir": delta_dir,

@@ -93,6 +93,10 @@ def test_short_pattern_falls_back(grep_index):
     ("qu..y", None),
     ("zzznope[0-9]*", "zzznope"),
     ("abc\\d+def", None),      # escape breaks runs; both len-3 -> 'abc'
+    # {m,n} bodies are NOT literal text: '2,3' must never be returned
+    ("ab{2,3}cde", "cde"),
+    ("window{2,10}", "windo"),  # 'w{' excludes the w; '{...}' skipped
+    ("ab{2,3}cd", None),        # surviving runs all < 3 chars
 ])
 def test_mandatory_literal(pat, lit):
     got = grep.mandatory_literal(pat)

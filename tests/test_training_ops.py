@@ -1206,6 +1206,12 @@ def test_hourly_anomalies(ray_session):
     rows += [("a", 9 * H + i) for i in range(50)]
     # type 'b': perfectly flat -> sd 0 -> no anomalies
     rows += [("b", h * H) for h in range(5)]
+    # type 'c': 9 busy hours + one 1-event DIP -> negative z anomaly
+    # (negative z_x1e6 must round half-AWAY like the SQL round(), not
+    # floor toward -inf)
+    for h in range(9):
+        rows += [("c", h * H + i) for i in range(50)]
+    rows.append(("c", 9 * H))
     tbl = pa.table({
         "event_type": pa.array([r[0] for r in rows]),
         "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
@@ -1222,7 +1228,13 @@ def test_hourly_anomalies(ray_session):
     mean, var = n.mean(), (n ** 2).mean() - n.mean() ** 2
     z = (50 - mean) / np.sqrt(var)
     z6 = int(np.floor(z * 1e6 + 0.5))
-    assert got == {("a", 9 * H): (50, z6)}
+
+    nc = np.array([50] * 9 + [1], dtype=np.float64)
+    mc, vc = nc.mean(), (nc ** 2).mean() - nc.mean() ** 2
+    zc = (1 - mc) / np.sqrt(vc)
+    assert zc < -2
+    zc6 = -int(np.floor(-zc * 1e6 + 0.5))  # half away from zero
+    assert got == {("a", 9 * H): (50, z6), ("c", 9 * H): (1, zc6)}
 
 
 def test_bloom_filter_no_false_negatives():
