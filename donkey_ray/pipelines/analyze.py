@@ -488,6 +488,12 @@ def histogram(
             return pa.table({"bin": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        if np.isnan(v).any():
+            # a NaN (null value) would floor to INT64_MIN and emit a
+            # garbage bin row; same explicit contract as
+            # percentile_rank_per_group
+            raise ValueError(
+                f"histogram: null/NaN in {value_col!r}; filter first")
         bins = np.floor(v / bin_width).astype(np.int64)
         uniq, counts = np.unique(bins, return_counts=True)
         return pa.table({"bin": pa.array(uniq, pa.int64()),

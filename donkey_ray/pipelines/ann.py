@@ -485,7 +485,16 @@ def embedding_neardup_pairs(
         )
 
     pairs = bd.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    return dataset_to_table(pairs.groupby(["vec_a", "vec_b"]).max("cos_sim"))
+    out = dataset_to_table(pairs.groupby(["vec_a", "vec_b"]).max("cos_sim"))
+    # drop-in parity with the exact path: same column names, same
+    # (vec_a, vec_b) ordering — callers read 'cos_sim', not Ray's
+    # 'max(cos_sim)' aggregate name
+    out = out.rename_columns(["vec_a", "vec_b", "cos_sim"])
+    order = np.lexsort(
+        (out.column("vec_b").to_numpy(zero_copy_only=False),
+         out.column("vec_a").to_numpy(zero_copy_only=False))
+    )
+    return out.take(pa.array(order))
 
 
 def object_search(
@@ -516,6 +525,10 @@ def object_search(
     packed keys + bincount / np.maximum.at) — the corpus never shuffles
     and the driver combine is O(n_query_objects x n_objects)."""
     qo = np.asarray(query_object_ids, dtype=np.int64)
+    if len(qo) and (int(qo.min()) < 0 or int(qo.max()) >= (1 << 32)):
+        raise ValueError(
+            "object_search packs (query_label, label) into one uint64; "
+            "object ids must be in [0, 2^32) — remap ids first")
     qm = _normalize(np.asarray(query_features, dtype=np.float64))
     q_ref = ray.put((qo, qm))
 
@@ -534,6 +547,11 @@ def object_search(
         fi, bi = np.nonzero(sims >= threshold)
         if not len(fi):
             return empty
+        if int(labels.min()) < 0 or int(labels.max()) >= (1 << 32):
+            # an out-of-range label would bleed into the query half of
+            # the packed key — corrupt attribution, not an error
+            raise ValueError(
+                "object_search corpus labels must be in [0, 2^32)")
         key = q_obj[fi].astype(np.uint64) << np.uint64(32) | labels[bi].astype(np.uint64)
         uniq, inv = np.unique(key, return_inverse=True)
         n = np.bincount(inv, minlength=len(uniq))

@@ -146,8 +146,14 @@ def _gather_lists(lookup, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     (values, out_offsets). Vectorized gather over the partition's buffers."""
     sorted_ids, order, values, offsets = lookup
     pos = np.searchsorted(sorted_ids, keys)
-    if len(sorted_ids) == 0 or not np.array_equal(sorted_ids[np.minimum(pos, len(sorted_ids) - 1)], keys):
-        missing = keys[(pos >= len(sorted_ids)) | (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] != keys)]
+    if len(sorted_ids) == 0:
+        if len(keys):
+            raise KeyError(
+                f"doc ids missing from shingle-set side: {keys[:5]}")
+    elif not np.array_equal(
+        clamped := sorted_ids[np.minimum(pos, len(sorted_ids) - 1)], keys
+    ):
+        missing = keys[(pos >= len(sorted_ids)) | (clamped != keys)]
         raise KeyError(f"doc ids missing from shingle-set side: {missing[:5]}")
     rows = order[pos]
     starts = offsets[rows]
@@ -324,6 +330,14 @@ def ngram_jaccard_pairs(
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
+# the pair-result schema shared by every jaccard variant, for the
+# degenerate-corpus early returns
+_EMPTY_PAIR_TABLE = pa.table({
+    "doc_a": pa.array([], pa.int64()),
+    "doc_b": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float64()),
+})
+
 # dense-bitset dispatch ceiling: below this many distinct shingles the
 # all-pairs bitset tiles beat candidate generation (most pairs genuinely
 # qualify and prefix filtering cannot prune); W = vocab/64 words per doc
@@ -454,6 +468,8 @@ def _ngram_jaccard_bruteforce(
             rename={"shingle_count": "n"},
         )
     )
+    if sizes_tbl.num_rows == 0 or "doc_id" not in sizes_tbl.column_names:
+        return ray.data.from_arrow(_EMPTY_PAIR_TABLE)
     sizes = dict(
         zip(sizes_tbl.column("doc_id").to_pylist(), sizes_tbl.column("n").to_pylist())
     )
@@ -586,6 +602,10 @@ def _ngram_jaccard_prefix(
             exploded, ["shingle"], [("doc_id", "count")], rename={"doc_id_count": "df"}
         )
     )
+    if df_tbl.num_rows == 0 or "shingle" not in df_tbl.column_names:
+        # degenerate corpus (no doc yields a shingle): empty pair set,
+        # not a KeyError on the schemaless empty aggregate
+        return ray.data.from_arrow(_EMPTY_PAIR_TABLE)
     df_keys = df_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.uint64)
     df_vals = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
     if len(df_keys) <= dense_vocab_max:
@@ -819,21 +839,35 @@ def simhash_neardup_pairs(
         hs = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         starts = np.concatenate(([0], np.flatnonzero(bands_np[1:] != bands_np[:-1]) + 1))
         ends = np.concatenate((starts[1:], [len(ids)]))
-        out = []
+        a_out, b_out, d_out = [], [], []
         for s, e in zip(starts, ends):
-            uniq = sorted(set(zip(ids[s:e].tolist(), hs[s:e].tolist())))
-            for i in range(len(uniq)):
-                for j in range(i + 1, len(uniq)):
-                    d = mh.hamming64(int(uniq[i][1]), int(uniq[j][1]))
-                    if d <= max_hamming:
-                        out.append((uniq[i][0], uniq[j][0], d))
-        if not out:
+            # dedupe (id, hash) rows in (id, hash) order, then check all
+            # run pairs with a vectorized XOR+popcount tile (the Python
+            # per-pair loop degraded quadratically on duplicate-heavy
+            # bands — the very input a dedup pass targets)
+            o = np.lexsort((hs[s:e], ids[s:e]))
+            rid, rh = ids[s:e][o], hs[s:e][o]
+            first = np.concatenate(
+                ([True], (rid[1:] != rid[:-1]) | (rh[1:] != rh[:-1])))
+            rid, rh = rid[first], rh[first]
+            m = len(rid)
+            if m < 2:
+                continue
+            ai, bi = np.triu_indices(m, k=1)
+            d = _popcount64(rh[ai] ^ rh[bi])
+            keep = d <= max_hamming
+            if keep.any():
+                a_out.append(rid[ai[keep]])
+                b_out.append(rid[bi[keep]])
+                d_out.append(d[keep])
+        if not a_out:
             return empty
         return pa.table(
             {
-                "doc_a": pa.array([o[0] for o in out], pa.int64()),
-                "doc_b": pa.array([o[1] for o in out], pa.int64()),
-                "hamming": pa.array([o[2] for o in out], pa.int32()),
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "hamming": pa.array(
+                    np.concatenate(d_out).astype(np.int32), pa.int32()),
             }
         )
 
@@ -975,6 +1009,15 @@ def _ngram_jaccard_delta_dense(
     vocab_arr = np.union1d(corpus_vocab, d_uniq)
     W = (len(vocab_arr) + 63) // 64
     if len(vocab_arr) > DENSE_VOCAB_MAX:
+        return None
+    # budget-check from the artifact's recorded n_docs BEFORE scanning
+    # sets/ and materializing every mask on the driver — the spike the
+    # budget exists to prevent
+    import json as _json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        n_corpus = int(_json.load(f).get("n_docs", 0))
+    if n_corpus * W * 8 > _DENSE_BCAST_MAX_BYTES:
         return None
 
     sets_ds = ray.data.read_parquet(os.path.join(index_dir, "sets"))

@@ -93,10 +93,24 @@ def asof_join(
         ts_type = lp.schema.field(left_ts).type
         if lp.num_rows == 0:
             return lp.append_column(out_col, pa.array([], ts_type))
+        def _int_ts(col):
+            # NULL timestamps must stay null: .to_numpy on a nullable
+            # column goes through float64 NaN, and searchsorted(NaN)
+            # lands past the end — a null left ts would silently match
+            # the LATEST right row instead of none
+            arr = col.cast(pa.int64())
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            valid = ~np.asarray(arr.is_null())
+            vals = arr.fill_null(0).to_numpy(zero_copy_only=False)
+            return vals.astype(np.int64), valid
+
         lk = lp.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
-        lt = lp.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lt, lt_ok = _int_ts(lp.column(left_ts))
         rk = rp.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
-        rt = rp.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rt, rt_ok = _int_ts(rp.column(right_ts))
+        if not rt_ok.all():  # a null right ts is never "earlier"
+            rk, rt = rk[rt_ok], rt[rt_ok]
         r_order = np.lexsort((rt, rk))
         rk, rt = rk[r_order], rt[r_order]
         out = np.full(len(lk), np.iinfo(np.int64).min, dtype=np.int64)
@@ -113,7 +127,7 @@ def asof_join(
                 continue
             seg = rt[lo:hi]
             pos = np.searchsorted(seg, lt[sel], side="left") - 1
-            ok = pos >= 0
+            ok = (pos >= 0) & lt_ok[sel]
             out[sel[ok]] = seg[pos[ok]]
         import pyarrow.compute as pc
 
@@ -268,6 +282,12 @@ def skew_join(
 
     from ..stages.exchange import partitioned_aggregate
     from ..util import dataset_to_table
+
+    # left feeds three consumers (key counts, hot join, cold join) and
+    # right feeds two — pin both so derived upstream plans don't
+    # re-execute per consumption (the repo's double-consumption rule)
+    left = left.materialize()
+    right = right.materialize()
 
     def key_partials(batch: pa.Table) -> pa.Table:
         out = batch.select([left_on]).group_by([left_on], use_threads=False)\
