@@ -2103,7 +2103,7 @@ e AS (SELECT doc_id, n_chars::BIGINT AS n_chars,
              (CAST(floor(-ln((z::DOUBLE + 1) / 18446744073709551616.0)
                          * 1000000 + 0.5) AS BIGINT) * 1000000)
                // n_chars::BIGINT AS ekey
-      FROM s5)
+      FROM s5 WHERE n_chars > 0)
 SELECT doc_id, n_chars, ekey FROM e ORDER BY ekey, doc_id LIMIT 50
 """,
         # rolling polynomial hash over per-token sha256-top-8-byte hashes

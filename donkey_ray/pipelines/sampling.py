@@ -28,6 +28,8 @@ def _topn_per_group(
 ) -> np.ndarray:
     """Indices of the <=n rows with smallest (z, id) within each key run
     (rows need not be pre-grouped). Vectorized: lexsort + run-slice."""
+    if len(keys) == 0:  # run_id[starts] on a 0-length input would raise
+        return np.empty(0, dtype=np.int64)
     order = np.lexsort((ids, z, keys))
     ks = keys[order]
     starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
@@ -70,9 +72,13 @@ def stratified_sample(
     pre = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
     def final(part: pa.Table) -> pa.Table:
+        # empty-partition schema must carry the INPUT's key type (a
+        # hardcoded string type would conflict with int key columns)
+        key_type = (part.schema.field(key_col).type
+                    if key_col in part.column_names else pa.string())
         empty = pa.table(
             {
-                key_col: pa.array([], pa.string()),
+                key_col: pa.array([], key_type),
                 id_col: pa.array([], pa.int64()),
                 "sample_rank": pa.array([], pa.int32()),
             }
@@ -127,6 +133,11 @@ def mix_sample(
 
     from ..functions.hashing import splitmix64
 
+    bad = {g: r for g, r in rates_permille.items() if not 0 <= r <= 1000}
+    if bad:
+        # a negative rate cast to uint64 wraps to ~2^64 and KEEPS every
+        # row — the exact opposite of the intent, silently
+        raise ValueError(f"rates_permille must be in [0, 1000]: {bad}")
     keys = pa.array(list(rates_permille.keys()), pa.string())
     vals = np.array(list(rates_permille.values()), dtype=np.uint64)
 
@@ -198,8 +209,10 @@ def pack_shards(
         project, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    lo = proj.min(id_col)
-    hi = proj.max(id_col)
+    # project() renames the id column to 'doc_id' — aggregate on THAT,
+    # not the caller's id_col (a non-default id_col used to crash here)
+    lo = proj.min("doc_id")
+    hi = proj.max("doc_id")
     if lo is None:  # empty input
         return proj.map_batches(
             lambda b: b.append_column("shard", pa.array([], pa.int64())),
@@ -294,9 +307,11 @@ def stratified_split(
     proj = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
     def assign(part: pa.Table) -> pa.Table:
+        key_type = (part.schema.field(key_col).type
+                    if key_col in part.column_names else pa.string())
         empty = pa.table({
             id_col: pa.array([], pa.int64()),
-            key_col: pa.array([], pa.string()),
+            key_col: pa.array([], key_type),
             "split": pa.array([], pa.string()),
         })
         if part.num_rows == 0:
@@ -359,6 +374,15 @@ def weighted_sample(
             return empty
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w <= 0).any():
+            # Efraimidis-Spirakis needs w > 0: a zero weight would
+            # floor-div to ekey 0 (the global MINIMUM — guaranteed
+            # winner instead of guaranteed loser). Weight 0 = never
+            # sampled, by definition — drop those rows here.
+            pos = w > 0
+            ids, w = ids[pos], w[pos]
+            if not len(ids):
+                return empty
         z = splitmix64(ids.astype(np.uint64))
         u = (z.astype(np.float64) + 1.0) / 18446744073709551616.0
         num = np.floor(-np.log(u) * 1_000_000 + 0.5).astype(np.int64)

@@ -75,6 +75,17 @@ class ImageDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         bufs = batch.column(self.media_col).to_pylist()
+        if not bufs:
+            # reshape(0, -1) is ambiguous for size-0 arrays — emit the
+            # explicit empty schema instead of crashing the actor pool
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "pixels": pa.array([], pa.list_(
+                    pa.uint8(), self.h * self.w * 3)),
+                "height": pa.array([], pa.int32()),
+                "width": pa.array([], pa.int32()),
+                "n_bytes": pa.array([], pa.int64()),
+            })
         pixels = np.zeros((len(bufs), self.h, self.w, 3), dtype=np.uint8)
         n_bytes = np.zeros(len(bufs), dtype=np.int64)
         for i, buf in enumerate(bufs):
@@ -109,6 +120,12 @@ class ImageFeatureStage:
     def __init__(self, height: int = 64, width: int = 64) -> None:
         self.h = int(height)
         self.w = int(width)
+        if self.h % 4 or self.w % 4:
+            # the 4x4 luminance grid reshapes to (4, h/4, 4, w/4); fail
+            # at construction, not mid-pipeline inside a Ray actor
+            raise ValueError(
+                f"ImageFeatureStage needs height/width divisible by 4, "
+                f"got {self.h}x{self.w}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
