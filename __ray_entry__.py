@@ -18,6 +18,32 @@ from donkey_ray import driver_api as api
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# bigram-LM cross-entropy chain (pipelines/lm.py spec) — shared by the
+# perplexity oracle and the ccnet_buckets wrapper
+_PERPLEXITY_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uni AS (SELECT t.toks[g.i] AS term
+        FROM tok t, unnest(generate_series(1, len(t.toks))) AS g(i)),
+cnt AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT {api.LM_VOCAB_SIZE}),
+stream AS (SELECT t.doc_id, g.i,
+                  CASE WHEN t.toks[g.i] IN (SELECT term FROM vocab)
+                       THEN t.toks[g.i] ELSE '<unk>' END AS w
+           FROM tok t, unnest(generate_series(1, len(t.toks))) AS g(i)),
+vm AS (SELECT count(*) + 1 AS v FROM vocab),
+bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       FROM stream a JOIN stream b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+pfx AS (SELECT w1, sum(c) AS cp FROM bc GROUP BY 1)
+SELECT g.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       CAST(round(-1000.0 * avg(ln((bc.c + 1.0) / (pfx.cp + vm.v))))
+            AS BIGINT) AS ce_x1000
+FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+          JOIN pfx ON pfx.w1 = g.w1, vm
+GROUP BY 1
+"""
+
 # SQL building blocks for the hash-based oracles (sample_docs,
 # doc_fingerprints): wrap-around 64-bit multiply and hex->uint64 parse
 _M64 = "18446744073709551616::HUGEINT"
@@ -138,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hit_counts": api.q_hit_counts,
         "events_distinct_approx": api.q_events_distinct_approx,
         "perplexity": api.q_perplexity,
+        "ccnet_buckets": api.q_ccnet_buckets,
         "value_histogram": api.q_value_histogram,
         "spell_correct": api.q_spell_correct,
         "curate_corpus": api.q_curate_corpus,
@@ -215,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": api.q_semdedup,
         "pq_codes": api.q_pq_codes,
         "pq_search": api.q_pq_search,
+        "ivfpq_topk": api.q_ivfpq_topk,
         "kmeans_centroids": api.q_kmeans_centroids,
         "sif_embeddings": api.q_sif_embeddings,
         "dsir_weights": api.q_dsir_weights,
@@ -505,6 +533,16 @@ def _pq_search_sql() -> str:
     return pq_search_oracle_sql(dim=64, query_ids=ANN_QUERY_IDS, topk=ANN_K)
 
 
+def _ivfpq_topk_sql() -> str:
+    """IVFADC oracle over the pinned ANN query ids: coarse k-means chain
+    + residual-PQ chains + integer probe selection + probed ADC
+    (pipelines/ivfpq.ivfpq_topk_oracle_sql)."""
+    from donkey_ray.driver_api import ANN_K, ANN_QUERY_IDS
+    from donkey_ray.pipelines.ivfpq import ivfpq_topk_oracle_sql
+
+    return ivfpq_topk_oracle_sql(dim=64, query_ids=ANN_QUERY_IDS, topk=ANN_K)
+
+
 def _kmeans_centroids_sql() -> str:
     """k-means centroid-table oracle (pipelines/kmeans)."""
     from donkey_ray.pipelines.kmeans import kmeans_centroids_oracle_sql
@@ -589,6 +627,7 @@ def _oracle_sqls() -> dict[str, str]:
         "pq_codes": _pq_codes_sql(),
         "mmr_topk": _mmr_sql(),
         "pq_search": _pq_search_sql(),
+        "ivfpq_topk": _ivfpq_topk_sql(),
         "kmeans_centroids": _kmeans_centroids_sql(),
         "sif_embeddings": _sif_sql(),
         "dsir_weights": _dsir_sql(),
@@ -2136,28 +2175,23 @@ FROM documents GROUP BY 1
         # bigram-LM perplexity: vocab = top-N terms (count desc, term asc),
         # OOV -> '<unk>', add-one smoothing over bigram prefix counts,
         # per-doc cross-entropy quantized x1000 (same spec as pipelines/lm.py)
-        "perplexity": f"""
-WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-uni AS (SELECT t.toks[g.i] AS term
-        FROM tok t, unnest(generate_series(1, len(t.toks))) AS g(i)),
-cnt AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
-vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT {api.LM_VOCAB_SIZE}),
-stream AS (SELECT t.doc_id, g.i,
-                  CASE WHEN t.toks[g.i] IN (SELECT term FROM vocab)
-                       THEN t.toks[g.i] ELSE '<unk>' END AS w
-           FROM tok t, unnest(generate_series(1, len(t.toks))) AS g(i)),
-vm AS (SELECT count(*) + 1 AS v FROM vocab),
-bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
-       FROM stream a JOIN stream b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
-pfx AS (SELECT w1, sum(c) AS cp FROM bc GROUP BY 1)
-SELECT g.doc_id,
-       count(*)::BIGINT AS n_bigrams,
-       CAST(round(-1000.0 * avg(ln((bc.c + 1.0) / (pfx.cp + vm.v))))
-            AS BIGINT) AS ce_x1000
-FROM bg g JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
-          JOIN pfx ON pfx.w1 = g.w1, vm
-GROUP BY 1
+        "perplexity": _PERPLEXITY_SQL,
+        # CCNet head/middle/tail buckets: the perplexity chain ranked
+        # per lang by (ce_x1000, doc_id), exact integer tertile cuts
+        # ((rank-1)*3)//n (pipelines/lm.ccnet_buckets)
+        "ccnet_buckets": f"""
+WITH ppl AS MATERIALIZED ({_PERPLEXITY_SQL}),
+ccj AS (SELECT p.doc_id, d.lang, p.ce_x1000
+        FROM ppl p JOIN documents d USING (doc_id)),
+ccr AS (SELECT doc_id, lang, ce_x1000,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY ce_x1000, doc_id) - 1 AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM ccj)
+SELECT doc_id, lang, ce_x1000,
+       CASE (rn * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ccr
 """,
         "winnow_fingerprints": f"""
 WITH {_WINNOW_CTE}

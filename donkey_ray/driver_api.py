@@ -1382,6 +1382,18 @@ def q_perplexity(sf_dir: str) -> ray.data.Dataset:
     return perplexity_scores(_docs(sf_dir), lm)
 
 
+def q_ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail quality buckets (Wenzek et al.
+    2020): per-lang EXACT perplexity tertiles over the bigram-LM
+    cross-entropy, integer rank cuts (pipelines/lm.ccnet_buckets)."""
+    from .pipelines.lm import ccnet_buckets, train_bigram_lm
+
+    lm = train_bigram_lm(_docs(sf_dir), vocab_size=LM_VOCAB_SIZE)
+    return ccnet_buckets(
+        _docs(sf_dir, columns=("doc_id", "text", "lang")), lm
+    )
+
+
 def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     tbl = dataset_to_table(
         dedup.ngram_jaccard_pairs(
@@ -1839,6 +1851,40 @@ def q_pq_search(sf_dir: str) -> pa.Table:
                      emb.column("embedding").to_pylist()))
     qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
     return pq_index_topk(out, qv, k=ANN_K)
+
+
+def ensure_ivfpq_index(sf_dir: str) -> str:
+    """Build (once; resumable artifact) the persisted IVF-PQ (IVFADC)
+    index over the embeddings table (pipelines/ivfpq.build_ivfpq_index)."""
+    import hashlib as _hl
+
+    from .pipelines.ivfpq import build_ivfpq_index
+
+    out = os.path.join(
+        CACHE_ROOT, f"ivfpq-{_hl.sha256(sf_dir.encode()).hexdigest()[:16]}"
+    )
+    build_ivfpq_index(_embeddings(sf_dir), out, num_partitions=4)
+    return out
+
+
+def q_ivfpq_topk(sf_dir: str) -> pa.Table:
+    """IVFADC top-k (Jegou et al. 2011 §IV) for the pinned ANN queries
+    THROUGH the persisted IVF-PQ artifact: pinned-int coarse quantizer,
+    residual PQ codes, nprobe=2-of-4 probed lists, exact integer ADC —
+    the probe rule AND the lossy code distances are both mirrored
+    bit-for-bit by the DuckDB oracle (pipelines/ivfpq.py)."""
+    import pyarrow.parquet as pq_
+
+    from .pipelines.ivfpq import ivfpq_topk
+
+    out = ensure_ivfpq_index(sf_dir)
+    emb = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = dict(zip(emb.column("vec_id").to_pylist(),
+                     emb.column("embedding").to_pylist()))
+    qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
+    return ivfpq_topk(out, qv, k=ANN_K)
 
 
 def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:

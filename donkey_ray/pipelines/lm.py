@@ -174,19 +174,22 @@ def train_bigram_lm(ds: ray.data.Dataset, *, vocab_size: int = 4096,
 
 def perplexity_scores(ds: ray.data.Dataset, lm: BigramLM, *,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> ray.data.Dataset:
-    """(doc_id, n_bigrams, ce_x1000): per-doc bigram cross-entropy under
-    ``lm``.  The model is shipped once (ray.put) and the corpus streams
-    through a single shuffle-free map."""
+                      id_col: str = "doc_id",
+                      carry_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, ce_x1000, *carry_cols): per-doc bigram
+    cross-entropy under ``lm``.  The model is shipped once (ray.put) and
+    the corpus streams through a single shuffle-free map; ``carry_cols``
+    ride through untouched (e.g. lang for downstream per-lang cuts)."""
     vm = lm.vm
     lmref = ray.put((lm.vocab, lm.keys, lm.counts, lm.prefix))
-    empty = pa.table({
-        "doc_id": pa.array([], pa.int64()),
-        "n_bigrams": pa.array([], pa.int64()),
-        "ce_x1000": pa.array([], pa.int64()),
-    })
 
     def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "ce_x1000": pa.array([], pa.int64()),
+            **{c: batch.column(c).slice(0, 0) for c in carry_cols},
+        })
         voc, keys, cnts, prefix = ray.get(lmref)
         flat, parents, _ = _tokens(batch, text_col)
         ids = _map_ids(flat, voc)
@@ -203,13 +206,85 @@ def perplexity_scores(ds: ray.data.Dataset, lm: BigramLM, *,
         nb = np.bincount(bparents, minlength=n)
         rows = np.flatnonzero(nb > 0)
         ce = -sums[rows] / nb[rows]
+        take = pa.array(rows, pa.int64())
         return pa.table({
-            "doc_id": batch.column(id_col).cast(pa.int64()).take(
-                pa.array(rows, pa.int64())),
+            "doc_id": batch.column(id_col).cast(pa.int64()).take(take),
             "n_bigrams": pa.array(nb[rows].astype(np.int64), pa.int64()),
             "ce_x1000": pc.round(
                 pa.array(ce * 1000.0, pa.float64())
             ).cast(pa.int64()),
+            **{c: batch.column(c).take(take) for c in carry_cols},
         })
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ccnet_buckets(
+    ds: ray.data.Dataset,
+    lm: BigramLM,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> ray.data.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    LANGUAGE, split docs into head / middle / tail by exact perplexity
+    tertiles — the standard "keep head+middle, drop tail" quality gate
+    of a crawl-curation pipeline.
+
+    Pinned rule: within each lang, rank by (ce_x1000 asc, doc_id asc);
+    bucket_index = ((rank - 1) * 3) // n — EXACT thirds (integer rank
+    cuts, the stratified_split treatment), not expected-value sampling,
+    so the SQL oracle mirrors it with row_number/count windows. Docs
+    with < 2 tokens have no bigrams and are omitted (perplexity_scores
+    contract). Output: (doc_id, lang, ce_x1000, bucket).
+
+    Scale shape: scoring is the shuffle-free perplexity map; only the
+    (doc_id, lang, ce_x1000) projection (~24 B/row) enters the ONE
+    lang-keyed exchange, and the per-partition pass is a lexsort +
+    segmented arange. Rank-exact tertiles need a lang's projection
+    co-located — the same caveat (and the same mix_sample /
+    approx-quantile-threshold fallbacks) as stratified_split."""
+    from ..stages.exchange import keyed_partition_map
+
+    scored = perplexity_scores(
+        ds, lm, text_col=text_col, id_col=id_col, carry_cols=(lang_col,)
+    ).select_columns(["doc_id", lang_col, "ce_x1000"])
+
+    names = pa.array(["head", "middle", "tail"], pa.string())
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            lang_col: pa.array([], pa.string()),
+            "ce_x1000": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string()),
+        })
+        if part.num_rows == 0:
+            return empty
+        grp = part.column(lang_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        gi = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = part.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ce = part.column("ce_x1000").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ids, ce, gi))
+        gi_s = gi[o]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(gi_s[1:] != gi_s[:-1]) + 1))
+        lens = np.diff(np.concatenate((starts, [len(gi_s)])))
+        rn = np.arange(len(gi_s)) - np.repeat(starts, lens)  # rank - 1
+        bidx = (rn * 3) // np.repeat(lens, lens)
+        take = pa.array(o)
+        return pa.table({
+            "doc_id": pa.array(ids[o], pa.int64()),
+            lang_col: grp.take(take),
+            "ce_x1000": pa.array(ce[o], pa.int64()),
+            "bucket": names.take(pa.array(bidx, pa.int64())),
+        })
+
+    per_partition.__name__ = "ccnet_buckets"
+    return keyed_partition_map(scored, [lang_col], per_partition)

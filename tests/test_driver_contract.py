@@ -92,7 +92,8 @@ NAMES = [
     "repetition_scores", "pack_shards", "chunk_docs", "dedup_lines",
     "hybrid_topk",
     # session-6 additions
-    "perplexity", "dup_spans", "dedup_lines_global", "events_retention",
+    "perplexity", "ccnet_buckets", "dup_spans", "dedup_lines_global",
+    "events_retention",
     "winnow_fingerprints", "winnow_matches", "remove_dup_spans",
     "tfidf_keywords", "pmi_collocations", "embedding_clusters",
     "knn_label_eval", "tpch_q3", "events_anomalies", "longest_docs",
@@ -110,7 +111,8 @@ NAMES = [
     # session-11 additions
     "minhash_neardup", "events_distinct_approx",
     "bpe_merges", "bpe_encode", "prf_topk", "bool_topk", "semdedup",
-    "bm25f_topk", "pq_codes", "pq_search", "search_eval", "mmr_topk",
+    "bm25f_topk", "pq_codes", "pq_search", "ivfpq_topk", "search_eval",
+    "mmr_topk",
     "passage_topk", "pruned_topk", "tiered_topk", "blocklist_filter",
 ]
 

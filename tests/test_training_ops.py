@@ -889,6 +889,48 @@ def test_bigram_lm_perplexity(docs_ds):
         assert abs(got_map[d][1] - want[d][1]) <= 1, d  # rounding mode slack
 
 
+def test_ccnet_buckets(ray_session):
+    """Per-lang exact perplexity tertiles: bucket sizes are exact
+    thirds, buckets respect (ce, id) order, layout-invariant."""
+    import ray.data
+
+    from donkey_ray.pipelines.lm import ccnet_buckets, train_bigram_lm
+
+    rng = __import__("random").Random(5)
+    words = ["alpha", "beta", "gamma", "delta", "common", "rare"]
+    rows = []
+    for i in range(9):  # en: 9 docs -> 3/3/3
+        rows.append((i, "en", " ".join(rng.choices(words, k=6 + i))))
+    for i in range(6):  # fr: 6 docs -> 2/2/2
+        rows.append((100 + i, "fr", " ".join(rng.choices(words, k=5 + i))))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    lm = train_bigram_lm(ds, vocab_size=4)
+    out = dataset_to_table(ccnet_buckets(ds, lm))
+    got = sorted(zip(out.column("doc_id").to_pylist(),
+                     out.column("lang").to_pylist(),
+                     out.column("ce_x1000").to_pylist(),
+                     out.column("bucket").to_pylist()))
+    assert len(got) == 15
+    for lang, n in (("en", 9), ("fr", 6)):
+        sub = sorted((ce, d) for d, lg, ce, _ in got if lg == lang)
+        by_doc = {d: b for d, lg, _, b in got if lg == lang}
+        names = ["head", "middle", "tail"]
+        for rank0, (_, d) in enumerate(sub):
+            assert by_doc[d] == names[(rank0 * 3) // n], (lang, d)
+    # layout invariance: a different block layout yields identical rows
+    out2 = dataset_to_table(ccnet_buckets(ds.repartition(5), lm))
+    got2 = sorted(zip(out2.column("doc_id").to_pylist(),
+                      out2.column("lang").to_pylist(),
+                      out2.column("ce_x1000").to_pylist(),
+                      out2.column("bucket").to_pylist()))
+    assert got2 == got
+
+
 def test_duplicated_spans(ray_session):
     """Cross-doc duplicated k-gram spans vs a brute-force reference:
     within-doc repetition alone is NOT duplication; every position of a
