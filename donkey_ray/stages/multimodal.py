@@ -1,5 +1,4 @@
-"""Multimodal (image/audio/video) stages — Ray-side plumbing is real,
-codec work is stubbed (no image/audio libraries in this container).
+"""Multimodal (image/audio/video) stages over opaque binary columns.
 
 Design (training-data pipeline ops; graded alongside SURVEY.md section 2):
 media is an opaque ``binary`` column plus typed metadata columns
@@ -8,11 +7,14 @@ resize / feature-extract / frame-sample are actor-pool ``map_batches``
 stages: expensive setup (codec contexts, models) belongs in ``__init__``,
 per-batch work operates on binary buffers.
 
-Decoding: when PIL is installed, ``_decode_image_real`` decodes + resizes
-for real; in this container (no PIL) the DETERMINISTIC FAKE path (clearly
-marked) synthesizes pixel/sample arrays from the bytes so schemas, batch
-sizes, actor signatures and output layouts are exercised and tested for
-real. Audio decode remains a deterministic fake (no libav anywhere).
+Decoding is REAL for the dependency-free containers in
+``functions/media.py`` — BMP / PPM / PGM images and RIFF-PCM WAV audio
+are parsed with numpy + the standard library and dispatched by magic
+bytes. When PIL is installed, other image containers decode through it.
+Only bytes in NO recognized container fall back to the DETERMINISTIC
+FAKE path (clearly marked), which synthesizes pixel/sample arrays from
+sha256(bytes) so pipelines over opaque blobs still exercise real
+schemas, batch sizes, actor signatures and output layouts.
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from donkey_ray.functions import media as mediacodec
 
 try:  # real decoder gate — not present in this container
     from PIL import Image  # noqa: F401
@@ -92,7 +96,10 @@ class ImageDecodeStage:
             if buf is None:
                 continue
             n_bytes[i] = len(buf)
-            if _HAVE_PIL:
+            img = mediacodec.decode_image(buf)  # REAL: BMP / PPM / PGM
+            if img is not None:
+                pixels[i] = mediacodec.resize_nearest(img, self.h, self.w)
+            elif _HAVE_PIL:
                 pixels[i] = _decode_image_real(buf, self.h, self.w)
             else:
                 pixels[i] = _fake_rgb(buf, self.h, self.w)
@@ -147,8 +154,20 @@ class ImageFeatureStage:
         )
 
 
+def _decode_pcm(buf: bytes) -> np.ndarray:
+    """binary audio -> float32 mono PCM. REAL decode for WAV containers
+    (stdlib ``wave``); DETERMINISTIC FAKE (sha256 keystream) otherwise."""
+    if mediacodec.sniff(buf) == "wav":
+        pcm, _rate = mediacodec.decode_wav(buf)
+        return pcm
+    return np.frombuffer(
+        hashlib.sha256(buf).digest() * 64, dtype=np.int16
+    ).astype(np.float32) / 32768.0
+
+
 class AudioFrameSampleStage:
-    """binary audio -> every k-th frame window (stub decode, real layout).
+    """binary audio -> every k-th frame window (REAL decode for WAV via
+    ``functions/media.py``, deterministic fake for other bytes).
 
     Output: one row per sampled frame (doc_id, frame_idx, samples)."""
 
@@ -167,10 +186,7 @@ class AudioFrameSampleStage:
         ):
             if not buf:
                 continue
-            # DETERMINISTIC FAKE pcm: bytes -> int16 samples
-            pcm = np.frombuffer(
-                hashlib.sha256(buf).digest() * 64, dtype=np.int16
-            ).astype(np.float32) / 32768.0
+            pcm = _decode_pcm(buf)
             n_frames = max(1, len(pcm) // self.frame_len)
             for f in range(0, n_frames, self.stride):
                 seg = pcm[f * self.frame_len:(f + 1) * self.frame_len]
@@ -215,8 +231,9 @@ def image_features(ds: ray.data.Dataset, *, height: int = 64, width: int = 64,
 
 class AudioFingerprintStage:
     """binary audio -> chromaprint-style sub-fingerprints (donkey A1's
-    audio-fingerprint extractor analogue; stub decode, real math + real
-    layout). Per window of ``frame_len`` samples: ``n_bands`` energies;
+    audio-fingerprint extractor analogue; REAL decode for WAV bytes,
+    deterministic fake for other containers; real math + real layout).
+    Per window of ``frame_len`` samples: ``n_bands`` energies;
     sub-fingerprint bit b = sign of the band-energy delta's TIME delta
     (E[w][b]-E[w][b+1]) - (E[w-1][b]-E[w-1][b+1]) — the standard
     double-delta binarization, robust to level shifts. Output: one row
@@ -238,15 +255,19 @@ class AudioFingerprintStage:
         ):
             if not buf:
                 continue
-            # DETERMINISTIC FAKE pcm — CHAINED blocks (a repeating
-            # keystream would make every window identical and all
-            # double-deltas zero)
-            seed = hashlib.sha256(buf).digest()
-            pcm = np.frombuffer(
-                b"".join(hashlib.sha256(seed + i.to_bytes(4, "little")).digest()
-                         for i in range(64)),
-                dtype=np.int16,
-            ).astype(np.float32) / 32768.0
+            if mediacodec.sniff(buf) == "wav":
+                pcm, _rate = mediacodec.decode_wav(buf)  # REAL decode
+            else:
+                # DETERMINISTIC FAKE pcm — CHAINED blocks (a repeating
+                # keystream would make every window identical and all
+                # double-deltas zero)
+                seed = hashlib.sha256(buf).digest()
+                pcm = np.frombuffer(
+                    b"".join(
+                        hashlib.sha256(seed + i.to_bytes(4, "little")).digest()
+                        for i in range(64)),
+                    dtype=np.int16,
+                ).astype(np.float32) / 32768.0
             n_win = len(pcm) // self.frame_len
             if n_win < 2:
                 out_ids.append(did)
