@@ -18,6 +18,18 @@ from donkey_ray import driver_api as api
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+# pinned s-stemmer over a term column named t (functions/tokenize is the
+# single source of the rules; Arrow and DuckDB are both RE2)
+from donkey_ray.functions.tokenize import stem_sql as _stem_sql  # noqa: E402
+
+_STEM_T = _stem_sql("t")
+
+
+def _stem_query_values() -> str:
+    return ",".join(
+        f"({qid},'{text}',{k})" for qid, text, k in api.PINNED_STEM_QUERIES
+    )
+
 # bigram-LM cross-entropy chain (pipelines/lm.py spec) — shared by the
 # perplexity oracle and the ccnet_buckets wrapper
 _PERPLEXITY_SQL = f"""
@@ -140,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # inverted-index / BM25 engine (SURVEY.md section 2B)
         "bm25_topk": api.q_bm25_topk,
+        "stemmed_topk": api.q_stemmed_topk,
+        "stem_term_df": api.q_stem_term_df,
         "phrase_topk": api.q_phrase_topk,
         "near_topk": api.q_near_topk,
         "bm25_topk_and": api.q_bm25_topk_and,
@@ -667,6 +681,44 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # s-stemmer analyzer: same BM25 chain with the pinned stem rules
+        # (functions/tokenize.stem_sql — identical RE2 passes both sides)
+        # applied to document terms AND query terms before tf/df
+        "stemmed_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES {_stem_query_values()}),
+qt AS (SELECT DISTINCT query_id, k, {_STEM_T} AS term
+       FROM (SELECT query_id, k,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             FROM q)),
+terms AS (SELECT doc_id, {_STEM_T} AS term
+          FROM (SELECT doc_id, unnest(toks) AS t FROM tok)),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        "stem_term_df": f"""
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT doc_id, {_STEM_T} AS term
+      FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents))
+GROUP BY term
 """,
         # result previews: 60-char window from max(1, pos-30), pos = the
         # earliest 1-based strpos of any query term in lower(text)

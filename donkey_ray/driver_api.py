@@ -171,6 +171,66 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+# Pinned stem-analyzer query set: plural queries that only match through
+# the s-stemmer (the corpus vocabulary is singular), a stemmed absent
+# term, and a duplicated plural
+PINNED_STEM_QUERIES = [
+    (0, "tables", 10),
+    (1, "queries merge", 10),
+    (2, "values windows keys", 10),
+    (3, "zzzabsents", 10),
+    (4, "keys keys", 10),
+]
+
+
+def ensure_stem_index(sf_dir: str) -> str:
+    """Build (once; resumable) a BM25 index whose analyzer is the pinned
+    s-stemmer (query_lang='stem') — index terms and query terms are both
+    stemmed, so plural/singular variants unify. Separate artifact: the
+    stemmed dictionary differs from the plain one."""
+    import shutil
+
+    from .state import manifest as mf
+
+    out = _index_dir(sf_dir) + "-stem"
+    if mf.is_complete(out):
+        try:
+            meta = mf.load_meta(out)
+            if (meta.get("format_version") != CURRENT_FORMAT_VERSION
+                    or meta.get("query_lang") != "stem"):
+                shutil.rmtree(out)
+        except (OSError, ValueError):
+            shutil.rmtree(out, ignore_errors=True)
+    build_index(
+        documents_as_corpus(sf_dir),
+        out,
+        num_partitions=8,
+        id_col="doc_id",
+        query_lang="stem",
+        sample_mod=16,
+    )
+    return out
+
+
+def q_stemmed_topk(sf_dir: str) -> pa.Table:
+    index_dir = ensure_stem_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_STEM_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_STEM_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_STEM_QUERIES], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, mode="auto"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
+def q_stem_term_df(sf_dir: str) -> ray.data.Dataset:
+    """df per STEMMED term — the stem analyzer through the analyze path."""
+    return analyze.term_df(_docs(sf_dir), lang="stem")
+
+
 # Pinned fuzzy (edit-distance-1) query set: a deletion, an insertion, a
 # substitution, an absent term, a multi-term mix (typo + exact), and a
 # short-term route (len <= 3 terms live in the short-terms file)

@@ -94,6 +94,70 @@ class CodeTokenizer:
         return pa.array(flats, type=pa.string()), np.asarray(parents_l, dtype=np.int64), dl
 
 
+# ---------------------------------------------------------------- stemming
+#
+# Pinned S-STEMMER (Harman 1991's weak "S removal" stemmer), chosen over
+# Porter because its three if/elif rules are expressible identically in
+# RE2 on BOTH engines (Arrow replace_substring_regex and DuckDB
+# regexp_replace), so the DuckDB oracle shares the spec verbatim:
+#
+#   1. ends in "ies" (not "eies"/"aies", >=1 char before) -> "ies"->"y"
+#   2. ends in "es"  (not "aes"/"ees"/"oes", >=2 chars before) -> drop "s"
+#   3. ends in "s"   (not "us"/"ss", >=2 chars before)         -> drop "s"
+#
+# Applied as three SEQUENTIAL anchored regex replaces: rule 1's output
+# ends in "y" and rule 2's in "e", so a later rule can never re-fire on
+# an earlier rule's output — sequential application IS if/elif.
+_STEM_RULES: list[tuple[str, str]] = [
+    (r"(.+[^ea])ies$", r"\1y"),
+    (r"(.+[^aeo])es$", r"\1e"),
+    (r"(.+[^us])s$", r"\1"),
+]
+
+_STEM_RES = [(re.compile(p), r.replace("\\1", "\\g<1>")) for p, r in _STEM_RULES]
+
+
+def s_stem(token: str) -> str:
+    """Stem one lowercase token by the pinned s-stemmer rules."""
+    for rx, rep in _STEM_RES:
+        new = rx.sub(rep, token)
+        if new != token:
+            return new
+    return token
+
+
+def s_stem_array(arr: pa.Array) -> pa.Array:
+    """Vectorized pinned s-stemmer over a string array (3 RE2 passes)."""
+    for pattern, replacement in _STEM_RULES:
+        arr = pc.replace_substring_regex(
+            arr, pattern=pattern, replacement=replacement)
+    return arr
+
+
+def stem_sql(expr: str) -> str:
+    """The SAME pinned rules as a DuckDB expression over ``expr`` — the
+    single source the SQL oracles use (RE2 on both sides)."""
+    for pattern, replacement in _STEM_RULES:
+        rep = replacement.replace("\\1", r"\1")
+        expr = f"regexp_replace({expr}, '{pattern}', '{rep}')"
+    return expr
+
+
+class StemTokenizer(SimpleTokenizer):
+    """SimpleTokenizer + the pinned s-stemmer on every token. Index and
+    query sides share this class (via query_lang='stem'), so plural
+    queries match singular documents and vice versa."""
+
+    name = "stem"
+
+    def tokenize(self, text: str) -> list[str]:
+        return [s_stem(t) for t in super().tokenize(text)]
+
+    def tokenize_column(self, col: pa.Array):
+        flat, parents, dl = super().tokenize_column(col)
+        return s_stem_array(flat), parents, dl
+
+
 _REGISTRY: dict[str, type] = {}
 
 
@@ -106,6 +170,7 @@ for _lang in ("en", "es", "zh", "fr", "de", "text", "simple"):
     register_tokenizer(_lang, SimpleTokenizer)
 for _lang in ("py", "c", "cpp", "java", "js", "go", "rs", "rb", "code"):
     register_tokenizer(_lang, CodeTokenizer)
+register_tokenizer("stem", StemTokenizer)
 
 DEFAULT_TOKENIZER = "simple"
 

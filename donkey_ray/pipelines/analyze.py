@@ -36,15 +36,17 @@ def doc_token_counts(ds: ray.data.Dataset, *, text_col: str = "text",
 
 
 def term_df(ds: ray.data.Dataset, *, text_col: str = "text",
-            id_col: str = "doc_id") -> ray.data.Dataset:
+            id_col: str = "doc_id", lang: str = "simple") -> ray.data.Dataset:
     """(term, df): docs containing each term. Partial aggregation happens
-    inside the batch (distinct per doc) before the term groupby."""
+    inside the batch (distinct per doc) before the term groupby.
+    ``lang`` picks the analyzer (e.g. 'stem' for the pinned s-stemmer)."""
+    from ..functions.tokenize import get_tokenizer
 
     def explode_distinct(batch: pa.Table) -> pa.Table:
         col = batch.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        flat, parents, _ = _TOK.tokenize_column(col)
+        flat, parents, _ = get_tokenizer(lang).tokenize_column(col)
         t = pa.table({"term": flat, "row": pa.array(parents, pa.int64())})
         dedup = t.group_by(["row", "term"], use_threads=False).aggregate([])
         return pa.table({"term": dedup.column("term")})
