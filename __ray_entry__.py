@@ -20,9 +20,11 @@ _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 # pinned s-stemmer over a term column named t (functions/tokenize is the
 # single source of the rules; Arrow and DuckDB are both RE2)
+from donkey_ray.functions.tokenize import fold_sql as _fold_sql  # noqa: E402
 from donkey_ray.functions.tokenize import stem_sql as _stem_sql  # noqa: E402
 
 _STEM_T = _stem_sql("t")
+_FOLD_TEXT = _fold_sql("text")
 
 
 def _stem_query_values() -> str:
@@ -154,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": api.q_bm25_topk,
         "stemmed_topk": api.q_stemmed_topk,
         "stem_term_df": api.q_stem_term_df,
+        "folded_term_df": api.q_folded_term_df,
         "phrase_topk": api.q_phrase_topk,
         "near_topk": api.q_near_topk,
         "bm25_topk_and": api.q_bm25_topk_and,
@@ -718,6 +721,15 @@ FROM ranked WHERE rank <= k
 SELECT term, count(*)::BIGINT AS df
 FROM (SELECT DISTINCT doc_id, {_STEM_T} AS term
       FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents))
+GROUP BY term
+""",
+        # accent-fold analyzer: tokenize over the pinned-folded text
+        # (functions/tokenize.fold_sql — one translate + one replace)
+        "folded_term_df": f"""
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all({_FOLD_TEXT}, '[a-z0-9]+')) AS term
+      FROM documents)
 GROUP BY term
 """,
         # result previews: 60-char window from max(1, pos-30), pos = the

@@ -231,6 +231,11 @@ def q_stem_term_df(sf_dir: str) -> ray.data.Dataset:
     return analyze.term_df(_docs(sf_dir), lang="stem")
 
 
+def q_folded_term_df(sf_dir: str) -> ray.data.Dataset:
+    """df per ACCENT-FOLDED term (pinned Latin fold map, lang='fold')."""
+    return analyze.term_df(_docs(sf_dir), lang="fold")
+
+
 # Pinned fuzzy (edit-distance-1) query set: a deletion, an insertion, a
 # substitution, an absent term, a multi-term mix (typo + exact), and a
 # short-term route (len <= 3 terms live in the short-terms file)

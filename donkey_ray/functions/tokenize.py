@@ -78,20 +78,44 @@ class CodeTokenizer:
                 out.extend(m.lower() for m in _CAMEL_RE.findall(ident))
         return out
 
+    # Vectorized equivalent of tokenize(): instead of extracting
+    # identifiers and camel-splitting per row, INSERT a space at every
+    # token boundary with four anchored RE2 passes over the whole column,
+    # then reuse the simple lower+split path. Pass order matters:
+    #   D. a digit run that STARTS a token (preceded by start-of-string or
+    #      a non-identifier char — NOT '_' or a letter) followed by a
+    #      letter splits ("14foo" -> "14 foo" but "foo2bar" stays);
+    #      runs FIRST so later passes' inserted spaces can't create
+    #      new "token-initial digit" contexts ("HTTP2foo" keeps "2foo").
+    #   B. acronym before a Capitalized word ("ABCDef" -> "ABC Def")
+    #   A. lower/digit before upper ("getH" -> "get H")
+    #   C. upper before digit ("HTTP2" -> "HTTP 2"; "Ab2" untouched
+    #      because 'b2' is lower-digit)
+    # Equality with the per-row twin is property-tested over the synth
+    # corpus and adversarial identifiers (tests/test_tokenize.py).
+    _COLUMN_RULES = [
+        (r"(^|[^A-Za-z0-9_])([0-9]+)([A-Za-z])", r"\1\2 \3"),
+        (r"([A-Z]+)([A-Z][a-z])", r"\1 \2"),
+        (r"([a-z0-9])([A-Z])", r"\1 \2"),
+        (r"([A-Z])([0-9])", r"\1 \2"),
+    ]
+
     def tokenize_column(self, col: pa.Array):
-        """Row loop (regex work is C-level); returns same shape as Simple."""
-        flats: list[str] = []
-        parents_l: list[int] = []
-        dl = np.zeros(len(col), dtype=np.int64)
-        for i, v in enumerate(col):
-            s = v.as_py()
-            if s is None:
-                continue
-            toks = self.tokenize(s)
-            dl[i] = len(toks)
-            flats.extend(toks)
-            parents_l.extend([i] * len(toks))
-        return pa.array(flats, type=pa.string()), np.asarray(parents_l, dtype=np.int64), dl
+        """Vectorized column path (4 boundary-insert RE2 passes + the
+        Arrow lower/split kernels); token-identical to tokenize()."""
+        out = col
+        for pattern, replacement in self._COLUMN_RULES:
+            out = pc.replace_substring_regex(
+                out, pattern=pattern, replacement=replacement)
+        lower = pc.utf8_lower(out)
+        toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        dl = np.bincount(parents, minlength=len(col)).astype(np.int64)
+        return flat, parents, dl
 
 
 # ---------------------------------------------------------------- stemming
@@ -143,6 +167,55 @@ def stem_sql(expr: str) -> str:
     return expr
 
 
+# ---------------------------------------------------------- accent folding
+#
+# Pinned Latin accent-fold map (applied AFTER lower(), so only lowercase
+# forms are listed). 1:1 char mappings render to ONE DuckDB translate()
+# call; the lone 1:2 mapping (sharp s -> "ss") is a separate replace on
+# both sides. Characters outside the map stay non-[a-z0-9] and remain
+# token separators, exactly as in the un-folded simple analyzer.
+_FOLD_SRC = "àáâãäåèéêëìíîïòóôõöøùúûüýÿñçšžđ"
+_FOLD_DST = "aaaaaaeeeeiiiioooooouuuuyyncszd"
+assert len(_FOLD_SRC) == len(_FOLD_DST)
+_FOLD_TABLE = str.maketrans(_FOLD_SRC, _FOLD_DST)
+
+
+def fold_text(text: str) -> str:
+    """lower + pinned accent fold of one string (row twin of the
+    vectorized column path)."""
+    return text.lower().replace("ß", "ss").translate(_FOLD_TABLE)
+
+
+def fold_column(col: pa.Array) -> pa.Array:
+    """Vectorized pinned fold: utf8_lower, sharp-s expansion, then one
+    replace per mapped char (each a C-level Arrow kernel pass)."""
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring(out, pattern="ß", replacement="ss")
+    for s, d in zip(_FOLD_SRC, _FOLD_DST):
+        out = pc.replace_substring(out, pattern=s, replacement=d)
+    return out
+
+
+def fold_sql(expr: str) -> str:
+    """The SAME pinned fold as a DuckDB expression (translate is 1:1, so
+    the sharp s goes through replace) — the source the oracles use."""
+    return (f"translate(replace(lower({expr}), 'ß', 'ss'), "
+            f"'{_FOLD_SRC}', '{_FOLD_DST}')")
+
+
+class FoldTokenizer(SimpleTokenizer):
+    """SimpleTokenizer over accent-folded text (query_lang='fold'):
+    'résumé' and 'resume' index and query as the same term."""
+
+    name = "fold"
+
+    def tokenize(self, text: str) -> list[str]:
+        return _SIMPLE_RE.findall(fold_text(text))
+
+    def tokenize_column(self, col: pa.Array):
+        return super().tokenize_column(fold_column(col))
+
+
 class StemTokenizer(SimpleTokenizer):
     """SimpleTokenizer + the pinned s-stemmer on every token. Index and
     query sides share this class (via query_lang='stem'), so plural
@@ -171,6 +244,7 @@ for _lang in ("en", "es", "zh", "fr", "de", "text", "simple"):
 for _lang in ("py", "c", "cpp", "java", "js", "go", "rs", "rb", "code"):
     register_tokenizer(_lang, CodeTokenizer)
 register_tokenizer("stem", StemTokenizer)
+register_tokenizer("fold", FoldTokenizer)
 
 DEFAULT_TOKENIZER = "simple"
 

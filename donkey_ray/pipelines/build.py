@@ -254,62 +254,71 @@ def build_index(
         )
         return hot_terms
 
+    # The docs pass (sha256 invariant + docs parquet) is independent of
+    # the whole postings pipeline — only the tiny hot-term sample gates
+    # postings extraction. Overlap the docs pass with BOTH (two Ray Data
+    # executions share the cluster with backpressure), which hides its
+    # full wall time: with the vectorized tokenizer the docs pass was
+    # ~30% of build wall when run serially.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        docs_future = pool.submit(_run_docs_pass)
-        hot_future = pool.submit(_run_hot_pass)
-        docs_future.result()
-        hot_terms = hot_future.result()
-    n_docs = _count_docs(out_dir)
+    pool = ThreadPoolExecutor(max_workers=1)
+    docs_future = pool.submit(_run_docs_pass)
+    try:
+        hot_terms = _run_hot_pass()
 
-    # ---- postings pass + partition shuffle + segment encode ----
-    done = mf.validated_done_parts(
-        out_dir, num_partitions, verify_checksum=verify_resume_checksum
-    )
-    skipped = sorted(done)
-    if len(done) < num_partitions:
-        hot_ref = ray.put(hot_terms) if hot_terms else None
-        # task pool (not actors): extract_postings caches the configured
-        # extractor per worker process, giving actor-like state amortization
-        # without actor-pool startup latency
-        extract_kwargs = dict(
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
+        # ---- postings pass + partition shuffle + segment encode ----
+        done = mf.validated_done_parts(
+            out_dir, num_partitions, verify_checksum=verify_resume_checksum
         )
-        if concurrency is not None:
-            extract_kwargs["concurrency"] = concurrency
-        postings = ds.map_batches(
-            functools.partial(
-                extract_postings,
-                num_partitions=num_partitions,
-                hot_ref=hot_ref,
-                salt_bits=salt_bits,
-                id_col=id_col,
-                combine=combine,
-                positions=positions,
-            ),
-            **extract_kwargs,
-        )
-        if done:
-            done_arr = np.array(sorted(done), dtype=np.int32)
-
-            def drop_done(batch: pa.Table) -> pa.Table:
-                keep = ~np.isin(
-                    batch.column("part").to_numpy(zero_copy_only=False), done_arr
-                )
-                return batch.filter(pa.array(keep))
-
-            postings = postings.map_batches(
-                drop_done, batch_format="pyarrow", zero_copy_batch=True
+        skipped = sorted(done)
+        if len(done) < num_partitions:
+            hot_ref = ray.put(hot_terms) if hot_terms else None
+            # task pool (not actors): extract_postings caches the
+            # configured extractor per worker process, giving actor-like
+            # state amortization without actor-pool startup latency
+            extract_kwargs = dict(
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
             )
-        manifest_rows = postings.groupby("part").map_groups(
-            SegmentWriter(out_dir), batch_format="pyarrow"
-        )
-        new_entries = {int(r["part"]): r for r in manifest_rows.take_all()}
-    else:
-        new_entries = {}
+            if concurrency is not None:
+                extract_kwargs["concurrency"] = concurrency
+            postings = ds.map_batches(
+                functools.partial(
+                    extract_postings,
+                    num_partitions=num_partitions,
+                    hot_ref=hot_ref,
+                    salt_bits=salt_bits,
+                    id_col=id_col,
+                    combine=combine,
+                    positions=positions,
+                ),
+                **extract_kwargs,
+            )
+            if done:
+                done_arr = np.array(sorted(done), dtype=np.int32)
+
+                def drop_done(batch: pa.Table) -> pa.Table:
+                    keep = ~np.isin(
+                        batch.column("part").to_numpy(zero_copy_only=False),
+                        done_arr,
+                    )
+                    return batch.filter(pa.array(keep))
+
+                postings = postings.map_batches(
+                    drop_done, batch_format="pyarrow", zero_copy_batch=True
+                )
+            manifest_rows = postings.groupby("part").map_groups(
+                SegmentWriter(out_dir), batch_format="pyarrow"
+            )
+            new_entries = {int(r["part"]): r for r in manifest_rows.take_all()}
+        else:
+            new_entries = {}
+        docs_future.result()
+    finally:
+        pool.shutdown(wait=True)
+    n_docs = _count_docs(out_dir)
 
     # ---- stats + meta ----
     all_entries = {**{p: e for p, e in done.items()}, **new_entries}

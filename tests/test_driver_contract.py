@@ -64,7 +64,7 @@ NAMES = [
     "bm25_topk", "bm25_topk_and", "bm25_topk_wand", "bm25_topk_incremental",
     "phrase_topk", "near_topk", "prefix_topk", "facet_counts", "snippets",
     "bm25_topk_hydrated", "events_window", "term_df",
-    "stemmed_topk", "stem_term_df",
+    "stemmed_topk", "stem_term_df", "folded_term_df",
     "doc_token_counts", "corpus_stats", "top_terms", "top_bigrams",
     "stratified_sample",
     "content_sha256", "filter_project", "exact_dedup", "ngram_jaccard",

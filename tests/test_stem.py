@@ -1,5 +1,5 @@
-"""Pinned s-stemmer (Harman S-removal): rule goldens, vectorized/row
-parity, SQL-spec parity, and end-to-end stemmed-index BM25 vs oracle."""
+"""Pinned analyzers (s-stemmer + accent fold): rule goldens,
+vectorized/row parity, SQL-spec parity, and end-to-end index tests."""
 
 import duckdb
 import numpy as np
@@ -116,3 +116,91 @@ def test_stemmed_index_end_to_end(ray_session, tmp_path):
 
     hash_ids = {doc_id_from_key("r", f"f{i}", "c") for i in (0, 1)}
     assert hash_ids <= set(scores0)
+
+
+# ------------------------------------------------------- accent folding
+
+
+FOLD_GOLDENS = {
+    "Résumé": ["resume"],
+    "Straße": ["strasse"],
+    "naïve café": ["naive", "cafe"],
+    "øre señor": ["ore", "senor"],
+    "Ünïcode-Špliš": ["unicode", "splis"],
+    "plain ascii 42": ["plain", "ascii", "42"],
+    "中文 stays separator": ["stays", "separator"],
+}
+
+
+def test_fold_goldens_row_and_column():
+    from donkey_ray.functions.tokenize import FoldTokenizer
+
+    tok = FoldTokenizer()
+    texts = list(FOLD_GOLDENS)
+    for t, want in FOLD_GOLDENS.items():
+        assert tok.tokenize(t) == want, t
+    flat, parents, dl = tok.tokenize_column(pa.array(texts, pa.string()))
+    per_row = [FOLD_GOLDENS[t] for t in texts]
+    assert flat.to_pylist() == [w for row in per_row for w in row]
+    assert list(dl) == [len(r) for r in per_row]
+
+
+def test_fold_sql_matches_engine():
+    from donkey_ray.functions.tokenize import fold_sql, fold_text
+
+    texts = list(FOLD_GOLDENS)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {fold_sql('t')} FROM (SELECT unnest(?) AS t)", [texts]
+    ).fetchall()
+    assert [r[0] for r in rows] == [fold_text(t) for t in texts]
+
+
+def test_folded_index_end_to_end(ray_session, tmp_path):
+    """Accented and plain spellings unify under query_lang='fold'."""
+    import ray.data
+
+    from donkey_ray.functions.hashing import doc_id_from_key
+    from donkey_ray.oracle import BM25Oracle
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.pipelines.query import score_queries
+    from donkey_ray.util import dataset_to_table
+
+    texts = [
+        "mon résumé est prêt",
+        "a resume and a cafe",
+        "straße cleanup crew",
+        "strasse cleanup crew",
+        "unrelated filler words",
+    ]
+    corpus = pa.table({
+        "repo": pa.array(["r"] * len(texts)),
+        "path": pa.array([f"f{i}" for i in range(len(texts))]),
+        "commit": pa.array(["c"] * len(texts)),
+        "lang": pa.array(["fold"] * len(texts)),
+        "content": pa.array(texts),
+    })
+    out = str(tmp_path / "foldidx")
+    build_index(ray.data.from_arrow(corpus), out, num_partitions=4,
+                query_lang="fold", detect_hot=False)
+    oracle = BM25Oracle.from_corpus(corpus)
+    qtbl = pa.table({
+        "query_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["résumé", "resume", "STRASSE"], pa.string()),
+        "k": pa.array([10, 10, 10], pa.int32()),
+    })
+    res = dataset_to_table(score_queries(out, qtbl, mode="exact"))
+    got = {}
+    for r in res.to_pylist():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, text in [(0, "résumé"), (1, "resume"), (2, "STRASSE")]:
+        want = oracle.topk(text, 10, lang="fold")
+        have = sorted(got.get(qid, []), key=lambda p: (-p[1], p[0]))
+        assert [d for d, _ in have] == [d for d, _ in want], (qid, text)
+        np.testing.assert_allclose([s for _, s in have], [s for _, s in want],
+                                   rtol=0, atol=1e-9)
+    # accented and plain queries retrieve identical results
+    assert got[0] == got[1]
+    ids = {doc_id_from_key("r", f"f{i}", "c"): i for i in range(len(texts))}
+    assert {ids[d] for d, _ in got[0]} == {0, 1}   # both spellings hit
+    assert {ids[d] for d, _ in got[2]} == {2, 3}   # sharp-s unifies

@@ -88,3 +88,25 @@ def test_shingle_hash_column_equals_per_row():
             assert np.array_equal(want, got), (n, i, t)
             # cardinality equals the distinct string-shingle count
             assert len(got) == len(set(shingles(t, n)))
+
+
+def test_code_column_vectorized_equals_row_adversarial():
+    """The 4-pass boundary-insert column path must be token-identical to
+    the per-row extract+camel-split twin on adversarial identifiers."""
+    import numpy as np
+
+    cases = [
+        "ABCDef R2D2 HTTP2 Ab2 AB2c foo14Bar x2B aBcD",
+        "3.14foo 14foo _14foo A_14foo foo2bar __init__ _ 1a2b 12 34abc",
+        "HTTP2foo fooÉbar Straße _private9Var XML2JSONParser",
+        "a\n14x\nB2", "1a 2b x9 9x _9x 9_x", "Ü14foo é14bar",
+        "", "   ", "_", "9", "Z",
+    ]
+    import string
+
+    rng = np.random.default_rng(123)
+    alphabet = list(string.ascii_letters + string.digits + "_ .;\n(){}")
+    for _ in range(500):
+        n = int(rng.integers(0, 40))
+        cases.append("".join(rng.choice(alphabet, size=n)))
+    _check_column_path(CodeTokenizer(), cases)
