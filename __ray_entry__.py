@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_sketch": api.q_events_quantiles_sketch,
         "doclen_percentiles": api.q_doclen_percentiles,
         "filtered_topk": api.q_filtered_topk,
+        "sorted_topk": api.q_sorted_topk,
         "events_funnel": api.q_events_funnel,
         "events_pivot": api.q_events_pivot,
         "longest_per_lang": api.q_longest_per_lang,
@@ -303,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": api.q_lineitem_agg,
         "orders_customer_join": api.q_orders_customer_join,
         "tpch_q3": api.q_tpch_q3,
+        "tpch_q5": api.q_tpch_q5,
         "orders_semi_building": api.q_orders_semi_building,
         "orders_semi_bloom": api.q_orders_semi_bloom,
         "orders_anti_building": api.q_orders_anti_building,
@@ -1578,6 +1580,27 @@ ranked AS (SELECT sc.query_id, sc.k, sc.doc_id, sc.score,
            WHERE d.lang = 'en')
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # field-sorted retrieval: OR-match hit set ordered by n_chars
+        # (longest first, ties doc_id asc), not by BM25
+        "sorted_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM tok),
+hits AS (SELECT DISTINCT qt.query_id, qt.k, t.doc_id
+         FROM qt JOIN terms t ON t.term = qt.term),
+ranked AS (SELECT h.query_id, h.k, h.doc_id, d.n_chars,
+                  row_number() OVER (PARTITION BY h.query_id
+                                     ORDER BY d.n_chars DESC, h.doc_id ASC)
+                      AS rank
+           FROM hits h JOIN documents d ON d.doc_id = h.doc_id)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+       n_chars
 FROM ranked WHERE rank <= k
 """,
         # field collapse: best-scoring doc per (query, source), survivors
@@ -2891,6 +2914,22 @@ WHERE c.c_mktsegment = 'BUILDING'
   AND l.l_shipdate > TIMESTAMP '1998-01-01'
 GROUP BY 1, 2, 3
 ORDER BY revenue_x100 DESC, l_orderkey LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n.n_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS revenue_x100
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY revenue_x100 DESC, n_name
 """,
         "orders_customer_join": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment

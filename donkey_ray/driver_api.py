@@ -3306,3 +3306,128 @@ def q_prf_topk(sf_dir: str) -> pa.Table:
     )
     res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     return _round_col(res, "score")
+
+
+def q_tpch_q5(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 shape (local-supplier volume): 1996 revenue per ASIA
+    nation counting only lineitems whose supplier sits in the ORDERING
+    customer's own nation. Revenue is quantized per row to integer cents
+    before summing (order-independent, hash-exact cross-engine).
+
+    Scale shape: region / nation / supplier are dimension tables —
+    orders of magnitude smaller than the facts at every TPC-H scale — so
+    the ASIA-supplier (suppkey -> nationkey) lookup ships ONCE via
+    ray.put and is read zero-copy from each task's local object store,
+    never re-shipped per batch. The two fact-to-fact joins
+    (orders x customer, lineitem x that) are distributed keyed-cogroup
+    hash joins carrying only the key + nationkey columns; the same-nation
+    check and cents quantization run vectorized inside the join output's
+    map_batches, so only (nationkey, cents) partials — 25 groups — enter
+    the final exchange. Date-range and nation filters are pushed into the
+    parquet reads."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import hash_join
+    from .stages.exchange import partitioned_aggregate
+
+    lo = 820_454_400_000_000   # 1996-01-01 epoch us
+    hi = 852_076_800_000_000   # 1997-01-01 epoch us
+
+    # dimension side (driver-local reads of the two tiny tables)
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey", "r_name"])
+    asia_rk = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")
+    asia_nation = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=asia_rk))
+    asia_keys = asia_nation.column("n_nationkey")
+    supplier = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(asia_keys.to_pylist()),
+    )
+    sk = supplier.column("s_suppkey").to_numpy(zero_copy_only=False)
+    sn = supplier.column("s_nationkey").to_numpy(zero_copy_only=False)
+    order = np.argsort(sk, kind="stable")
+    supp_ref = ray.put((sk[order].astype(np.int64),
+                        sn[order].astype(np.int64)))
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(asia_keys.to_pylist()),
+        override_num_blocks=4,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pads.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us"))),
+        override_num_blocks=8,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        override_num_blocks=8,
+    )
+
+    oc = hash_join(orders, customer, left_on="o_custkey",
+                   right_on="c_custkey", how="inner")
+    loj = hash_join(lineitem, oc, left_on="l_orderkey",
+                    right_on="o_orderkey", how="inner")
+
+    def local_rev(batch: pa.Table) -> pa.Table:
+        skey, snat = ray.get(supp_ref)  # local-store cached, zero-copy
+        ls = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skey, ls)
+        pos_c = np.minimum(pos, len(skey) - 1) if len(skey) else pos
+        hit = (len(skey) > 0) & (skey[pos_c] == ls)
+        nat = snat[pos_c] if len(skey) else np.zeros(len(ls), np.int64)
+        keep = hit & (nat == cn)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "n_nationkey": pa.array(nat[keep], pa.int64()),
+            "revenue_x100": pa.array(rev[keep], pa.int64()),
+        })
+
+    agg = partitioned_aggregate(
+        loj.map_batches(local_rev, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["n_nationkey"],
+        [("revenue_x100", "sum")], rename={"revenue_x100_sum": "revenue_x100"},
+    )
+    tbl = dataset_to_table(agg)
+    names = {
+        k: v for k, v in zip(
+            asia_nation.column("n_nationkey").to_pylist(),
+            asia_nation.column("n_name").to_pylist())
+    }
+    out = pa.table({
+        "n_name": pa.array(
+            [names[k] for k in tbl.column("n_nationkey").to_pylist()],
+            pa.string()),
+        "revenue_x100": tbl.column("revenue_x100").cast(pa.int64()),
+    })
+    return out.sort_by([("revenue_x100", "descending"),
+                        ("n_name", "ascending")])
+
+
+def q_sorted_topk(sf_dir: str) -> pa.Table:
+    """Field-SORTED retrieval over the pinned query set: matching docs
+    ranked by n_chars (longest first, ties doc_id asc) instead of BM25 —
+    the search-UI "sort by length/date" mode
+    (pipelines/query.sort_by_field_topk)."""
+    from .pipelines.query import sort_by_field_topk
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = sort_by_field_topk(index_dir, queries, field="n_chars", k=10)
+    return res.sort_by([("query_id", "ascending"), ("rank", "ascending")])

@@ -651,6 +651,81 @@ def filtered_topk(
     )
 
 
+def sort_by_field_topk(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    field: str = "n_chars",
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Field-SORTED retrieval (Lucene's sort-by-field, "newest/longest
+    first" UIs): every doc matching ANY query term is ranked by the
+    ``field`` value from the index's own docs artifact — descending,
+    ties doc_id ascending — NOT by BM25 score. The hit set still comes
+    from posting-list traversal; only the ordering key changes.
+
+    Scale shape: hits flow through ONE doc_id hash exchange against the
+    docs artifact (inner join carries just doc_id + the sort field), the
+    per-query top-k fold runs inside the query_id-keyed partitions, and
+    only per-partition survivors (<= k x queries x partitions rows)
+    reach the driver merge — the corpus-sized hit set is never
+    materialized."""
+    import os
+
+    import numpy as np
+
+    from ..stages.exchange import keyed_partition_map
+    from ..util import dataset_to_table
+    from .joins import hash_join
+
+    hits = score_queries(index_dir, queries, kind="all")
+    docs = ray.data.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["doc_id", field],
+    )
+    joined = hash_join(hits, docs, left_on="doc_id", right_on="doc_id",
+                       how="inner", num_partitions=num_partitions)
+
+    def _fold(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        q = part.column("query_id").to_numpy(zero_copy_only=False)
+        keep: list[int] = []
+        sorted_part = part.sort_by(
+            [(field, "descending"), ("doc_id", "ascending")])
+        qs = sorted_part.column("query_id").to_numpy(zero_copy_only=False)
+        for qid in np.unique(q):
+            m = np.flatnonzero(qs == qid)[:k]
+            keep.extend(m)
+        return sorted_part.take(pa.array(sorted(keep)))
+
+    _fold.__name__ = "sortfield_local_topk"
+    cand = dataset_to_table(
+        keyed_partition_map(joined, ["query_id"], _fold,
+                            num_partitions=num_partitions)
+    )
+    out_q, out_r, out_d, out_f = [], [], [], []
+    if cand.num_rows:
+        cand = cand.sort_by([(field, "descending"), ("doc_id", "ascending")])
+        q = cand.column("query_id").to_numpy(zero_copy_only=False)
+        d = cand.column("doc_id").to_numpy(zero_copy_only=False)
+        f = cand.column(field).to_numpy(zero_copy_only=False)
+        for qid in np.unique(q):
+            m = np.flatnonzero(q == qid)[:k]
+            out_q.extend([int(qid)] * len(m))
+            out_r.extend(range(1, len(m) + 1))
+            out_d.extend(int(x) for x in d[m])
+            out_f.extend(int(x) for x in f[m])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            field: pa.array(out_f, pa.int64()),
+        }
+    )
+
+
 def hydrate_results(
     results: ray.data.Dataset | pa.Table, index_dir: str
 ) -> pa.Table:

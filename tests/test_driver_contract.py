@@ -115,6 +115,8 @@ NAMES = [
     "bm25f_topk", "pq_codes", "pq_search", "ivfpq_topk", "search_eval",
     "mmr_topk",
     "passage_topk", "pruned_topk", "tiered_topk", "blocklist_filter",
+    # session-16 additions
+    "tpch_q5", "sorted_topk",
 ]
 
 
