@@ -97,6 +97,121 @@ def _bucket_edges(ids: np.ndarray, m: np.ndarray, k: int) -> tuple:
     return ids, ids[nxt], sim
 
 
+class _GraphPartWriter:
+    """Writes one src-hash partition of (src, dst, sim) edges as an
+    atomic, manifest-tracked segment file (shared by the distributed
+    map_groups path and the driver-local exact path)."""
+
+    def __init__(self, out: str) -> None:
+        self.out = out
+        self.__name__ = "knng_write"
+
+    def __call__(self, part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "n_edges": pa.array([], pa.int64())})
+        t0 = time.monotonic()
+        pid = int(part.column("__part")[0].as_py())
+        seg = part.drop_columns(["__part"]).sort_by(
+            [("src", "ascending"), ("dst", "ascending")])
+        path = mf.segment_path(self.out, pid)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
+                                   prefix=f".tmp-knng-{pid:05d}-")
+        os.close(fd)
+        try:
+            pq.write_table(seg, tmp, row_group_size=4096,
+                           compression="zstd")
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        mf.write_partition_manifest(self.out, {
+            "part": pid, "n_edges": seg.num_rows,
+            "n_bytes": os.path.getsize(path),
+            "sha256": mf.file_sha256(path),
+            "wall_s": round(time.monotonic() - t0, 4),
+        })
+        return pa.table({"part": pa.array([pid], pa.int32()),
+                         "n_edges": pa.array([seg.num_rows], pa.int64())})
+
+
+def _build_local_exact(
+    vecs: ray.data.Dataset, out_dir: str, *, k: int, seed: int,
+    num_partitions: int | None,
+) -> dict:
+    """Driver-local EXACT k-NN graph for small inputs: blocked gram
+    tiles bound peak memory to TILE x n doubles; per-src neighbor order
+    is (sim desc, dst asc) — deterministic, and the ideal limit the
+    distributed NN-descent rounds converge toward. Artifact layout,
+    manifests and meta match the distributed path exactly."""
+    from ..stages.exchange import add_partition_column, default_num_partitions
+
+    tbl = dataset_to_table(vecs).sort_by([("vec_id", "ascending")])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    meta_base = {
+        "format_version": FORMAT_VERSION,
+        "kind": "knn_graph_cosine",
+        "k": int(k), "rounds": 0, "seed": int(seed),
+        "local_exact": True,
+    }
+    if n < 2:
+        P = num_partitions or 1
+        meta = {**meta_base, "num_partitions": P, "n_edges": 0,
+                "parts_built": []}
+        mf.write_meta(out_dir, meta)
+        mf.mark_complete(out_dir)
+        return meta
+    m = _normalize(_batch_matrix(tbl, "embedding"))
+    kk = min(k, n - 1)
+    dsts = np.empty(n * kk, np.int64)
+    sims = np.empty(n * kk, np.float64)
+    TILE = 2048
+    for lo in range(0, n, TILE):
+        hi = min(lo + TILE, n)
+        g = m[lo:hi] @ m.T
+        g[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf
+        top = np.argpartition(-g, kk - 1, axis=1)[:, :kk]
+        tsim = np.take_along_axis(g, top, axis=1)
+        tid = ids[top]
+        rows = np.repeat(np.arange(hi - lo), kk)
+        ordf = np.lexsort((tid.ravel(), -tsim.ravel(), rows))
+        dsts[lo * kk:hi * kk] = tid.ravel()[ordf]
+        sims[lo * kk:hi * kk] = tsim.ravel()[ordf]
+    edges = pa.table({
+        "src": pa.array(np.repeat(ids, kk), pa.int64()),
+        "dst": pa.array(dsts, pa.int64()),
+        "sim": pa.array(sims, pa.float64()),
+    })
+    if num_partitions is None:
+        num_partitions = max(2, min(default_num_partitions(),
+                                    (n * k) // 65536 + 1))
+    tagged = add_partition_column(edges, ["src"], num_partitions)
+    parts_np = tagged.column("__part").to_numpy(zero_copy_only=False)
+    writer = _GraphPartWriter(out_dir)
+    entries: list[dict] = []
+    for pid in np.unique(parts_np):
+        sub = tagged.take(pa.array(np.flatnonzero(parts_np == pid)))
+        res = writer(sub)
+        entries.append({"part": int(res.column("part")[0].as_py()),
+                        "n_edges": int(res.column("n_edges")[0].as_py())})
+    meta = {
+        **meta_base,
+        "num_partitions": int(num_partitions),
+        "n_edges": int(sum(e["n_edges"] for e in entries)),
+        "parts_built": sorted(e["part"] for e in entries),
+    }
+    mf.write_meta(out_dir, meta)
+    mf.mark_complete(out_dir)
+    return meta
+
+
+LOCAL_EXACT_MAX = 20_000  # vectors; below this the whole NN-descent
+# dance is exchange overhead — the n x TILE gram tiles and the edge list
+# are a few MB, so the EXACT graph is computed driver-side instead
+
+
 def build_knn_graph(
     ds: ray.data.Dataset,
     out_dir: str,
@@ -107,8 +222,16 @@ def build_knn_graph(
     id_col: str = "vec_id",
     seed: int = 42,
     num_partitions: int | None = None,
+    local_max_vectors: int = LOCAL_EXACT_MAX,
 ) -> dict:
-    """Build (once; _SUCCESS-resumable) the k-NN graph artifact."""
+    """Build (once; _SUCCESS-resumable) the k-NN graph artifact.
+
+    Inputs at or below ``local_max_vectors`` take a driver-local EXACT
+    fast path (blocked gram tiles, same artifact layout/manifest — the
+    ideal limit NN-descent converges to); pass 0 to force the
+    distributed NN-descent path (tests pin it that way). The dispatch
+    mirrors the repo's small-graph fast paths: at fixture scale the
+    distributed build is ~100% fixed exchange overhead."""
     from ..stages.exchange import keyed_cogroup_map, keyed_partition_map
 
     if mf.is_complete(out_dir):
@@ -122,13 +245,16 @@ def build_knn_graph(
                             "embedding": b.column(vec_col)}),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
+    n_vecs = vecs.count()
+    if local_max_vectors and n_vecs <= local_max_vectors:
+        return _build_local_exact(vecs, out_dir, k=k, seed=seed,
+                                  num_partitions=num_partitions)
     if num_partitions is None:
         # size exchanges to the data: tiny graphs drown in per-partition
         # block overhead at the default P (O(CPUs)); ~64k edge rows per
         # partition keeps every exchange usefully parallel at scale
         from ..stages.exchange import default_num_partitions
 
-        n_vecs = vecs.count()
         num_partitions = max(2, min(default_num_partitions(),
                                     (n_vecs * k) // 65536 + 1))
 
@@ -300,40 +426,6 @@ def build_knn_graph(
                                     num_partitions=num_partitions).materialize()
 
     # ---- persist, manifest-tracked like the IVF index ----
-    class _Writer:
-        def __init__(self, out: str) -> None:
-            self.out = out
-            self.__name__ = "knng_write"
-
-        def __call__(self, part: pa.Table) -> pa.Table:
-            if part.num_rows == 0:
-                return pa.table({"part": pa.array([], pa.int32()),
-                                 "n_edges": pa.array([], pa.int64())})
-            t0 = time.monotonic()
-            pid = int(part.column("__part")[0].as_py())
-            seg = part.drop_columns(["__part"]).sort_by(
-                [("src", "ascending"), ("dst", "ascending")])
-            path = mf.segment_path(self.out, pid)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
-                                       prefix=f".tmp-knng-{pid:05d}-")
-            os.close(fd)
-            try:
-                pq.write_table(seg, tmp, row_group_size=4096,
-                               compression="zstd")
-                os.replace(tmp, path)
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-            mf.write_partition_manifest(self.out, {
-                "part": pid, "n_edges": seg.num_rows,
-                "n_bytes": os.path.getsize(path),
-                "sha256": mf.file_sha256(path),
-                "wall_s": round(time.monotonic() - t0, 4),
-            })
-            return pa.table({"part": pa.array([pid], pa.int32()),
-                             "n_edges": pa.array([seg.num_rows], pa.int64())})
-
     from ..stages.exchange import add_partition_column, default_num_partitions
 
     P = num_partitions or default_num_partitions()
@@ -341,7 +433,7 @@ def build_knn_graph(
         lambda b: add_partition_column(b, ["src"], P),
         batch_format="pyarrow", zero_copy_batch=True)
     entries = tagged_g.groupby("__part").map_groups(
-        _Writer(out_dir), batch_format="pyarrow").take_all()
+        _GraphPartWriter(out_dir), batch_format="pyarrow").take_all()
     meta = {
         "format_version": FORMAT_VERSION,
         "kind": "knn_graph_cosine",

@@ -21,7 +21,7 @@ def graph_index(ray_session, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("knng") / "idx")
     meta = build_knn_graph(
         ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
-        out, k=16, rounds=2,
+        out, k=16, rounds=2, local_max_vectors=0,  # pin the DISTRIBUTED path
     )
     return out, meta
 
@@ -112,3 +112,28 @@ def test_serving_shape_and_tiebreak(graph_index):
         # a query that IS a corpus vector must find itself first
         assert rows[0]["vec_id"] == t.column("vec_id")[qi].as_py()
         assert rows[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_local_exact_path(ray_session, tmp_path):
+    """Small inputs take the driver-local EXACT path: same artifact
+    layout/meta shape, recall 1.0 vs brute force through serving."""
+    import ray.data
+
+    from donkey_ray.pipelines.knng import build_knn_graph, graph_topk
+
+    out = str(tmp_path / "idx_local")
+    meta = build_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, k=16, rounds=2,
+    )
+    assert meta.get("local_exact") is True
+    assert meta["n_edges"] > 0
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    qv = np.asarray(t.column("embedding").to_pylist()[:5], dtype=np.float64)
+    res = graph_topk(out, EMB, qv, k=10, beam=64)
+    want = _brute_topk(qv, 10)
+    got = {qi: [] for qi in range(5)}
+    for r in res.to_pylist():
+        got[r["query_id"]].append(r["vec_id"])
+    hits = sum(len(set(got[qi]) & set(want[qi])) for qi in range(5))
+    assert hits / 50.0 >= 0.95  # exact graph: beam search near-perfect
