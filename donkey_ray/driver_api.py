@@ -1579,12 +1579,40 @@ def q_dedup_survivors(sf_dir: str) -> ray.data.Dataset:
     the corpus streams through a pc.is_in filter with the loser ids
     shipped once via ray.put, so no text row ever enters an exchange.
     An unbroadcastable loser set falls back to the hash-partitioned
-    ANTI-join, where no side is broadcast or driver-materialized."""
+    ANTI-join, where no side is broadcast or driver-materialized.
+    When the cluster table is small (parquet metadata row count, no
+    scan), the loser set is computed driver-local from the two cached
+    artifacts in one pc.is_in — skipping three Ray executions whose
+    data wouldn't fill a single block."""
+    import pyarrow.parquet as _pq
+
     from .pipelines.joins import hash_join
 
     # loser-id sets up to this many rows ship as one broadcast array
     # (8 B/id -> ~80 MB object, well under a worker heap)
     BROADCAST_LOSER_MAX = 10_000_000
+
+    cl_path = os.path.join(ensure_clusters(sf_dir), "clusters.parquet")
+    cn_path = ensure_canonical(sf_dir)  # path to canonical.parquet itself
+    if _pq.ParquetFile(cl_path).metadata.num_rows <= BROADCAST_LOSER_MAX:
+        cl = _pq.read_table(cl_path, columns=["doc_id"])
+        cn = _pq.read_table(cn_path, columns=["canonical_doc_id"])
+        ids = cl.filter(pc.invert(pc.is_in(
+            cl.column("doc_id"),
+            value_set=cn.column("canonical_doc_id").combine_chunks(),
+        ))).column("doc_id").combine_chunks()
+        ref = ray.put(ids)
+        corpus = _docs(sf_dir, columns=("doc_id", "lang", "text"))
+
+        def drop_losers_local(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            keep = pc.invert(pc.is_in(b.column("doc_id"),
+                                      value_set=_ray.get(ref)))
+            return b.filter(keep)
+
+        return corpus.map_batches(drop_losers_local, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
     clusters = q_dedup_clusters(sf_dir)
     canon = ray.data.read_parquet(ensure_canonical(sf_dir))
