@@ -197,7 +197,8 @@ def ensure_stem_index(sf_dir: str) -> str:
         try:
             meta = mf.load_meta(out)
             if (meta.get("format_version") != CURRENT_FORMAT_VERSION
-                    or meta.get("query_lang") != "stem"):
+                    or meta.get("query_lang") != "stem"
+                    or meta.get("analyzer_lang") != "stem"):
                 shutil.rmtree(out)
         except (OSError, ValueError):
             shutil.rmtree(out, ignore_errors=True)
@@ -207,6 +208,7 @@ def ensure_stem_index(sf_dir: str) -> str:
         num_partitions=8,
         id_col="doc_id",
         query_lang="stem",
+        analyzer_lang="stem",  # index-side terms stem too (not just queries)
         sample_mod=16,
     )
     return out
@@ -3407,11 +3409,13 @@ def q_tpch_q5(sf_dir: str) -> pa.Table:
         skey, snat = ray.get(supp_ref)  # local-store cached, zero-copy
         ls = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
         cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(skey, ls)
-        pos_c = np.minimum(pos, len(skey) - 1) if len(skey) else pos
-        hit = (len(skey) > 0) & (skey[pos_c] == ls)
-        nat = snat[pos_c] if len(skey) else np.zeros(len(ls), np.int64)
-        keep = hit & (nat == cn)
+        if len(skey) == 0:  # no qualifying suppliers at all
+            empty = np.array([], np.int64)
+            return pa.table({"n_nationkey": pa.array(empty, pa.int64()),
+                             "revenue_x100": pa.array(empty, pa.int64())})
+        pos_c = np.minimum(np.searchsorted(skey, ls), len(skey) - 1)
+        nat = snat[pos_c]
+        keep = (skey[pos_c] == ls) & (nat == cn)
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
         rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)

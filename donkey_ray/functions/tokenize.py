@@ -42,7 +42,15 @@ class SimpleTokenizer:
     name = "simple"
 
     def tokenize(self, text: str) -> list[str]:
-        return _SIMPLE_RE.findall(text.lower())
+        if text.isascii():
+            return _SIMPLE_RE.findall(text.lower())
+        # non-ASCII: Python str.lower() is a FULL Unicode mapping
+        # ('İ' -> 'i' + combining dot) while Arrow and DuckDB — the
+        # oracle spec — use simple mappings ('İ' -> 'i'); delegate to
+        # the column kernel so query-side terms match index-side terms
+        flat, _parents, _dl = self.tokenize_column(
+            pa.array([text], pa.string()))
+        return flat.to_pylist()
 
     def tokenize_column(self, col: pa.Array) -> tuple[pa.Array, np.ndarray]:
         """Vectorized column path: returns (list<string> tokens, dl int64).
@@ -107,6 +115,13 @@ class CodeTokenizer:
         for pattern, replacement in self._COLUMN_RULES:
             out = pc.replace_substring_regex(
                 out, pattern=pattern, replacement=replacement)
+        # per-row twin splits identifiers on the RAW text with an ASCII
+        # class, so every non-ASCII char is a separator; utf8_lower maps
+        # some non-ASCII uppercase INTO ASCII (U+212A KELVIN -> 'k',
+        # U+0130 -> 'i' + combining dot), which would glue tokens the
+        # row path keeps apart — strip non-ASCII to spaces FIRST
+        out = pc.replace_substring_regex(
+            out, pattern=r"[^\x00-\x7F]+", replacement=" ")
         lower = pc.utf8_lower(out)
         toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
         flat = pc.list_flatten(toks)
@@ -125,7 +140,10 @@ class CodeTokenizer:
 # RE2 on BOTH engines (Arrow replace_substring_regex and DuckDB
 # regexp_replace), so the DuckDB oracle shares the spec verbatim:
 #
-#   1. ends in "ies" (not "eies"/"aies", >=1 char before) -> "ies"->"y"
+#   1. ends in "ies" (not "eies"/"aies", >=2 chars before) -> "ies"->"y"
+#      (so 4-letter words like "dies"/"ties" fall through to rule 2 —
+#      pinned by the GOLDENS table; this matches the regex below, which
+#      requires (.+[^ea]) = at least two preceding chars)
 #   2. ends in "es"  (not "aes"/"ees"/"oes", >=2 chars before) -> drop "s"
 #   3. ends in "s"   (not "us"/"ss", >=2 chars before)         -> drop "s"
 #

@@ -49,6 +49,7 @@ def detect_hot_terms(
     id_col: str | None,
     sample_mod: int,
     hot_df_ratio: float,
+    lang_override: str | None = None,
 ) -> tuple[list[str], int]:
     """Deterministic ~1/sample_mod sample -> per-term df -> terms whose
     sampled df exceeds hot_df_ratio of the sample size (SURVEY.md B18).
@@ -56,7 +57,8 @@ def detect_hot_terms(
     Fully data-deterministic (hash-of-doc_id sampling), so every cluster
     size / retry sees the same hot set — a prerequisite for deterministic
     partition routing."""
-    extractor = PostingsExtractor(1, id_col=id_col, emit_part=False)
+    extractor = PostingsExtractor(1, id_col=id_col, emit_part=False,
+                                  lang_override=lang_override)
 
     def sample_partial_df(batch: pa.Table) -> pa.Table:
         """Per-batch partial df over the deterministic sample, pre-filtered
@@ -181,6 +183,7 @@ def build_index(
     override_num_blocks: int | None = None,
     combine: bool = False,
     positions: bool = False,
+    analyzer_lang: str | None = None,
 ) -> dict:
     """Build (or resume) an inverted index at ``out_dir``. Returns meta.
 
@@ -243,7 +246,7 @@ def build_index(
         if detect_hot:
             hot_terms, n_sample = detect_hot_terms(
                 ds, id_col=id_col, sample_mod=sample_mod,
-                hot_df_ratio=hot_df_ratio,
+                hot_df_ratio=hot_df_ratio, lang_override=analyzer_lang,
             )
         else:
             hot_terms, n_sample = [], 0
@@ -293,6 +296,7 @@ def build_index(
                     id_col=id_col,
                     combine=combine,
                     positions=positions,
+                    lang_override=analyzer_lang,
                 ),
                 **extract_kwargs,
             )
@@ -339,6 +343,7 @@ def build_index(
         "salt_bits": salt_bits,
         "hot_terms": hot_terms,
         "query_lang": query_lang or "simple",
+        "analyzer_lang": analyzer_lang,
         "id_col": id_col,
         "positions": bool(positions),
         "build_wall_s": round(time.monotonic() - t_start, 3),

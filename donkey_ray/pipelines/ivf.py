@@ -69,49 +69,21 @@ def _spherical_kmeans(sample: np.ndarray, n_lists: int, *, iters: int = 10,
     return cent[order]
 
 
-class _IVFPartWriter:
-    """map_groups callable: one partition's (list_id, vec_id, embedding)
-    rows -> sorted segment parquet + manifest entry (atomic, resumable)."""
+class _IVFPartWriter(mf.PartitionSegmentWriter):
+    """One partition's (list_id, vec_id, embedding) rows -> sorted
+    segment parquet + manifest entry (shared atomic/resumable writer,
+    plus the per-partition n_lists manifest field)."""
 
     def __init__(self, out_dir: str) -> None:
-        self.out_dir = out_dir
-        self.__name__ = "IVFPartWriter"
+        super().__init__(
+            out_dir, part_col="part",
+            sort_keys=[("list_id", "ascending"), ("vec_id", "ascending")],
+            count_field="n_vecs", row_group_size=1024,
+            name="IVFPartWriter")
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            # same schema as the non-empty return: a one-column empty
-            # table would make the meta's n_vecs fold KeyError
-            return pa.table({"part": pa.array([], pa.int32()),
-                             "n_vecs": pa.array([], pa.int64())})
-        t0 = time.monotonic()
-        part = int(group.column("part")[0].as_py())
-        seg = group.drop_columns(["part"]).sort_by(
-            [("list_id", "ascending"), ("vec_id", "ascending")]
-        )
-        path = mf.segment_path(self.out_dir, part)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
-                                   prefix=f".tmp-part-{part:05d}-")
-        os.close(fd)
-        try:
-            pq.write_table(seg, tmp, row_group_size=1024, compression="zstd")
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        entry = {
-            "part": part,
-            "n_vecs": seg.num_rows,
-            "n_lists": len(np.unique(seg.column("list_id").to_numpy(zero_copy_only=False))),
-            "n_bytes": os.path.getsize(path),
-            "sha256": mf.file_sha256(path),
-            "wall_s": round(time.monotonic() - t0, 4),
-        }
-        mf.write_partition_manifest(self.out_dir, entry)
-        return pa.table(
-            {"part": pa.array([part], pa.int32()),
-             "n_vecs": pa.array([entry["n_vecs"]], pa.int64())}
-        )
+    def extra_manifest_fields(self, seg: pa.Table) -> dict:
+        return {"n_lists": len(np.unique(
+            seg.column("list_id").to_numpy(zero_copy_only=False)))}
 
 
 def build_ivf_index(

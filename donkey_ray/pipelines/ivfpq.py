@@ -45,8 +45,6 @@ Scale shape:
 from __future__ import annotations
 
 import os
-import tempfile
-import time
 
 import numpy as np
 import pyarrow as pa
@@ -230,51 +228,16 @@ def ivfpq_encode(
                           zero_copy_batch=True)
 
 
-class _IVFPQPartWriter:
-    """map_groups callable: one partition's (list_id, vec_id, codes)
-    rows -> sorted segment parquet + manifest entry (atomic, resumable
-    — the _IVFPartWriter / _PQPartWriter treatment)."""
+class _IVFPQPartWriter(mf.PartitionSegmentWriter):
+    """One partition's (list_id, vec_id, codes) rows -> sorted segment
+    parquet + manifest entry (shared atomic/resumable writer)."""
 
     def __init__(self, out_dir: str) -> None:
-        self.out_dir = out_dir
-        self.__name__ = "IVFPQPartWriter"
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq_
-
-        empty = pa.table({"part": pa.array([], pa.int32()),
-                          "n_vecs": pa.array([], pa.int64())})
-        if group.num_rows == 0:
-            return empty
-        t0 = time.monotonic()
-        part = int(group.column("part")[0].as_py())
-        seg = group.drop_columns(["part"]).sort_by(
-            [("list_id", "ascending"), ("vec_id", "ascending")]
-        )
-        path = mf.segment_path(self.out_dir, part)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
-                                   prefix=f".tmp-part-{part:05d}-")
-        os.close(fd)
-        try:
-            pq_.write_table(seg, tmp, row_group_size=1024,
-                            compression="zstd")
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        entry = {
-            "part": part,
-            "n_vecs": seg.num_rows,
-            "n_bytes": os.path.getsize(path),
-            "sha256": mf.file_sha256(path),
-            "wall_s": round(time.monotonic() - t0, 4),
-        }
-        mf.write_partition_manifest(self.out_dir, entry)
-        return pa.table({
-            "part": pa.array([part], pa.int32()),
-            "n_vecs": pa.array([entry["n_vecs"]], pa.int64()),
-        })
+        super().__init__(
+            out_dir, part_col="part",
+            sort_keys=[("list_id", "ascending"), ("vec_id", "ascending")],
+            count_field="n_vecs", row_group_size=1024,
+            name="IVFPQPartWriter")
 
 
 def build_ivfpq_index(
@@ -433,13 +396,25 @@ def ivfpq_topk(
 
     probed_lists_1b = np.unique(probe) + 1
     parts = np.unique((probed_lists_1b - 1) % meta["num_partitions"])
-    paths = [mf.segment_path(out_dir, int(p)) for p in parts]
+    # a partition whose every coarse list is EMPTY legitimately has no
+    # segment file (groupby only yields existing groups) — consult the
+    # meta's parts_built ledger instead of demanding a file per probed
+    # partition, and only then treat absence as corruption
+    built = set(int(p) for p in meta.get("parts_built", []))
+    paths = [mf.segment_path(out_dir, int(p)) for p in parts if int(p) in built]
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:
         raise FileNotFoundError(
-            f"IVFPQ index {out_dir} is missing {len(missing)} segment(s): "
-            f"{missing[:3]}"
+            f"IVFPQ index {out_dir} is missing {len(missing)} built "
+            f"segment(s): {missing[:3]}"
         )
+    if not paths:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "vec_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        })
 
     subs = np.arange(m)
 

@@ -43,8 +43,6 @@ from __future__ import annotations
 
 import heapq
 import os
-import tempfile
-import time
 from functools import lru_cache
 
 import numpy as np
@@ -97,43 +95,17 @@ def _bucket_edges(ids: np.ndarray, m: np.ndarray, k: int) -> tuple:
     return ids, ids[nxt], sim
 
 
-class _GraphPartWriter:
-    """Writes one src-hash partition of (src, dst, sim) edges as an
-    atomic, manifest-tracked segment file (shared by the distributed
-    map_groups path and the driver-local exact path)."""
+class _GraphPartWriter(mf.PartitionSegmentWriter):
+    """One src-hash partition of (src, dst, sim) edges -> sorted segment
+    parquet + manifest entry (shared atomic/resumable writer; used by
+    both the distributed map_groups path and the driver-local path)."""
 
     def __init__(self, out: str) -> None:
-        self.out = out
-        self.__name__ = "knng_write"
-
-    def __call__(self, part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return pa.table({"part": pa.array([], pa.int32()),
-                             "n_edges": pa.array([], pa.int64())})
-        t0 = time.monotonic()
-        pid = int(part.column("__part")[0].as_py())
-        seg = part.drop_columns(["__part"]).sort_by(
-            [("src", "ascending"), ("dst", "ascending")])
-        path = mf.segment_path(self.out, pid)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
-                                   prefix=f".tmp-knng-{pid:05d}-")
-        os.close(fd)
-        try:
-            pq.write_table(seg, tmp, row_group_size=4096,
-                           compression="zstd")
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        mf.write_partition_manifest(self.out, {
-            "part": pid, "n_edges": seg.num_rows,
-            "n_bytes": os.path.getsize(path),
-            "sha256": mf.file_sha256(path),
-            "wall_s": round(time.monotonic() - t0, 4),
-        })
-        return pa.table({"part": pa.array([pid], pa.int32()),
-                         "n_edges": pa.array([seg.num_rows], pa.int64())})
+        super().__init__(
+            out, part_col="__part",
+            sort_keys=[("src", "ascending"), ("dst", "ascending")],
+            count_field="n_edges", row_group_size=4096,
+            tmp_prefix="knng", name="knng_write")
 
 
 def _build_local_exact(
@@ -167,7 +139,10 @@ def _build_local_exact(
     kk = min(k, n - 1)
     dsts = np.empty(n * kk, np.int64)
     sims = np.empty(n * kk, np.float64)
-    TILE = 2048
+    # tile height sized so each TILE x n float64 gram (and its
+    # argpartition/lexsort temporaries) stays ~<=64 MB even at the
+    # 20k-vector cap, instead of growing linearly with n
+    TILE = max(64, min(2048, (64 << 20) // (8 * n)))
     for lo in range(0, n, TILE):
         hi = min(lo + TILE, n)
         g = m[lo:hi] @ m.T
@@ -208,8 +183,8 @@ def _build_local_exact(
 
 
 LOCAL_EXACT_MAX = 20_000  # vectors; below this the whole NN-descent
-# dance is exchange overhead — the n x TILE gram tiles and the edge list
-# are a few MB, so the EXACT graph is computed driver-side instead
+# dance is exchange overhead — gram tiles are capped at ~64 MB by the
+# adaptive TILE height, so the EXACT graph is computed driver-side
 
 
 def build_knn_graph(

@@ -43,6 +43,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..state import manifest as mf
 from ..util import dataset_to_table
 from .ann import _batch_matrix
 from .kmeans import KM_SCALE, _assign_ids, _quantize
@@ -425,54 +426,14 @@ FROM pq_rank WHERE rank <= {topk}"""
 PQ_FORMAT_VERSION = 1
 
 
-class _PQPartWriter:
-    """map_groups callable: one partition's (vec_id, codes) rows ->
-    sorted segment parquet + manifest entry (atomic, resumable)."""
+class _PQPartWriter(mf.PartitionSegmentWriter):
+    """One partition's (vec_id, codes) rows -> sorted segment parquet +
+    manifest entry (shared atomic/resumable writer)."""
 
     def __init__(self, out_dir: str) -> None:
-        self.out_dir = out_dir
-        self.__name__ = "PQPartWriter"
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        import os
-        import tempfile
-        import time
-
-        import pyarrow.parquet as pq_
-
-        from ..state import manifest as mf
-
-        empty = pa.table({"part": pa.array([], pa.int32()),
-                          "n_vecs": pa.array([], pa.int64())})
-        if group.num_rows == 0:
-            return empty
-        t0 = time.monotonic()
-        part = int(group.column("part")[0].as_py())
-        seg = group.drop_columns(["part"]).sort_by("vec_id")
-        path = mf.segment_path(self.out_dir, part)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path),
-                                   prefix=f".tmp-part-{part:05d}-")
-        os.close(fd)
-        try:
-            pq_.write_table(seg, tmp, row_group_size=4096,
-                            compression="zstd")
-            os.replace(tmp, path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        entry = {
-            "part": part,
-            "n_vecs": seg.num_rows,
-            "n_bytes": os.path.getsize(path),
-            "sha256": mf.file_sha256(path),
-            "wall_s": round(time.monotonic() - t0, 4),
-        }
-        mf.write_partition_manifest(self.out_dir, entry)
-        return pa.table({
-            "part": pa.array([part], pa.int32()),
-            "n_vecs": pa.array([entry["n_vecs"]], pa.int64()),
-        })
+        super().__init__(
+            out_dir, part_col="part", sort_keys=[("vec_id", "ascending")],
+            count_field="n_vecs", row_group_size=4096, name="PQPartWriter")
 
 
 def build_pq_index(

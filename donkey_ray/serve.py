@@ -278,6 +278,8 @@ class IndexServer:
             delta_dir,
             num_partitions=num_partitions,
             query_lang=self.engine.query_lang,
+            # deltas must tokenize exactly like the base index
+            analyzer_lang=self.engine.meta.get("analyzer_lang"),
             detect_hot=False,  # deltas are small; salting buys nothing
             # a positional base must stay phrase-servable after flush:
             # every federated member needs positions

@@ -72,7 +72,8 @@ _EXTRACTOR_CACHE: dict = {}
 
 def extract_postings(batch: pa.Table, *, num_partitions: int, hot_ref=None,
                      salt_bits: int = 4, id_col: str | None = None,
-                     combine: bool = False, positions: bool = False) -> pa.Table:
+                     combine: bool = False, positions: bool = False,
+                     lang_override: str | None = None) -> pa.Table:
     key = (
         num_partitions,
         hot_ref.hex() if hot_ref is not None else None,
@@ -80,6 +81,7 @@ def extract_postings(batch: pa.Table, *, num_partitions: int, hot_ref=None,
         id_col,
         combine,
         positions,
+        lang_override,
     )
     ex = _EXTRACTOR_CACHE.get(key)
     if ex is None:
@@ -88,7 +90,7 @@ def extract_postings(batch: pa.Table, *, num_partitions: int, hot_ref=None,
         hot = ray.get(hot_ref) if hot_ref is not None else None
         ex = PostingsExtractor(
             num_partitions, hot_terms=hot, salt_bits=salt_bits, id_col=id_col,
-            combine=combine, positions=positions,
+            combine=combine, positions=positions, lang_override=lang_override,
         )
         _EXTRACTOR_CACHE.clear()  # one live config per worker is enough
         _EXTRACTOR_CACHE[key] = ex
@@ -114,6 +116,7 @@ class PostingsExtractor:
         emit_part: bool = True,
         combine: bool | None = None,
         positions: bool = False,
+        lang_override: str | None = None,
     ) -> None:
         import ray
 
@@ -149,8 +152,15 @@ class PostingsExtractor:
             self.hot_parts[t] = salts
         self._part_cache: dict[str, int] = {}
         self._tokenizers = {}
+        # analyzer override: when set, EVERY row tokenizes through this
+        # analyzer regardless of its lang column (stem/fold indexes —
+        # index-side terms must come from the same analyzer queries use;
+        # None keeps the per-lang registry routing, the default)
+        self.lang_override = lang_override
 
     def _tokenizer(self, lang: str):
+        if self.lang_override is not None:
+            lang = self.lang_override
         tok = self._tokenizers.get(lang)
         if tok is None:
             tok = self._tokenizers[lang] = get_tokenizer(lang)

@@ -96,11 +96,21 @@ class ImageDecodeStage:
             if buf is None:
                 continue
             n_bytes[i] = len(buf)
-            img = mediacodec.decode_image(buf)  # REAL: BMP / PPM / PGM
+            try:
+                img = mediacodec.decode_image(buf)  # REAL: BMP / PPM / PGM
+            except ValueError:
+                # sniffed as a known container but undecodable (truncated
+                # header, unsupported bit depth): fall through — PIL may
+                # still decode it, and the fake path must never crash the
+                # pipeline over opaque bytes
+                img = None
             if img is not None:
                 pixels[i] = mediacodec.resize_nearest(img, self.h, self.w)
             elif _HAVE_PIL:
-                pixels[i] = _decode_image_real(buf, self.h, self.w)
+                try:
+                    pixels[i] = _decode_image_real(buf, self.h, self.w)
+                except Exception:
+                    pixels[i] = _fake_rgb(buf, self.h, self.w)
             else:
                 pixels[i] = _fake_rgb(buf, self.h, self.w)
         flat = pixels.reshape(len(bufs), -1)
@@ -158,8 +168,11 @@ def _decode_pcm(buf: bytes) -> np.ndarray:
     """binary audio -> float32 mono PCM. REAL decode for WAV containers
     (stdlib ``wave``); DETERMINISTIC FAKE (sha256 keystream) otherwise."""
     if mediacodec.sniff(buf) == "wav":
-        pcm, _rate = mediacodec.decode_wav(buf)
-        return pcm
+        try:
+            pcm, _rate = mediacodec.decode_wav(buf)
+            return pcm
+        except Exception:
+            pass  # sniffed RIFF/WAVE but undecodable -> deterministic fake
     return np.frombuffer(
         hashlib.sha256(buf).digest() * 64, dtype=np.int16
     ).astype(np.float32) / 32768.0
@@ -255,9 +268,13 @@ class AudioFingerprintStage:
         ):
             if not buf:
                 continue
+            pcm = None
             if mediacodec.sniff(buf) == "wav":
-                pcm, _rate = mediacodec.decode_wav(buf)  # REAL decode
-            else:
+                try:
+                    pcm, _rate = mediacodec.decode_wav(buf)  # REAL decode
+                except Exception:
+                    pcm = None  # undecodable RIFF -> deterministic fake
+            if pcm is None:
                 # DETERMINISTIC FAKE pcm — CHAINED blocks (a repeating
                 # keystream would make every window identical and all
                 # double-deltas zero)

@@ -99,3 +99,73 @@ def is_complete(out_dir: str) -> bool:
 
 def mark_complete(out_dir: str) -> None:
     atomic_write_bytes(os.path.join(out_dir, "_SUCCESS"), b"")
+
+
+class PartitionSegmentWriter:
+    """map_groups callable: one hash partition's rows -> sorted,
+    atomically-written (tmp + rename), manifest-tracked segment parquet.
+
+    The SINGLE home of the atomic-write/manifest/resume invariant shared
+    by the ANN index builders (IVF / PQ / IVF-PQ / k-NN graph) —
+    parameterized over the partition column, sort keys, manifest count
+    field and row-group size. Subclasses add artifact-specific manifest
+    fields via ``extra_manifest_fields``. Returns a one-row
+    (part, <count_field>) table (empty input -> empty table of the SAME
+    schema, so downstream meta folds never KeyError)."""
+
+    def __init__(self, out_dir: str, *, part_col: str = "part",
+                 sort_keys=None, count_field: str = "n_vecs",
+                 row_group_size: int = 4096, tmp_prefix: str = "part",
+                 name: str = "PartitionSegmentWriter") -> None:
+        self.out_dir = out_dir
+        self.part_col = part_col
+        self.sort_keys = sort_keys or []
+        self.count_field = count_field
+        self.row_group_size = int(row_group_size)
+        self.tmp_prefix = tmp_prefix
+        self.__name__ = name
+
+    def extra_manifest_fields(self, seg) -> dict:
+        return {}
+
+    def __call__(self, group):
+        import time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        empty = pa.table({"part": pa.array([], pa.int32()),
+                          self.count_field: pa.array([], pa.int64())})
+        if group.num_rows == 0:
+            return empty
+        t0 = time.monotonic()
+        part = int(group.column(self.part_col)[0].as_py())
+        seg = group.drop_columns([self.part_col])
+        if self.sort_keys:
+            seg = seg.sort_by(self.sort_keys)
+        path = segment_path(self.out_dir, part)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path),
+            prefix=f".tmp-{self.tmp_prefix}-{part:05d}-")
+        os.close(fd)
+        try:
+            pq.write_table(seg, tmp, row_group_size=self.row_group_size,
+                           compression="zstd")
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        entry = {
+            "part": part,
+            self.count_field: seg.num_rows,
+            **self.extra_manifest_fields(seg),
+            "n_bytes": os.path.getsize(path),
+            "sha256": file_sha256(path),
+            "wall_s": round(time.monotonic() - t0, 4),
+        }
+        write_partition_manifest(self.out_dir, entry)
+        return pa.table({
+            "part": pa.array([part], pa.int32()),
+            self.count_field: pa.array([seg.num_rows], pa.int64()),
+        })

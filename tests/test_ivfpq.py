@@ -159,3 +159,28 @@ def test_missing_segment_raises(vec_ds, tmp_path_factory):
     os.unlink(mf.segment_path(out, 1))
     with pytest.raises(FileNotFoundError, match="missing"):
         ivfpq_topk(out, vecs[[0]], k=5, nprobe=None)
+
+
+def test_empty_coarse_list_is_served(ray_session, tmp_path):
+    """REGRESSION (review finding): a coarse list left empty by k-means
+    (collapsed/duplicate-heavy vectors) writes no segment file for its
+    partition; querying must consult meta['parts_built'] and serve from
+    the occupied lists instead of raising FileNotFoundError."""
+    import ray.data
+
+    # two EXACT duplicate point sets, n_lists=4 -> every copy of a point
+    # lands in one list, so at least one coarse list stays empty
+    base = np.vstack([np.zeros(DIM), np.ones(DIM) * 9])
+    vecs = np.vstack([base[i % 2] for i in range(64)])
+    tbl = pa.table(
+        {"vec_id": pa.array(range(64), pa.int64()),
+         "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64()))}
+    )
+    out = str(tmp_path / "idx_empty")
+    meta = build_ivfpq_index(ray.data.from_arrow(tbl), out,
+                             n_lists=4, m=M, k=4, num_partitions=4)
+    assert len(meta["parts_built"]) < 4  # an empty partition exists
+    res = ivfpq_topk(out, vecs[:2], k=5)  # nprobe=None probes ALL lists
+    got = {r["query_id"] for r in res.to_pylist()}
+    assert got == {0, 1}
+    assert res.num_rows == 10

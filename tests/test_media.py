@@ -193,3 +193,37 @@ def test_audio_fingerprint_real_wav_distinguishes(ray_session):
     assert rows[0]["fp"] == rows[1]["fp"]       # identical audio -> same fp
     assert rows[0]["fp"] != rows[2]["fp"]       # different audio -> differs
     assert rows[0]["n_windows"] == 4096 // 256
+
+
+def test_sniffed_but_undecodable_bytes_fall_back(ray_session):
+    """REGRESSION (review finding): bytes that merely START with a known
+    container magic ('BM', 'P6', 'RIFF....WAVE') but are not decodable
+    must take the deterministic-fake path, not crash the stage."""
+    import pyarrow as pa
+
+    from donkey_ray.stages.multimodal import (
+        AudioFingerprintStage,
+        ImageDecodeStage,
+        _decode_pcm,
+    )
+
+    bad_bmp = b"BM" + bytes(60)
+    bad_ppm = b"P6\n999 999\n255\n"        # header claims pixels it lacks
+    bad_wav = b"RIFF1234WAVE" + bytes(32)
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "media": pa.array([bad_bmp, bad_ppm], pa.binary()),
+    })
+    out = ImageDecodeStage(height=8, width=8)(batch)
+    assert out.num_rows == 2  # fake RGB, no exception
+
+    pcm = _decode_pcm(bad_wav)
+    assert len(pcm) > 0  # fake PCM, no wave.Error
+
+    fp_batch = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "media": pa.array([bad_wav], pa.binary()),
+    })
+    fp = AudioFingerprintStage()(fp_batch)
+    assert fp.num_rows == 1

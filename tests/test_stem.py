@@ -15,9 +15,12 @@ from donkey_ray.functions.tokenize import (
 )
 
 GOLDENS = {
-    # rule 1: ies -> y (not after e/a, needs a preceding char)
+    # rule 1: ies -> y (not after e/a, needs TWO preceding chars)
     "queries": "query", "tables": "table", "aies": "aie", "eies": "eie",
     "ies": "ie",
+    # 4-letter -ies words have only ONE char before "ies": rule 1 cannot
+    # fire, they fall through to rule 2 (pinned spec)
+    "dies": "die", "ties": "tie",
     # rule 2: es -> e (not aes/ees/oes)
     "classes": "classe", "merges": "merge", "goes": "goe", "sees": "see",
     # rule 3: drop s (not us/ss, needs 2 preceding chars)
@@ -116,6 +119,43 @@ def test_stemmed_index_end_to_end(ray_session, tmp_path):
 
     hash_ids = {doc_id_from_key("r", f"f{i}", "c") for i in (0, 1)}
     assert hash_ids <= set(scores0)
+
+
+def test_stemmed_index_overrides_doc_lang(ray_session, tmp_path):
+    """REGRESSION (review finding): docs whose lang column is NOT 'stem'
+    (the real-corpus case — documents carry 'en'/'es'/...) must still be
+    index-side stemmed when the index is built with analyzer_lang='stem';
+    without the override the index holds literal plurals and the stemmed
+    query misses them."""
+    import ray.data
+
+    from donkey_ray.functions.hashing import doc_id_from_key
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.pipelines.query import score_queries
+    from donkey_ray.util import dataset_to_table
+
+    corpus = pa.table({
+        "repo": pa.array(["r", "r"]),
+        "path": pa.array(["plural", "singular"]),
+        "commit": pa.array(["c", "c"]),
+        "lang": pa.array(["en", "es"]),   # NOT 'stem'
+        "content": pa.array(["tables store values", "the table is here"]),
+    })
+    out = str(tmp_path / "stemidx_en")
+    meta = build_index(ray.data.from_arrow(corpus), out, num_partitions=2,
+                       query_lang="stem", analyzer_lang="stem",
+                       detect_hot=False)
+    assert meta["analyzer_lang"] == "stem"
+    qtbl = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array(["table"], pa.string()),
+        "k": pa.array([10], pa.int32()),
+    })
+    res = dataset_to_table(score_queries(out, qtbl, mode="exact"))
+    hit_ids = set(res.column("doc_id").to_pylist())
+    want = {doc_id_from_key("r", "plural", "c"),
+            doc_id_from_key("r", "singular", "c")}
+    assert want <= hit_ids  # the plural-bearing 'en' doc matches too
 
 
 # ------------------------------------------------------- accent folding

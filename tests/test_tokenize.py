@@ -110,3 +110,33 @@ def test_code_column_vectorized_equals_row_adversarial():
         n = int(rng.integers(0, 40))
         cases.append("".join(rng.choice(alphabet, size=n)))
     _check_column_path(CodeTokenizer(), cases)
+
+
+def test_code_tokenizer_non_ascii_row_column_parity():
+    """REGRESSION (review finding): utf8_lower maps some non-ASCII
+    uppercase INTO ASCII (U+212A KELVIN -> 'k', U+0130 -> 'i'...), which
+    glued tokens in the vectorized path that the per-row path splits."""
+    import pyarrow as pa
+
+    from donkey_ray.functions.tokenize import CodeTokenizer, SimpleTokenizer
+
+    cases = [
+        "xKy",              # KELVIN SIGN between tokens
+        "AİB",              # LATIN CAPITAL I WITH DOT ABOVE
+        "café résumé",  # accented lowercase separators
+        "KK", "", "plainAscii_ok42",
+    ]
+    tok = CodeTokenizer()
+    flat, parents, dl = tok.tokenize_column(pa.array(cases, pa.string()))
+    col_rows = [[] for _ in cases]
+    for t, p in zip(flat.to_pylist(), parents):
+        col_rows[p].append(t)
+    assert col_rows == [tok.tokenize(c) for c in cases]
+    # SimpleTokenizer row twin uses Python str.lower() (also Unicode) —
+    # its parity on the same inputs is unaffected by the fix
+    s = SimpleTokenizer()
+    sflat, sparents, _ = s.tokenize_column(pa.array(cases, pa.string()))
+    s_rows = [[] for _ in cases]
+    for t, p in zip(sflat.to_pylist(), sparents):
+        s_rows[p].append(t)
+    assert s_rows == [s.tokenize(c) for c in cases]
