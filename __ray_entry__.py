@@ -22,9 +22,19 @@ _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 # single source of the rules; Arrow and DuckDB are both RE2)
 from donkey_ray.functions.tokenize import fold_sql as _fold_sql  # noqa: E402
 from donkey_ray.functions.tokenize import stem_sql as _stem_sql  # noqa: E402
+from donkey_ray.functions.tokenize import stop_sql_list as _stop_sql_list  # noqa: E402
 
 _STEM_T = _stem_sql("t")
 _FOLD_TEXT = _fold_sql("text")
+_STOP_LIST = _stop_sql_list()
+
+
+def _stop_query_values() -> str:
+    from donkey_ray import driver_api as _api
+
+    return ",".join(
+        f"({qid},'{text}',{k})" for qid, text, k in _api.PINNED_STOP_QUERIES
+    )
 
 
 def _stem_query_values() -> str:
@@ -156,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": api.q_bm25_topk,
         "stemmed_topk": api.q_stemmed_topk,
         "stem_term_df": api.q_stem_term_df,
+        "stop_topk": api.q_stop_topk,
         "folded_term_df": api.q_folded_term_df,
         "phrase_topk": api.q_phrase_topk,
         "near_topk": api.q_near_topk,
@@ -243,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": api.q_dedup_survivors,
         "pagerank": api.q_pagerank,
         "dedup_triangles": api.q_dedup_triangles,
+        "dedup_degree": api.q_dedup_degree,
         "events_validate": api.q_events_validate,
         "minhash_neardup": api.q_minhash_neardup,
         "simhash_fingerprints": api.q_simhash_fingerprints,
@@ -724,6 +736,41 @@ SELECT term, count(*)::BIGINT AS df
 FROM (SELECT DISTINCT doc_id, {_STEM_T} AS term
       FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents))
 GROUP BY term
+""",
+        # stopword analyzer: pinned closed-class words dropped on BOTH
+        # sides before dl / tf / df, so stats see content tokens only
+        "stop_topk": f"""
+WITH tok AS (SELECT doc_id,
+                    list_filter({_TOKS},
+                                t -> NOT list_contains({_STOP_LIST}, t))
+                        AS toks
+             FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES {_stop_query_values()}),
+qt AS (SELECT DISTINCT query_id, k, t AS term
+       FROM (SELECT query_id, k,
+                    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+             FROM q)
+       WHERE NOT list_contains({_STOP_LIST}, t)),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
 """,
         # accent-fold analyzer: tokenize over the pinned-folded text
         # (functions/tokenize.fold_sql — one translate + one replace)
@@ -2513,6 +2560,20 @@ e AS (SELECT da, db
 SELECT count(*)::BIGINT AS n_triangles
 FROM e e1 JOIN e e2 ON e2.da = e1.da AND e2.db > e1.db
 JOIN e e3 ON e3.da = e1.db AND e3.db = e2.db
+""",
+        # degree histogram over the same J>=0.95 pair graph
+        "dedup_degree": f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS s FROM documents),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+e AS (SELECT da, db
+      FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+      WHERE c::DOUBLE / (x.n + y.n - c) >= 0.95),
+und AS (SELECT da AS node FROM e UNION ALL SELECT db FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS degree FROM und GROUP BY 1)
+SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1
 """,
         # expectation gate: per-rule violation counts over events
         "events_validate": """

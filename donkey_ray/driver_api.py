@@ -233,6 +233,64 @@ def q_stem_term_df(sf_dir: str) -> ray.data.Dataset:
     return analyze.term_df(_docs(sf_dir), lang="stem")
 
 
+# Pinned stopword-analyzer query set: stopword-padded queries (behave as
+# their content terms), an all-stopword query (zero results), and a dup
+PINNED_STOP_QUERIES = [
+    (0, "the table", 10),
+    (1, "a spark merge", 10),
+    (2, "window sort key", 10),
+    (3, "the a of", 10),
+    (4, "value value", 10),
+]
+
+
+def ensure_stop_index(sf_dir: str) -> str:
+    """Build (once; resumable) a BM25 index under the pinned STOPWORD
+    analyzer (analyzer_lang='stop'): closed-class words never enter the
+    postings, and dl counts content tokens only — both index and query
+    sides share the StopTokenizer."""
+    import shutil
+
+    from .state import manifest as mf
+
+    out = _index_dir(sf_dir) + "-stop"
+    if mf.is_complete(out):
+        try:
+            meta = mf.load_meta(out)
+            if (meta.get("format_version") != CURRENT_FORMAT_VERSION
+                    or meta.get("analyzer_lang") != "stop"):
+                shutil.rmtree(out)
+        except (OSError, ValueError):
+            shutil.rmtree(out, ignore_errors=True)
+    build_index(
+        documents_as_corpus(sf_dir),
+        out,
+        num_partitions=8,
+        id_col="doc_id",
+        query_lang="stop",
+        analyzer_lang="stop",
+        sample_mod=16,
+    )
+    return out
+
+
+def q_stop_topk(sf_dir: str) -> pa.Table:
+    """BM25 through the stopword analyzer: stopword-padded queries score
+    identically to their content terms; an all-stopword query returns
+    nothing (pipelines/build analyzer_lang + StopTokenizer)."""
+    index_dir = ensure_stop_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_STOP_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_STOP_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_STOP_QUERIES], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, mode="auto"))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_folded_term_df(sf_dir: str) -> ray.data.Dataset:
     """df per ACCENT-FOLDED term (pinned Latin fold map, lang='fold')."""
     return analyze.term_df(_docs(sf_dir), lang="fold")
@@ -3463,3 +3521,17 @@ def q_sorted_topk(sf_dir: str) -> pa.Table:
     )
     res = sort_by_field_topk(index_dir, queries, field="n_chars", k=10)
     return res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def q_dedup_degree(sf_dir: str) -> ray.data.Dataset:
+    """Degree histogram of the tight (J >= 0.95) near-dup graph: how
+    many docs have 1, 2, ... near-duplicates — the cluster-size profile
+    used to pick dedup thresholds (pipelines/graph.degree_histogram;
+    pair graph served from the cached pairgraph artifact)."""
+    from .pipelines.graph import degree_histogram
+
+    pairs = ray.data.read_parquet(
+        os.path.join(ensure_pair_graph(sf_dir, threshold=0.95), "pairs"),
+        columns=["doc_a", "doc_b"],
+    )
+    return degree_histogram(pairs)

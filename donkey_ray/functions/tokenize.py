@@ -249,6 +249,41 @@ class StemTokenizer(SimpleTokenizer):
         return s_stem_array(flat), parents, dl
 
 
+# Pinned stopword list (query_lang='stop'): the classic tiny closed-class
+# set, frozen so the engine and the DuckDB oracle share one source.
+STOPWORDS: frozenset[str] = frozenset(
+    {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
+)
+
+
+def stop_sql_list() -> str:
+    """The stopword set as a DuckDB list literal (sorted, deterministic)."""
+    return "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+
+class StopTokenizer(SimpleTokenizer):
+    """SimpleTokenizer minus the pinned stopwords (query_lang='stop'):
+    closed-class noise words never reach the index, shrinking postings
+    for the highest-df terms; dl counts CONTENT tokens only (both sides
+    — engine and oracle — drop stopwords before doc length)."""
+
+    name = "stop"
+    _STOP_ARR = None  # class-level cache of the Arrow value_set
+
+    def tokenize(self, text: str) -> list[str]:
+        return [t for t in super().tokenize(text) if t not in STOPWORDS]
+
+    def tokenize_column(self, col: pa.Array):
+        flat, parents, dl = super().tokenize_column(col)
+        if StopTokenizer._STOP_ARR is None:
+            StopTokenizer._STOP_ARR = pa.array(sorted(STOPWORDS), pa.string())
+        keep = pc.invert(pc.is_in(flat, value_set=StopTokenizer._STOP_ARR))
+        flat = flat.filter(keep)
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        dl = np.bincount(parents, minlength=len(col)).astype(np.int64)
+        return flat, parents, dl
+
+
 _REGISTRY: dict[str, type] = {}
 
 
@@ -263,6 +298,7 @@ for _lang in ("py", "c", "cpp", "java", "js", "go", "rs", "rb", "code"):
     register_tokenizer(_lang, CodeTokenizer)
 register_tokenizer("stem", StemTokenizer)
 register_tokenizer("fold", FoldTokenizer)
+register_tokenizer("stop", StopTokenizer)
 
 DEFAULT_TOKENIZER = "simple"
 

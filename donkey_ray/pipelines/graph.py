@@ -576,3 +576,24 @@ def triangle_count(
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([total], pa.int64())})
     )
+
+
+def degree_histogram(
+    pairs: ray.data.Dataset, *, a_col: str = "doc_a", b_col: str = "doc_b",
+) -> ray.data.Dataset:
+    """(degree, n_nodes) rows over the undirected pair graph — the
+    duplicate-hub size profile (how many docs have 1, 2, ... near-dups).
+
+    Scale shape: two chained partial-agg exchanges, both on projected
+    int columns only — (node -> degree) via map-side pre-count, then
+    (degree -> node count); the output is at most max-degree rows and
+    isolated docs never appear (they have no pair rows)."""
+    deg = partitioned_aggregate(
+        _edges_bidirected(pairs, a_col, b_col).select_columns(["src"]),
+        ["src"], [("src", "count")], rename={"src_count": "degree"},
+    )
+    hist = partitioned_aggregate(
+        deg.select_columns(["degree"]),
+        ["degree"], [("degree", "count")], rename={"degree_count": "n_nodes"},
+    )
+    return hist

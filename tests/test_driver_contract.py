@@ -116,7 +116,7 @@ NAMES = [
     "mmr_topk",
     "passage_topk", "pruned_topk", "tiered_topk", "blocklist_filter",
     # session-16 additions
-    "tpch_q5", "sorted_topk",
+    "tpch_q5", "sorted_topk", "stop_topk", "dedup_degree",
 ]
 
 

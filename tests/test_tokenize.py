@@ -140,3 +140,27 @@ def test_code_tokenizer_non_ascii_row_column_parity():
     for t, p in zip(sflat.to_pylist(), sparents):
         s_rows[p].append(t)
     assert s_rows == [s.tokenize(c) for c in cases]
+
+
+def test_stop_tokenizer_row_column_parity():
+    import pyarrow as pa
+
+    from donkey_ray.functions.tokenize import (
+        STOPWORDS,
+        StopTokenizer,
+        get_tokenizer,
+    )
+
+    tok = get_tokenizer("stop")
+    assert isinstance(tok, StopTokenizer)
+    cases = ["the table of value", "a an and or of to in is it", "",
+             "The IT is a Table"]
+    flat, parents, dl = tok.tokenize_column(pa.array(cases, pa.string()))
+    rows = [[] for _ in cases]
+    for t, p in zip(flat.to_pylist(), parents):
+        rows[p].append(t)
+    assert rows == [tok.tokenize(c) for c in cases]
+    assert rows[0] == ["table", "value"]
+    assert rows[1] == []            # all-stopword doc -> dl 0
+    assert list(dl) == [len(r) for r in rows]
+    assert not (set(flat.to_pylist()) & STOPWORDS)
