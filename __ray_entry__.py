@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings
         "ann_topk": api.q_ann_topk,
         "ann_ivf_topk": api.q_ann_ivf_topk,
+        "ann_sharded_topk": api.q_ann_sharded_topk,
         "ann_graph_topk": api.q_ann_graph_topk,
         "object_search": api.q_object_search,
         "embedding_neardup": api.q_embedding_neardup,
@@ -341,6 +342,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["fuzzy_topk_incremental"] = sqls["fuzzy_topk"]
     # the IVF index at nprobe=n_lists must be brute-force-identical
     sqls["ann_ivf_topk"] = sqls["ann_topk"]
+    # sharded graph serving: disjoint EXACT per-shard graphs merged ->
+    # globally exact, so it shares the brute-force oracle too
+    sqls["ann_sharded_topk"] = sqls["ann_topk"]
     return sqls
 
 

@@ -3535,3 +3535,35 @@ def q_dedup_degree(sf_dir: str) -> ray.data.Dataset:
         columns=["doc_a", "doc_b"],
     )
     return degree_histogram(pairs)
+
+
+def q_ann_sharded_topk(sf_dir: str) -> pa.Table:
+    """Pinned ANN queries through the SHARDED k-NN graph (the 100 TB
+    serving shape: disjoint hash shards, one resident server actor per
+    shard, fan-out/merge). Each shard is built by the exact local path
+    at this scale, and a disjoint cover of exact per-shard answers is
+    globally exact — so this shares the brute-force SQL oracle, proving
+    the sharded plumbing end-to-end (pipelines/knng)."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.knng import build_sharded_knn_graph, sharded_graph_topk
+
+    out = os.path.join(
+        CACHE_ROOT, f"sknng-{_hl.sha256(sf_dir.encode()).hexdigest()[:16]}"
+    )
+    build_sharded_knn_graph(_embeddings(sf_dir), out, n_shards=3, k=16,
+                            rounds=2)
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = {
+        v: e
+        for v, e in zip(emb.column("vec_id").to_pylist(),
+                        emb.column("embedding").to_pylist())
+    }
+    qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
+    res = sharded_graph_topk(out, f"{sf_dir}/embeddings.parquet", qv,
+                             k=ANN_K, beam=64)
+    return _round_col(res, "cos_sim")

@@ -431,12 +431,16 @@ def _load_graph(index_dir: str):
 
     meta = mf.load_meta(index_dir)
     paths = [mf.segment_path(index_dir, int(p)) for p in meta["parts_built"]]
-    t = pads.dataset([p for p in paths if os.path.exists(p)]).to_table(
-        columns=["src", "dst"])
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:  # a legitimately empty graph (e.g. a 0/1-vector shard)
+        e = np.array([], dtype=np.int64)
+        return e, np.array([0], dtype=np.int64), e.copy()
+    t = pads.dataset(paths).to_table(columns=["src", "dst"])
     if t.num_rows > _SMALL_GRAPH:
         raise NotImplementedError(
-            "in-process graph serving is gated to small graphs; shard "
-            "across partition-owning actors at scale (module docstring)")
+            "in-process graph serving is gated to small graphs; use "
+            "build_sharded_knn_graph + sharded_graph_topk (one resident "
+            "actor per disjoint shard) beyond it")
     s = t.column("src").to_numpy(zero_copy_only=False)
     d = t.column("dst").to_numpy(zero_copy_only=False)
     order = np.lexsort((d, s))
@@ -463,16 +467,30 @@ def graph_topk(
     k: int = 10,
     beam: int = 64,
     n_entries: int = 8,
+    entry_from_graph: bool = False,
 ) -> pa.Table:
     """Beam-search cosine top-k over the persisted k-NN graph. Entry
     points are a deterministic spread of node ids; the loop expands the
     best unexpanded candidate until it scores below the beam's worst
     (the kgraph/HNSW ef-search termination). Returns (query_id, rank,
-    vec_id, cos_sim) — same shape as ivf_topk."""
+    vec_id, cos_sim) — same shape as ivf_topk.
+
+    ``entry_from_graph``: spread entries over the GRAPH's nodes instead
+    of the vector table's ids — required when the graph covers only a
+    shard of the vectors (sharded serving), where table-spread entries
+    would mostly be un-expandable out-of-shard nodes."""
     srcs, offs, dsts = _load_graph(index_dir)
     ids, m = _load_vectors(emb_path)
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
-    entry_ids = ids[:: max(1, len(ids) // n_entries)][:n_entries]
+    base = srcs if entry_from_graph else ids
+    entry_ids = base[:: max(1, len(base) // n_entries)][:n_entries]
+    if len(entry_ids) == 0:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            "vec_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        })
     out = {"query_id": [], "rank": [], "vec_id": [], "cos_sim": []}
     for qi in range(len(q)):
         qv = q[qi]
@@ -512,6 +530,137 @@ def graph_topk(
         out["rank"].extend(range(1, len(best) + 1))
         out["vec_id"].extend(i for _, i in best)
         out["cos_sim"].extend(s for s, _ in best)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int32()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "cos_sim": pa.array(out["cos_sim"], pa.float64()),
+    })
+
+
+# ---- sharded build + serving (the 100 TB path) ----
+#
+# Donkey's fleet shape: vectors hash-split into S disjoint shards, each
+# shard owns its OWN k-NN graph (built independently — NN-descent or the
+# local exact path per shard), and a query fans out to every shard's
+# resident server, merging the per-shard beams. Disjoint shards mean the
+# merge needs no dedup, per-server memory is O(|shard|), and S scales
+# with the corpus while per-query work stays O(S x beam).
+
+
+def _shard_dir(out_dir: str, s: int) -> str:
+    return os.path.join(out_dir, f"shard={s:03d}")
+
+
+def shard_of(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """Deterministic shard assignment (splitmix64 of vec_id)."""
+    return (_splitmix(ids.astype(np.uint64)) % np.uint64(n_shards)).astype(
+        np.int64)
+
+
+def build_sharded_knn_graph(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    n_shards: int = 4,
+    k: int = 8,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    local_max_vectors: int = LOCAL_EXACT_MAX,
+) -> dict:
+    """Build (once; per-shard resumable) S disjoint shard graphs under
+    ``out_dir``. A killed build re-enters and skips _SUCCESS-complete
+    shards — lineage is per shard, then per partition inside a shard."""
+    if mf.is_complete(out_dir):
+        return mf.load_meta(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    shard_metas = []
+    for s in range(n_shards):
+        def keep(batch: pa.Table, s=s) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(shard_of(ids, n_shards) == s))
+
+        keep.__name__ = f"knng_shard_{s}"
+        sub = ds.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        sm = build_knn_graph(
+            sub, _shard_dir(out_dir, s), k=k, rounds=rounds,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+            local_max_vectors=local_max_vectors,
+        )
+        shard_metas.append({"shard": s, "n_edges": sm["n_edges"]})
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "sharded_knn_graph_cosine",
+        "n_shards": int(n_shards),
+        "k": int(k), "rounds": int(rounds), "seed": int(seed),
+        "n_edges": int(sum(m["n_edges"] for m in shard_metas)),
+        "shards": shard_metas,
+    }
+    mf.write_meta(out_dir, meta)
+    mf.mark_complete(out_dir)
+    return meta
+
+
+class _GraphShardServer:
+    """One shard's resident search server (donkey's per-node searcher):
+    graph CSR + normalized vectors load ONCE in __init__ via the module
+    lru caches; every query is a local beam search over this shard's
+    nodes only. Declared plain and wrapped with ray.remote at use time
+    so the class stays unit-testable in-process."""
+
+    def __init__(self, shard_dir: str, emb_path: str) -> None:
+        self.shard_dir = shard_dir
+        self.emb_path = emb_path
+        _load_graph(shard_dir)      # warm: actor state, not per query
+        _load_vectors(emb_path)
+
+    def topk(self, query_vectors: np.ndarray, k: int, beam: int) -> pa.Table:
+        return graph_topk(self.shard_dir, self.emb_path, query_vectors,
+                          k=k, beam=beam, entry_from_graph=True)
+
+
+def sharded_graph_topk(
+    out_dir: str,
+    emb_path: str,
+    query_vectors: np.ndarray,
+    *,
+    k: int = 10,
+    beam: int = 64,
+) -> pa.Table:
+    """Fan-out / merge over the shard servers: every query runs on all S
+    shards concurrently (one actor per shard, state resident), and the
+    disjoint per-shard beams merge by (cos_sim desc, vec_id asc) — no
+    dedup needed. At 100 TB the actors are long-lived placement-spread
+    processes; here they spin up per call and are killed after."""
+    import ray
+
+    meta = mf.load_meta(out_dir)
+    n_shards = int(meta["n_shards"])
+    Server = ray.remote(_GraphShardServer)
+    actors = [Server.remote(_shard_dir(out_dir, s), emb_path)
+              for s in range(n_shards)]
+    try:
+        tables = ray.get([a.topk.remote(query_vectors, k, beam)
+                          for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
+    allt = pa.concat_tables(tables)
+    q = allt.column("query_id").to_numpy(zero_copy_only=False)
+    v = allt.column("vec_id").to_numpy(zero_copy_only=False)
+    s = allt.column("cos_sim").to_numpy(zero_copy_only=False)
+    out = {"query_id": [], "rank": [], "vec_id": [], "cos_sim": []}
+    for qi in np.unique(q):
+        m = np.flatnonzero(q == qi)
+        order = m[np.lexsort((v[m], -s[m]))][:k]
+        out["query_id"].extend([int(qi)] * len(order))
+        out["rank"].extend(range(1, len(order) + 1))
+        out["vec_id"].extend(int(x) for x in v[order])
+        out["cos_sim"].extend(float(x) for x in s[order])
     return pa.table({
         "query_id": pa.array(out["query_id"], pa.int64()),
         "rank": pa.array(out["rank"], pa.int32()),

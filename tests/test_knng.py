@@ -137,3 +137,45 @@ def test_local_exact_path(ray_session, tmp_path):
         got[r["query_id"]].append(r["vec_id"])
     hits = sum(len(set(got[qi]) & set(want[qi])) for qi in range(5))
     assert hits / 50.0 >= 0.95  # exact graph: beam search near-perfect
+
+
+def test_sharded_build_and_serving(ray_session, tmp_path):
+    """Sharded graph (the 100 TB serving path): disjoint hash shards,
+    one resident server per shard, fan-out/merge. With the per-shard
+    EXACT local build, the merged top-k must EQUAL brute force (a
+    disjoint cover of exact per-shard answers is globally exact)."""
+    import ray.data
+
+    from donkey_ray.pipelines.knng import (
+        build_sharded_knn_graph,
+        shard_of,
+        sharded_graph_topk,
+    )
+
+    out = str(tmp_path / "sharded")
+    meta = build_sharded_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, n_shards=3, k=16, rounds=2,
+    )
+    assert meta["n_shards"] == 3
+    # disjoint cover: every vector belongs to exactly one shard
+    t = pq.read_table(EMB, columns=["vec_id"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    sh = shard_of(ids.astype(np.int64), 3)
+    assert len(np.unique(sh)) == 3
+
+    t2 = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    qv = np.asarray(t2.column("embedding").to_pylist()[:4], dtype=np.float64)
+    res = sharded_graph_topk(out, EMB, qv, k=10, beam=64)
+    want = _brute_topk(qv, 10)
+    got = {qi: [] for qi in range(4)}
+    for r in res.to_pylist():
+        got[r["query_id"]].append(r["vec_id"])
+    assert [got[qi] for qi in range(4)] == want
+
+    # resume: a second call returns the same meta without rebuilding
+    meta2 = build_sharded_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, n_shards=3, k=16, rounds=2,
+    )
+    assert meta2 == meta
