@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": api.q_pagerank,
         "dedup_triangles": api.q_dedup_triangles,
         "dedup_degree": api.q_dedup_degree,
+        "corpus_report": api.q_corpus_report,
         "events_validate": api.q_events_validate,
         "minhash_neardup": api.q_minhash_neardup,
         "simhash_fingerprints": api.q_simhash_fingerprints,
@@ -2078,6 +2079,21 @@ SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
 SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len,
        round(sum(dl)::DOUBLE / count(*), 6) AS avgdl
 FROM (SELECT len({_TOKS}) AS dl FROM documents)
+""",
+        # one-row corpus report card: every number exact; median pinned
+        # to quantile_disc; dup groups = text groups of size > 1
+        "corpus_report": f"""
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
+       (SELECT sum(len({_TOKS})) FROM documents)::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT t)
+        FROM (SELECT unnest({_TOKS}) AS t FROM documents))::BIGINT
+           AS distinct_terms,
+       (SELECT count(*) FROM (SELECT text, count(*) AS c FROM documents
+                              GROUP BY text) WHERE c > 1)::BIGINT
+           AS dup_sha_groups,
+       (SELECT quantile_disc(length(text), 0.5) FROM documents)::BIGINT
+           AS median_chars
 """,
         "top_terms": f"""
 SELECT term, df FROM (

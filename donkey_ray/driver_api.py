@@ -3567,3 +3567,12 @@ def q_ann_sharded_topk(sf_dir: str) -> pa.Table:
     res = sharded_graph_topk(out, f"{sf_dir}/embeddings.parquet", qv,
                              k=ANN_K, beam=64)
     return _round_col(res, "cos_sim")
+
+
+def q_corpus_report(sf_dir: str) -> pa.Table:
+    """The one-row corpus report card (pre-training data audit):
+    exact doc/lang/token/vocab/dup/median-length numbers composed from
+    the library's own bounded-partial passes (pipelines/analyze
+    .corpus_report)."""
+    return analyze.corpus_report(
+        _docs(sf_dir, columns=("doc_id", "text", "lang")))

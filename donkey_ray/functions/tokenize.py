@@ -251,6 +251,8 @@ class StemTokenizer(SimpleTokenizer):
 
 # Pinned stopword list (query_lang='stop'): the classic tiny closed-class
 # set, frozen so the engine and the DuckDB oracle share one source.
+# Distinct from functions/textstats.STOPWORDS (the quality-score ratio's
+# pinned 6-word list) — the two specs are versioned independently.
 STOPWORDS: frozenset[str] = frozenset(
     {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
 )

@@ -1640,3 +1640,80 @@ SELECT doc_id, n AS n_tokens,
          AS entropy_x1e6
 FROM s
 ORDER BY doc_id"""
+
+
+def corpus_report(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> pa.Table:
+    """One-row corpus REPORT CARD (the pre-training data-audit summary):
+    n_docs, n_langs, total_tokens, distinct_terms, dup_sha_groups,
+    median_chars — every number exact.
+
+    Scale shape: one streaming pass emits BOUNDED per-batch partials
+    (counts, the distinct langs, and an n_chars histogram whose
+    cardinality is bounded by the max document length, not the corpus);
+    the exact distinct-term count reuses the term_df exchange (the one
+    term-keyed all-to-all); the duplicate-group count reuses the
+    2-column sha exchange of exact_dedup_groups. Nothing corpus-sized
+    reaches the driver. Median index pinned to DuckDB quantile_disc
+    (ceil(q*n) - 1)."""
+    from ..util import dataset_to_table
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, _, dl = _TOK.tokenize_column(col)
+        nchars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(nchars, return_counts=True)
+        langs = pc.unique(batch.column(lang_col)).to_pylist()
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "total_tokens": pa.array([int(dl.sum())], pa.int64()),
+            "langs": pa.array([langs], pa.list_(pa.string())),
+            "hvals": pa.array([vals.tolist()], pa.list_(pa.int64())),
+            "hcnts": pa.array([cnts.tolist()], pa.list_(pa.int64())),
+        })
+
+    part = dataset_to_table(
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_docs = int(pc.sum(part.column("n_docs")).as_py() or 0)
+    total_tokens = int(pc.sum(part.column("total_tokens")).as_py() or 0)
+    langs: set[str] = set()
+    for row in part.column("langs").to_pylist():
+        langs.update(row)
+    hist: dict[int, int] = {}
+    for vals, cnts in zip(part.column("hvals").to_pylist(),
+                          part.column("hcnts").to_pylist()):
+        for v, c in zip(vals, cnts):
+            hist[v] = hist.get(v, 0) + c
+    median_chars = 0
+    if n_docs:
+        idx = int(np.ceil(0.5 * n_docs)) - 1
+        cum = 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum > idx:
+                median_chars = int(v)
+                break
+
+    distinct_terms = term_df(ds).count()
+
+    from .dedup import exact_dedup_groups
+
+    groups = exact_dedup_groups(ds, text_col=text_col, id_col=id_col)
+    dup_groups = groups.filter(expr="n_dups > 1").count()
+
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_langs": pa.array([len(langs)], pa.int64()),
+        "total_tokens": pa.array([total_tokens], pa.int64()),
+        "distinct_terms": pa.array([int(distinct_terms)], pa.int64()),
+        "dup_sha_groups": pa.array([int(dup_groups)], pa.int64()),
+        "median_chars": pa.array([median_chars], pa.int64()),
+    })
