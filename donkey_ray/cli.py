@@ -187,6 +187,32 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_vserve(args) -> int:
+    """Start the named VECTOR serving actor (donkey's insert/search
+    core) and answer queries from stdin (one JSON float-list per line;
+    JSON hits per line)."""
+    _ray_init()
+    import ray
+
+    from .serve import start_vector_server
+
+    server = start_vector_server(
+        args.index, name=args.name, detached=args.detached
+    )
+    print(json.dumps(ray.get(server.ping.remote())))
+    if args.ping_only:
+        return 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        qv = json.loads(line)
+        print(json.dumps(ray.get(server.search.remote(
+            qv, args.k, nprobe=args.nprobe
+        ))))
+    return 0
+
+
 def cmd_synth(args) -> int:
     _ray_init()
     from .synth import generate_corpus_parquet
@@ -254,6 +280,16 @@ def main(argv=None) -> int:
     v.add_argument("--detached", action="store_true")
     v.add_argument("--ping-only", action="store_true")
     v.set_defaults(fn=cmd_serve)
+
+    vv = sub.add_parser(
+        "vserve", help="serve an IVF vector index from a named Ray actor")
+    vv.add_argument("--index", required=True)
+    vv.add_argument("--name", default="donkey_vector_server")
+    vv.add_argument("--k", type=int, default=10)
+    vv.add_argument("--nprobe", type=int, default=None)
+    vv.add_argument("--detached", action="store_true")
+    vv.add_argument("--ping-only", action="store_true")
+    vv.set_defaults(fn=cmd_vserve)
 
     g = sub.add_parser("synth", help="generate a deterministic synthetic corpus")
     g.add_argument("--rows", type=int, required=True)

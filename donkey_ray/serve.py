@@ -348,3 +348,207 @@ def start_server(
         .options(**opts)
         .remote(index_dir, mode=mode)
     )
+
+
+class VectorServer:
+    """Donkey's literal serving core on the VECTOR side [PK: A2/A3/A5/
+    A7/A8 — insert(key, object) -> journal -> index -> search(object)]:
+    one named actor owning an IVF index artifact plus an in-memory
+    insert buffer with a durable JSONL journal (WAL; replayed on actor
+    restart). Wrap with ``ray.remote`` (see ``start_vector_server``) or
+    use in-process for tests.
+
+      insert(rows)   -> buffer + journal (rows: {vec_id, embedding})
+      delete(ids)    -> journaled tombstones, effective immediately
+      search(qv, k)  -> probed IVF top-k over the index MERGED with
+                        exact brute force over the buffer (the buffer is
+                        small by construction — donkey searches its
+                        unindexed tail linearly too), tombstones
+                        filtered by over-fetch
+      compact(out)   -> rebuild the IVF artifact over (index survivors
+                        + buffer), swap, clear buffer/tombstones,
+                        truncate the journal atomically  [donkey 'sync'
+                        + 'misc reindex']
+
+    Scale shape: the actor holds only the buffer + tombstones (the IVF
+    read path is probed-partition I/O, never resident); one actor per
+    replica, routing is the caller's load balancer."""
+
+    def __init__(self, index_dir: str) -> None:
+        self.index_dir = index_dir
+        self._buffer: dict[int, list[float]] = {}
+        self._tombstones: set[int] = set()
+        self._journal_path = os.path.join(index_dir, "vjournal.jsonl")
+        self._recover()
+
+    # ---- WAL ----
+    def _recover(self) -> None:
+        if not os.path.exists(self._journal_path):
+            return
+        with open(self._journal_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if obj.get("_op") == "delete":
+                    for v in obj["vec_ids"]:
+                        self._tombstones.add(int(v))
+                        self._buffer.pop(int(v), None)
+                else:
+                    self._buffer[int(obj["vec_id"])] = obj["embedding"]
+
+    def _journal_append(self, objs: list[dict]) -> None:
+        with open(self._journal_path, "a") as f:
+            for o in objs:
+                f.write(json.dumps(o, sort_keys=True) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    # ---- A7 surface ----
+    def ping(self) -> dict:
+        meta = mf.load_meta(self.index_dir)
+        return {"status": "ok", "kind": "vector",
+                "n_indexed": int(meta["n_vecs"]),
+                "n_buffered": len(self._buffer),
+                "n_deleted": len(self._tombstones)}
+
+    def insert(self, rows: list[dict]) -> int:
+        """rows: [{vec_id:int, embedding:[float,...]}, ...]. vec_ids
+        must be NEW (not indexed, buffered, or tombstoned) — ids are the
+        caller's keys and a duplicate would return twice from search."""
+        for r in rows:
+            v = int(r["vec_id"])
+            if v in self._buffer:
+                raise ValueError(f"vec_id {v} already buffered")
+            if v in self._tombstones:
+                raise ValueError(
+                    f"vec_id {v} is tombstoned; compact() before reuse")
+        self._journal_append(
+            [{"vec_id": int(r["vec_id"]),
+              "embedding": [float(x) for x in r["embedding"]]}
+             for r in rows])
+        for r in rows:
+            self._buffer[int(r["vec_id"])] = [float(x) for x in r["embedding"]]
+        return len(self._buffer)
+
+    def delete(self, vec_ids: list[int]) -> dict:
+        vec_ids = [int(v) for v in vec_ids]
+        self._journal_append([{"_op": "delete", "vec_ids": vec_ids}])
+        for v in vec_ids:
+            self._tombstones.add(v)
+            self._buffer.pop(v, None)
+        return {"n_deleted": len(self._tombstones)}
+
+    def search(self, query_vectors, k: int = 10,
+               *, nprobe: int | None = None) -> list[dict]:
+        """Merged exact-over-buffer + probed-index cosine top-k per
+        query; tombstoned ids can occupy at most len(tombstones) slots,
+        so over-fetching by that count keeps the filtered page exact."""
+        import numpy as np
+
+        from .pipelines.ann import _normalize
+        from .pipelines.ivf import ivf_topk
+
+        q = np.asarray(query_vectors, dtype=np.float64)
+        if q.ndim == 1:
+            q = q[None, :]
+        fetch = k + len(self._tombstones)
+        base = ivf_topk(self.index_dir, q, k=fetch, nprobe=nprobe)
+        cand: dict[int, list[tuple[float, int]]] = {
+            qi: [] for qi in range(len(q))}
+        for r in base.to_pylist():
+            if r["vec_id"] not in self._tombstones:
+                cand[r["query_id"]].append((r["cos_sim"], r["vec_id"]))
+        if self._buffer:
+            ids = np.asarray(sorted(self._buffer), dtype=np.int64)
+            m = _normalize(np.asarray(
+                [self._buffer[int(i)] for i in ids], dtype=np.float64))
+            qs = _normalize(q) @ m.T  # (nq, n_buffered)
+            for qi in range(len(q)):
+                cand[qi].extend(
+                    (float(s), int(i)) for s, i in zip(qs[qi], ids))
+        out = []
+        for qi in range(len(q)):
+            best = sorted(cand[qi], key=lambda t: (-t[0], t[1]))[:k]
+            out.extend(
+                {"query_id": qi, "rank": r, "vec_id": v, "cos_sim": s}
+                for r, (s, v) in enumerate(best, start=1))
+        return out
+
+    def compact(self, out_dir: str, *, n_lists: int | None = None,
+                num_partitions: int = 4) -> dict:
+        """Rebuild the IVF artifact over (indexed survivors + buffer),
+        swap the serving dir, clear buffer/tombstones, truncate the
+        journal ATOMICALLY (temp + rename — a crash between steps must
+        not lose deletes)."""
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+        import ray.data
+
+        from .pipelines.ivf import build_ivf_index
+
+        meta = mf.load_meta(self.index_dir)
+        tables = []
+        for p in sorted(_glob.glob(
+                os.path.join(self.index_dir, "segments", "*.parquet"))):
+            tables.append(_pq.read_table(p, columns=["vec_id", "embedding"]))
+        if not tables:  # segment layout: part files under the index dir
+            for pid in meta.get("parts_built", []):
+                sp = mf.segment_path(self.index_dir, int(pid))
+                if os.path.exists(sp):
+                    tables.append(
+                        _pq.read_table(sp, columns=["vec_id", "embedding"]))
+        live = pa.concat_tables(tables) if tables else pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "embedding": pa.array([], pa.list_(pa.float64()))})
+        if self._tombstones:
+            import pyarrow.compute as pc
+
+            keep = pc.invert(pc.is_in(
+                live.column("vec_id"),
+                value_set=pa.array(sorted(self._tombstones), pa.int64())))
+            live = live.filter(keep)
+        if self._buffer:
+            buf = pa.table({
+                "vec_id": pa.array(sorted(self._buffer), pa.int64()),
+                "embedding": pa.array(
+                    [self._buffer[i] for i in sorted(self._buffer)],
+                    pa.list_(pa.float64())),
+            })
+            live = pa.concat_tables([
+                live.cast(buf.schema) if live.num_rows else buf.schema.empty_table(),
+                buf])
+        kwargs = {} if n_lists is None else {"n_lists": n_lists}
+        new_meta = build_ivf_index(
+            ray.data.from_arrow(live), out_dir,
+            num_partitions=num_partitions, **kwargs)
+        self.index_dir = out_dir
+        self._buffer.clear()
+        self._tombstones.clear()
+        fd = os.open(self._journal_path + ".tmp",
+                     os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+        os.close(fd)
+        os.replace(self._journal_path + ".tmp", self._journal_path)
+        self._journal_path = os.path.join(out_dir, "vjournal.jsonl")
+        return {"n_vecs": int(new_meta["n_vecs"]), "index_dir": out_dir}
+
+
+def start_vector_server(
+    index_dir: str,
+    *,
+    name: str = "donkey_vector_server",
+    detached: bool = False,
+) -> "ray.actor.ActorHandle":
+    """Start (or get) the named vector-serving actor. Ray must already
+    be initialised by the caller — never here."""
+    try:
+        return ray.get_actor(name)
+    except ValueError:
+        pass
+    opts = {"name": name, "num_cpus": 1}
+    if detached:
+        opts["lifetime"] = "detached"
+    return ray.remote(VectorServer).options(**opts).remote(index_dir)

@@ -2,6 +2,7 @@
 online insert -> journal -> flush -> federated search, recovery, and
 compaction equivalence."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -283,3 +284,80 @@ def test_serve_bool_kind(served_index):
     ]
     assert all(h["doc_id"] not in {d for d, _ in eng.topk(other, 10**6)}
                for h in got)
+
+
+# ------------------------------------------------- vector serving (A2/A5)
+
+
+def _mk_vecs(n, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim))
+
+
+@pytest.fixture()
+def vector_server(ray_session, tmp_path):
+    import ray.data
+
+    from donkey_ray.pipelines.ivf import build_ivf_index
+    from donkey_ray.serve import VectorServer
+
+    vecs = _mk_vecs(60)
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "vidx")
+    build_ivf_index(ray.data.from_arrow(tbl), idx, n_lists=4,
+                    num_partitions=2)
+    return VectorServer(idx), vecs, tmp_path
+
+
+def test_vector_server_insert_search_delete(vector_server):
+    srv, vecs, _ = vector_server
+    assert srv.ping()["n_indexed"] == 60
+    # an indexed vector finds itself first
+    hits = srv.search(vecs[7], k=3)
+    assert hits[0]["vec_id"] == 7 and hits[0]["cos_sim"] == pytest.approx(1.0)
+    # online insert: new vector is served from the buffer immediately
+    nv = _mk_vecs(1, seed=99)[0]
+    srv.insert([{"vec_id": 1000, "embedding": list(nv)}])
+    hits = srv.search(nv, k=2)
+    assert hits[0]["vec_id"] == 1000
+    # delete: tombstoned ids vanish, page stays full (over-fetch)
+    srv.delete([7])
+    hits = srv.search(vecs[7], k=3)
+    assert all(h["vec_id"] != 7 for h in hits) and len(hits) == 3
+
+
+def test_vector_server_journal_recovery(vector_server):
+    from donkey_ray.serve import VectorServer
+
+    srv, vecs, _ = vector_server
+    nv = _mk_vecs(1, seed=50)[0]
+    srv.insert([{"vec_id": 2000, "embedding": list(nv)}])
+    srv.delete([3])
+    # a fresh instance over the same dir replays the WAL
+    srv2 = VectorServer(srv.index_dir)
+    assert srv2.ping()["n_buffered"] == 1
+    assert srv2.ping()["n_deleted"] == 1
+    hits = srv2.search(nv, k=1)
+    assert hits[0]["vec_id"] == 2000
+
+
+def test_vector_server_compact(vector_server):
+    srv, vecs, tmp_path = vector_server
+    nv = _mk_vecs(1, seed=51)[0]
+    srv.insert([{"vec_id": 3000, "embedding": list(nv)}])
+    srv.delete([0, 1])
+    out = str(tmp_path / "vidx2")
+    res = srv.compact(out)
+    assert res["n_vecs"] == 60 - 2 + 1
+    assert srv.ping()["n_buffered"] == 0
+    assert srv.ping()["n_deleted"] == 0
+    # served from the new artifact: insert survives, deletes are gone
+    assert srv.search(nv, k=1)[0]["vec_id"] == 3000
+    hits = srv.search(vecs[0], k=60)
+    assert all(h["vec_id"] not in (0, 1) for h in hits)
+    # tombstoned-then-compacted ids may be reused
+    srv.insert([{"vec_id": 0, "embedding": list(vecs[0])}])
+    assert srv.search(vecs[0], k=1)[0]["vec_id"] == 0
