@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": api.q_orders_customer_join,
         "tpch_q3": api.q_tpch_q3,
         "tpch_q5": api.q_tpch_q5,
+        "tpch_q10": api.q_tpch_q10,
         "orders_semi_building": api.q_orders_semi_building,
         "orders_semi_bloom": api.q_orders_semi_bloom,
         "orders_anti_building": api.q_orders_anti_building,
@@ -3011,6 +3012,19 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
 ORDER BY revenue_x100 DESC, n_name
+""",
+        "tpch_q10": """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT)) AS revenue_x100
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_x100 DESC, c_custkey LIMIT 20
 """,
         "orders_customer_join": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment

@@ -3576,3 +3576,86 @@ def q_corpus_report(sf_dir: str) -> pa.Table:
     .corpus_report)."""
     return analyze.corpus_report(
         _docs(sf_dir, columns=("doc_id", "text", "lang")))
+
+
+def q_tpch_q10(sf_dir: str) -> pa.Table:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    1996-Q4 revenue from RETURNED lineitems, with name and nation.
+    Revenue quantized per row to integer cents (order-independent sum).
+
+    Scale shape: both fact filters push into the parquet reads; the
+    l x o join is the keyed-cogroup hash join carrying only keys; the
+    per-customer partial aggregate runs BEFORE the customer join, so the
+    (large) customer table joins against at most one row per customer;
+    nation ships once as a driver-local name map; per-partition top-20
+    fold, driver merges survivors only."""
+    import pyarrow.dataset as pads
+
+    from .pipelines.joins import hash_join
+    from .stages.exchange import partitioned_aggregate
+
+    lo = 844_128_000_000_000   # 1996-10-01 epoch us
+    hi = 852_076_800_000_000   # 1997-01-01 epoch us
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo, pa.timestamp("us")))
+        & (pads.field("o_orderdate") < pa.scalar(hi, pa.timestamp("us"))),
+        override_num_blocks=8,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+        override_num_blocks=8,
+    )
+    loj = hash_join(lineitem, orders, left_on="l_orderkey",
+                    right_on="o_orderkey", how="inner")
+
+    def rev_rows(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+            "revenue_x100": pa.array(rev, pa.int64()),
+        })
+
+    agg = partitioned_aggregate(
+        loj.map_batches(rev_rows, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["o_custkey"],
+        [("revenue_x100", "sum")], rename={"revenue_x100_sum": "revenue_x100"},
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"], override_num_blocks=4,
+    )
+    joined = hash_join(agg, customer, left_on="o_custkey",
+                       right_on="c_custkey", how="inner")
+
+    def local_top(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        return part.sort_by([("revenue_x100", "descending"),
+                             ("o_custkey", "ascending")]).slice(0, 20)
+
+    merged = dataset_to_table(
+        joined.map_batches(local_top, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    merged = merged.sort_by([("revenue_x100", "descending"),
+                             ("o_custkey", "ascending")]).slice(0, 20)
+    import pyarrow.dataset as pads2
+
+    nation = pads2.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    return pa.table({
+        "c_custkey": merged.column("o_custkey").cast(pa.int64()),
+        "c_name": merged.column("c_name").cast(pa.string()),
+        "n_name": pa.array(
+            [names[k] for k in merged.column("c_nationkey").to_pylist()],
+            pa.string()),
+        "revenue_x100": merged.column("revenue_x100").cast(pa.int64()),
+    })
