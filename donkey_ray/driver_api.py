@@ -183,22 +183,24 @@ PINNED_STEM_QUERIES = [
 ]
 
 
-def ensure_stem_index(sf_dir: str) -> str:
-    """Build (once; resumable) a BM25 index whose analyzer is the pinned
-    s-stemmer (query_lang='stem') — index terms and query terms are both
-    stemmed, so plural/singular variants unify. Separate artifact: the
-    stemmed dictionary differs from the plain one."""
+def _ensure_analyzer_index(sf_dir: str, analyzer: str) -> str:
+    """Build (once; resumable) a BM25 index under a non-default pinned
+    ANALYZER (stem / stop / ...): index-side terms and query-side terms
+    both go through it (analyzer_lang override + matching query_lang).
+    One helper for every analyzer artifact so the cache-staleness checks
+    can't drift between them; a cached index failing ANY of the checks
+    (format, query_lang, analyzer_lang) is rebuilt, not trusted."""
     import shutil
 
     from .state import manifest as mf
 
-    out = _index_dir(sf_dir) + "-stem"
+    out = _index_dir(sf_dir) + "-" + analyzer
     if mf.is_complete(out):
         try:
             meta = mf.load_meta(out)
             if (meta.get("format_version") != CURRENT_FORMAT_VERSION
-                    or meta.get("query_lang") != "stem"
-                    or meta.get("analyzer_lang") != "stem"):
+                    or meta.get("query_lang") != analyzer
+                    or meta.get("analyzer_lang") != analyzer):
                 shutil.rmtree(out)
         except (OSError, ValueError):
             shutil.rmtree(out, ignore_errors=True)
@@ -207,11 +209,16 @@ def ensure_stem_index(sf_dir: str) -> str:
         out,
         num_partitions=8,
         id_col="doc_id",
-        query_lang="stem",
-        analyzer_lang="stem",  # index-side terms stem too (not just queries)
+        query_lang=analyzer,
+        analyzer_lang=analyzer,
         sample_mod=16,
     )
     return out
+
+
+def ensure_stem_index(sf_dir: str) -> str:
+    """Stem-analyzer index (pinned s-stemmer): plural/singular unify."""
+    return _ensure_analyzer_index(sf_dir, "stem")
 
 
 def q_stemmed_topk(sf_dir: str) -> pa.Table:
@@ -245,33 +252,9 @@ PINNED_STOP_QUERIES = [
 
 
 def ensure_stop_index(sf_dir: str) -> str:
-    """Build (once; resumable) a BM25 index under the pinned STOPWORD
-    analyzer (analyzer_lang='stop'): closed-class words never enter the
-    postings, and dl counts content tokens only — both index and query
-    sides share the StopTokenizer."""
-    import shutil
-
-    from .state import manifest as mf
-
-    out = _index_dir(sf_dir) + "-stop"
-    if mf.is_complete(out):
-        try:
-            meta = mf.load_meta(out)
-            if (meta.get("format_version") != CURRENT_FORMAT_VERSION
-                    or meta.get("analyzer_lang") != "stop"):
-                shutil.rmtree(out)
-        except (OSError, ValueError):
-            shutil.rmtree(out, ignore_errors=True)
-    build_index(
-        documents_as_corpus(sf_dir),
-        out,
-        num_partitions=8,
-        id_col="doc_id",
-        query_lang="stop",
-        analyzer_lang="stop",
-        sample_mod=16,
-    )
-    return out
+    """Stopword-analyzer index: closed-class words never enter the
+    postings, and dl counts content tokens only."""
+    return _ensure_analyzer_index(sf_dir, "stop")
 
 
 def q_stop_topk(sf_dir: str) -> pa.Table:

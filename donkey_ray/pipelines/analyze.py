@@ -1686,7 +1686,8 @@ def corpus_report(
     total_tokens = int(pc.sum(part.column("total_tokens")).as_py() or 0)
     langs: set[str] = set()
     for row in part.column("langs").to_pylist():
-        langs.update(row)
+        # NULL langs are not languages (SQL count(DISTINCT) semantics)
+        langs.update(v for v in row if v is not None)
     hist: dict[int, int] = {}
     for vals, cnts in zip(part.column("hvals").to_pylist(),
                           part.column("hcnts").to_pylist()):

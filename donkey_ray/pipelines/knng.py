@@ -128,10 +128,28 @@ def _build_local_exact(
         "k": int(k), "rounds": 0, "seed": int(seed),
         "local_exact": True,
     }
-    if n < 2:
+    if n == 0:
         P = num_partitions or 1
         meta = {**meta_base, "num_partitions": P, "n_edges": 0,
                 "parts_built": []}
+        mf.write_meta(out_dir, meta)
+        mf.mark_complete(out_dir)
+        return meta
+    if n == 1:
+        # a single vector still needs to be REACHABLE (sharded serving
+        # takes entry points from the graph's src nodes): one self-loop
+        P = num_partitions or 1
+        writer = _GraphPartWriter(out_dir)
+        from ..stages.exchange import add_partition_column
+
+        loop = add_partition_column(pa.table({
+            "src": pa.array(ids, pa.int64()),
+            "dst": pa.array(ids, pa.int64()),
+            "sim": pa.array([1.0], pa.float64()),
+        }), ["src"], P)
+        res = writer(loop)
+        meta = {**meta_base, "num_partitions": P, "n_edges": 1,
+                "parts_built": [int(res.column("part")[0].as_py())]}
         mf.write_meta(out_dir, meta)
         mf.mark_complete(out_dir)
         return meta
@@ -468,6 +486,7 @@ def graph_topk(
     beam: int = 64,
     n_entries: int = 8,
     entry_from_graph: bool = False,
+    vectors: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> pa.Table:
     """Beam-search cosine top-k over the persisted k-NN graph. Entry
     points are a deterministic spread of node ids; the loop expands the
@@ -480,7 +499,7 @@ def graph_topk(
     shard of the vectors (sharded serving), where table-spread entries
     would mostly be un-expandable out-of-shard nodes."""
     srcs, offs, dsts = _load_graph(index_dir)
-    ids, m = _load_vectors(emb_path)
+    ids, m = vectors if vectors is not None else _load_vectors(emb_path)
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     base = srcs if entry_from_graph else ids
     entry_ids = base[:: max(1, len(base) // n_entries)][:n_entries]
@@ -572,23 +591,72 @@ def build_sharded_knn_graph(
 ) -> dict:
     """Build (once; per-shard resumable) S disjoint shard graphs under
     ``out_dir``. A killed build re-enters and skips _SUCCESS-complete
-    shards — lineage is per shard, then per partition inside a shard."""
+    shards — lineage is per shard, then per partition inside a shard.
+
+    Resume safety: the build parameters are pinned to a _PARAMS.json
+    written BEFORE any shard builds; re-entering with different
+    parameters (above all n_shards — shard membership depends on it)
+    discards every partial artifact instead of mixing shard layouts.
+    Read amplification: the input is scanned ONCE into a shard=N
+    partitioned vector spill; each shard build reads only its own
+    partition (partition-pruned), not the whole dataset again. Shard
+    builds run sequentially here (each is internally parallel); on a
+    real cluster they can be launched concurrently — they share no
+    state."""
+    import shutil
+
+    params = {"format_version": FORMAT_VERSION, "n_shards": int(n_shards),
+              "k": int(k), "rounds": int(rounds), "seed": int(seed)}
     if mf.is_complete(out_dir):
-        return mf.load_meta(out_dir)
+        meta = mf.load_meta(out_dir)
+        if all(meta.get(kk) == vv for kk, vv in params.items()):
+            return meta
+        shutil.rmtree(out_dir)  # complete but built under other params
+    params_path = os.path.join(out_dir, "_PARAMS.json")
+    if os.path.exists(params_path):
+        import json as _json
+
+        with open(params_path) as f:
+            if _json.load(f) != params:
+                shutil.rmtree(out_dir)  # partial build, other params
     os.makedirs(out_dir, exist_ok=True)
-    shard_metas = []
-    for s in range(n_shards):
-        def keep(batch: pa.Table, s=s) -> pa.Table:
+    mf.atomic_write_json(params_path, params)
+
+    # ---- ONE input scan: spill vectors partitioned by shard ----
+    vec_dir = os.path.join(out_dir, "vecs")
+    vec_marker = os.path.join(out_dir, "_VECS_SUCCESS")
+    if not os.path.exists(vec_marker):
+        shutil.rmtree(vec_dir, ignore_errors=True)
+
+        def tag(batch: pa.Table) -> pa.Table:
             ids = batch.column(id_col).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            return batch.filter(pa.array(shard_of(ids, n_shards) == s))
+            return pa.table({
+                "vec_id": batch.column(id_col).cast(pa.int64()),
+                "embedding": batch.column(vec_col),
+                "shard": pa.array(shard_of(ids, n_shards), pa.int64()),
+            })
 
-        keep.__name__ = f"knng_shard_{s}"
-        sub = ds.map_batches(keep, batch_format="pyarrow",
-                             zero_copy_batch=True)
+        tag.__name__ = "knng_shard_tag"
+        ds.map_batches(tag, batch_format="pyarrow",
+                       zero_copy_batch=True).write_parquet(
+            vec_dir, partition_cols=["shard"])
+        mf.atomic_write_bytes(vec_marker, b"")
+
+    shard_metas = []
+    for s in range(n_shards):
+        part_dir = os.path.join(vec_dir, f"shard={s}")
+        if os.path.isdir(part_dir):
+            sub = ray.data.read_parquet(
+                part_dir, columns=["vec_id", "embedding"])
+        else:  # no vectors hashed to this shard
+            sub = ray.data.from_arrow(pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }))
         sm = build_knn_graph(
             sub, _shard_dir(out_dir, s), k=k, rounds=rounds,
-            vec_col=vec_col, id_col=id_col, seed=seed,
+            vec_col="embedding", id_col="vec_id", seed=seed,
             local_max_vectors=local_max_vectors,
         )
         shard_metas.append({"shard": s, "n_edges": sm["n_edges"]})
@@ -607,20 +675,33 @@ def build_sharded_knn_graph(
 
 class _GraphShardServer:
     """One shard's resident search server (donkey's per-node searcher):
-    graph CSR + normalized vectors load ONCE in __init__ via the module
-    lru caches; every query is a local beam search over this shard's
-    nodes only. Declared plain and wrapped with ray.remote at use time
-    so the class stays unit-testable in-process."""
+    graph CSR + normalized vectors load ONCE in __init__ (actor state,
+    not per query); every query is a local beam search over this shard's
+    nodes only. RETAINED vectors are the shard members' only — O(N/S)
+    per actor; the full table is read transiently at startup because the
+    sandbox stores embeddings as one file (a production deployment
+    pre-shards the vector store by the same hash and reads only its
+    slice). Declared plain and wrapped with ray.remote at use time so
+    the class stays unit-testable in-process."""
 
-    def __init__(self, shard_dir: str, emb_path: str) -> None:
+    def __init__(self, shard_dir: str, emb_path: str,
+                 shard: int | None = None,
+                 n_shards: int | None = None) -> None:
         self.shard_dir = shard_dir
         self.emb_path = emb_path
         _load_graph(shard_dir)      # warm: actor state, not per query
-        _load_vectors(emb_path)
+        ids, m = _load_vectors(emb_path)
+        if shard is not None and n_shards:
+            mask = shard_of(ids, n_shards) == shard
+            self.vectors = (ids[mask].copy(), m[mask].copy())
+            _load_vectors.cache_clear()  # drop the transient full table
+        else:
+            self.vectors = (ids, m)
 
     def topk(self, query_vectors: np.ndarray, k: int, beam: int) -> pa.Table:
         return graph_topk(self.shard_dir, self.emb_path, query_vectors,
-                          k=k, beam=beam, entry_from_graph=True)
+                          k=k, beam=beam, entry_from_graph=True,
+                          vectors=self.vectors)
 
 
 def sharded_graph_topk(
@@ -641,7 +722,8 @@ def sharded_graph_topk(
     meta = mf.load_meta(out_dir)
     n_shards = int(meta["n_shards"])
     Server = ray.remote(_GraphShardServer)
-    actors = [Server.remote(_shard_dir(out_dir, s), emb_path)
+    actors = [Server.remote(_shard_dir(out_dir, s), emb_path,
+                            shard=s, n_shards=n_shards)
               for s in range(n_shards)]
     try:
         tables = ray.get([a.topk.remote(query_vectors, k, beam)

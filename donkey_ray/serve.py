@@ -417,13 +417,15 @@ class VectorServer:
         """rows: [{vec_id:int, embedding:[float,...]}, ...]. vec_ids
         must be NEW (not indexed, buffered, or tombstoned) — ids are the
         caller's keys and a duplicate would return twice from search."""
+        seen: set[int] = set()
         for r in rows:
             v = int(r["vec_id"])
-            if v in self._buffer:
+            if v in self._buffer or v in seen:
                 raise ValueError(f"vec_id {v} already buffered")
             if v in self._tombstones:
                 raise ValueError(
                     f"vec_id {v} is tombstoned; compact() before reuse")
+            seen.add(v)
         self._journal_append(
             [{"vec_id": int(r["vec_id"]),
               "embedding": [float(x) for x in r["embedding"]]}
@@ -478,10 +480,11 @@ class VectorServer:
 
     def compact(self, out_dir: str, *, n_lists: int | None = None,
                 num_partitions: int = 4) -> dict:
-        """Rebuild the IVF artifact over (indexed survivors + buffer),
-        swap the serving dir, clear buffer/tombstones, truncate the
-        journal ATOMICALLY (temp + rename — a crash between steps must
-        not lose deletes)."""
+        """Rebuild the IVF artifact over (indexed survivors + buffer) at
+        a FRESH out_dir and swap the serving dir. The OLD dir's journal
+        is left untouched: a crash (or an actor restarted with the old
+        constructor arg) replays the old journal over the old index —
+        a consistent pre-compact view, never lost deletes/inserts."""
         import glob as _glob
 
         import pyarrow as pa
@@ -490,6 +493,12 @@ class VectorServer:
 
         from .pipelines.ivf import build_ivf_index
 
+        if mf.is_complete(out_dir):
+            # build_ivf_index would no-op on a complete dir and this
+            # method would then clear state the new index never saw
+            raise ValueError(
+                f"compact target {out_dir} already holds a complete "
+                "index; compact to a fresh directory")
         meta = mf.load_meta(self.index_dir)
         tables = []
         for p in sorted(_glob.glob(
@@ -528,10 +537,8 @@ class VectorServer:
         self.index_dir = out_dir
         self._buffer.clear()
         self._tombstones.clear()
-        fd = os.open(self._journal_path + ".tmp",
-                     os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
-        os.close(fd)
-        os.replace(self._journal_path + ".tmp", self._journal_path)
+        # the new dir starts with an (absent =) empty journal; the old
+        # dir keeps its journal so a restart against it stays consistent
         self._journal_path = os.path.join(out_dir, "vjournal.jsonl")
         return {"n_vecs": int(new_meta["n_vecs"]), "index_dir": out_dir}
 

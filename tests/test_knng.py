@@ -179,3 +179,83 @@ def test_sharded_build_and_serving(ray_session, tmp_path):
         out, n_shards=3, k=16, rounds=2,
     )
     assert meta2 == meta
+
+
+def test_sharded_param_change_rebuilds(ray_session, tmp_path):
+    """REGRESSION (review finding): shard membership depends on
+    n_shards; re-entering an artifact built under different parameters
+    must discard it, not mix shard layouts."""
+    import ray.data
+
+    from donkey_ray.pipelines.knng import (
+        build_sharded_knn_graph,
+        sharded_graph_topk,
+    )
+
+    out = str(tmp_path / "resharded")
+    m3 = build_sharded_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, n_shards=3, k=16, rounds=2,
+    )
+    assert m3["n_shards"] == 3
+    m4 = build_sharded_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, n_shards=4, k=16, rounds=2,
+    )
+    assert m4["n_shards"] == 4  # rebuilt, not served stale
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    qv = np.asarray(t.column("embedding").to_pylist()[:2], dtype=np.float64)
+    res = sharded_graph_topk(out, EMB, qv, k=10, beam=64)
+    want = _brute_topk(qv, 10)
+    got = {qi: [] for qi in range(2)}
+    for r in res.to_pylist():
+        got[r["query_id"]].append(r["vec_id"])
+    assert [got[qi] for qi in range(2)] == want
+
+
+def test_single_vector_shard_is_reachable(ray_session, tmp_path):
+    """REGRESSION (review finding): a shard holding exactly ONE vector
+    must still serve it (self-loop artifact keeps the node a graph src
+    for entry-point selection)."""
+    import ray.data
+
+    from donkey_ray.pipelines.knng import (
+        build_sharded_knn_graph,
+        shard_of,
+        sharded_graph_topk,
+    )
+
+    # find ids giving some shard exactly one member at n_shards=4
+    rng = np.random.default_rng(11)
+    ids = np.arange(64, dtype=np.int64)
+    sh = shard_of(ids, 4)
+    counts = np.bincount(sh, minlength=4)
+    lonely_shard = None
+    keep = None
+    for s in range(4):
+        members = np.flatnonzero(sh == s)
+        if len(members) >= 1:
+            # keep exactly ONE member of shard s plus all other shards
+            keep = np.r_[members[:1], np.flatnonzero(sh != s)]
+            lonely_shard = s
+            break
+    assert lonely_shard is not None
+    kept_ids = ids[np.sort(keep)]
+    vecs = rng.standard_normal((len(kept_ids), 8))
+    lone_id = int(ids[np.flatnonzero(sh == lonely_shard)[0]])
+    lone_pos = int(np.flatnonzero(kept_ids == lone_id)[0])
+    tbl = pa.table({
+        "vec_id": pa.array(kept_ids, pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    emb_path = str(tmp_path / "emb.parquet")
+    pq.write_table(tbl, emb_path)
+    out = str(tmp_path / "lonely")
+    build_sharded_knn_graph(
+        ray.data.from_arrow(tbl), out, n_shards=4, k=8, rounds=1,
+    )
+    res = sharded_graph_topk(out, emb_path, vecs[lone_pos][None, :], k=1,
+                             beam=32)
+    rows = res.to_pylist()
+    assert rows and rows[0]["vec_id"] == lone_id
+    assert rows[0]["cos_sim"] == pytest.approx(1.0)

@@ -361,3 +361,35 @@ def test_vector_server_compact(vector_server):
     # tombstoned-then-compacted ids may be reused
     srv.insert([{"vec_id": 0, "embedding": list(vecs[0])}])
     assert srv.search(vecs[0], k=1)[0]["vec_id"] == 0
+
+
+def test_vector_server_compact_guards(vector_server):
+    """REGRESSION (review findings): compact into an already-complete
+    dir must refuse (a silent no-op build would clear state the index
+    never saw); the OLD dir's journal survives compact so a restart
+    against the old constructor arg replays a consistent view; and a
+    single insert() call with duplicate vec_ids is rejected."""
+    from donkey_ray.serve import VectorServer
+
+    srv, vecs, tmp_path = vector_server
+    nv = _mk_vecs(1, seed=77)[0]
+    srv.insert([{"vec_id": 5000, "embedding": list(nv)}])
+    srv.delete([2])
+    old_dir = srv.index_dir
+    # duplicate ids within one call
+    with pytest.raises(ValueError):
+        srv.insert([{"vec_id": 6000, "embedding": list(nv)},
+                    {"vec_id": 6000, "embedding": list(nv)}])
+    # compact into the CURRENT (complete) dir refuses
+    with pytest.raises(ValueError):
+        srv.compact(old_dir)
+    out = str(tmp_path / "vidx_fresh")
+    srv.compact(out)
+    # old journal intact: a restart with the old arg sees pre-compact state
+    old_view = VectorServer(old_dir)
+    assert old_view.ping()["n_buffered"] == 1
+    assert old_view.ping()["n_deleted"] == 1
+    # new dir serves the compacted state with an empty journal
+    new_view = VectorServer(out)
+    assert new_view.ping()["n_buffered"] == 0
+    assert new_view.search(nv, k=1)[0]["vec_id"] == 5000
