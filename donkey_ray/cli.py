@@ -162,6 +162,41 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge one or more indexes (a base + its deltas, or any set of
+    compatible segments) into one fresh index — donkey 'misc reindex'."""
+    _ray_init()
+    from .pipelines.incremental import merge_indexes
+
+    meta = merge_indexes(
+        list(args.indexes), args.output, num_partitions=args.partitions
+    )
+    print(json.dumps({
+        "output": args.output,
+        "n_docs": meta["n_docs"],
+        "n_postings": meta["n_postings"],
+        "num_partitions": meta["num_partitions"],
+    }))
+    return 0
+
+
+def cmd_report(args) -> int:
+    """One-row corpus report card over a documents-shaped parquet table
+    (doc_id, text, lang)."""
+    _ray_init()
+    import ray.data
+
+    from .pipelines.analyze import corpus_report
+
+    ds = ray.data.read_parquet(
+        args.corpus, columns=[args.id_col, args.text_col, args.lang_col]
+    )
+    tbl = corpus_report(ds, text_col=args.text_col, id_col=args.id_col,
+                        lang_col=args.lang_col)
+    print(json.dumps(tbl.to_pylist()[0]))
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Start the named serving actor and answer queries from stdin
     (one query text per line; JSON hits per line). The actor outlives
@@ -269,6 +304,21 @@ def main(argv=None) -> int:
         "verify", help="integrity-check an index (checksums, manifest)")
     vf.add_argument("--index", required=True)
     vf.set_defaults(fn=cmd_verify)
+
+    cp = sub.add_parser(
+        "compact", help="merge indexes (base + deltas) into a fresh one")
+    cp.add_argument("--indexes", nargs="+", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--partitions", type=int, default=16)
+    cp.set_defaults(fn=cmd_compact)
+
+    rp = sub.add_parser(
+        "report", help="one-row corpus report card over a parquet corpus")
+    rp.add_argument("--corpus", required=True)
+    rp.add_argument("--id-col", default="doc_id")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--lang-col", default="lang")
+    rp.set_defaults(fn=cmd_report)
 
     v = sub.add_parser("serve", help="serve an index from a named Ray actor")
     v.add_argument("--index", required=True)
