@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_percentiles": api.q_doclen_percentiles,
         "filtered_topk": api.q_filtered_topk,
         "sorted_topk": api.q_sorted_topk,
+        "threshold_topk": api.q_threshold_topk,
         "events_funnel": api.q_events_funnel,
         "events_pivot": api.q_events_pivot,
         "longest_per_lang": api.q_longest_per_lang,
@@ -1631,6 +1632,36 @@ ranked AS (SELECT sc.query_id, sc.k, sc.doc_id, sc.score,
                                      ORDER BY sc.score DESC, sc.doc_id ASC) AS rank
            FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
            WHERE d.lang = 'en')
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # R-threshold retrieval: same BM25 chain, hits with
+        # round(score,6) < R dropped before ranking (short pages)
+        "threshold_topk": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms GROUP BY 1,2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+  GROUP BY 1,2,3),
+ranked AS (SELECT query_id, k, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores WHERE round(score, 6) >= 0.5)
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k

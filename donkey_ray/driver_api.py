@@ -3642,3 +3642,27 @@ def q_tpch_q10(sf_dir: str) -> pa.Table:
             pa.string()),
         "revenue_x100": merged.column("revenue_x100").cast(pa.int64()),
     })
+
+
+# donkey A6 threshold: only candidates scoring >= R survive (rounded to
+# 6 digits on both engines before the comparison)
+THRESHOLD_R = 0.5
+
+
+def q_threshold_topk(sf_dir: str) -> pa.Table:
+    """Donkey's R-threshold retrieval: BM25 hits below R are dropped
+    before ranking, so weak-match pages come back SHORT instead of
+    padded with noise (pipelines/query.threshold_topk)."""
+    from .pipelines.query import threshold_topk
+
+    index_dir = ensure_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_QUERIES], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_QUERIES], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_QUERIES], pa.int32()),
+        }
+    )
+    res = threshold_topk(index_dir, queries, r=THRESHOLD_R, k=10)
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")

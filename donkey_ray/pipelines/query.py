@@ -651,6 +651,82 @@ def filtered_topk(
     )
 
 
+def threshold_topk(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    r: float,
+    k: int = 10,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Donkey's R-threshold search (A6: candidates thresholded by R,
+    sorted desc, cut to K): only hits with round(score, 6) >= r survive
+    — the rounding is applied on BOTH engines before comparing, so a
+    score sitting one ulp either side of r cannot flip cross-engine.
+
+    Scale shape: the threshold filter runs vectorized inside the hit
+    stream's map_batches (before any exchange), the per-query top-k
+    fold inside query_id-keyed partitions; only survivors reach the
+    driver merge."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions import scoring
+    from ..stages.exchange import keyed_partition_map
+    from ..util import dataset_to_table
+
+    hits = score_queries(index_dir, queries, kind="all")
+
+    def above(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return batch.filter(
+            pc.greater_equal(pc.round(batch.column("score"), ndigits=6), r))
+
+    above.__name__ = "threshold_filter"
+    kept = hits.map_batches(above, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def local_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        q = part.column("query_id").to_numpy(zero_copy_only=False)
+        d = part.column("doc_id").to_numpy(zero_copy_only=False)
+        s = part.column("score").to_numpy(zero_copy_only=False)
+        keep: list[int] = []
+        for qid in np.unique(q):
+            m = np.flatnonzero(q == qid)
+            sel = scoring.topk_order(d[m], s[m], k)
+            keep.extend(m[sel])
+        return part.take(pa.array(sorted(keep)))
+
+    local_topk.__name__ = "threshold_local_topk"
+    cand = dataset_to_table(
+        keyed_partition_map(kept, ["query_id"], local_topk,
+                            num_partitions=num_partitions)
+    )
+    out_q, out_r, out_d, out_s = [], [], [], []
+    if cand.num_rows:
+        q = cand.column("query_id").to_numpy(zero_copy_only=False)
+        d = cand.column("doc_id").to_numpy(zero_copy_only=False)
+        s = cand.column("score").to_numpy(zero_copy_only=False)
+        for qid in np.unique(q):
+            m = q == qid
+            sel = scoring.topk_order(d[m], s[m], k)
+            out_q.extend([int(qid)] * len(sel))
+            out_r.extend(range(1, len(sel) + 1))
+            out_d.extend(int(x) for x in d[m][sel])
+            out_s.extend(float(x) for x in s[m][sel])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def sort_by_field_topk(
     index_dir: str,
     queries: pa.Table,

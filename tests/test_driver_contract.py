@@ -117,7 +117,7 @@ NAMES = [
     "passage_topk", "pruned_topk", "tiered_topk", "blocklist_filter",
     # session-16 additions
     "tpch_q5", "sorted_topk", "stop_topk", "dedup_degree",
-    "ann_sharded_topk", "corpus_report", "tpch_q10",
+    "ann_sharded_topk", "corpus_report", "tpch_q10", "threshold_topk",
 ]
 
 
