@@ -393,3 +393,29 @@ def test_vector_server_compact_guards(vector_server):
     new_view = VectorServer(out)
     assert new_view.ping()["n_buffered"] == 0
     assert new_view.search(nv, k=1)[0]["vec_id"] == 5000
+
+
+def test_serve_flush_preserves_analyzer(ray_session, tmp_path):
+    """REGRESSION (analyzer_lang thread-through): a delta flushed by the
+    server over a STEM-analyzed base must stem its index-side terms too
+    — otherwise singular queries miss plural docs inserted online."""
+    import ray.data
+
+    corpus = pa.table({
+        "repo": pa.array(["r"]), "path": pa.array(["base0"]),
+        "commit": pa.array(["c"]), "lang": pa.array(["en"]),
+        "content": pa.array(["the table stores a value"]),
+    })
+    out = str(tmp_path / "stem_base")
+    build_index(ray.data.from_arrow(corpus), out, num_partitions=2,
+                query_lang="stem", analyzer_lang="stem", detect_hot=False)
+    srv = IndexServer(out)
+    srv.insert([{"repo": "r", "path": "new0", "commit": "c", "lang": "en",
+                 "content": "tables and values everywhere"}])
+    srv.flush(num_partitions=2)
+    from donkey_ray.functions.hashing import doc_id_from_key
+
+    hits = srv.search("table", k=10)
+    ids = {h["doc_id"] for h in hits}
+    assert doc_id_from_key("r", "new0", "c") in ids  # plural doc matches
+    assert doc_id_from_key("r", "base0", "c") in ids
