@@ -1661,7 +1661,7 @@ scores AS (
 ranked AS (SELECT query_id, k, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) AS rank
-           FROM scores WHERE round(score, 6) >= 0.5)
+           FROM scores WHERE round(score, 6) >= {api.THRESHOLD_R})
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k

@@ -151,8 +151,13 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
 
 
 def _round_col(tbl: pa.Table, col: str, digits: int = 6) -> pa.Table:
+    # half_towards_infinity matches DuckDB round()'s halfway behavior
+    # (Arrow defaults to half_to_even, which would diverge on a value
+    # landing exactly on a decimal half)
     i = tbl.column_names.index(col)
-    return tbl.set_column(i, col, pc.round(tbl.column(col), ndigits=digits))
+    return tbl.set_column(i, col, pc.round(
+        tbl.column(col), ndigits=digits,
+        round_mode="half_towards_infinity"))
 
 
 # ---- engine queries ----

@@ -142,6 +142,16 @@ def merge_indexes(
             "the merged index would silently lose phrase/proximity support"
         )
     positional = positional.pop()
+    # the analyzer is part of the segment CONTENT (index-side terms were
+    # produced by it): merging mixed analyzers would interleave stemmed
+    # and unstemmed postings, and dropping the field would make later
+    # delta flushes tokenize differently from the base (review finding)
+    analyzers = {m.get("analyzer_lang") for m in metas}
+    if len(analyzers) > 1:
+        raise ValueError(
+            f"cannot merge indexes built under different analyzers: "
+            f"{sorted(map(str, analyzers))}")
+    analyzer_lang = analyzers.pop()
     union = None
     for d in index_dirs:
         part = segments_as_postings(d)
@@ -232,6 +242,7 @@ def merge_indexes(
         "salt_bits": metas[0].get("salt_bits", 4),
         "hot_terms": sorted({t for m in metas for t in m.get("hot_terms", [])}),
         "query_lang": metas[0].get("query_lang", "simple"),
+        "analyzer_lang": analyzer_lang,
         "id_col": metas[0].get("id_col"),
         "positions": positional,
         "merged_from": [os.path.abspath(d) for d in index_dirs],

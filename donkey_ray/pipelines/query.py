@@ -570,6 +570,59 @@ def collapse_topk(
     )
 
 
+def _per_query_topk_fold(k: int, name: str):
+    """Partition-local fold shared by the hit-set rankers: per query_id,
+    keep the top-k rows by the pinned (score desc, doc_id asc) order."""
+    import numpy as np
+
+    from ..functions import scoring
+
+    def local_topk(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part
+        q = part.column("query_id").to_numpy(zero_copy_only=False)
+        d = part.column("doc_id").to_numpy(zero_copy_only=False)
+        s = part.column("score").to_numpy(zero_copy_only=False)
+        keep: list[int] = []
+        for qid in np.unique(q):
+            m = np.flatnonzero(q == qid)
+            sel = scoring.topk_order(d[m], s[m], k)
+            keep.extend(m[sel])
+        return part.take(pa.array(sorted(keep)))
+
+    local_topk.__name__ = name
+    return local_topk
+
+
+def _merge_topk_survivors(cand: pa.Table, k: int) -> pa.Table:
+    """Driver merge of the per-partition survivors: final per-query
+    top-k with 1-based ranks, same pinned order as the fold."""
+    import numpy as np
+
+    from ..functions import scoring
+
+    out_q, out_r, out_d, out_s = [], [], [], []
+    if cand.num_rows:
+        q = cand.column("query_id").to_numpy(zero_copy_only=False)
+        d = cand.column("doc_id").to_numpy(zero_copy_only=False)
+        s = cand.column("score").to_numpy(zero_copy_only=False)
+        for qid in np.unique(q):
+            m = q == qid
+            sel = scoring.topk_order(d[m], s[m], k)
+            out_q.extend([int(qid)] * len(sel))
+            out_r.extend(range(1, len(sel) + 1))
+            out_d.extend(int(x) for x in d[m][sel])
+            out_s.extend(float(x) for x in s[m][sel])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def filtered_topk(
     index_dir: str,
     queries: pa.Table,
@@ -594,10 +647,9 @@ def filtered_topk(
     only per-partition top-k survivors reach the driver merge."""
     import os
 
-    import numpy as np
     import pyarrow.dataset as pads
 
-    from ..functions import scoring
+    from ..stages.exchange import keyed_partition_map
     from ..util import dataset_to_table
     from .joins import hash_join
 
@@ -608,47 +660,13 @@ def filtered_topk(
     )
     kept = hash_join(hits, docs, left_on="doc_id", right_on="doc_id",
                      how="semi", num_partitions=num_partitions)
-
-    def local_topk(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return part
-        q = part.column("query_id").to_numpy(zero_copy_only=False)
-        d = part.column("doc_id").to_numpy(zero_copy_only=False)
-        s = part.column("score").to_numpy(zero_copy_only=False)
-        keep: list[int] = []
-        for qid in np.unique(q):
-            m = np.flatnonzero(q == qid)
-            sel = scoring.topk_order(d[m], s[m], k)
-            keep.extend(m[sel])
-        return part.take(pa.array(sorted(keep)))
-
-    local_topk.__name__ = "filtered_local_topk"
-    from ..stages.exchange import keyed_partition_map
-
     cand = dataset_to_table(
-        keyed_partition_map(kept, ["query_id"], local_topk,
-                            num_partitions=num_partitions)
+        keyed_partition_map(
+            kept, ["query_id"],
+            _per_query_topk_fold(k, "filtered_local_topk"),
+            num_partitions=num_partitions)
     )
-    out_q, out_r, out_d, out_s = [], [], [], []
-    if cand.num_rows:
-        q = cand.column("query_id").to_numpy(zero_copy_only=False)
-        d = cand.column("doc_id").to_numpy(zero_copy_only=False)
-        s = cand.column("score").to_numpy(zero_copy_only=False)
-        for qid in np.unique(q):
-            m = q == qid
-            sel = scoring.topk_order(d[m], s[m], k)
-            out_q.extend([int(qid)] * len(sel))
-            out_r.extend(range(1, len(sel) + 1))
-            out_d.extend(int(x) for x in d[m][sel])
-            out_s.extend(float(x) for x in s[m][sel])
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int32()),
-            "doc_id": pa.array(out_d, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _merge_topk_survivors(cand, k)
 
 
 def threshold_topk(
@@ -668,10 +686,8 @@ def threshold_topk(
     stream's map_batches (before any exchange), the per-query top-k
     fold inside query_id-keyed partitions; only survivors reach the
     driver merge."""
-    import numpy as np
     import pyarrow.compute as pc
 
-    from ..functions import scoring
     from ..stages.exchange import keyed_partition_map
     from ..util import dataset_to_table
 
@@ -680,51 +696,22 @@ def threshold_topk(
     def above(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        return batch.filter(
-            pc.greater_equal(pc.round(batch.column("score"), ndigits=6), r))
+        # half_towards_infinity = DuckDB round()'s halfway behavior;
+        # Arrow's default half_to_even would diverge at exact halves
+        return batch.filter(pc.greater_equal(
+            pc.round(batch.column("score"), ndigits=6,
+                     round_mode="half_towards_infinity"), r))
 
     above.__name__ = "threshold_filter"
     kept = hits.map_batches(above, batch_format="pyarrow",
                             zero_copy_batch=True)
-
-    def local_topk(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return part
-        q = part.column("query_id").to_numpy(zero_copy_only=False)
-        d = part.column("doc_id").to_numpy(zero_copy_only=False)
-        s = part.column("score").to_numpy(zero_copy_only=False)
-        keep: list[int] = []
-        for qid in np.unique(q):
-            m = np.flatnonzero(q == qid)
-            sel = scoring.topk_order(d[m], s[m], k)
-            keep.extend(m[sel])
-        return part.take(pa.array(sorted(keep)))
-
-    local_topk.__name__ = "threshold_local_topk"
     cand = dataset_to_table(
-        keyed_partition_map(kept, ["query_id"], local_topk,
-                            num_partitions=num_partitions)
+        keyed_partition_map(
+            kept, ["query_id"],
+            _per_query_topk_fold(k, "threshold_local_topk"),
+            num_partitions=num_partitions)
     )
-    out_q, out_r, out_d, out_s = [], [], [], []
-    if cand.num_rows:
-        q = cand.column("query_id").to_numpy(zero_copy_only=False)
-        d = cand.column("doc_id").to_numpy(zero_copy_only=False)
-        s = cand.column("score").to_numpy(zero_copy_only=False)
-        for qid in np.unique(q):
-            m = q == qid
-            sel = scoring.topk_order(d[m], s[m], k)
-            out_q.extend([int(qid)] * len(sel))
-            out_r.extend(range(1, len(sel) + 1))
-            out_d.extend(int(x) for x in d[m][sel])
-            out_s.extend(float(x) for x in s[m][sel])
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int32()),
-            "doc_id": pa.array(out_d, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
-        }
-    )
+    return _merge_topk_survivors(cand, k)
 
 
 def sort_by_field_topk(

@@ -251,3 +251,40 @@ def test_cli_verify(tmp_path, ray_session):
     with redirect_stdout(buf):
         rc = cli_main(["verify", "--index", idx])
     assert rc == 1 and "_SUCCESS" in buf.getvalue()
+
+
+def test_merge_preserves_and_guards_analyzer(ray_session, tmp_path):
+    """REGRESSION (review finding): merge_indexes must carry
+    analyzer_lang into the merged meta (a later delta flush tokenizes
+    by it) and refuse to interleave segments built under different
+    analyzers."""
+    import pyarrow as pa
+    import ray.data
+
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.pipelines.incremental import merge_indexes
+    from donkey_ray.state import manifest as mf
+
+    def corpus(path, text):
+        return pa.table({
+            "repo": pa.array(["r"]), "path": pa.array([path]),
+            "commit": pa.array(["c"]), "lang": pa.array(["en"]),
+            "content": pa.array([text]),
+        })
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    plain = str(tmp_path / "plain")
+    build_index(ray.data.from_arrow(corpus("p0", "tables store values")),
+                a, num_partitions=2, query_lang="stem",
+                analyzer_lang="stem", detect_hot=False)
+    build_index(ray.data.from_arrow(corpus("p1", "the table is here")),
+                b, num_partitions=2, query_lang="stem",
+                analyzer_lang="stem", detect_hot=False)
+    build_index(ray.data.from_arrow(corpus("p2", "plain words")),
+                plain, num_partitions=2, detect_hot=False)
+    out = str(tmp_path / "merged")
+    merge_indexes([a, b], out, num_partitions=2)
+    assert mf.load_meta(out)["analyzer_lang"] == "stem"
+    with pytest.raises(ValueError, match="different analyzers"):
+        merge_indexes([a, plain], str(tmp_path / "bad"), num_partitions=2)
