@@ -57,6 +57,20 @@ def varbyte_decode(buf: bytes) -> np.ndarray:
     is_end = (b & 0x80) == 0
     if not is_end[-1]:
         raise ValueError("truncated varbyte stream")
+    n_vals = int(is_end.sum())
+    # uniform-width fast path: sorted-hash doc-id deltas cluster in one
+    # log range, so whole buffers are often a single byte length — then
+    # the stream is a (n, L) matrix and decoding is L column combines
+    # (no cumsum / flatnonzero / scatter)
+    if n_vals and b.size % n_vals == 0:
+        L = b.size // n_vals
+        ends = is_end.reshape(n_vals, L)
+        if ends[:, -1].all() and (L == 1 or not ends[:, :-1].any()):
+            m = b.reshape(n_vals, L).astype(np.uint64)
+            vals = m[:, 0] & np.uint64(0x7F)
+            for g in range(1, L):
+                vals |= (m[:, g] & np.uint64(0x7F)) << np.uint64(7 * g)
+            return vals
     value_id = np.zeros(b.size, dtype=np.int64)
     np.cumsum(is_end[:-1], out=value_id[1:])
     # start index of each value

@@ -46,8 +46,17 @@ def bm25_upper_bound(max_tf: float, min_dl: float, df, n_docs: float, avgdl: flo
 
 
 def topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the top-k by (score desc, doc_id asc) — pinned tie-break."""
-    order = np.lexsort((doc_ids, -scores))
+    """Indices of the top-k by (score desc, doc_id asc) — pinned tie-break.
+
+    O(n) partition prefilter: every true top-k row scores >= the k-th
+    largest score, so only that candidate pool (k + boundary ties) pays
+    the O(c log c) lexsort — identical output to sorting everything."""
+    n = len(scores)
+    if k >= n or n == 0:
+        return np.lexsort((doc_ids, -scores))[:k]
+    kth = np.partition(scores, n - k)[n - k]
+    cand = np.flatnonzero(scores >= kth)
+    order = cand[np.lexsort((doc_ids[cand], -scores[cand]))]
     return order[:k]
 
 

@@ -395,6 +395,14 @@ class QueryEngine:
         self._cache_parts = cache_parts
         # small term->runs LRU (bounded; helps repeated query terms)
         self._runs_cache: OrderedDict[str, list[dict]] = OrderedDict()
+        # decoded-run LRU for the exact path: hot (Zipf) query terms
+        # re-decode the same posting buffers on every query otherwise.
+        # Budget counts decoded VALUES (ids+tfs+dls), so per-actor
+        # memory stays bounded (~8M values ~= 64 MB) however hot the
+        # workload — keys are the raw buffer bytes (content-compared)
+        self._decoded_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._decoded_values = 0
+        self._decoded_budget = 8_000_000
         self.blocks_decoded = 0  # instrumentation (pruning effectiveness)
 
     def _shard(self, ix: int, part: int) -> _SegmentShard | None:
@@ -1021,6 +1029,26 @@ class QueryEngine:
         return [(int(matched[i]), float(scores[i])) for i in order]
 
     # ---- exact: decode-everything vectorized scoring ----
+    def _decoded_run(self, row: dict) -> tuple:
+        """(ids, tfs, dls) for one posting run, LRU-cached by buffer
+        content (values-budgeted — see __init__)."""
+        key = (row["doc_ids"], row["tfs"])
+        hit = self._decoded_cache.get(key)
+        if hit is not None:
+            self._decoded_cache.move_to_end(key)
+            return hit
+        n = int(row["df"])
+        ids = decode_blocked_deltas(row["doc_ids"], n, self.block_size)
+        tfs = varbyte_decode(row["tfs"]).astype(np.float64)
+        dls = varbyte_decode(row["dls"]).astype(np.float64)
+        val = (ids, tfs, dls)
+        self._decoded_cache[key] = val
+        self._decoded_values += 3 * n
+        while self._decoded_values > self._decoded_budget and self._decoded_cache:
+            _, (oi, _, _) = self._decoded_cache.popitem(last=False)
+            self._decoded_values -= 3 * len(oi)
+        return val
+
     def _topk_exact(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
@@ -1028,10 +1056,7 @@ class QueryEngine:
             df = sum(int(r["df"]) for r in rows)
             w_idf = float(self.scorer.idf(df, self.n_docs))
             for row in rows:
-                n = int(row["df"])
-                ids = decode_blocked_deltas(row["doc_ids"], n, self.block_size)
-                tfs = varbyte_decode(row["tfs"]).astype(np.float64)
-                dls = varbyte_decode(row["dls"]).astype(np.float64)
+                ids, tfs, dls = self._decoded_run(row)
                 all_ids.append(ids)
                 all_scores.append(w_idf * self.scorer.tf_weight(tfs, dls, self.avgdl))
         ids = np.concatenate(all_ids)
