@@ -1032,7 +1032,10 @@ class QueryEngine:
     def _decoded_run(self, row: dict) -> tuple:
         """(ids, tfs, dls) for one posting run, LRU-cached by buffer
         content (values-budgeted — see __init__)."""
-        key = (row["doc_ids"], row["tfs"])
+        # ALL THREE buffers key the entry: across federated members the
+        # same (ids, tfs) bytes could pair with different dls (doc_id is
+        # key-derived, content isn't), and a 2-buffer key would alias
+        key = (row["doc_ids"], row["tfs"], row["dls"])
         hit = self._decoded_cache.get(key)
         if hit is not None:
             self._decoded_cache.move_to_end(key)
