@@ -237,6 +237,32 @@ def build_index(
             docs.write_parquet(_docs_dir(out_dir))
         mf.atomic_write_bytes(docs_done, b"")
 
+    def _hot_sample_source():
+        """Dataset + row-mod for the hot-term sample pass. For a path
+        corpus with many fragments, sample at the FILE level first
+        (sorted list, every j-th file — deterministic for the same
+        input, so every cluster size/retry still sees one hot set) and
+        reduce the row mod to keep the overall ~1/sample_mod rate:
+        the detect pass then READS 1/j of the bytes instead of scanning
+        every file to discard 63/64 of its rows. The hot set is a
+        routing heuristic — correctness never depends on it — so the
+        slight sample-composition change is free."""
+        if not isinstance(corpus, str):
+            return ds, sample_mod
+        files = sorted(pads.dataset(corpus).files)
+        file_mod = min(8, sample_mod)
+        if len(files) < 2 * file_mod:
+            return ds, sample_mod
+        subset = files[::file_mod]
+        cols = ["lang", "content"]
+        cols += ([id_col] if id_col else ["repo", "path", "commit"])
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        sample_ds = ray.data.read_parquet(
+            subset, columns=cols,
+            override_num_blocks=max(8, min(len(subset), cpus)),
+        )
+        return sample_ds, max(1, sample_mod // file_mod)
+
     def _run_hot_pass() -> list[str]:
         if os.path.exists(hot_file):
             import json
@@ -244,8 +270,9 @@ def build_index(
             with open(hot_file) as f:
                 return json.load(f)["hot_terms"]
         if detect_hot:
+            sample_ds, row_mod = _hot_sample_source()
             hot_terms, n_sample = detect_hot_terms(
-                ds, id_col=id_col, sample_mod=sample_mod,
+                sample_ds, id_col=id_col, sample_mod=row_mod,
                 hot_df_ratio=hot_df_ratio, lang_override=analyzer_lang,
             )
         else:
