@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sample": api.q_mix_sample,
         "pack_shards": api.q_pack_shards,
         "stratified_split": api.q_stratified_split,
+        "grouped_split": api.q_grouped_split,
         "weighted_sample": api.q_weighted_sample,
         "bm25_topk_not": api.q_bm25_topk_not,
         "rerank_cosine": api.q_rerank_cosine,
@@ -2311,6 +2312,17 @@ SELECT doc_id, lang,
             WHEN r * 1000 < n * 900 THEN 'val'
             ELSE 'test' END AS split
 FROM r
+""",
+        # group-aware split: all of a source's docs share one split
+        # (sha256-top64 of the source key mod 100 vs the 80/90 cuts)
+        "grouped_split": f"""
+WITH h AS (SELECT doc_id, source, ({_HEX64}) % 100 AS hm
+           FROM (SELECT doc_id, source, source AS s FROM documents))
+SELECT doc_id, source,
+       CASE WHEN hm < 80 THEN 'train'
+            WHEN hm < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
 """,
         # Efraimidis-Spirakis weighted sample without replacement:
         # u = (splitmix64(id)+1)/2^64, integer exponential key

@@ -3671,3 +3671,11 @@ def q_threshold_topk(sf_dir: str) -> pa.Table:
     res = threshold_topk(index_dir, queries, r=THRESHOLD_R, k=10)
     res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     return _round_col(res, "score")
+
+
+def q_grouped_split(sf_dir: str) -> ray.data.Dataset:
+    """Group-aware 80/10/10 split by source (leakage prevention: all of
+    a source's docs share one split; pipelines/sampling.grouped_split)."""
+    from .pipelines.sampling import grouped_split
+
+    return grouped_split(_docs(sf_dir, columns=("doc_id", "source")))

@@ -405,3 +405,43 @@ def weighted_sample(
     sel = np.lexsort((ids, ekey))[:k]
     out = tbl.take(pa.array(sel, pa.int64()))
     return out
+
+
+def grouped_split(
+    ds: ray.data.Dataset,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cuts: tuple = (80, 90),
+) -> ray.data.Dataset:
+    """GROUP-aware train/val/test split (leakage prevention): every doc
+    of a group lands in the SAME split, so near-identical documents from
+    one source can never straddle train and eval. Assignment is the
+    pinned sha256-top64 of the group key mod 100 against the cumulative
+    percent ``cuts`` — data-derived, order-independent, identical at any
+    parallelism.
+
+    Scale shape: embarrassingly parallel map; each batch hashes only its
+    UNIQUE group values (dictionary-encode first), no exchange."""
+    from ..functions.textstats import token_hash64
+
+    lo, hi = cuts
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch.column(group_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        hm = np.asarray([token_hash64(u) % 100 for u in uniq], dtype=np.int64)
+        names = np.asarray(["train", "val", "test"], dtype=object)
+        lab = names[(hm >= lo).astype(np.int64) + (hm >= hi).astype(np.int64)]
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column(id_col).cast(pa.int64()),
+            group_col: col.cast(pa.string()),
+            "split": pa.array(lab[idx], pa.string()),
+        })
+
+    assign.__name__ = "grouped_split"
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

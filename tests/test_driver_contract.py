@@ -118,6 +118,7 @@ NAMES = [
     # session-16 additions
     "tpch_q5", "sorted_topk", "stop_topk", "dedup_degree",
     "ann_sharded_topk", "corpus_report", "tpch_q10", "threshold_topk",
+    "grouped_split",
 ]
 
 
