@@ -52,6 +52,8 @@ def topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     largest score, so only that candidate pool (k + boundary ties) pays
     the O(c log c) lexsort — identical output to sorting everything."""
     n = len(scores)
+    if k <= 0:
+        return np.zeros(0, dtype=np.int64)
     if k >= n or n == 0:
         return np.lexsort((doc_ids, -scores))[:k]
     kth = np.partition(scores, n - k)[n - k]

@@ -428,19 +428,26 @@ def grouped_split(
     lo, hi = cuts
 
     def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         col = batch.column(group_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        enc = col.dictionary_encode()
+        null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+        enc = pc.fill_null(col, "").dictionary_encode()
         uniq = enc.dictionary.to_pylist()
         hm = np.asarray([token_hash64(u) % 100 for u in uniq], dtype=np.int64)
         names = np.asarray(["train", "val", "test"], dtype=object)
         lab = names[(hm >= lo).astype(np.int64) + (hm >= hi).astype(np.int64)]
-        idx = enc.indices.to_numpy(zero_copy_only=False)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = lab[idx]
+        # NULL group keys land in 'test' — the SQL twin's CASE ELSE
+        # (sha256(NULL) -> NULL -> every WHEN false) does the same
+        rows[null_mask] = "test"
         return pa.table({
             "doc_id": batch.column(id_col).cast(pa.int64()),
             group_col: col.cast(pa.string()),
-            "split": pa.array(lab[idx], pa.string()),
+            "split": pa.array(rows, pa.string()),
         })
 
     assign.__name__ = "grouped_split"

@@ -130,3 +130,23 @@ def test_weighted_sample_matches_bruteforce_and_respects_weights(ray_session):
     # weight dominance: the 1000x-heavier docs should dominate the sample
     heavy = sum(1 for d in out.column("doc_id").to_pylist() if d < 50)
     assert heavy >= 30, heavy
+
+
+def test_grouped_split_null_group_and_k0_topk(ray_session):
+    """REGRESSION (review findings): NULL group keys land in 'test'
+    (matching the SQL CASE ELSE) instead of crashing the dictionary
+    index path; topk_order with k=0 returns empty instead of raising."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from donkey_ray.functions.scoring import topk_order
+    from donkey_ray.pipelines.sampling import grouped_split
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "source": pa.array(["a", None, "b"], pa.string())})
+    out = grouped_split(ray.data.from_arrow(t)).take_all()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert by_id[2] == "test"
+    assert set(by_id.values()) <= {"train", "val", "test"}
+    assert list(topk_order(np.array([5, 3]), np.array([1.0, 2.0]), 0)) == []
