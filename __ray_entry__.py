@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": api.q_corpus_report,
         "events_validate": api.q_events_validate,
         "minhash_neardup": api.q_minhash_neardup,
+        "minhash_neardup_delta": api.q_minhash_neardup_delta,
         "simhash_fingerprints": api.q_simhash_fingerprints,
         # similarity search over embeddings
         "ann_topk": api.q_ann_topk,
@@ -1684,7 +1685,7 @@ ranked AS (SELECT h.query_id, h.k, h.doc_id, d.n_chars,
                                      ORDER BY d.n_chars DESC, h.doc_id ASC)
                       AS rank
            FROM hits h JOIN documents d ON d.doc_id = h.doc_id)
-SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank, doc_id,
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        n_chars
 FROM ranked WHERE rank <= k
 """,
@@ -2556,6 +2557,57 @@ bx AS (SELECT doc_id, band_i,
 {_smix('k', 'bx', 'doc_id, band_i', 'v')},
 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          FROM k5 x JOIN k5 y ON x.z = y.z AND x.doc_id < y.doc_id),
+iv AS (SELECT c.a, c.b, count(*) AS c
+       FROM cand c JOIN sh p ON p.doc_id = c.a
+                   JOIN sh q ON q.doc_id = c.b AND q.s = p.s
+       GROUP BY 1, 2)
+SELECT iv.a AS doc_a, iv.b AS doc_b,
+       round(iv.c::DOUBLE / (x.n + y.n - iv.c), 6) AS jaccard
+FROM iv JOIN szh x ON x.doc_id = iv.a JOIN szh y ON y.doc_id = iv.b
+WHERE iv.c::DOUBLE / (x.n + y.n - iv.c) >= 0.5
+""",
+        # incremental MinHash: the SAME full signature/band chain, but
+        # candidates restricted to CROSS pairs between the corpus side
+        # (doc_id % 8 <> 7, the persisted band artifact) and the delta
+        # shard (doc_id % 8 = 7) — a = corpus doc, b = delta doc
+        "minhash_neardup_delta": f"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM documents),
+tu AS (SELECT doc_id, i, toks[i] AS s
+       FROM tok, unnest(generate_series(1, len(toks))) AS t(i)),
+th AS (SELECT doc_id, i, ({_HEX64})::HUGEINT AS h FROM tu),
+w0 AS (SELECT a.doc_id, ({_mul64('a.h', _FNV)} + b.h) % {_M64} AS acc, c.h AS h2
+       FROM th a JOIN th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                 JOIN th c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+w1 AS (SELECT doc_id, ({_mul64('acc', _FNV)} + h2) % {_M64} AS v FROM w0),
+{_smix('g', 'w1', 'doc_id', 'v')},
+sh AS (SELECT DISTINCT doc_id, z AS s FROM g5),
+szh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pi AS (SELECT unnest(generate_series(0, 127))::HUGEINT AS i),
+{_smix('pa', 'pi', 'i', '2*i + 1')},
+{_smix('pb', 'pi', 'i', '2*i + 2')},
+perm AS (SELECT pa5.i AS p, (pa5.z % 2147483646)::HUGEINT + 1 AS a,
+                (pb5.z % 2147483647)::HUGEINT AS b
+         FROM pa5 JOIN pb5 ON pa5.i = pb5.i),
+xs AS (SELECT doc_id, (s % 2147483647)::HUGEINT AS x FROM sh),
+sig AS (SELECT doc_id, p, min((a * x + b) % 2147483647) AS sv
+        FROM xs CROSS JOIN perm GROUP BY 1, 2),
+sigl AS (SELECT doc_id, p // 4 AS band_i, list(sv ORDER BY p) AS svs
+         FROM sig GROUP BY 1, 2),
+b0 AS (SELECT doc_id, band_i, svs[3] AS s2, svs[4] AS s3,
+              ({_mul64('svs[1]', _FNV)} + svs[2]) % {_M64} AS acc FROM sigl),
+b1 AS (SELECT doc_id, band_i, s3,
+              ({_mul64('acc', _FNV)} + s2) % {_M64} AS acc FROM b0),
+b2 AS (SELECT doc_id, band_i,
+              ({_mul64('acc', _FNV)} + s3) % {_M64} AS acc FROM b1),
+bx AS (SELECT doc_id, band_i,
+              xor(acc::UBIGINT,
+                  ({_mul64('band_i::HUGEINT', '11400714819323198485')})::UBIGINT
+                  )::HUGEINT AS v FROM b2),
+{_smix('k', 'bx', 'doc_id, band_i', 'v')},
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM k5 x JOIN k5 y ON x.z = y.z
+         WHERE x.doc_id % 8 <> 7 AND y.doc_id % 8 = 7),
 iv AS (SELECT c.a, c.b, count(*) AS c
        FROM cand c JOIN sh p ON p.doc_id = c.a
                    JOIN sh q ON q.doc_id = c.b AND q.s = p.s

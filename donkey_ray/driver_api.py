@@ -3060,6 +3060,48 @@ def q_ngram_jaccard_delta(sf_dir: str) -> pa.Table:
     return _round_col(tbl, "jaccard")
 
 
+def ensure_minhash_index(sf_dir: str) -> str:
+    """Build (once; cached) the incremental MinHash ARTIFACT over the
+    corpus partition (doc_id % 8 != 7): persisted LSH band buckets +
+    exact-verify shingle sets (pipelines/dedup.build_minhash_index) —
+    the corpus is signed once, never per delta probe."""
+    out = _index_dir(sf_dir) + "-minhashindex-v1"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+        def corpus_rows(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 8 != 7))
+
+        corpus = _docs(sf_dir).map_batches(
+            corpus_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        dedup.build_minhash_index(corpus, out, n=3, threshold=0.5)
+    return out
+
+
+def q_minhash_neardup_delta(sf_dir: str) -> pa.Table:
+    """Incremental MinHash near-dup: the delta shard (doc_id % 8 == 7)
+    signed and probed against the persisted corpus band buckets — cross
+    pairs sharing >= 1 LSH band, verified by exact shingle Jaccard >=
+    threshold, without re-signing or re-reading the corpus."""
+    from .pipelines.dedup import minhash_neardup_delta
+
+    def delta_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 8 == 7))
+
+    delta = _docs(sf_dir).map_batches(
+        delta_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbl = dataset_to_table(
+        minhash_neardup_delta(ensure_minhash_index(sf_dir), delta))
+    return _round_col(tbl, "jaccard")
+
+
 def q_events_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
     """Approximate per-group quantiles from the mergeable 256-bin
     histogram sketch — raw values never shuffle (the 10^12-rows-per-

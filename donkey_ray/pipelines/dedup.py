@@ -666,6 +666,37 @@ def _ngram_jaccard_prefix(
     return _verify_pairs_distributed(cand, sets, threshold)
 
 
+def _minhash_band_table(batch: pa.Table, text_col: str, id_col: str,
+                        n: int) -> pa.Table:
+    """(band, doc_id) LSH band-bucket rows for one batch, fully
+    vectorized: batch shingle sets (shingle_hash_column) -> batched
+    signatures (one product + minimum.reduceat) -> banded keys
+    (band_keys_matrix; band index salted into the key). Docs with no
+    shingles emit no bands."""
+    from ..functions.textstats import shingle_hash_column
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values, offsets = shingle_hash_column(col, n)
+    lens = np.diff(offsets)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) == 0:
+        return pa.table(
+            {"band": pa.array([], pa.uint64()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+    sig = mh.minhash_signature_matrix(values, offsets)[nz]
+    keys = mh.band_keys_matrix(sig)  # (nz, NUM_BANDS)
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)[nz]
+    return pa.table(
+        {
+            "band": pa.array(keys.ravel(), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
+        }
+    )
+
+
 def minhash_neardup_pairs(
     ds: ray.data.Dataset,
     *,
@@ -681,32 +712,9 @@ def minhash_neardup_pairs(
     cogroup join (pairs x per-doc shingle sets; nothing driver-side)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
-        """Fully vectorized: batch shingle sets (shingle_hash_column) ->
-        batched signatures (one product + minimum.reduceat) -> banded
-        keys (band_keys_matrix). Docs with no shingles emit no bands."""
-        from ..functions.textstats import shingle_hash_column
+        return _minhash_band_table(batch, text_col, id_col, n)
 
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        values, offsets = shingle_hash_column(col, n)
-        lens = np.diff(offsets)
-        nz = np.flatnonzero(lens > 0)
-        if len(nz) == 0:
-            return pa.table(
-                {"band": pa.array([], pa.uint64()),
-                 "doc_id": pa.array([], pa.int64())}
-            )
-        sig = mh.minhash_signature_matrix(values, offsets)[nz]
-        keys = mh.band_keys_matrix(sig)  # (nz, NUM_BANDS)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)[nz]
-        return pa.table(
-            {
-                "band": pa.array(keys.ravel(), pa.uint64()),
-                "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
-            }
-        )
-
+    sigs.__name__ = "minhash_bands"
     bands = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
 
     def emit_pairs_partition(part: pa.Table) -> pa.Table:
@@ -1178,6 +1186,149 @@ def ngram_jaccard_delta(
         return t.group_by(["a", "b"], use_threads=False).aggregate([])
 
     cand = keyed_partition_map(pref_union, ["shingle"], cross_pairs_partition)
+    # every candidate is (corpus a, delta b): the a-stage consumes only
+    # the artifact's sets, the b-stage only the delta's — no union ships
+    corpus_sets = ray.data.read_parquet(os.path.join(index_dir, "sets"))
+    delta_sets = doc_shingle_sets(delta, text_col=text_col, id_col=id_col, n=n)
+    return _verify_pairs_distributed(
+        cand, corpus_sets, threshold, sets_b=delta_sets
+    )
+
+
+# ---- incremental minhash: delta shard vs a persisted LSH band artifact ----
+#
+# The minhash analogue of build_dedup_index / ngram_jaccard_delta: the
+# corpus is signed ONCE and its band buckets + exact-verify shingle sets
+# persisted; every new crawl shard signs only ITS OWN docs and probes the
+# band buckets — at 100 TB the corpus is never re-signed or re-read per
+# delta batch. Candidate completeness is the same LSH guarantee as the
+# full run: a cross pair is a candidate iff the two docs share >= 1 band
+# key, and band keys are a pure function of the pinned perm/band spec.
+
+def build_minhash_index(
+    ds: ray.data.Dataset, out_dir: str, *, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3, threshold: float = 0.5,
+) -> dict:
+    """Persist the corpus side of incremental MinHash near-dup:
+      bands/  (band, doc_id)   — LSH band buckets (partitioned; band
+                                 keys salt in the band index)
+      sets/   (doc_id, hashes) — exact-verify shingle sets (partitioned)
+      meta.json + _DONE        — pinned (n, threshold, perm/band spec)
+    Probes must use the SAME spec (checked by minhash_neardup_delta)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        return _minhash_band_table(batch, text_col, id_col, n)
+
+    sigs.__name__ = "minhash_index_bands"
+    # bands and sets are corpus-sized: stream them out as PARTITIONED
+    # parquet directories (many files), never one driver-side table
+    ds.map_batches(
+        sigs, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(out_dir, "bands"))
+    doc_shingle_sets(
+        ds, text_col=text_col, id_col=id_col, n=n
+    ).write_parquet(os.path.join(out_dir, "sets"))
+    n_docs = ray.data.read_parquet(os.path.join(out_dir, "sets")).count()
+    n_band = ray.data.read_parquet(os.path.join(out_dir, "bands")).count()
+
+    meta = {"n": n, "threshold": threshold, "n_docs": n_docs,
+            "band_rows": n_band, "num_perms": mh.NUM_PERMS,
+            "num_bands": mh.NUM_BANDS}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(out_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return meta
+
+
+def minhash_neardup_delta(
+    index_dir: str,
+    delta: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Cross-pair MinHash near-dups between a NEW delta shard and the
+    corpus behind a build_minhash_index artifact — corpus text is never
+    re-read and never re-signed; its band buckets and shingle sets
+    stream from the artifact's parquet. Returns (doc_a = corpus doc,
+    doc_b = delta doc, jaccard) for candidates sharing >= 1 LSH band,
+    verified by exact shingle Jaccard >= the pinned threshold. Delta
+    and corpus doc ids must be disjoint.
+
+    Exchange budget: one band-keyed candidate exchange over (corpus
+    bands UNION delta bands) emitting CROSS-side pairs only, then the
+    distributed two-stage verify join (corpus sets x delta sets)."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n, threshold = int(meta["n"]), float(meta["threshold"])
+    if (meta.get("num_perms") != mh.NUM_PERMS
+            or meta.get("num_bands") != mh.NUM_BANDS):
+        raise ValueError(
+            "minhash index was built under a different perm/band spec "
+            f"({meta.get('num_perms')}x{meta.get('num_bands')} vs "
+            f"{mh.NUM_PERMS}x{mh.NUM_BANDS}); rebuild the artifact")
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        )
+
+    def delta_bands(batch: pa.Table) -> pa.Table:
+        t = _minhash_band_table(batch, text_col, id_col, n)
+        return t.append_column(
+            "side", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        )
+
+    delta_bands.__name__ = "minhash_delta_bands"
+    band_union = ray.data.read_parquet(
+        os.path.join(index_dir, "bands")
+    ).map_batches(corpus_side, batch_format="pyarrow",
+                  zero_copy_batch=True).union(
+        delta.map_batches(delta_bands, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+
+    def cross_pairs_partition(part: pa.Table) -> pa.Table:
+        """Per band-key run: (corpus ids) x (delta ids) cross pairs
+        only — same-side pairs were resolved when the corpus was
+        deduped, so emitting them would re-verify known state."""
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        order = pa.compute.sort_indices(
+            part, sort_keys=[("band", "ascending"), ("side", "ascending"),
+                             ("doc_id", "ascending")]
+        )
+        g = part.take(order)
+        bd = g.column("band").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(bd[1:] != bd[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(bd)]))
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            n0 = int(np.searchsorted(sd, 1))  # corpus rows come first
+            if n0 == 0 or n0 == e - s:
+                continue
+            ca = np.unique(ids[s:s + n0])
+            db = np.unique(ids[s + n0:e])
+            a_out.append(np.repeat(ca, len(db)))
+            b_out.append(np.tile(db, len(ca)))
+        if not a_out:
+            return empty
+        t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
+                      "b": pa.array(np.concatenate(b_out), pa.int64())})
+        return t.group_by(["a", "b"], use_threads=False).aggregate([])
+
+    cand = keyed_partition_map(band_union, ["band"], cross_pairs_partition)
     # every candidate is (corpus a, delta b): the a-stage consumes only
     # the artifact's sets, the b-stage only the delta's — no union ships
     corpus_sets = ray.data.read_parquet(os.path.join(index_dir, "sets"))

@@ -228,7 +228,22 @@ def build_knn_graph(
     from ..stages.exchange import keyed_cogroup_map, keyed_partition_map
 
     if mf.is_complete(out_dir):
-        return mf.load_meta(out_dir)
+        meta = mf.load_meta(out_dir)
+        # params guard (mirrors build_sharded_knn_graph's _PARAMS pin):
+        # re-entering with different k/seed — or a different path
+        # (exact vs NN-descent rounds) — rebuilds instead of silently
+        # serving a stale graph. A cached EXACT graph satisfies any
+        # rounds request (it is the limit NN-descent converges to)
+        # unless the caller forces the distributed path.
+        cached_exact = bool(meta.get("local_exact"))
+        ok = (meta.get("k") == int(k) and meta.get("seed") == int(seed)
+              and (local_max_vectors != 0 if cached_exact
+                   else meta.get("rounds") == int(rounds)))
+        if ok:
+            return meta
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     # materialized: every round's two cogroup joins re-read this (O(n·dim)
@@ -689,7 +704,15 @@ class _GraphShardServer:
                  n_shards: int | None = None) -> None:
         self.shard_dir = shard_dir
         self.emb_path = emb_path
-        _load_graph(shard_dir)      # warm: actor state, not per query
+        # EXACT shards (built by the driver-local gram path) serve by
+        # exhaustive scoring of the resident members — the vectors are
+        # already in actor memory, n is <= LOCAL_EXACT_MAX by
+        # construction, and it makes the sharded answer honestly exact
+        # instead of beam-approximate (a shard component unreachable
+        # from the spread entry points can otherwise break exactness).
+        self.exact = bool(mf.load_meta(shard_dir).get("local_exact"))
+        if not self.exact:
+            _load_graph(shard_dir)  # warm: actor state, not per query
         ids, m = _load_vectors(emb_path)
         if shard is not None and n_shards:
             mask = shard_of(ids, n_shards) == shard
@@ -698,7 +721,30 @@ class _GraphShardServer:
         else:
             self.vectors = (ids, m)
 
+    def _exact_topk(self, query_vectors: np.ndarray, k: int) -> pa.Table:
+        ids, m = self.vectors
+        q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+        out = {"query_id": [], "rank": [], "vec_id": [], "cos_sim": []}
+        if len(ids):
+            sims = m @ q.T  # (n_shard, nq)
+            kk = min(k, len(ids))
+            for qi in range(q.shape[0]):
+                s = sims[:, qi]
+                idx = np.lexsort((ids, -s))[:kk]
+                out["query_id"].extend([qi] * len(idx))
+                out["rank"].extend(range(1, len(idx) + 1))
+                out["vec_id"].extend(ids[idx].tolist())
+                out["cos_sim"].extend(s[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int32()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "cos_sim": pa.array(out["cos_sim"], pa.float64()),
+        })
+
     def topk(self, query_vectors: np.ndarray, k: int, beam: int) -> pa.Table:
+        if self.exact:
+            return self._exact_topk(query_vectors, k)
         return graph_topk(self.shard_dir, self.emb_path, query_vectors,
                           k=k, beam=beam, entry_from_graph=True,
                           vectors=self.vectors)

@@ -767,24 +767,35 @@ def sort_by_field_topk(
         keyed_partition_map(joined, ["query_id"], _fold,
                             num_partitions=num_partitions)
     )
-    out_q, out_r, out_d, out_f = [], [], [], []
-    if cand.num_rows:
-        cand = cand.sort_by([(field, "descending"), ("doc_id", "ascending")])
-        q = cand.column("query_id").to_numpy(zero_copy_only=False)
-        d = cand.column("doc_id").to_numpy(zero_copy_only=False)
-        f = cand.column(field).to_numpy(zero_copy_only=False)
-        for qid in np.unique(q):
-            m = np.flatnonzero(q == qid)[:k]
-            out_q.extend([int(qid)] * len(m))
-            out_r.extend(range(1, len(m) + 1))
-            out_d.extend(int(x) for x in d[m])
-            out_f.extend(int(x) for x in f[m])
+    # the sort field flows through with its ORIGINAL Arrow type (take,
+    # not a python-int round-trip — a float/timestamp field must not be
+    # silently truncated); rank is int32 like every sibling ranker
+    if cand.num_rows == 0:
+        ftype = (cand.schema.field(field).type
+                 if field in cand.schema.names else pa.int64())
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                field: pa.array([], ftype),
+            }
+        )
+    cand = cand.sort_by([(field, "descending"), ("doc_id", "ascending")])
+    q = cand.column("query_id").to_numpy(zero_copy_only=False)
+    out_q, out_r, keep = [], [], []
+    for qid in np.unique(q):
+        m = np.flatnonzero(q == qid)[:k]
+        keep.extend(int(x) for x in m)
+        out_q.extend([int(qid)] * len(m))
+        out_r.extend(range(1, len(m) + 1))
+    sel = cand.take(pa.array(keep, pa.int64()))
     return pa.table(
         {
             "query_id": pa.array(out_q, pa.int64()),
-            "rank": pa.array(out_r, pa.int64()),
-            "doc_id": pa.array(out_d, pa.int64()),
-            field: pa.array(out_f, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+            "doc_id": sel.column("doc_id"),
+            field: sel.column(field),
         }
     )
 

@@ -41,23 +41,58 @@ import ray
 from .state import manifest as mf
 
 
+# Soft tombstone bound: search over-fetches k + |tombstones|, so a
+# long-uncompacted server degrades linearly with deletes. Past this
+# count ping()/stats() raise needs_compact; servers constructed with
+# auto_compact_tombstones=N compact themselves at N instead.
+TOMBSTONE_WARN = 4096
+
+
 class IndexServer:
     """Serving state for one index (plus its delta chain). Wrap with
-    ``ray.remote`` (see ``start_server``) or use in-process for tests."""
+    ``ray.remote`` (see ``start_server``) or use in-process for tests.
+
+    ``auto_compact_tombstones``: when set, a ``delete`` that pushes the
+    tombstone count to this threshold triggers ``compact`` into a fresh
+    sibling directory (``<base>_compact_N``) automatically, bounding the
+    over-fetch cost of sustained deletes; when None (default — artifact
+    locations stay caller-controlled), ``ping()['needs_compact']`` warns
+    past TOMBSTONE_WARN instead."""
 
     CORPUS_COLS = ("repo", "path", "commit", "lang", "content")
 
-    def __init__(self, index_dir: str, *, mode: str = "auto") -> None:
+    def __init__(self, index_dir: str, *, mode: str = "auto",
+                 auto_compact_tombstones: "int | None" = None) -> None:
         from .stages.score import QueryEngine
 
         self.base_dir = index_dir
         self.mode = mode
+        self.auto_compact_tombstones = auto_compact_tombstones
         self._dirs = [index_dir] + self._existing_deltas(index_dir)
         self.engine = QueryEngine(self._dirs, mode=mode)
         self._buffer: list[dict] = []
         self._tombstones: set[int] = set()
         self._journal_path = os.path.join(index_dir, "journal.jsonl")
         self._recover()
+
+    def _needs_compact(self) -> bool:
+        bound = (self.auto_compact_tombstones
+                 if self.auto_compact_tombstones is not None
+                 else TOMBSTONE_WARN)
+        return len(self._tombstones) >= bound
+
+    def _next_compact_dir(self) -> str:
+        i = 0
+        while True:
+            d = f"{self.base_dir}_compact_{i}"
+            if not os.path.exists(d):
+                return d
+            i += 1
+
+    def _maybe_auto_compact(self) -> None:
+        if (self.auto_compact_tombstones is not None
+                and len(self._tombstones) >= self.auto_compact_tombstones):
+            self.compact(self._next_compact_dir())
 
     # ---- donkey A3: journal + recover ----
     def _recover(self) -> None:
@@ -130,6 +165,7 @@ class IndexServer:
             "n_indexes": len(self._dirs),
             "buffered_inserts": len(self._buffer),
             "n_deleted": len(self._tombstones),
+            "needs_compact": self._needs_compact(),
         }
 
     def stats(self) -> dict:
@@ -248,6 +284,7 @@ class IndexServer:
         ]
         self._journal_append([{"_op": "delete", "doc_ids": ids}])
         self._apply_delete(ids)
+        self._maybe_auto_compact()
         return {"deleted": len(ids), "n_tombstones": len(self._tombstones)}
 
     # ---- donkey A8: sync -> delta index build + federated reopen ----
@@ -374,12 +411,42 @@ class VectorServer:
     read path is probed-partition I/O, never resident); one actor per
     replica, routing is the caller's load balancer."""
 
-    def __init__(self, index_dir: str) -> None:
+    def __init__(self, index_dir: str, *,
+                 auto_compact_tombstones: "int | None" = None) -> None:
         self.index_dir = index_dir
+        self.auto_compact_tombstones = auto_compact_tombstones
         self._buffer: dict[int, list[float]] = {}
         self._tombstones: set[int] = set()
+        self._indexed: "set[int] | None" = None  # lazy; ids only (8B/vec)
         self._journal_path = os.path.join(index_dir, "vjournal.jsonl")
         self._recover()
+
+    def _segment_paths(self) -> list[str]:
+        import glob as _glob
+
+        paths = sorted(_glob.glob(
+            os.path.join(self.index_dir, "segments", "*.parquet")))
+        if not paths:  # segment layout: part files under the index dir
+            meta = mf.load_meta(self.index_dir)
+            paths = [mf.segment_path(self.index_dir, int(pid))
+                     for pid in meta.get("parts_built", [])]
+            paths = [p for p in paths if os.path.exists(p)]
+        return paths
+
+    def _indexed_ids(self) -> "set[int]":
+        """vec_ids already in the IVF artifact — loaded ONCE (ids column
+        only, 8 bytes/vec; the vectors themselves stay on disk) to
+        reject duplicate inserts that would return twice from search and
+        write duplicate rows at compact."""
+        if self._indexed is None:
+            import pyarrow.parquet as _pq
+
+            ids: set[int] = set()
+            for p in self._segment_paths():
+                col = _pq.read_table(p, columns=["vec_id"]).column("vec_id")
+                ids.update(col.to_pylist())
+            self._indexed = ids
+        return self._indexed
 
     # ---- WAL ----
     def _recover(self) -> None:
@@ -408,16 +475,21 @@ class VectorServer:
     # ---- A7 surface ----
     def ping(self) -> dict:
         meta = mf.load_meta(self.index_dir)
+        bound = (self.auto_compact_tombstones
+                 if self.auto_compact_tombstones is not None
+                 else TOMBSTONE_WARN)
         return {"status": "ok", "kind": "vector",
                 "n_indexed": int(meta["n_vecs"]),
                 "n_buffered": len(self._buffer),
-                "n_deleted": len(self._tombstones)}
+                "n_deleted": len(self._tombstones),
+                "needs_compact": len(self._tombstones) >= bound}
 
     def insert(self, rows: list[dict]) -> int:
         """rows: [{vec_id:int, embedding:[float,...]}, ...]. vec_ids
         must be NEW (not indexed, buffered, or tombstoned) — ids are the
         caller's keys and a duplicate would return twice from search."""
         seen: set[int] = set()
+        indexed = self._indexed_ids()
         for r in rows:
             v = int(r["vec_id"])
             if v in self._buffer or v in seen:
@@ -425,6 +497,9 @@ class VectorServer:
             if v in self._tombstones:
                 raise ValueError(
                     f"vec_id {v} is tombstoned; compact() before reuse")
+            if v in indexed:
+                raise ValueError(
+                    f"vec_id {v} already indexed; delete() it first")
             seen.add(v)
         self._journal_append(
             [{"vec_id": int(r["vec_id"]),
@@ -440,6 +515,12 @@ class VectorServer:
         for v in vec_ids:
             self._tombstones.add(v)
             self._buffer.pop(v, None)
+        if (self.auto_compact_tombstones is not None
+                and len(self._tombstones) >= self.auto_compact_tombstones):
+            i = 0
+            while os.path.exists(f"{self.index_dir}_compact_{i}"):
+                i += 1
+            self.compact(f"{self.index_dir}_compact_{i}")
         return {"n_deleted": len(self._tombstones)}
 
     def search(self, query_vectors, k: int = 10,
@@ -485,8 +566,6 @@ class VectorServer:
         is left untouched: a crash (or an actor restarted with the old
         constructor arg) replays the old journal over the old index —
         a consistent pre-compact view, never lost deletes/inserts."""
-        import glob as _glob
-
         import pyarrow as pa
         import pyarrow.parquet as _pq
         import ray.data
@@ -499,17 +578,8 @@ class VectorServer:
             raise ValueError(
                 f"compact target {out_dir} already holds a complete "
                 "index; compact to a fresh directory")
-        meta = mf.load_meta(self.index_dir)
-        tables = []
-        for p in sorted(_glob.glob(
-                os.path.join(self.index_dir, "segments", "*.parquet"))):
-            tables.append(_pq.read_table(p, columns=["vec_id", "embedding"]))
-        if not tables:  # segment layout: part files under the index dir
-            for pid in meta.get("parts_built", []):
-                sp = mf.segment_path(self.index_dir, int(pid))
-                if os.path.exists(sp):
-                    tables.append(
-                        _pq.read_table(sp, columns=["vec_id", "embedding"]))
+        tables = [_pq.read_table(p, columns=["vec_id", "embedding"])
+                  for p in self._segment_paths()]
         live = pa.concat_tables(tables) if tables else pa.table(
             {"vec_id": pa.array([], pa.int64()),
              "embedding": pa.array([], pa.list_(pa.float64()))})
@@ -537,6 +607,7 @@ class VectorServer:
         self.index_dir = out_dir
         self._buffer.clear()
         self._tombstones.clear()
+        self._indexed = None  # re-derive lazily from the new segments
         # the new dir starts with an (absent =) empty journal; the old
         # dir keeps its journal so a restart against it stays consistent
         self._journal_path = os.path.join(out_dir, "vjournal.jsonl")

@@ -119,6 +119,8 @@ NAMES = [
     "tpch_q5", "sorted_topk", "stop_topk", "dedup_degree",
     "ann_sharded_topk", "corpus_report", "tpch_q10", "threshold_topk",
     "grouped_split",
+    # round-3 additions
+    "minhash_neardup_delta",
 ]
 
 

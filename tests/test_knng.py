@@ -259,3 +259,67 @@ def test_single_vector_shard_is_reachable(ray_session, tmp_path):
     rows = res.to_pylist()
     assert rows and rows[0]["vec_id"] == lone_id
     assert rows[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_knn_graph_param_change_rebuilds(ray_session, tmp_path):
+    """REGRESSION (ADVICE r2): build_knn_graph's resume ignored build
+    parameters — re-entering a complete artifact with a different k (or
+    forcing the distributed path over a cached exact graph) must rebuild
+    instead of silently serving the stale artifact."""
+    import ray.data
+
+    from donkey_ray.pipelines.knng import build_knn_graph
+
+    rng = np.random.default_rng(5)
+    tbl = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(
+            rng.standard_normal((40, 8)).tolist(), pa.list_(pa.float64())),
+    })
+    out = str(tmp_path / "pguard")
+    m1 = build_knn_graph(ray.data.from_arrow(tbl), out, k=4)
+    assert m1["k"] == 4 and m1["local_exact"] is True
+    # different k: rebuilt, not served stale
+    m2 = build_knn_graph(ray.data.from_arrow(tbl), out, k=6)
+    assert m2["k"] == 6
+    # unchanged params: resume is still a no-op returning the cached meta
+    m3 = build_knn_graph(ray.data.from_arrow(tbl), out, k=6)
+    assert m3 == m2
+    # an exact cache satisfies any rounds request...
+    m4 = build_knn_graph(ray.data.from_arrow(tbl), out, k=6, rounds=5)
+    assert m4 == m2
+    # ...but NOT a forced-distributed request
+    m5 = build_knn_graph(ray.data.from_arrow(tbl), out, k=6, rounds=2,
+                         local_max_vectors=0)
+    assert not m5.get("local_exact")
+
+
+def test_exact_shard_server_ignores_beam(ray_session, tmp_path):
+    """ADVICE r2 medium: a shard built by the local EXACT path serves by
+    exhaustive scoring of its resident members, so the sharded answer is
+    exact by construction — even at beam=1 (beam search over the same
+    graph could miss a component unreachable from the entry spread)."""
+    import ray.data
+
+    from donkey_ray.pipelines.knng import (
+        _GraphShardServer,
+        _shard_dir,
+        build_sharded_knn_graph,
+        sharded_graph_topk,
+    )
+
+    out = str(tmp_path / "exact_shards")
+    build_sharded_knn_graph(
+        ray.data.read_parquet(EMB, columns=["vec_id", "embedding"]),
+        out, n_shards=3, k=8, rounds=2,
+    )
+    srv = _GraphShardServer(_shard_dir(out, 0), EMB, shard=0, n_shards=3)
+    assert srv.exact is True
+    t = pq.read_table(EMB, columns=["vec_id", "embedding"])
+    qv = np.asarray(t.column("embedding").to_pylist()[:3], dtype=np.float64)
+    res = sharded_graph_topk(out, EMB, qv, k=10, beam=1)
+    want = _brute_topk(qv, 10)
+    got = {qi: [] for qi in range(3)}
+    for r in res.to_pylist():
+        got[r["query_id"]].append(r["vec_id"])
+    assert [got[qi] for qi in range(3)] == want

@@ -419,3 +419,78 @@ def test_serve_flush_preserves_analyzer(ray_session, tmp_path):
     ids = {h["doc_id"] for h in hits}
     assert doc_id_from_key("r", "new0", "c") in ids  # plural doc matches
     assert doc_id_from_key("r", "base0", "c") in ids
+
+
+def test_auto_compact_threshold(served_index, tmp_path):
+    """VERDICT r2: a delete pushing tombstones to the configured
+    threshold triggers compact automatically into a fresh sibling dir —
+    over-fetch stays bounded under sustained deletes."""
+    import shutil
+
+    corpus, out = served_index
+    base = str(tmp_path / "index")
+    shutil.copytree(out, base)
+    srv = IndexServer(base, auto_compact_tombstones=3)
+    victims = [h["doc_id"] for h in srv.search("return x", 3)]
+    srv.delete(victims[:2])
+    assert srv.ping()["n_deleted"] == 2
+    assert srv.base_dir == base  # below threshold: no compact yet
+    srv.delete(victims[2:])
+    # threshold hit: compacted into a fresh dir, tombstones resolved
+    assert srv.ping()["n_deleted"] == 0
+    assert srv.base_dir == base + "_compact_0"
+    assert srv.ping()["n_docs"] == 147
+    assert all(h["doc_id"] not in victims
+               for h in srv.search("return x", 200))
+
+
+def test_needs_compact_warning(served_index, tmp_path, monkeypatch):
+    """Without auto-compact, ping() raises needs_compact once the
+    tombstone count passes the soft TOMBSTONE_WARN bound."""
+    import shutil
+
+    import donkey_ray.serve as serve_mod
+
+    corpus, out = served_index
+    base = str(tmp_path / "index")
+    shutil.copytree(out, base)
+    srv = IndexServer(base)
+    monkeypatch.setattr(serve_mod, "TOMBSTONE_WARN", 2)
+    assert srv.ping()["needs_compact"] is False
+    srv.delete([h["doc_id"] for h in srv.search("return x", 2)])
+    assert srv.ping()["needs_compact"] is True
+
+
+def test_vector_server_rejects_indexed_id(vector_server):
+    """REGRESSION (ADVICE r2): re-inserting a vec_id that is already in
+    the IVF artifact must be rejected — it would return twice from
+    search() and write duplicate rows at compact()."""
+    srv, vecs, tmp_path = vector_server
+    with pytest.raises(ValueError, match="already indexed"):
+        srv.insert([{"vec_id": 7, "embedding": list(vecs[7])}])
+    # the guard follows a compact swap to the NEW index
+    srv.compact(str(tmp_path / "vidx_dupguard"))
+    with pytest.raises(ValueError, match="already indexed"):
+        srv.insert([{"vec_id": 7, "embedding": list(vecs[7])}])
+    # deleted-then-compacted ids stay insertable
+    srv.delete([9])
+    srv.compact(str(tmp_path / "vidx_dupguard2"))
+    srv.insert([{"vec_id": 9, "embedding": list(vecs[9])}])
+    assert srv.search(vecs[9], k=1)[0]["vec_id"] == 9
+
+
+def test_vector_server_auto_compact(vector_server):
+    """Tombstone threshold auto-compacts the vector index too."""
+    from donkey_ray.serve import VectorServer
+
+    srv0, vecs, _ = vector_server
+    idx = srv0.index_dir
+    srv = VectorServer(idx, auto_compact_tombstones=2)
+    srv.delete([0])
+    assert srv.ping()["n_deleted"] == 1 and srv.index_dir == idx
+    srv.delete([1])
+    assert srv.ping()["n_deleted"] == 0  # auto-compacted
+    assert srv.index_dir == idx + "_compact_0"
+    assert srv.ping()["n_indexed"] == 58
+    assert all(h["vec_id"] not in (0, 1)
+               for h in srv.search(vecs[0], k=58))

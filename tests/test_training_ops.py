@@ -2152,3 +2152,72 @@ def test_semdedup(ray_session):
         semdedup(ds.repartition(5), cents, threshold=tau)
     ).sort_by("vec_id")
     assert out.equals(out5)
+
+
+def test_minhash_delta_vs_full(ray_session, tmp_path):
+    """The persisted MinHash/LSH artifact probe returns EXACTLY the
+    cross pairs of the full-corpus minhash_neardup_pairs run — band
+    keys are a pure function of the pinned perm/band spec, so signing
+    only the delta loses no candidates."""
+    import ray.data
+
+    from donkey_ray.pipelines.dedup import (
+        build_minhash_index,
+        minhash_neardup_delta,
+        minhash_neardup_pairs,
+    )
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{i}" for i in range(150)]
+    texts = []
+    for i in range(60):
+        toks = list(rng.choice(vocab, size=rng.integers(8, 30)))
+        texts.append(" ".join(toks))
+    # guaranteed near-dups across the split (delta = ids % 4 == 0)
+    texts[8] = texts[15]
+    texts[12] = texts[21] + " extra"
+    texts[4] = texts[16]  # delta-delta dup: must NOT appear in delta out
+    tbl = pa.table({"doc_id": pa.array(np.arange(60), pa.int64()),
+                    "text": pa.array(texts)})
+    corpus = tbl.filter(pa.array(np.arange(60) % 4 != 0))
+    delta = tbl.filter(pa.array(np.arange(60) % 4 == 0))
+
+    idx = str(tmp_path / "mhindex")
+    meta = build_minhash_index(
+        ray.data.from_arrow(corpus), idx, n=2, threshold=0.5)
+    assert meta["n_docs"] == corpus.num_rows
+    assert meta["num_perms"] == 128 and meta["num_bands"] == 32
+
+    got = dataset_to_table(
+        minhash_neardup_delta(idx, ray.data.from_arrow(delta))
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    full = dataset_to_table(minhash_neardup_pairs(
+        ray.data.from_arrow(tbl), n=2, threshold=0.5))
+    a = full.column("doc_a").to_numpy(zero_copy_only=False)
+    b = full.column("doc_b").to_numpy(zero_copy_only=False)
+    a_is_delta = (a % 4) == 0
+    b_is_delta = (b % 4) == 0
+    cross = a_is_delta != b_is_delta
+    ca = np.where(a_is_delta, b, a)[cross]
+    db = np.where(a_is_delta, a, b)[cross]
+    jz = full.column("jaccard").to_numpy(zero_copy_only=False)[cross]
+    want = pa.table({"doc_a": pa.array(ca, pa.int64()),
+                     "doc_b": pa.array(db, pa.int64()),
+                     "jaccard": pa.array(jz, pa.float64())}).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")])
+    assert got.num_rows == want.num_rows and got.num_rows > 0
+    assert got.equals(want)
+    # spec-mismatch guard: a doctored meta refuses to serve
+    import json as _json
+    import os as _os
+
+    mp = _os.path.join(idx, "meta.json")
+    with open(mp) as f:
+        m = _json.load(f)
+    m["num_bands"] = 16
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(ValueError, match="perm/band spec"):
+        dataset_to_table(minhash_neardup_delta(idx, ray.data.from_arrow(delta)))
