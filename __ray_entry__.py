@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": api.q_ann_ivf_topk,
         "ann_sharded_topk": api.q_ann_sharded_topk,
         "ann_graph_topk": api.q_ann_graph_topk,
+        "graph_topk_recall": api.q_graph_topk_recall,
         "object_search": api.q_object_search,
         "embedding_neardup": api.q_embedding_neardup,
         "embedding_clusters": api.q_embedding_clusters,
@@ -350,6 +351,14 @@ def oracle_sql() -> dict[str, str]:
     # sharded graph serving: disjoint EXACT per-shard graphs merged ->
     # globally exact, so it shares the brute-force oracle too
     sqls["ann_sharded_topk"] = sqls["ann_topk"]
+    # approximate beam search over the distributed NN-descent graph:
+    # the engine emits recall_ok = (|beam topk INTERSECT exact topk|/k
+    # >= 0.9) per pinned query; the oracle pins the all-ones assertion
+    # table, so a recall regression breaks the driver hash
+    sqls["graph_topk_recall"] = (
+        "SELECT unnest(generate_series(0, 4))::BIGINT AS query_id, "
+        "1::BIGINT AS recall_ok"
+    )
     return sqls
 
 

@@ -1852,6 +1852,53 @@ def q_ann_graph_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "cos_sim")
 
 
+def q_graph_topk_recall(sf_dir: str) -> pa.Table:
+    """Driver-visible recall GATE for the approximate beam stack
+    (VERDICT r2 item 7): the NN-descent graph is force-built by the
+    DISTRIBUTED path (local_max_vectors=0 — the artifact the 100 TB
+    deployment actually serves), each pinned query runs the beam
+    search, and the row asserts |beam top-k ∩ exact brute-force top-k|
+    / k >= 0.9. The oracle pins the all-ones assertion table, so a
+    recall regression breaks the driver hash — not just a pytest."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.ann import brute_force_topk
+    from .pipelines.knng import build_knn_graph, graph_topk
+
+    out = os.path.join(
+        CACHE_ROOT, f"knngnd-{_hl.sha256(sf_dir.encode()).hexdigest()[:16]}"
+    )
+    build_knn_graph(_embeddings(sf_dir), out, k=16, rounds=2,
+                    local_max_vectors=0)
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = {
+        v: e
+        for v, e in zip(emb.column("vec_id").to_pylist(),
+                        emb.column("embedding").to_pylist())
+    }
+    qv = np.asarray([by_id[i] for i in ANN_QUERY_IDS], dtype=np.float64)
+    beam = graph_topk(out, f"{sf_dir}/embeddings.parquet", qv,
+                      k=ANN_K, beam=64)
+    exact = brute_force_topk(_embeddings(sf_dir), qv, k=ANN_K)
+    bq = beam.column("query_id").to_numpy(zero_copy_only=False)
+    bv = beam.column("vec_id").to_numpy(zero_copy_only=False)
+    eq = exact.column("query_id").to_numpy(zero_copy_only=False)
+    ev = exact.column("vec_id").to_numpy(zero_copy_only=False)
+    ok = []
+    for qi in range(len(ANN_QUERY_IDS)):
+        want = set(ev[eq == qi].tolist())
+        got = set(bv[bq == qi].tolist())
+        ok.append(int(len(want & got) >= 0.9 * len(want)))
+    return pa.table({
+        "query_id": pa.array(range(len(ANN_QUERY_IDS)), pa.int64()),
+        "recall_ok": pa.array(ok, pa.int64()),
+    })
+
+
 # Multi-feature object search (donkey A6): query OBJECTS are these
 # pinned labels (every vector of the label is one query feature); the
 # corpus object of a vector is its label. R pinned at 0.3 — the nearest
@@ -2063,14 +2110,22 @@ def q_kmeans_centroids(sf_dir: str) -> pa.Table:
 
 
 def q_knn_label_eval(sf_dir: str) -> ray.data.Dataset:
-    """Leave-one-out 5-NN label prediction over the labeled embeddings."""
+    """Leave-one-out 5-NN label prediction over the labeled embeddings —
+    deliberately routed through the IVF-probed large-n path (exact at
+    nprobe=n_lists) so the contract gates the beyond-broadcast plan, not
+    just the small-n ray.put fast path."""
+    import hashlib as _hl
+
     from .pipelines.ann import knn_label_eval
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding", "label"], override_num_blocks=8,
     )
-    return knn_label_eval(ds, k=5)
+    out = os.path.join(
+        CACHE_ROOT, f"knneval-{_hl.sha256(sf_dir.encode()).hexdigest()[:16]}"
+    )
+    return knn_label_eval(ds, k=5, index_dir=out)
 
 
 def q_pca_component(sf_dir: str) -> pa.Table:

@@ -599,6 +599,11 @@ def object_search(
     })
 
 
+KNN_EVAL_BROADCAST_MAX = 100_000  # rows; up to here the labeled matrix
+# ships once via ray.put (n*dim doubles); beyond it the IVF-probed path
+# takes over — no whole-dataset broadcast on the large-n path
+
+
 def knn_label_eval(
     ds: ray.data.Dataset,
     *,
@@ -606,6 +611,10 @@ def knn_label_eval(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    index_dir: str | None = None,
+    max_broadcast_rows: int = KNN_EVAL_BROADCAST_MAX,
+    nprobe: int | None = None,
+    n_lists: int = 16,
 ) -> ray.data.Dataset:
     """Leave-one-out kNN label prediction over a labeled embedding table
     — the standard embedding-quality eval. For each vector: its k
@@ -613,12 +622,32 @@ def knn_label_eval(
     label wins (ties: count desc, label asc). Output (vec_id,
     true_label, pred_label, correct).
 
-    Scale shape: same broadcast-tile pattern as the exact near-dup path
-    (normalized matrix + labels shipped once via ray.put, O(n*dim));
-    every batch computes its (batch x n) similarity tile in a worker
-    task and reduces it to k votes per row. Beyond broadcastable n*dim,
-    swap the global side for the IVF index's probed lists — the voting
-    logic is unchanged."""
+    Dispatch: at or below ``max_broadcast_rows`` the labeled matrix
+    ships ONCE via ray.put and every batch computes a (batch x n) tile —
+    the small-n fast path. Beyond it (or when ``index_dir`` is given)
+    the global side is the IVF artifact's probed lists instead: each
+    actor loads centroids once and reads only the segment partitions its
+    queries probe (LRU-cached under a byte budget) — nothing
+    corpus-sized is broadcast or driver-resident. nprobe=None probes
+    every list, which keeps the eval EXACT (identical to the broadcast
+    path; layout-invariance pytest-pinned); smaller nprobe trades recall
+    for I/O exactly like ivf_topk."""
+    if index_dir is None and ds.count() <= max_broadcast_rows:
+        return _knn_label_eval_broadcast(
+            ds, k=k, vec_col=vec_col, id_col=id_col, label_col=label_col)
+    return _knn_label_eval_ivf(
+        ds, k=k, vec_col=vec_col, id_col=id_col, label_col=label_col,
+        index_dir=index_dir, nprobe=nprobe, n_lists=n_lists)
+
+
+def _knn_label_eval_broadcast(
+    ds: ray.data.Dataset,
+    *,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+) -> ray.data.Dataset:
     mt = dataset_to_table(ds.select_columns([id_col, vec_col, label_col]))
     gids = mt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     glabels = mt.column(label_col).to_numpy(
@@ -652,3 +681,201 @@ def knn_label_eval(
 
     return ds.map_batches(tile, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+class _IVFNeighborProber:
+    """Actor-pool stage for the large-n eval: centroids load once per
+    actor; each query batch probes its nprobe nearest lists and reads
+    only the segment PARTITIONS owning them, LRU-cached under
+    ``cache_bytes`` per actor — per-actor memory is O(cache budget),
+    never O(corpus), and nothing ships from the driver. Emits the
+    top-k OTHER-neighbor edge list (vec_id, true_label, nbr_id): the
+    label lookup happens in a downstream keyed join, so the prober
+    never needs a global label map either."""
+
+    def __init__(self, index_dir: str, k: int, nprobe: int | None,
+                 vec_col: str, id_col: str, label_col: str,
+                 cache_bytes: int = 1 << 30) -> None:
+        import os
+        from collections import OrderedDict
+
+        import pyarrow.parquet as pq
+
+        from ..state import manifest as mf
+
+        self.index_dir = index_dir
+        self.meta = mf.load_meta(index_dir)
+        self.centroids = _batch_matrix(
+            pq.read_table(os.path.join(index_dir, "centroids.parquet")),
+            "centroid")
+        n_lists = len(self.centroids)
+        self.nprobe = n_lists if nprobe is None else min(nprobe, n_lists)
+        self.k = k
+        self.vec_col, self.id_col, self.label_col = vec_col, id_col, label_col
+        self.cache_bytes = cache_bytes
+        self._cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._cache_sz = 0
+
+    def _load_part(self, part: int):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..state import manifest as mf
+
+        if part in self._cache:
+            self._cache.move_to_end(part)
+            return self._cache[part]
+        path = mf.segment_path(self.index_dir, part)
+        if not os.path.exists(path):
+            entry = (np.array([], np.int32), np.array([], np.int64),
+                     np.zeros((0, self.centroids.shape[1])))
+        else:
+            t = pq.read_table(path, columns=["list_id", "vec_id", "embedding"])
+            entry = (
+                t.column("list_id").to_numpy(zero_copy_only=False),
+                t.column("vec_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                _normalize(_batch_matrix(t, "embedding")),
+            )
+        sz = entry[2].nbytes + entry[0].nbytes + entry[1].nbytes
+        while self._cache and self._cache_sz + sz > self.cache_bytes:
+            _, old = self._cache.popitem(last=False)
+            self._cache_sz -= (old[2].nbytes + old[0].nbytes + old[1].nbytes)
+        self._cache[part] = entry
+        self._cache_sz += sz
+        return entry
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        blab = batch.column(self.label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bm = _normalize(_batch_matrix(batch, self.vec_col))
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "true_label": pa.array([], pa.int64()),
+            "nbr_id": pa.array([], pa.int64()),
+        })
+        if len(bids) == 0:
+            return empty
+        P = int(self.meta["num_partitions"])
+        probe = np.argsort(-(bm @ self.centroids.T), axis=1)[:, :self.nprobe]
+        out_q, out_l, out_n = [], [], []
+        # group queries by the PARTITION SET they probe is overkill at
+        # nprobe=n_lists (every query probes every part); iterate parts
+        # outer, queries inner, folding per-query top-k across parts
+        best_ids = [None] * len(bids)
+        best_sims = [None] * len(bids)
+        need_parts = np.unique(np.unique(probe) % P)
+        for part in need_parts:
+            lists, ids, m = self._load_part(int(part))
+            if not len(ids):
+                continue
+            sims_all = m @ bm.T  # (part_rows, batch)
+            for i in range(len(bids)):
+                sel = np.isin(lists, probe[i])
+                sel &= ids != bids[i]  # leave-one-out
+                if not sel.any():
+                    continue
+                s = sims_all[sel, i]
+                cand_ids = ids[sel]
+                kk = min(self.k, len(cand_ids))
+                top = np.lexsort((cand_ids, -s))[:kk]
+                if best_ids[i] is None:
+                    best_ids[i], best_sims[i] = cand_ids[top], s[top]
+                else:
+                    ci = np.concatenate([best_ids[i], cand_ids[top]])
+                    cs = np.concatenate([best_sims[i], s[top]])
+                    keep = np.lexsort((ci, -cs))[:self.k]
+                    best_ids[i], best_sims[i] = ci[keep], cs[keep]
+        for i in range(len(bids)):
+            if best_ids[i] is None:
+                continue
+            out_q.extend([int(bids[i])] * len(best_ids[i]))
+            out_l.extend([int(blab[i])] * len(best_ids[i]))
+            out_n.extend(int(x) for x in best_ids[i])
+        return pa.table({
+            "vec_id": pa.array(out_q, pa.int64()),
+            "true_label": pa.array(out_l, pa.int64()),
+            "nbr_id": pa.array(out_n, pa.int64()),
+        })
+
+
+def _knn_label_eval_ivf(
+    ds: ray.data.Dataset,
+    *,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    index_dir: str | None,
+    nprobe: int | None,
+    n_lists: int,
+) -> ray.data.Dataset:
+    """The beyond-broadcast eval path: IVF artifact (built once if not
+    supplied) supplies the neighbor side; neighbor labels resolve via a
+    keyed hash join of the top-k edge list (n*k rows, ids only) against
+    the (id, label) projection; the vote is a vec_id-keyed partition
+    fold. Three bounded exchanges, no corpus-sized broadcast."""
+    import tempfile
+
+    from ..stages.exchange import keyed_partition_map
+    from .ivf import build_ivf_index
+    from .joins import hash_join
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="knn_eval_ivf_")
+    build_ivf_index(ds, index_dir, n_lists=n_lists,
+                    vec_col=vec_col, id_col=id_col)
+
+    prober = _IVFNeighborProber
+    edges = ds.map_batches(
+        prober, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8), batch_size=1024,
+        fn_constructor_args=(index_dir, k, nprobe, vec_col, id_col,
+                             label_col),
+    )
+
+    def label_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nbr_id": batch.column(id_col).cast(pa.int64()),
+            "nbr_label": batch.column(label_col).cast(pa.int64()),
+        })
+
+    labels = ds.map_batches(label_proj, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = hash_join(edges, labels, left_on="nbr_id", right_on="nbr_id",
+                       how="inner")
+
+    def vote(part: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "true_label": pa.array([], pa.int64()),
+            "pred_label": pa.array([], pa.int64()),
+            "correct": pa.array([], pa.int64()),
+        })
+        if part.num_rows == 0:
+            return empty
+        q = part.column("vec_id").to_numpy(zero_copy_only=False)
+        t = part.column("true_label").to_numpy(zero_copy_only=False)
+        nl = part.column("nbr_label").to_numpy(zero_copy_only=False)
+        out = {"vec_id": [], "true_label": [], "pred_label": []}
+        for qid in np.unique(q):
+            m = q == qid
+            votes, counts = np.unique(nl[m], return_counts=True)
+            pred = votes[np.lexsort((votes, -counts))[0]]
+            out["vec_id"].append(int(qid))
+            out["true_label"].append(int(t[np.argmax(m)]))
+            out["pred_label"].append(int(pred))
+        tl = np.asarray(out["true_label"], np.int64)
+        pl = np.asarray(out["pred_label"], np.int64)
+        return pa.table({
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "true_label": pa.array(tl, pa.int64()),
+            "pred_label": pa.array(pl, pa.int64()),
+            "correct": pa.array((tl == pl).astype(np.int64), pa.int64()),
+        })
+
+    vote.__name__ = "knn_eval_vote"
+    return keyed_partition_map(joined, ["vec_id"], vote)

@@ -284,10 +284,12 @@ def skew_join(
     from ..util import dataset_to_table
 
     # left feeds three consumers (key counts, hot join, cold join) and
-    # right feeds two — pin both so derived upstream plans don't
-    # re-execute per consumption (the repo's double-consumption rule)
-    left = left.materialize()
-    right = right.materialize()
+    # right two — deliberately NOT materialized: pinning a fact side in
+    # the object store at 100 TB is a spill storm. Each consumer
+    # re-executes the source plan instead (an extra scan, O(1) memory);
+    # only the hot RIGHT slice — bounded by construction — is pinned.
+    # Assumption: the input plans are deterministic across re-reads
+    # (true for every parquet-read pipeline in this repo).
 
     def key_partials(batch: pa.Table) -> pa.Table:
         out = batch.select([left_on]).group_by([left_on], use_threads=False)\

@@ -132,7 +132,18 @@ def score_queries(
 ) -> ray.data.Dataset:
     n_queries = queries.num_rows if isinstance(queries, pa.Table) else None
     if isinstance(queries, pa.Table):
-        queries = ray.data.from_arrow(queries)
+        # from_arrow(one table) yields ONE block and Ray Data schedules
+        # map tasks per BLOCK (batch_size only slices within a task), so
+        # the whole sweep would run on a single actor. Split driver-side
+        # into one slice per batch (a list of tables = one block each) —
+        # a repartition op here can deadlock against a fixed-size actor
+        # pool that holds every CPU slot.
+        if n_queries and n_queries > batch_size:
+            slices = [queries.slice(i, batch_size)
+                      for i in range(0, n_queries, batch_size)]
+            queries = ray.data.from_arrow(slices)
+        else:
+            queries = ray.data.from_arrow(queries)
     if concurrency is None:
         # actors sized to the number of query batches (engine init — dict
         # load — is paid per actor; more actors than batches is pure waste)

@@ -403,6 +403,13 @@ class QueryEngine:
         self._decoded_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._decoded_values = 0
         self._decoded_budget = 8_000_000
+        # term-level LRU: the fully MERGED, idf-scaled (ids, scores) of
+        # one term is query-independent end-to-end (df, avgdl, n_docs
+        # are engine constants), so a repeated query term costs one
+        # cache hit + top-k instead of re-merging its salted runs
+        self._term_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._term_values = 0
+        self._term_budget = 8_000_000
         self.blocks_decoded = 0  # instrumentation (pruning effectiveness)
 
     def _shard(self, ix: int, part: int) -> _SegmentShard | None:
@@ -1030,8 +1037,15 @@ class QueryEngine:
 
     # ---- exact: decode-everything vectorized scoring ----
     def _decoded_run(self, row: dict) -> tuple:
-        """(ids, tfs, dls) for one posting run, LRU-cached by buffer
-        content (values-budgeted — see __init__)."""
+        """(ids, w) for one posting run, LRU-cached by buffer content
+        (values-budgeted — see __init__). ``w`` is the query-INDEPENDENT
+        BM25 tf-weight array (tf, dl, avgdl are all run/engine
+        constants; idf is applied per query as a scalar): caching it —
+        and NOT the raw tf/dl arrays, which nothing downstream reads —
+        turns per-query scoring of a cached run into one multiply pass
+        instead of re-walking tf+dl, and doubles the entries the budget
+        holds. At 32 actors per node the tf-weight recompute was the
+        dominant memory-bandwidth consumer of the serving sweep."""
         # ALL THREE buffers key the entry: across federated members the
         # same (ids, tfs) bytes could pair with different dls (doc_id is
         # key-derived, content isn't), and a 2-buffer key would alias
@@ -1044,28 +1058,82 @@ class QueryEngine:
         ids = decode_blocked_deltas(row["doc_ids"], n, self.block_size)
         tfs = varbyte_decode(row["tfs"]).astype(np.float64)
         dls = varbyte_decode(row["dls"]).astype(np.float64)
-        val = (ids, tfs, dls)
+        w = self.scorer.tf_weight(tfs, dls, self.avgdl)
+        val = (ids, w)
         self._decoded_cache[key] = val
-        self._decoded_values += 3 * n
+        self._decoded_values += 2 * n
         while self._decoded_values > self._decoded_budget and self._decoded_cache:
-            _, (oi, _, _) = self._decoded_cache.popitem(last=False)
-            self._decoded_values -= 3 * len(oi)
+            _, old = self._decoded_cache.popitem(last=False)
+            self._decoded_values -= 2 * len(old[0])
         return val
 
     def _topk_exact(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:
-        all_ids: list[np.ndarray] = []
-        all_scores: list[np.ndarray] = []
+        # Per TERM, a doc appears in exactly one run (salted runs split
+        # one index's postings; federated members hold disjoint docs),
+        # so a term's merged posting list needs no summation — order
+        # runs by first doc_id and concatenate (already globally sorted
+        # for range-salted runs; one argsort repairs the interleaved
+        # federated case). ACROSS terms, accumulate by O(n) sorted
+        # merge: contributions add in the same term order bincount
+        # would use, so the float64 sums are bit-identical to the old
+        # unique+bincount path (oracle-pinned).
+        per_ids: list[np.ndarray] = []
+        per_scores: list[np.ndarray] = []
         for term, rows in runs_by_term.items():
+            tkey = tuple((r["doc_ids"], r["tfs"], r["dls"]) for r in rows)
+            hit = self._term_cache.get(tkey)
+            if hit is not None:
+                self._term_cache.move_to_end(tkey)
+                per_ids.append(hit[0])
+                per_scores.append(hit[1])
+                continue
             df = sum(int(r["df"]) for r in rows)
             w_idf = float(self.scorer.idf(df, self.n_docs))
+            t_ids: list[np.ndarray] = []
+            t_sc: list[np.ndarray] = []
             for row in rows:
-                ids, tfs, dls = self._decoded_run(row)
-                all_ids.append(ids)
-                all_scores.append(w_idf * self.scorer.tf_weight(tfs, dls, self.avgdl))
-        ids = np.concatenate(all_ids)
-        sc = np.concatenate(all_scores)
-        uniq, inv = np.unique(ids, return_inverse=True)
-        sums = np.bincount(inv, weights=sc, minlength=len(uniq))
+                ids, w = self._decoded_run(row)
+                if len(ids):
+                    t_ids.append(ids)
+                    t_sc.append(w_idf * w)
+            if not t_ids:
+                continue
+            if len(t_ids) == 1:
+                ti, ts = t_ids[0], t_sc[0]
+            else:
+                order = sorted(range(len(t_ids)),
+                               key=lambda i: int(t_ids[i][0]))
+                ti = np.concatenate([t_ids[i] for i in order])
+                ts = np.concatenate([t_sc[i] for i in order])
+                if not np.all(ti[1:] > ti[:-1]):
+                    o2 = np.argsort(ti, kind="stable")
+                    ti, ts = ti[o2], ts[o2]
+            self._term_cache[tkey] = (ti, ts)
+            self._term_values += 2 * len(ti)
+            while self._term_values > self._term_budget and self._term_cache:
+                _, old = self._term_cache.popitem(last=False)
+                self._term_values -= 2 * len(old[0])
+            per_ids.append(ti)
+            per_scores.append(ts)
+        if not per_ids:
+            return []
+        # cached arrays are shared across queries: the merge below must
+        # never mutate them, so the accumulator starts as a copy
+        uniq, sums = per_ids[0], per_scores[0]
+        if len(per_ids) > 1:
+            sums = sums.copy()
+        for ib, sb in zip(per_ids[1:], per_scores[1:]):
+            pos = np.searchsorted(uniq, ib)
+            pc = np.minimum(pos, len(uniq) - 1)
+            matched = uniq[pc] == ib
+            if matched.all():
+                sums[pc] += sb  # pc unique (ib unique) -> direct add
+            else:
+                nm = ~matched
+                if matched.any():
+                    sums[pc[matched]] += sb[matched]
+                uniq = np.insert(uniq, pos[nm], ib[nm])
+                sums = np.insert(sums, pos[nm], sb[nm])
         order = scoring.topk_order(uniq, sums, k)
         return [(int(uniq[i]), float(sums[i])) for i in order]
 

@@ -494,3 +494,45 @@ def test_vector_server_auto_compact(vector_server):
     assert srv.ping()["n_indexed"] == 58
     assert all(h["vec_id"] not in (0, 1)
                for h in srv.search(vecs[0], k=58))
+
+
+def test_serve_router_round_robin_and_failover(served_index):
+    """VERDICT r2 item 2: the multi-replica router answers every query
+    identically to a single engine, fans batches across replicas, and
+    fails over (with respawn-by-name) when a replica dies."""
+    import time
+
+    import ray
+
+    from donkey_ray.serve import ServeRouter
+    from donkey_ray.stages.score import QueryEngine
+
+    corpus, out = served_index
+    router = ServeRouter(out, n_replicas=2, name_prefix="t_router_rep")
+    engine = QueryEngine(out)
+    try:
+        for row in make_queries(6).to_pylist():
+            got = router.search(row["text"], int(row["k"]))
+            want = engine.topk(row["text"], int(row["k"]))
+            assert [(h["doc_id"], h["score"]) for h in got] == pytest.approx(want)
+        # batch fan-out across replicas, results in request order
+        qs = [(r["text"], int(r["k"])) for r in make_queries(10).to_pylist()]
+        for (text, k), got in zip(qs, router.search_many(qs)):
+            want = engine.topk(text, k)
+            assert [(h["doc_id"], h["score"]) for h in got] == pytest.approx(want)
+        assert router.ping()["replicas"] == ["ok", "ok"]
+
+        # failover: kill one replica; every query still answers
+        ray.kill(ray.get_actor("t_router_rep_0"))
+        for row in make_queries(6).to_pylist():
+            got = router.search(row["text"], int(row["k"]))
+            want = engine.topk(row["text"], int(row["k"]))
+            assert [(h["doc_id"], h["score"]) for h in got] == pytest.approx(want)
+        # the killed replica respawns under its name on demand
+        for _ in range(20):
+            if router.ping()["replicas"] == ["ok", "ok"]:
+                break
+            time.sleep(0.5)
+        assert router.ping()["replicas"] == ["ok", "ok"]
+    finally:
+        router.shutdown()

@@ -2221,3 +2221,46 @@ def test_minhash_delta_vs_full(ray_session, tmp_path):
         _json.dump(m, f)
     with pytest.raises(ValueError, match="perm/band spec"):
         dataset_to_table(minhash_neardup_delta(idx, ray.data.from_arrow(delta)))
+
+
+def test_knn_label_eval_ivf_equals_broadcast(ray_session, tmp_path):
+    """VERDICT r2: the beyond-broadcast IVF-probed eval path (no ray.put
+    of the labeled matrix) returns EXACTLY the broadcast-tile result at
+    nprobe=n_lists, and is invariant to the input's block layout."""
+    import ray.data
+
+    from donkey_ray.pipelines.ann import knn_label_eval
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(21)
+    n, dim = 300, 12
+    vecs = rng.standard_normal((n, dim))
+    labels = rng.integers(0, 4, size=n)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        "label": pa.array(labels, pa.int64()),
+    })
+
+    want = dataset_to_table(
+        knn_label_eval(ray.data.from_arrow(tbl), k=5)
+    ).sort_by([("vec_id", "ascending")])
+
+    idx = str(tmp_path / "evalivf")
+    got = dataset_to_table(knn_label_eval(
+        ray.data.from_arrow(tbl), k=5, index_dir=idx, n_lists=8,
+    )).sort_by([("vec_id", "ascending")])
+    assert got.equals(want)
+
+    # layout invariance: a different block structure, same artifact
+    relaid = ray.data.from_arrow(tbl).repartition(7)
+    got2 = dataset_to_table(knn_label_eval(
+        relaid, k=5, index_dir=idx, n_lists=8,
+    )).sort_by([("vec_id", "ascending")])
+    assert got2.equals(want)
+
+    # the dispatcher takes the IVF path on its own past the broadcast cap
+    got3 = dataset_to_table(knn_label_eval(
+        ray.data.from_arrow(tbl), k=5, max_broadcast_rows=0,
+    )).sort_by([("vec_id", "ascending")])
+    assert got3.equals(want)
