@@ -418,8 +418,10 @@ def serving_replicas_bench(replica_counts=(1, 2, 4)) -> dict:
     from donkey_ray.serve import ServeRouter
     from donkey_ray.synth import make_queries
 
+    # 50x the sf0.1 sweep: at <=4 replicas each query costs ~0.7 ms of
+    # replica time, so 20k queries give multi-second walls per level
     qs = [(r["text"], int(r["k"]))
-          for r in make_queries(SERVING_QUERIES).to_pylist()]
+          for r in make_queries(50 * SERVING_QUERIES).to_pylist()]
     levels = {}
     for n_rep in replica_counts:
         router = ServeRouter(idx, n_replicas=n_rep,
@@ -444,7 +446,7 @@ def serving_replicas_bench(replica_counts=(1, 2, 4)) -> dict:
         "speedup_vs_1": {
             str(k): round(v["queries_per_s"] / base, 2)
             for k, v in levels.items()},
-        "n_queries": SERVING_QUERIES,
+        "n_queries": 50 * SERVING_QUERIES,
         "index_docs": SERVING_INDEX_DOCS,
         "queries": {f"router@{k}rep": v["wall_s"]
                     for k, v in levels.items()},
