@@ -200,15 +200,24 @@ def cmd_report(args) -> int:
 def cmd_serve(args) -> int:
     """Start the named serving actor and answer queries from stdin
     (one query text per line; JSON hits per line). The actor outlives
-    this process when --detached is given (donkey server analogue)."""
+    this process when --detached is given (donkey server analogue).
+    --replicas N > 1 fronts N read replicas with a ServeRouter
+    (round-robin + failover) under the same name."""
     _ray_init()
     import ray
 
-    from .serve import start_server
+    from .serve import start_router, start_server
 
-    server = start_server(
-        args.index, name=args.name, mode=args.mode, detached=args.detached
-    )
+    if args.replicas > 1:
+        server = start_router(
+            args.index, n_replicas=args.replicas, name=args.name,
+            mode=args.mode, detached=args.detached,
+        )
+    else:
+        server = start_server(
+            args.index, name=args.name, mode=args.mode,
+            detached=args.detached,
+        )
     print(json.dumps(ray.get(server.ping.remote())))
     if args.ping_only:
         return 0
@@ -323,6 +332,8 @@ def main(argv=None) -> int:
     v = sub.add_parser("serve", help="serve an index from a named Ray actor")
     v.add_argument("--index", required=True)
     v.add_argument("--name", default="donkey_index_server")
+    v.add_argument("--replicas", type=int, default=1,
+                   help=">1 fronts N read replicas with a ServeRouter")
     v.add_argument("--mode", choices=["auto", "exact", "wand"], default="auto")
     v.add_argument("--kind", choices=["topk", "and", "prefix", "phrase", "near"], default="topk")
     v.add_argument("--window", type=int, default=4)

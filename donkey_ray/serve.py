@@ -26,9 +26,10 @@ NEW (repo, path, commit) keys — doc_ids are derived from that key, and
 a duplicate would double-count postings across federated members.
 
 Scale shape: one server actor per index replica; the actor itself holds
-only LRU caches (no full dictionary), so replicas are cheap. Query
-routing across many replicas is the caller's load balancer; this module
-provides the single-replica building block Ray can schedule anywhere.
+only LRU caches (no full dictionary), so replicas are cheap.
+``ServeRouter`` is the multi-replica front: round-robin + failover over
+N named read replicas with chunked batch fan-out (aggregate q/s scales
+near-linearly with replicas — BENCH/bench_s17_serving.json).
 """
 
 from __future__ import annotations
