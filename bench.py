@@ -191,6 +191,30 @@ def scaling_child(num_cpus: int) -> dict:
     return b
 
 
+def _run_child(flag: str, cpus: int) -> dict | None:
+    """One fresh-process bench child; returns its JSON result or None
+    (with the child's stderr tail surfaced) when it crashed — a dead
+    trial must not abort the whole multi-trial run."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), flag, str(cpus)],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        sys.stderr.write(
+            f"bench child {flag} {cpus} failed (rc={proc.returncode}):\n"
+            + proc.stderr[-2000:] + "\n")
+        return None
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError:
+        sys.stderr.write(
+            f"bench child {flag} {cpus} emitted no JSON; stdout tail: "
+            + lines[-1][:500] + "\n")
+        return None
+
+
 def _wait_quiet(max_wait_s: float = 300.0, bar: float = 1.0) -> float:
     """Best-effort: delay the next trial until ambient 1-min load drops
     below ``bar`` (poll every 10 s, give up after ``max_wait_s``).
@@ -228,14 +252,11 @@ def scaling_parent() -> dict:
         # trial is 3-4x longer and outlives any window regardless of slot
         for cpus in (32, 8, 32):
             _wait_quiet()
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--scaling-child", str(cpus)],
-                capture_output=True, text=True, cwd=REPO,
-                env={**os.environ, "PYTHONPATH": REPO},
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            trials[cpus].append(json.loads(line))
+            res = _run_child("--scaling-child", cpus)
+            if res is not None:
+                trials[cpus].append(res)
+    if not trials[8] or not trials[32]:
+        raise RuntimeError("no surviving scaling trials at one level")
     results = {
         cpus: min(ts, key=lambda t: t["wall_s"]) for cpus, ts in trials.items()
     }
@@ -375,14 +396,11 @@ def serving_scaling_parent() -> dict:
     for _ in range(SERVING_TRIALS):
         for cpus in (32, 8, 32):
             _wait_quiet()
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--serving-child", str(cpus)],
-                capture_output=True, text=True, cwd=REPO,
-                env={**os.environ, "PYTHONPATH": REPO},
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            trials[cpus].append(json.loads(line))
+            res = _run_child("--serving-child", cpus)
+            if res is not None:
+                trials[cpus].append(res)
+    if not trials[8] or not trials[32]:
+        raise RuntimeError("no surviving serving trials at one level")
     best = {c: max(ts, key=lambda t: t["queries_per_s"])
             for c, ts in trials.items()}
     q8, q32 = best[8]["queries_per_s"], best[32]["queries_per_s"]

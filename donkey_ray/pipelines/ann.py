@@ -632,9 +632,16 @@ def knn_label_eval(
     every list, which keeps the eval EXACT (identical to the broadcast
     path; layout-invariance pytest-pinned); smaller nprobe trades recall
     for I/O exactly like ivf_topk."""
-    if index_dir is None and ds.count() <= max_broadcast_rows:
-        return _knn_label_eval_broadcast(
-            ds, k=k, vec_col=vec_col, id_col=id_col, label_col=label_col)
+    if index_dir is None:
+        # materialize ONCE so the dispatch count is free and both paths
+        # consume the pinned blocks instead of re-executing the upstream
+        # plan (the labeled table is index input, O(n·dim) — the same
+        # bound build_knn_graph pins)
+        ds = ds.materialize()
+        if ds.count() <= max_broadcast_rows:
+            return _knn_label_eval_broadcast(
+                ds, k=k, vec_col=vec_col, id_col=id_col,
+                label_col=label_col)
     return _knn_label_eval_ivf(
         ds, k=k, vec_col=vec_col, id_col=id_col, label_col=label_col,
         index_dir=index_dir, nprobe=nprobe, n_lists=n_lists)
@@ -759,29 +766,55 @@ class _IVFNeighborProber:
         })
         if len(bids) == 0:
             return empty
+        from ..functions.scoring import topk_order
+
         P = int(self.meta["num_partitions"])
-        probe = np.argsort(-(bm @ self.centroids.T), axis=1)[:, :self.nprobe]
+        n_lists = len(self.centroids)
+        full = self.nprobe >= n_lists
+        if full:
+            # every query probes every list: skip the per-query isin
+            # mask entirely (it would be all-True) — self-exclusion is
+            # the only per-query state
+            probe = None
+            need_parts = np.arange(P)
+        else:
+            probe = np.argsort(
+                -(bm @ self.centroids.T), axis=1)[:, :self.nprobe]
+            need_parts = np.unique(np.unique(probe) % P)
         out_q, out_l, out_n = [], [], []
-        # group queries by the PARTITION SET they probe is overkill at
-        # nprobe=n_lists (every query probes every part); iterate parts
-        # outer, queries inner, folding per-query top-k across parts
+        # iterate parts outer, queries inner, folding per-query top-k
+        # across parts
         best_ids = [None] * len(bids)
         best_sims = [None] * len(bids)
-        need_parts = np.unique(np.unique(probe) % P)
         for part in need_parts:
             lists, ids, m = self._load_part(int(part))
             if not len(ids):
                 continue
             sims_all = m @ bm.T  # (part_rows, batch)
+            if full:
+                # locate each query's own row in this part once
+                o = np.argsort(ids, kind="stable")
+                p = np.searchsorted(ids, bids, sorter=o)
+                pc = np.minimum(p, len(ids) - 1)
+                self_hit = ids[o[pc]] == bids
             for i in range(len(bids)):
-                sel = np.isin(lists, probe[i])
-                sel &= ids != bids[i]  # leave-one-out
-                if not sel.any():
-                    continue
-                s = sims_all[sel, i]
-                cand_ids = ids[sel]
+                if full:
+                    s = sims_all[:, i]
+                    cand_ids = ids
+                    if self_hit[i]:
+                        s[o[pc[i]]] = -np.inf  # column used once: safe
+                else:
+                    sel = np.isin(lists, probe[i])
+                    sel &= ids != bids[i]  # leave-one-out
+                    if not sel.any():
+                        continue
+                    s = sims_all[sel, i]
+                    cand_ids = ids[sel]
                 kk = min(self.k, len(cand_ids))
-                top = np.lexsort((cand_ids, -s))[:kk]
+                top = topk_order(cand_ids, s, kk)
+                top = top[np.isfinite(s[top])]  # drop the -inf self row
+                if not len(top):
+                    continue
                 if best_ids[i] is None:
                     best_ids[i], best_sims[i] = cand_ids[top], s[top]
                 else:

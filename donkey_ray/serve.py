@@ -49,6 +49,14 @@ from .state import manifest as mf
 TOMBSTONE_WARN = 4096
 
 
+def _next_compact_dir(base: str) -> str:
+    """First unused ``<base>_compact_N`` sibling (auto-compact target)."""
+    i = 0
+    while os.path.exists(f"{base}_compact_{i}"):
+        i += 1
+    return f"{base}_compact_{i}"
+
+
 class IndexServer:
     """Serving state for one index (plus its delta chain). Wrap with
     ``ray.remote`` (see ``start_server``) or use in-process for tests.
@@ -82,18 +90,10 @@ class IndexServer:
                  else TOMBSTONE_WARN)
         return len(self._tombstones) >= bound
 
-    def _next_compact_dir(self) -> str:
-        i = 0
-        while True:
-            d = f"{self.base_dir}_compact_{i}"
-            if not os.path.exists(d):
-                return d
-            i += 1
-
     def _maybe_auto_compact(self) -> None:
         if (self.auto_compact_tombstones is not None
                 and len(self._tombstones) >= self.auto_compact_tombstones):
-            self.compact(self._next_compact_dir())
+            self.compact(_next_compact_dir(self.base_dir))
 
     # ---- donkey A3: journal + recover ----
     def _recover(self) -> None:
@@ -422,22 +422,39 @@ class ServeRouter:
             self._ensure_replica(i)
 
     def _ensure_replica(self, i: int):
-        """Get-or-create the i-th named replica actor (respawn path)."""
+        """Get-or-create the i-th named replica actor (respawn path).
+        An ADOPTED actor (name already taken) is verified to serve THIS
+        router's base index — a name_prefix collision must fail loudly,
+        not silently answer from someone else's index."""
         name = f"{self.name_prefix}_{i}"
         if self._replicas[i] is not None:
             return self._replicas[i]
+        h = None
         try:
-            self._replicas[i] = ray.get_actor(name)
-        except ValueError:
+            h = ray.get_actor(name)
             try:
-                self._replicas[i] = (
+                base = ray.get(h.stats.remote())["index_dirs"][0]
+            except ray.exceptions.RayActorError:
+                h = None  # registered but dead: recreate below
+            else:
+                if base != self.index_dir:
+                    raise RuntimeError(
+                        f"named actor {name!r} serves {base!r}, not this "
+                        f"router's {self.index_dir!r}; pick another "
+                        "name_prefix or shut the old replicas down")
+        except ValueError:
+            h = None
+        if h is None:
+            try:
+                h = (
                     ray.remote(IndexServer)
                     .options(name=name, num_cpus=1)
                     .remote(self.index_dir, mode=self.mode)
                 )
             except ValueError:  # lost a create race: take the winner
-                self._replicas[i] = ray.get_actor(name)
-        return self._replicas[i]
+                h = ray.get_actor(name)
+        self._replicas[i] = h
+        return h
 
     def ping(self) -> dict:
         """Aggregate health: per-replica ok/dead plus index stats from
@@ -663,10 +680,7 @@ class VectorServer:
             self._buffer.pop(v, None)
         if (self.auto_compact_tombstones is not None
                 and len(self._tombstones) >= self.auto_compact_tombstones):
-            i = 0
-            while os.path.exists(f"{self.index_dir}_compact_{i}"):
-                i += 1
-            self.compact(f"{self.index_dir}_compact_{i}")
+            self.compact(_next_compact_dir(self.index_dir))
         return {"n_deleted": len(self._tombstones)}
 
     def search(self, query_vectors, k: int = 10,
