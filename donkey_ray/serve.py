@@ -426,33 +426,41 @@ class ServeRouter:
         An ADOPTED actor (name already taken) is verified to serve THIS
         router's base index — a name_prefix collision must fail loudly,
         not silently answer from someone else's index."""
+        import time
+
         name = f"{self.name_prefix}_{i}"
         if self._replicas[i] is not None:
             return self._replicas[i]
         h = None
-        try:
-            h = ray.get_actor(name)
+        for _ in range(25):  # a killed actor's name frees asynchronously
             try:
-                base = ray.get(h.stats.remote())["index_dirs"][0]
-            except ray.exceptions.RayActorError:
-                h = None  # registered but dead: recreate below
-            else:
+                cand = ray.get_actor(name)
+            except ValueError:
+                cand = None
+            if cand is not None:
+                try:
+                    base = ray.get(cand.stats.remote())["index_dirs"][0]
+                except ray.exceptions.RayActorError:
+                    time.sleep(0.2)  # registered but dead: wait it out
+                    continue
                 if base != self.index_dir:
                     raise RuntimeError(
                         f"named actor {name!r} serves {base!r}, not this "
                         f"router's {self.index_dir!r}; pick another "
                         "name_prefix or shut the old replicas down")
-        except ValueError:
-            h = None
-        if h is None:
+                h = cand
+                break
             try:
                 h = (
                     ray.remote(IndexServer)
                     .options(name=name, num_cpus=1)
                     .remote(self.index_dir, mode=self.mode)
                 )
-            except ValueError:  # lost a create race: take the winner
-                h = ray.get_actor(name)
+                break
+            except ValueError:  # lost a create race: adopt next round
+                continue
+        if h is None:
+            raise RuntimeError(f"could not (re)create replica {name!r}")
         self._replicas[i] = h
         return h
 
@@ -474,9 +482,12 @@ class ServeRouter:
     def search(self, text: str, k: int = 10, **kwargs) -> list[dict]:
         """One query to the next replica in round-robin order; a dead
         replica fails over to the following one (and is respawned by
-        name) — the call only raises when EVERY replica is down."""
+        name) — the call only raises when EVERY replica is down. One
+        extra attempt beyond the replica count lets a single-replica
+        router recover in the same call: the first failure unmasks the
+        stale handle, the retry respawns it."""
         last_err: Exception | None = None
-        for _ in range(self.n_replicas):
+        for _ in range(self.n_replicas + 1):
             i = self._rr % self.n_replicas
             self._rr += 1
             try:

@@ -536,3 +536,33 @@ def test_serve_router_round_robin_and_failover(served_index):
         assert router.ping()["replicas"] == ["ok", "ok"]
     finally:
         router.shutdown()
+
+
+def test_serve_router_collision_and_single_replica_respawn(
+        served_index, tmp_path):
+    """REGRESSION (review findings): adopting a named actor that serves
+    a DIFFERENT index fails loudly (no silent wrong-index answers), and
+    a single-replica router recovers in the same call after its only
+    replica dies (extra attempt + respawn-by-name wait loop)."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.serve import ServeRouter
+
+    corpus, out = served_index
+    other = str(tmp_path / "other_index")
+    build_index(ray.data.from_arrow(make_corpus(40, seed=77)), other,
+                num_partitions=2, query_lang="code", detect_hot=False)
+    ra = ServeRouter(out, n_replicas=1, name_prefix="t_collide_rep")
+    try:
+        want = ra.search("return x", 3)
+        with pytest.raises(RuntimeError, match="serves"):
+            ServeRouter(other, n_replicas=1, name_prefix="t_collide_rep")
+        ray.kill(ray.get_actor("t_collide_rep_0"))
+        got = ra.search("return x", 3)  # same call recovers via respawn
+        assert got == want
+    finally:
+        ra.shutdown()
