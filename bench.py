@@ -105,6 +105,24 @@ def default_bench() -> dict:
     q = run_query_bench(idx)
     timings["query_topk_400"] = round(q["wall_s"], 3)
 
+    # live-serving record: 20k queries through a 4-replica ServeRouter
+    # (chunked fan-out), one warmup pass first
+    from donkey_ray.serve import ServeRouter
+    from donkey_ray.synth import make_queries
+
+    qs = [(r["text"], int(r["k"]))
+          for r in make_queries(20_000).to_pylist()]
+    router = ServeRouter(idx, n_replicas=4, name_prefix="bench_default_rep")
+    try:
+        router.search_many(qs)
+        t0 = time.monotonic()
+        router.search_many(qs)
+        router_wall = time.monotonic() - t0
+    finally:
+        router.shutdown()
+    timings["router_20k_4rep"] = round(router_wall, 3)
+    router_qps = 20_000 / router_wall
+
     # driver-contract pipelines over the sf dir
     import __ray_entry__ as entrymod
     from donkey_ray.util import dataset_to_table
@@ -124,6 +142,7 @@ def default_bench() -> dict:
         "unit": "files/sec",
         "build_wall_s": timings["index_build"],
         "query_throughput_qps": round(q["queries_per_s"], 1),
+        "router_qps_4rep": round(router_qps, 1),
         "total_sec": total,
         "queries": timings,
         "sf": _sf_name(SF_DIR),
