@@ -238,11 +238,17 @@ def cmd_vserve(args) -> int:
     _ray_init()
     import ray
 
-    from .serve import start_vector_server
+    from .serve import start_vector_router, start_vector_server
 
-    server = start_vector_server(
-        args.index, name=args.name, detached=args.detached
-    )
+    if args.replicas > 1:
+        server = start_vector_router(
+            args.index, n_replicas=args.replicas, name=args.name,
+            detached=args.detached,
+        )
+    else:
+        server = start_vector_server(
+            args.index, name=args.name, detached=args.detached
+        )
     print(json.dumps(ray.get(server.ping.remote())))
     if args.ping_only:
         return 0
@@ -346,6 +352,8 @@ def main(argv=None) -> int:
         "vserve", help="serve an IVF vector index from a named Ray actor")
     vv.add_argument("--index", required=True)
     vv.add_argument("--name", default="donkey_vector_server")
+    vv.add_argument("--replicas", type=int, default=1,
+                    help=">1 fronts N read replicas with a VectorRouter")
     vv.add_argument("--k", type=int, default=10)
     vv.add_argument("--nprobe", type=int, default=None)
     vv.add_argument("--detached", action="store_true")

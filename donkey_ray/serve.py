@@ -421,6 +421,18 @@ class ServeRouter:
         for i in range(n_replicas):
             self._ensure_replica(i)
 
+    # ---- subclass hooks (VectorRouter reuses the pool machinery) ----
+    def _spawn_replica(self, name: str):
+        return (
+            ray.remote(IndexServer)
+            .options(name=name, num_cpus=1)
+            .remote(self.index_dir, mode=self.mode)
+        )
+
+    def _identity_of(self, handle) -> str:
+        """The index an (adopted) replica actually serves."""
+        return ray.get(handle.stats.remote())["index_dirs"][0]
+
     def _ensure_replica(self, i: int):
         """Get-or-create the i-th named replica actor (respawn path).
         An ADOPTED actor (name already taken) is verified to serve THIS
@@ -439,7 +451,7 @@ class ServeRouter:
                 cand = None
             if cand is not None:
                 try:
-                    base = ray.get(cand.stats.remote())["index_dirs"][0]
+                    base = self._identity_of(cand)
                 except ray.exceptions.RayActorError:
                     time.sleep(0.2)  # registered but dead: wait it out
                     continue
@@ -451,11 +463,7 @@ class ServeRouter:
                 h = cand
                 break
             try:
-                h = (
-                    ray.remote(IndexServer)
-                    .options(name=name, num_cpus=1)
-                    .remote(self.index_dir, mode=self.mode)
-                )
+                h = self._spawn_replica(name)
                 break
             except ValueError:  # lost a create race: adopt next round
                 continue
@@ -653,6 +661,7 @@ class VectorServer:
                  if self.auto_compact_tombstones is not None
                  else TOMBSTONE_WARN)
         return {"status": "ok", "kind": "vector",
+                "index_dir": self.index_dir,
                 "n_indexed": int(meta["n_vecs"]),
                 "n_buffered": len(self._buffer),
                 "n_deleted": len(self._tombstones),
@@ -801,3 +810,69 @@ def start_vector_server(
     if detached:
         opts["lifetime"] = "detached"
     return ray.remote(VectorServer).options(**opts).remote(index_dir)
+
+
+class VectorRouter(ServeRouter):
+    """The vector-side twin of ServeRouter: the same replica-pool
+    machinery (round-robin, failover, respawn-by-name, wrong-index
+    adoption guard) over read-only VectorServer replicas. Replicas
+    must be treated READ-ONLY — insert/delete/compact go through a
+    single designated primary; a replica that compacted itself changed
+    identity and is refused on re-adoption."""
+
+    def _spawn_replica(self, name: str):
+        return (
+            ray.remote(VectorServer)
+            .options(name=name, num_cpus=1)
+            .remote(self.index_dir)
+        )
+
+    def _identity_of(self, handle) -> str:
+        return ray.get(handle.ping.remote())["index_dir"]
+
+    def search_many(self, vectors, k: int = 10, *, nprobe: int | None = None,
+                    chunk_size: int = 64) -> list[dict]:
+        """(n, dim) query matrix fanned across replicas one CHUNK per
+        actor call; rows come back re-numbered to the global query ids
+        in request order."""
+        import numpy as np
+
+        q = np.asarray(vectors, dtype=np.float64)
+        chunks = [(lo, q[lo:lo + chunk_size])
+                  for lo in range(0, len(q), chunk_size)]
+        futs = []
+        for lo, chunk in chunks:
+            i = self._rr % self.n_replicas
+            self._rr += 1
+            futs.append((i, lo, self._ensure_replica(i).search.remote(
+                chunk, k, nprobe=nprobe)))
+        out: list[dict] = []
+        for i, lo, f in futs:
+            try:
+                rows = ray.get(f)
+            except ray.exceptions.RayActorError:
+                self._replicas[i] = None
+                rows = self.search(q[lo:lo + chunk_size], k, nprobe=nprobe)
+            out.extend({**r, "query_id": r["query_id"] + lo} for r in rows)
+        return out
+
+
+def start_vector_router(
+    index_dir: str,
+    *,
+    n_replicas: int = 2,
+    name: str = "donkey_vector_router",
+    detached: bool = False,
+) -> "ray.actor.ActorHandle":
+    """Start (or get) the named vector router over ``n_replicas`` read
+    replicas. Ray must already be initialised by the caller."""
+    try:
+        return ray.get_actor(name)
+    except ValueError:
+        pass
+    opts = {"name": name, "num_cpus": 0.5}
+    if detached:
+        opts["lifetime"] = "detached"
+    return ray.remote(VectorRouter).options(**opts).remote(
+        index_dir, n_replicas=n_replicas,
+        name_prefix=f"{name}_replica")

@@ -566,3 +566,28 @@ def test_serve_router_collision_and_single_replica_respawn(
         assert got == want
     finally:
         ra.shutdown()
+
+
+def test_vector_router_parity_and_failover(vector_server):
+    """VectorRouter (the vector-side replica pool): chunked batch
+    fan-out equals a single server's answers with globally-renumbered
+    query ids, and a killed replica fails over + respawns."""
+    import ray
+
+    from donkey_ray.serve import VectorRouter
+
+    srv, vecs, _ = vector_server
+    router = VectorRouter(srv.index_dir, n_replicas=2,
+                          name_prefix="t_vrouter_rep")
+    try:
+        q = vecs[:10]
+        want = srv.search(q, k=3)
+        got = router.search_many(q, k=3, chunk_size=4)
+        key = lambda r: (r["query_id"], r["rank"])
+        assert sorted(got, key=key) == sorted(want, key=key)
+        assert router.ping()["replicas"] == ["ok", "ok"]
+        ray.kill(ray.get_actor("t_vrouter_rep_0"))
+        got2 = router.search_many(q, k=3, chunk_size=4)
+        assert sorted(got2, key=key) == sorted(want, key=key)
+    finally:
+        router.shutdown()
