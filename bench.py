@@ -443,7 +443,7 @@ def serving_scaling_parent() -> dict:
     }
 
 
-def serving_replicas_bench(replica_counts=(1, 2, 4)) -> dict:
+def serving_replicas_bench(replica_counts=(1, 2, 4, 8, 16)) -> dict:
     """Aggregate q/s through the ServeRouter at growing replica counts
     on one node (VERDICT r2 item 2): same query stream, same index;
     each level gets a warmup pass (replica engines load once) before

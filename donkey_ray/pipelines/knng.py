@@ -767,7 +767,10 @@ def sharded_graph_topk(
 
     meta = mf.load_meta(out_dir)
     n_shards = int(meta["n_shards"])
-    Server = ray.remote(_GraphShardServer)
+    # SPREAD: one resident server per shard, each on its own node on a
+    # real cluster (per-actor memory O(|shard|)); no-op single-node
+    Server = ray.remote(_GraphShardServer).options(
+        scheduling_strategy="SPREAD")
     actors = [Server.remote(_shard_dir(out_dir, s), emb_path,
                             shard=s, n_shards=n_shards)
               for s in range(n_shards)]

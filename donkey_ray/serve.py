@@ -425,7 +425,10 @@ class ServeRouter:
     def _spawn_replica(self, name: str):
         return (
             ray.remote(IndexServer)
-            .options(name=name, num_cpus=1)
+            # SPREAD: on a multi-node cluster each replica lands on its
+            # own node (own memory bus — the serving scaling analysis in
+            # BENCH/BASELINE.md); no-op single-node
+            .options(name=name, num_cpus=1, scheduling_strategy="SPREAD")
             .remote(self.index_dir, mode=self.mode)
         )
 
@@ -823,7 +826,7 @@ class VectorRouter(ServeRouter):
     def _spawn_replica(self, name: str):
         return (
             ray.remote(VectorServer)
-            .options(name=name, num_cpus=1)
+            .options(name=name, num_cpus=1, scheduling_strategy="SPREAD")
             .remote(self.index_dir)
         )
 
