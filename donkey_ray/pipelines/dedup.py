@@ -1244,6 +1244,100 @@ def build_minhash_index(
     return meta
 
 
+# broadcast budgets for the small-corpus minhash delta fast path: the
+# artifact's band rows (16 B each) and shingle-set values (8 B each)
+# ship once per worker; past either bound the exchange path runs
+_MINHASH_BCAST_MAX_BANDS = 4_000_000    # ~64 MB of (band, doc_id)
+_MINHASH_BCAST_MAX_VALUES = 30_000_000  # ~240 MB of shingle hashes
+
+
+def _minhash_delta_broadcast(
+    index_dir: str,
+    delta: ray.data.Dataset,
+    *,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    meta: dict,
+) -> ray.data.Dataset | None:
+    """Small-corpus fast path: the artifact's band buckets and shingle
+    sets broadcast ONCE (budget-gated by the meta counts), and each
+    delta batch does candidate generation (searchsorted into the sorted
+    band keys) AND exact-Jaccard verification map-side — zero keyed
+    exchanges (the exchange path's fixed multi-stage cost dominates
+    small runs ~8x). Identical output to the exchange path: same band
+    candidates, same exact verify, same threshold. Returns None when a
+    budget rules it out."""
+    if meta.get("band_rows", 1 << 62) > _MINHASH_BCAST_MAX_BANDS:
+        return None
+    bands_t = dataset_to_table(
+        ray.data.read_parquet(os.path.join(index_dir, "bands")))
+    sets_t = dataset_to_table(
+        ray.data.read_parquet(os.path.join(index_dir, "sets")))
+    set_values, _ = _list_column_slices(sets_t.column("hashes"))
+    if len(set_values) > _MINHASH_BCAST_MAX_VALUES:
+        return None
+    bk = bands_t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+    bd = bands_t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(bk, kind="stable")
+    bk, bd = bk[o], bd[o]
+    lookup = _set_lookup(sets_t)
+    ref = ray.put((bk, bd, lookup))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from ..functions.textstats import shingle_hash_column
+
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        k_, d_, lk = ray.get(ref)
+        bt = _minhash_band_table(batch, text_col, id_col, n)
+        if bt.num_rows == 0 or len(k_) == 0:
+            return empty
+        qk = bt.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        qd = bt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(k_, qk, side="left")
+        hi = np.searchsorted(k_, qk, side="right")
+        cnt = hi - lo
+        nz = np.flatnonzero(cnt)
+        if not len(nz):
+            return empty
+        pa_ = np.concatenate([d_[lo[i]:hi[i]] for i in nz])
+        pb_ = np.repeat(qd[nz], cnt[nz])
+        pairs = np.unique(np.stack([pa_, pb_], axis=1), axis=0)
+        # exact verify map-side: a delta doc lives in exactly one batch,
+        # so batch-local dedup is global dedup for (corpus, delta) pairs
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values, offsets = shingle_hash_column(col, n)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bo = np.argsort(ids, kind="stable")
+        ids_s = ids[bo]
+        av, ao = _gather_lists(lk, pairs[:, 0])
+        a_out, b_out, j_out = [], [], []
+        for j in range(len(pairs)):
+            sa = av[ao[j]:ao[j + 1]]
+            bi = int(bo[np.searchsorted(ids_s, pairs[j, 1])])
+            sb = values[offsets[bi]:offsets[bi + 1]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            if union and inter / union >= threshold:
+                a_out.append(int(pairs[j, 0]))
+                b_out.append(int(pairs[j, 1]))
+                j_out.append(inter / union)
+        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                         "doc_b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    probe.__name__ = "minhash_delta_broadcast_probe"
+    return delta.map_batches(probe, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def minhash_neardup_delta(
     index_dir: str,
     delta: ray.data.Dataset,
@@ -1273,6 +1367,12 @@ def minhash_neardup_delta(
             "minhash index was built under a different perm/band spec "
             f"({meta.get('num_perms')}x{meta.get('num_bands')} vs "
             f"{mh.NUM_PERMS}x{mh.NUM_BANDS}); rebuild the artifact")
+
+    out = _minhash_delta_broadcast(
+        index_dir, delta, n=n, threshold=threshold,
+        text_col=text_col, id_col=id_col, meta=meta)
+    if out is not None:
+        return out
 
     def corpus_side(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -2209,6 +2209,18 @@ def test_minhash_delta_vs_full(ray_session, tmp_path):
         [("doc_a", "ascending"), ("doc_b", "ascending")])
     assert got.num_rows == want.num_rows and got.num_rows > 0
     assert got.equals(want)
+    # the EXCHANGE path (broadcast budgets ruled out) is identical too
+    import donkey_ray.pipelines.dedup as dd
+
+    orig = dd._MINHASH_BCAST_MAX_BANDS
+    dd._MINHASH_BCAST_MAX_BANDS = 0
+    try:
+        got2 = dataset_to_table(
+            minhash_neardup_delta(idx, ray.data.from_arrow(delta))
+        ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    finally:
+        dd._MINHASH_BCAST_MAX_BANDS = orig
+    assert got2.equals(want)
     # spec-mismatch guard: a doctored meta refuses to serve
     import json as _json
     import os as _os
