@@ -102,6 +102,17 @@ def _smix(prefix: str, src: str, cols: str, inexpr: str) -> str:
 # FNV-64 prime: the pinned shingle/band polynomial multiplier
 _FNV = "1099511628211"
 
+# the engine's epoch-shuffle key input: doc_id XOR splitmix64(EPOCH)
+# (the mixed-epoch constant is computed with the engine's own primitive
+# so both sides pin the identical chain)
+import numpy as _np_mix
+from donkey_ray.functions.hashing import splitmix64 as _splitmix64
+
+_EPOCH_MIX = int(_splitmix64(
+    _np_mix.asarray([api.EPOCH], dtype=_np_mix.uint64))[0])
+_EPOCH_INEXPR = (
+    f"xor(doc_id::UBIGINT, {_EPOCH_MIX}::UBIGINT)::HUGEINT")
+
 # shared CTE chain: exact unigram-Jaccard pair graph -> per-node
 # component-min label (used by dedup_clusters and cluster_canonical)
 _CLUSTER_CTE = """
@@ -200,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": api.q_curate_corpus,
         "mix_sample": api.q_mix_sample,
         "pack_shards": api.q_pack_shards,
+        "epoch_shuffle": api.q_epoch_shuffle,
         "stratified_split": api.q_stratified_split,
         "grouped_split": api.q_grouped_split,
         "weighted_sample": api.q_weighted_sample,
@@ -2285,6 +2297,15 @@ SELECT doc_id, n_tokens,
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     - n_tokens) // 2000)::BIGINT AS shard
 FROM t
+""",
+        # deterministic per-epoch global shuffle: rank = position in
+        # (splitmix64(doc_id XOR splitmix64(epoch)), doc_id) order —
+        # the engine's key chain recomputed over every doc
+        "epoch_shuffle": f"""
+WITH {_smix('h', 'documents', 'doc_id', _EPOCH_INEXPR)}
+SELECT doc_id,
+       (row_number() OVER (ORDER BY z, doc_id) - 1)::BIGINT AS epoch_rank
+FROM h5
 """,
         # corpus mixing: per-language permille keep rates, splitmix64 gate
         "mix_sample": f"""

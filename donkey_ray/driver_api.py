@@ -1446,6 +1446,19 @@ def q_pack_shards(sf_dir: str) -> ray.data.Dataset:
     return pack_shards(_docs(sf_dir), budget=PACK_BUDGET)
 
 
+EPOCH = 1  # pinned epoch for the oracle-gated shuffle query
+
+
+def q_epoch_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-epoch global training-order shuffle: rank =
+    position in (splitmix64(doc_id XOR splitmix64(epoch)), doc_id)
+    ascending order (pipelines/sampling.epoch_shuffle — distributed
+    rank over the uniform key space, corpus never shuffles)."""
+    from .pipelines.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(sf_dir, columns=("doc_id",)), epoch=EPOCH)
+
+
 MIX_RATES = {"en": 1000, "de": 500, "es": 250, "fr": 125, "zh": 0}
 
 

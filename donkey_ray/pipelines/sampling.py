@@ -452,3 +452,81 @@ def grouped_split(
 
     assign.__name__ = "grouped_split"
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def epoch_shuffle(
+    ds: ray.data.Dataset,
+    *,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    num_ranges: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic global training-order shuffle (the per-epoch
+    permutation a 100 TB training run needs): each doc's rank is its
+    position in ascending (splitmix64(doc_id XOR splitmix64(epoch)),
+    doc_id) order. Changing ``epoch`` re-permutes; the same epoch always
+    yields the same order regardless of parallelism or block layout.
+    Returns (doc_id, epoch_rank).
+
+    Scale shape (rank-by-uniform-key, no corpus shuffle): one pass
+    projects (doc_id, key) — 16 B/doc — and range-buckets on the
+    UNIFORM key space (splitmix output, so fixed-width buckets are
+    balanced by construction); per-range counts come back for an
+    exclusive prefix sum (O(ranges) driver rows), and one keyed
+    exchange of the projection sorts each range locally:
+    rank = range offset + local index. The payload columns never move —
+    a consumer joins ranks back or reads them as a sort key."""
+    from ..stages.exchange import default_num_partitions, partitioned_aggregate
+
+    R = num_ranges or default_num_partitions()
+    seed_mix = splitmix64(np.asarray([epoch], dtype=np.uint64))[0]
+    width = np.uint64(((1 << 64) + R - 1) // R)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = splitmix64(ids.astype(np.uint64) ^ seed_mix)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "key": pa.array(keys, pa.uint64()),
+            "rng": pa.array((keys // width).astype(np.int64), pa.int64()),
+        })
+
+    project.__name__ = "epoch_shuffle_project"
+    # the tiny projection feeds two consumers (counts + rank exchange)
+    proj = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    totals = partitioned_aggregate(
+        proj, ["rng"], [("doc_id", "count")], rename={"doc_id_count": "c"}
+    ).take_all()
+    counts = np.zeros(R, dtype=np.int64)
+    for row in totals:
+        counts[int(row["rng"])] = int(row["c"])
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "epoch_rank": pa.array([], pa.int64())})
+
+    def rank_part(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        ids = part.column("doc_id").to_numpy(zero_copy_only=False)
+        k = part.column("key").to_numpy(zero_copy_only=False)
+        rng = part.column("rng").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k, rng))
+        rng_s = rng[order]
+        pos = np.arange(len(order), dtype=np.int64)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(rng_s[1:] != rng_s[:-1]) + 1))
+        run_start = np.zeros(len(order), dtype=np.int64)
+        run_start[starts] = pos[starts]
+        np.maximum.accumulate(run_start, out=run_start)
+        ranks = offsets[rng_s] + (pos - run_start)
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "epoch_rank": pa.array(ranks, pa.int64()),
+        })
+
+    rank_part.__name__ = "epoch_shuffle_rank"
+    return keyed_partition_map(proj, ["rng"], rank_part)

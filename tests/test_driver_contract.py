@@ -120,7 +120,7 @@ NAMES = [
     "ann_sharded_topk", "corpus_report", "tpch_q10", "threshold_topk",
     "grouped_split",
     # round-3 additions
-    "minhash_neardup_delta", "graph_topk_recall",
+    "minhash_neardup_delta", "graph_topk_recall", "epoch_shuffle",
 ]
 
 

@@ -2276,3 +2276,28 @@ def test_knn_label_eval_ivf_equals_broadcast(ray_session, tmp_path):
         ray.data.from_arrow(tbl), k=5, max_broadcast_rows=0,
     )).sort_by([("vec_id", "ascending")])
     assert got3.equals(want)
+
+
+def test_epoch_shuffle_determinism_and_layout(ray_session):
+    """epoch_shuffle: a true permutation, identical across block
+    layouts, different (and decorrelated) across epochs."""
+    import ray.data
+
+    from donkey_ray.pipelines.sampling import epoch_shuffle
+    from donkey_ray.util import dataset_to_table
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(500), pa.int64())})
+
+    def run(ds, epoch):
+        t = dataset_to_table(epoch_shuffle(ds, epoch=epoch)).sort_by(
+            [("doc_id", "ascending")])
+        return t.column("epoch_rank").to_numpy(zero_copy_only=False)
+
+    r1 = run(ray.data.from_arrow(tbl), 1)
+    assert sorted(r1.tolist()) == list(range(500))  # a permutation
+    # layout invariance
+    r1b = run(ray.data.from_arrow(tbl).repartition(7), 1)
+    assert (r1 == r1b).all()
+    # epochs decorrelate
+    r2 = run(ray.data.from_arrow(tbl), 2)
+    assert (r1 != r2).mean() > 0.99
