@@ -3133,7 +3133,7 @@ def ensure_minhash_index(sf_dir: str) -> str:
     corpus partition (doc_id % 8 != 7): persisted LSH band buckets +
     exact-verify shingle sets (pipelines/dedup.build_minhash_index) —
     the corpus is signed once, never per delta probe."""
-    out = _index_dir(sf_dir) + "-minhashindex-v1"
+    out = _index_dir(sf_dir) + "-minhashindex-v2"  # v2: meta.set_values
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         import shutil

@@ -1234,9 +1234,21 @@ def build_minhash_index(
     n_docs = ray.data.read_parquet(os.path.join(out_dir, "sets")).count()
     n_band = ray.data.read_parquet(os.path.join(out_dir, "bands")).count()
 
+    def count_vals(batch: pa.Table) -> pa.Table:
+        _, off = _list_column_slices(batch.column("hashes"))
+        return pa.table({"v": pa.array(
+            [int(off[-1]) if len(off) else 0], pa.int64())})
+
+    # total shingle-hash count, recorded so delta probes can budget the
+    # broadcast fast path from meta WITHOUT reading the sets artifact
+    set_values = sum(
+        r["v"] for r in ray.data.read_parquet(os.path.join(out_dir, "sets"))
+        .map_batches(count_vals, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all())
+
     meta = {"n": n, "threshold": threshold, "n_docs": n_docs,
-            "band_rows": n_band, "num_perms": mh.NUM_PERMS,
-            "num_bands": mh.NUM_BANDS}
+            "band_rows": n_band, "set_values": int(set_values),
+            "num_perms": mh.NUM_PERMS, "num_bands": mh.NUM_BANDS}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
@@ -1269,15 +1281,15 @@ def _minhash_delta_broadcast(
     small runs ~8x). Identical output to the exchange path: same band
     candidates, same exact verify, same threshold. Returns None when a
     budget rules it out."""
-    if meta.get("band_rows", 1 << 62) > _MINHASH_BCAST_MAX_BANDS:
+    # BOTH budgets gate from meta before any read — an artifact missing
+    # set_values (pre-round-3 build) takes the exchange path
+    if (meta.get("band_rows", 1 << 62) > _MINHASH_BCAST_MAX_BANDS
+            or meta.get("set_values", 1 << 62) > _MINHASH_BCAST_MAX_VALUES):
         return None
     bands_t = dataset_to_table(
         ray.data.read_parquet(os.path.join(index_dir, "bands")))
     sets_t = dataset_to_table(
         ray.data.read_parquet(os.path.join(index_dir, "sets")))
-    set_values, _ = _list_column_slices(sets_t.column("hashes"))
-    if len(set_values) > _MINHASH_BCAST_MAX_VALUES:
-        return None
     bk = bands_t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
     bd = bands_t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(bk, kind="stable")
@@ -1308,8 +1320,11 @@ def _minhash_delta_broadcast(
         pa_ = np.concatenate([d_[lo[i]:hi[i]] for i in nz])
         pb_ = np.repeat(qd[nz], cnt[nz])
         pairs = np.unique(np.stack([pa_, pb_], axis=1), axis=0)
-        # exact verify map-side: a delta doc lives in exactly one batch,
-        # so batch-local dedup is global dedup for (corpus, delta) pairs
+        # exact verify map-side, grouped like _verify_pairs_distributed's
+        # verify_b (no per-pair Python): pairs sort by delta doc b, and
+        # each b-run scores ALL its corpus sets with one searchsorted +
+        # segment sum against hb. A delta doc lives in exactly one
+        # batch, so batch-local dedup is global dedup for cross pairs.
         col = batch.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -1318,20 +1333,42 @@ def _minhash_delta_broadcast(
         bo = np.argsort(ids, kind="stable")
         ids_s = ids[bo]
         av, ao = _gather_lists(lk, pairs[:, 0])
-        a_out, b_out, j_out = [], [], []
-        for j in range(len(pairs)):
-            sa = av[ao[j]:ao[j + 1]]
-            bi = int(bo[np.searchsorted(ids_s, pairs[j, 1])])
-            sb = values[offsets[bi]:offsets[bi + 1]]
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            if union and inter / union >= threshold:
-                a_out.append(int(pairs[j, 0]))
-                b_out.append(int(pairs[j, 1]))
-                j_out.append(inter / union)
-        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                         "doc_b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
+        na = np.diff(ao)
+        n_pairs = len(pairs)
+        inter = np.zeros(n_pairs, dtype=np.int64)
+        nb = np.zeros(n_pairs, dtype=np.int64)
+        b_arr = pairs[:, 1]
+        bo2 = np.argsort(b_arr, kind="stable")
+        b_s = b_arr[bo2]
+        run_starts = np.concatenate(
+            ([0], np.flatnonzero(b_s[1:] != b_s[:-1]) + 1))
+        run_ends = np.concatenate((run_starts[1:], [n_pairs]))
+        for s_, e_ in zip(run_starts, run_ends):
+            sel = bo2[s_:e_]
+            bi = int(bo[np.searchsorted(ids_s, b_s[s_])])
+            hb = values[offsets[bi]:offsets[bi + 1]]
+            nb[sel] = len(hb)
+            lens = na[sel]
+            tot = int(lens.sum())
+            if tot == 0 or len(hb) == 0:
+                continue
+            out_off = np.concatenate(([0], np.cumsum(lens)))
+            rel = np.arange(tot, dtype=np.int64) - np.repeat(
+                out_off[:-1], lens)
+            vals = av[np.repeat(ao[sel], lens) + rel]
+            p_ = np.searchsorted(hb, vals)
+            found = (p_ < len(hb)) & (hb[np.minimum(p_, len(hb) - 1)] == vals)
+            inter[sel] = np.bincount(
+                np.repeat(np.arange(len(sel)), lens), weights=found,
+                minlength=len(sel),
+            ).astype(np.int64)
+        union = na + nb - inter
+        with np.errstate(invalid="ignore"):
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
+        return pa.table({"doc_a": pa.array(pairs[keep, 0], pa.int64()),
+                         "doc_b": pa.array(pairs[keep, 1], pa.int64()),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
 
     probe.__name__ = "minhash_delta_broadcast_probe"
     return delta.map_batches(probe, batch_format="pyarrow",

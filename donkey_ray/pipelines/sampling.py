@@ -480,16 +480,19 @@ def epoch_shuffle(
 
     R = num_ranges or default_num_partitions()
     seed_mix = splitmix64(np.asarray([epoch], dtype=np.uint64))[0]
-    width = np.uint64(((1 << 64) + R - 1) // R)
+    # ceil(2^64/R) overflows uint64 at R=1; the 2^64-1 clamp plus the
+    # min() below keeps every key in [0, R)
+    width = np.uint64(min(((1 << 64) + R - 1) // R, (1 << 64) - 1))
 
     def project(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(
             zero_copy_only=False).astype(np.int64)
         keys = splitmix64(ids.astype(np.uint64) ^ seed_mix)
+        rng = np.minimum((keys // width).astype(np.int64), R - 1)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "key": pa.array(keys, pa.uint64()),
-            "rng": pa.array((keys // width).astype(np.int64), pa.int64()),
+            "rng": pa.array(rng, pa.int64()),
         })
 
     project.__name__ = "epoch_shuffle_project"

@@ -49,6 +49,12 @@ from .state import manifest as mf
 TOMBSTONE_WARN = 4096
 
 
+class ReplicaUnavailable(RuntimeError):
+    """A replica slot could not resolve to a live actor right now
+    (dead name still registered, lost create races). Routers treat it
+    as a failover signal, never a query failure."""
+
+
 def _next_compact_dir(base: str) -> str:
     """First unused ``<base>_compact_N`` sibling (auto-compact target)."""
     i = 0
@@ -447,7 +453,7 @@ class ServeRouter:
         if self._replicas[i] is not None:
             return self._replicas[i]
         h = None
-        for _ in range(25):  # a killed actor's name frees asynchronously
+        for _ in range(10):  # a killed actor's name frees asynchronously
             try:
                 cand = ray.get_actor(name)
             except ValueError:
@@ -471,9 +477,25 @@ class ServeRouter:
             except ValueError:  # lost a create race: adopt next round
                 continue
         if h is None:
-            raise RuntimeError(f"could not (re)create replica {name!r}")
+            # a failover signal, NOT a terminal error: other replicas
+            # may be healthy, so callers route around this slot
+            raise ReplicaUnavailable(
+                f"could not (re)create replica {name!r}")
         self._replicas[i] = h
         return h
+
+    def _next_replica(self):
+        """(index, handle) of the next resolvable replica in round-robin
+        order; raises ReplicaUnavailable only when EVERY slot fails."""
+        last: "Exception | None" = None
+        for _ in range(self.n_replicas):
+            i = self._rr % self.n_replicas
+            self._rr += 1
+            try:
+                return i, self._ensure_replica(i)
+            except ReplicaUnavailable as e:
+                last = e
+        raise ReplicaUnavailable("no replica could be resolved") from last
 
     def ping(self) -> dict:
         """Aggregate health: per-replica ok/dead plus index stats from
@@ -502,8 +524,12 @@ class ServeRouter:
             i = self._rr % self.n_replicas
             self._rr += 1
             try:
-                return ray.get(
-                    self._ensure_replica(i).search.remote(text, k, **kwargs))
+                h = self._ensure_replica(i)
+            except ReplicaUnavailable as e:
+                last_err = e  # this slot is stuck; try the next one
+                continue
+            try:
+                return ray.get(h.search.remote(text, k, **kwargs))
             except ray.exceptions.RayTaskError:
                 raise  # application error: same on every replica
             except ray.exceptions.RayActorError as e:
@@ -526,9 +552,8 @@ class ServeRouter:
                   for i in range(0, len(queries), chunk_size)]
         futs = []
         for ci, chunk in enumerate(chunks):
-            i = self._rr % self.n_replicas
-            self._rr += 1
-            futs.append((i, self._ensure_replica(i).search_many.remote(
+            i, h = self._next_replica()
+            futs.append((i, h.search_many.remote(
                 chunk, kind=kind, window=window)))
         out: list = []
         for ci, (i, f) in enumerate(futs):
@@ -841,14 +866,14 @@ class VectorRouter(ServeRouter):
         import numpy as np
 
         q = np.asarray(vectors, dtype=np.float64)
+        if q.ndim == 1:  # single query: (dim,) -> (1, dim), same as
+            q = q[None, :]  # VectorServer.search — never chunk on dims
         chunks = [(lo, q[lo:lo + chunk_size])
                   for lo in range(0, len(q), chunk_size)]
         futs = []
         for lo, chunk in chunks:
-            i = self._rr % self.n_replicas
-            self._rr += 1
-            futs.append((i, lo, self._ensure_replica(i).search.remote(
-                chunk, k, nprobe=nprobe)))
+            i, h = self._next_replica()
+            futs.append((i, lo, h.search.remote(chunk, k, nprobe=nprobe)))
         out: list[dict] = []
         for i, lo, f in futs:
             try:
