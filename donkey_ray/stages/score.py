@@ -410,6 +410,13 @@ class QueryEngine:
         self._term_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._term_values = 0
         self._term_budget = 8_000_000
+        # top-docs LRU (the Lucene top-impacts shortcut): a SINGLE-term
+        # query's ranked top-K is query-independent, so it caches whole
+        # — answering a repeated one-term query costs O(k), no pass
+        # over the posting-length arrays at all. Entries are tiny
+        # (2*TOPDOCS_K values); exactness is preserved because the
+        # entry is the same topk_order the full path would compute.
+        self._topdocs_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self.blocks_decoded = 0  # instrumentation (pruning effectiveness)
 
     def _shard(self, ix: int, part: int) -> _SegmentShard | None:
@@ -1067,7 +1074,22 @@ class QueryEngine:
             self._decoded_values -= 2 * len(old[0])
         return val
 
+    _TOPDOCS_K = 256    # cached ranked depth per single-term entry
+    _TOPDOCS_MAX = 8192  # LRU entries (~4 MB ceiling)
+
     def _topk_exact(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:
+        single = len(runs_by_term) == 1 and k <= self._TOPDOCS_K
+        if single:
+            tdkey = tuple((r["doc_ids"], r["tfs"], r["dls"])
+                          for r in next(iter(runs_by_term.values())))
+            hit = self._topdocs_cache.get(tdkey)
+            if hit is not None:
+                self._topdocs_cache.move_to_end(tdkey)
+                ids_c, sc_c, total = hit
+                if k <= len(ids_c) or len(ids_c) == total:
+                    m = min(k, len(ids_c))
+                    return [(int(ids_c[i]), float(sc_c[i]))
+                            for i in range(m)]
         # Per TERM, a doc appears in exactly one run (salted runs split
         # one index's postings; federated members hold disjoint docs),
         # so a term's merged posting list needs no summation — order
@@ -1134,6 +1156,15 @@ class QueryEngine:
                     sums[pc[matched]] += sb[matched]
                 uniq = np.insert(uniq, pos[nm], ib[nm])
                 sums = np.insert(sums, pos[nm], sb[nm])
+        if single:
+            # fill the top-docs entry at cache depth (one extra
+            # argpartition now, O(k) forever after for this term)
+            deep = scoring.topk_order(uniq, sums, self._TOPDOCS_K)
+            self._topdocs_cache[tdkey] = (
+                uniq[deep].copy(), sums[deep].copy(), len(uniq))
+            while len(self._topdocs_cache) > self._TOPDOCS_MAX:
+                self._topdocs_cache.popitem(last=False)
+            return [(int(uniq[i]), float(sums[i])) for i in deep[:k]]
         order = scoring.topk_order(uniq, sums, k)
         return [(int(uniq[i]), float(sums[i])) for i in order]
 
