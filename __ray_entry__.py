@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": api.q_minhash_neardup,
         "minhash_neardup_delta": api.q_minhash_neardup_delta,
         "simhash_fingerprints": api.q_simhash_fingerprints,
+        "simhash_neardup": api.q_simhash_neardup,
         # similarity search over embeddings
         "ann_topk": api.q_ann_topk,
         "ann_ivf_topk": api.q_ann_ivf_topk,
@@ -3209,5 +3210,25 @@ fp AS (SELECT doc_id,
        FROM bits GROUP BY 1)
 SELECT d.doc_id, coalesce(fp.sh, 0)::UBIGINT AS simhash
 FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+""",
+        # banded simhash near-dup pairs are pigeonhole-EXACT at the
+        # radius, so the oracle is brute-force Hamming over the same
+        # recomputed fingerprints
+        "simhash_neardup": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS s FROM documents),
+tf AS (SELECT doc_id, s, count(*)::HUGEINT AS tf FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, ({_HEX64}) AS h FROM tf),
+bits AS (SELECT doc_id, b.b,
+                sum(tf * (2 * ((h >> b.b) & 1)::HUGEINT - 1)) AS acc
+         FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0 END) AS sh
+       FROM bits GROUP BY 1),
+fpd AS (SELECT d.doc_id, coalesce(fp.sh, 0)::UBIGINT AS sh
+        FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::INT AS "min(hamming)"
+FROM fpd a JOIN fpd b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """,
     }

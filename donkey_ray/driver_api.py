@@ -1729,6 +1729,14 @@ def q_simhash_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return dedup.simhash_fingerprints(_docs(sf_dir))
 
 
+def q_simhash_neardup(sf_dir: str) -> ray.data.Dataset:
+    """All near-dup pairs at Hamming(simhash) <= 3 through the banded-
+    bucket path — band count is pigeonhole-derived, so recall at the
+    radius is GUARANTEED and the output is exact (shares a brute-force
+    Hamming oracle) (pipelines/dedup.simhash_neardup_pairs)."""
+    return dedup.simhash_neardup_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return analyze.doc_fingerprints(_docs(sf_dir))
 
