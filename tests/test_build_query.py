@@ -1215,3 +1215,49 @@ def test_tiered_topk(built, tmp_path):
     assert len(q1) == len(oracle.postings[rare])
 
     assert not [r for r in rows if r["query_id"] == 2]
+
+
+def test_topk_exact_merge_matches_bincount_reference():
+    """PROPERTY (round-3 scoring rewrite): the order-preserving sorted
+    merge + cached-weight accumulation in _topk_exact must be
+    BIT-identical to the old unique+bincount reference over random
+    sorted-unique runs — float addition order is part of the spec."""
+    import numpy as np
+
+    from donkey_ray.functions import scoring
+
+    rng = np.random.default_rng(33)
+    for trial in range(50):
+        n_terms = rng.integers(1, 5)
+        per_ids, per_scores = [], []
+        universe = rng.choice(np.arange(10_000), size=2_000, replace=False)
+        for _ in range(n_terms):
+            m = int(rng.integers(1, 1500))
+            ids = np.sort(rng.choice(universe, size=m, replace=False)).astype(np.int64)
+            per_ids.append(ids)
+            per_scores.append(rng.standard_normal(m))
+        # reference: concat -> unique -> bincount (the old engine path)
+        cid = np.concatenate(per_ids)
+        csc = np.concatenate(per_scores)
+        uq, inv = np.unique(cid, return_inverse=True)
+        ref = np.bincount(inv, weights=csc, minlength=len(uq))
+        # new path: pairwise sorted merge in term order
+        uniq, sums = per_ids[0], per_scores[0].copy()
+        for ib, sb in zip(per_ids[1:], per_scores[1:]):
+            pos = np.searchsorted(uniq, ib)
+            pc = np.minimum(pos, len(uniq) - 1)
+            matched = uniq[pc] == ib
+            if matched.all():
+                sums[pc] += sb
+            else:
+                nm = ~matched
+                if matched.any():
+                    sums[pc[matched]] += sb[matched]
+                uniq = np.insert(uniq, pos[nm], ib[nm])
+                sums = np.insert(sums, pos[nm], sb[nm])
+        assert np.array_equal(uniq, uq)
+        assert np.array_equal(sums, ref)  # BIT-identical, not approx
+        # and the ranked heads agree under the pinned tie-break
+        k = int(rng.integers(1, 20))
+        assert np.array_equal(scoring.topk_order(uniq, sums, k),
+                              scoring.topk_order(uq, ref, k))

@@ -591,3 +591,19 @@ def test_vector_router_parity_and_failover(vector_server):
         assert sorted(got2, key=key) == sorted(want, key=key)
     finally:
         router.shutdown()
+
+
+def test_vector_router_single_vector_query(vector_server):
+    """REGRESSION: a 1-D query vector must promote to (1, dim) — not be
+    chunked along the dimension axis."""
+    from donkey_ray.serve import VectorRouter
+
+    srv, vecs, _ = vector_server
+    router = VectorRouter(srv.index_dir, n_replicas=2,
+                          name_prefix="t_vr1d_rep")
+    try:
+        hits = router.search_many(vecs[7], k=2)
+        assert [h["query_id"] for h in hits] == [0, 0]
+        assert hits[0]["vec_id"] == 7
+    finally:
+        router.shutdown()
