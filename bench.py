@@ -12,7 +12,17 @@ num_cpus=8 and num_cpus=32 on the same input (the in-sandbox substitute
 for N vs 4N nodes), reports files/s at both + scaling efficiency, and
 records the result in BENCH/BASELINE.md.
 
---scaling-child N: internal (one fresh-process build at N cpus).
+--serving-scaling: the query half of the same protocol — the 160k-query
+mixed sweep through a ServeRouter with one replica per cpu, fresh
+processes at 8 vs 32, q/s at both + efficiency (see BENCH/BASELINE.md's
+serving section for the DRAM-bandwidth analysis that contextualizes the
+single-box number).
+
+--serving-replicas: aggregate router q/s at 1/2/4/8/16 replicas on one
+32-cpu session (the replica-scaling curve).
+
+--scaling-child N / --serving-child N: internal (one fresh-process
+measurement at N cpus).
 """
 
 from __future__ import annotations
