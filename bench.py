@@ -356,9 +356,9 @@ def scaling_parent() -> dict:
 # ---- serving-side scaling (VERDICT r2 item 1) ----
 #
 # The build side has its >=0.8 evidence; these modes measure the QUERY
-# half: the same 400-query mixed sweep through the actor-pool serving
-# path in fresh processes at 8 vs 32 cpus, and aggregate q/s through
-# the ServeRouter at 1/2/4 replicas on one node.
+# half: a 160k-query mixed sweep through a ServeRouter (one replica
+# per cpu, chunked fan-out) in fresh processes at 8 vs 32 cpus, and
+# aggregate router q/s at 1/2/4/8/16 replicas on one 32-cpu node.
 
 SERVING_INDEX_DOCS = 100_000
 SERVING_QUERIES = 400          # the sf0.1 sweep + replica-router bench

@@ -45,6 +45,35 @@ def bm25_upper_bound(max_tf: float, min_dl: float, df, n_docs: float, avgdl: flo
     return float(idf(df, n_docs) * tf_weight(max_tf, min_dl, avgdl))
 
 
+def merge_scored_runs(
+    per_ids: "list[np.ndarray]", per_scores: "list[np.ndarray]"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Accumulate per-term (sorted-unique ids, scores) pairs into one
+    (ids, summed scores) pair by O(n) pairwise sorted merge.
+
+    Contributions add in LIST ORDER — the same order a concat + unique +
+    bincount reference would use — so the float64 sums are BIT-identical
+    to that reference (property-pinned in tests). The first pair's score
+    array is copied before mutation when a merge happens; input arrays
+    are never modified."""
+    uniq, sums = per_ids[0], per_scores[0]
+    if len(per_ids) > 1:
+        sums = sums.copy()
+    for ib, sb in zip(per_ids[1:], per_scores[1:]):
+        pos = np.searchsorted(uniq, ib)
+        pc = np.minimum(pos, len(uniq) - 1)
+        matched = uniq[pc] == ib
+        if matched.all():
+            sums[pc] += sb  # pc unique (ib unique) -> direct add
+        else:
+            nm = ~matched
+            if matched.any():
+                sums[pc[matched]] += sb[matched]
+            uniq = np.insert(uniq, pos[nm], ib[nm])
+            sums = np.insert(sums, pos[nm], sb[nm])
+    return uniq, sums
+
+
 def topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (score desc, doc_id asc) — pinned tie-break.
 

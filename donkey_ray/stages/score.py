@@ -413,10 +413,12 @@ class QueryEngine:
         # top-docs LRU (the Lucene top-impacts shortcut): a SINGLE-term
         # query's ranked top-K is query-independent, so it caches whole
         # — answering a repeated one-term query costs O(k), no pass
-        # over the posting-length arrays at all. Entries are tiny
-        # (2*TOPDOCS_K values); exactness is preserved because the
-        # entry is the same topk_order the full path would compute.
+        # over the posting-length arrays at all. Byte-budgeted INCLUDING
+        # the raw posting buffers the keys pin (they dominate for
+        # mid-df terms); exactness is preserved because the entry is
+        # the same topk_order the full path would compute.
         self._topdocs_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._topdocs_bytes = 0
         self.blocks_decoded = 0  # instrumentation (pruning effectiveness)
 
     def _shard(self, ix: int, part: int) -> _SegmentShard | None:
@@ -1075,9 +1077,12 @@ class QueryEngine:
         return val
 
     _TOPDOCS_K = 256    # cached ranked depth per single-term entry
-    _TOPDOCS_MAX = 8192  # LRU entries (~4 MB ceiling)
+    _TOPDOCS_BUDGET = 16 << 20  # bytes, keys (pinned buffers) included
 
     def _topk_exact(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:
+        # a cached entry holds min(_TOPDOCS_K, term df) ranked rows, so
+        # with k <= _TOPDOCS_K a hit always answers (k > len only when
+        # len == df, i.e. the whole term is cached)
         single = len(runs_by_term) == 1 and k <= self._TOPDOCS_K
         if single:
             tdkey = tuple((r["doc_ids"], r["tfs"], r["dls"])
@@ -1085,11 +1090,10 @@ class QueryEngine:
             hit = self._topdocs_cache.get(tdkey)
             if hit is not None:
                 self._topdocs_cache.move_to_end(tdkey)
-                ids_c, sc_c, total = hit
-                if k <= len(ids_c) or len(ids_c) == total:
-                    m = min(k, len(ids_c))
-                    return [(int(ids_c[i]), float(sc_c[i]))
-                            for i in range(m)]
+                ids_c, sc_c = hit
+                m = min(k, len(ids_c))
+                return [(int(ids_c[i]), float(sc_c[i]))
+                        for i in range(m)]
         # Per TERM, a doc appears in exactly one run (salted runs split
         # one index's postings; federated members hold disjoint docs),
         # so a term's merged posting list needs no summation — order
@@ -1139,34 +1143,30 @@ class QueryEngine:
             per_scores.append(ts)
         if not per_ids:
             return []
-        # cached arrays are shared across queries: the merge below must
-        # never mutate them, so the accumulator starts as a copy
-        uniq, sums = per_ids[0], per_scores[0]
-        if len(per_ids) > 1:
-            sums = sums.copy()
-        for ib, sb in zip(per_ids[1:], per_scores[1:]):
-            pos = np.searchsorted(uniq, ib)
-            pc = np.minimum(pos, len(uniq) - 1)
-            matched = uniq[pc] == ib
-            if matched.all():
-                sums[pc] += sb  # pc unique (ib unique) -> direct add
-            else:
-                nm = ~matched
-                if matched.any():
-                    sums[pc[matched]] += sb[matched]
-                uniq = np.insert(uniq, pos[nm], ib[nm])
-                sums = np.insert(sums, pos[nm], sb[nm])
+        # cached arrays are shared across queries: merge_scored_runs
+        # copies before mutating and adds in the bincount order
+        uniq, sums = scoring.merge_scored_runs(per_ids, per_scores)
         if single:
             # fill the top-docs entry at cache depth (one extra
-            # argpartition now, O(k) forever after for this term)
+            # argpartition now, O(k) forever after for this term);
+            # budget counts the VALUE arrays plus the raw key buffers
+            # the entry pins — the keys dominate for mid-df terms
             deep = scoring.topk_order(uniq, sums, self._TOPDOCS_K)
-            self._topdocs_cache[tdkey] = (
-                uniq[deep].copy(), sums[deep].copy(), len(uniq))
-            while len(self._topdocs_cache) > self._TOPDOCS_MAX:
-                self._topdocs_cache.popitem(last=False)
+            entry = (uniq[deep].copy(), sums[deep].copy())
+            self._topdocs_cache[tdkey] = entry
+            self._topdocs_bytes += self._topdocs_entry_bytes(tdkey, entry)
+            while (self._topdocs_bytes > self._TOPDOCS_BUDGET
+                   and self._topdocs_cache):
+                okey, oval = self._topdocs_cache.popitem(last=False)
+                self._topdocs_bytes -= self._topdocs_entry_bytes(okey, oval)
             return [(int(uniq[i]), float(sums[i])) for i in deep[:k]]
         order = scoring.topk_order(uniq, sums, k)
         return [(int(uniq[i]), float(sums[i])) for i in order]
+
+    @staticmethod
+    def _topdocs_entry_bytes(key: tuple, val: tuple) -> int:
+        return (sum(len(b) for run in key for b in run)
+                + val[0].nbytes + val[1].nbytes)
 
     # ---- block-max WAND with lazy block decode ----
     def _topk_wand(self, runs_by_term: dict[str, list[dict]], k: int) -> list[tuple[int, float]]:

@@ -1241,20 +1241,8 @@ def test_topk_exact_merge_matches_bincount_reference():
         csc = np.concatenate(per_scores)
         uq, inv = np.unique(cid, return_inverse=True)
         ref = np.bincount(inv, weights=csc, minlength=len(uq))
-        # new path: pairwise sorted merge in term order
-        uniq, sums = per_ids[0], per_scores[0].copy()
-        for ib, sb in zip(per_ids[1:], per_scores[1:]):
-            pos = np.searchsorted(uniq, ib)
-            pc = np.minimum(pos, len(uniq) - 1)
-            matched = uniq[pc] == ib
-            if matched.all():
-                sums[pc] += sb
-            else:
-                nm = ~matched
-                if matched.any():
-                    sums[pc[matched]] += sb[matched]
-                uniq = np.insert(uniq, pos[nm], ib[nm])
-                sums = np.insert(sums, pos[nm], sb[nm])
+        # new path: the SHIPPED merge helper _topk_exact uses
+        uniq, sums = scoring.merge_scored_runs(per_ids, per_scores)
         assert np.array_equal(uniq, uq)
         assert np.array_equal(sums, ref)  # BIT-identical, not approx
         # and the ranked heads agree under the pinned tie-break
