@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_delta": api.q_minhash_neardup_delta,
         "simhash_fingerprints": api.q_simhash_fingerprints,
         "simhash_neardup": api.q_simhash_neardup,
+        "simhash_neardup_delta": api.q_simhash_neardup_delta,
         # similarity search over embeddings
         "ann_topk": api.q_ann_topk,
         "ann_ivf_topk": api.q_ann_ivf_topk,
@@ -3229,6 +3230,26 @@ fpd AS (SELECT d.doc_id, coalesce(fp.sh, 0)::UBIGINT AS sh
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.sh, b.sh))::INT AS "min(hamming)"
 FROM fpd a JOIN fpd b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+        # incremental simhash: cross pairs between the delta shard and
+        # the corpus behind the persisted band artifact (same brute
+        # Hamming oracle, cross-side restriction)
+        "simhash_neardup_delta": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS s FROM documents),
+tf AS (SELECT doc_id, s, count(*)::HUGEINT AS tf FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, ({_HEX64}) AS h FROM tf),
+bits AS (SELECT doc_id, b.b,
+                sum(tf * (2 * ((h >> b.b) & 1)::HUGEINT - 1)) AS acc
+         FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY 1, 2),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b) ELSE 0 END) AS sh
+       FROM bits GROUP BY 1),
+fpd AS (SELECT d.doc_id, coalesce(fp.sh, 0)::UBIGINT AS sh
+        FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh))::INT AS "min(hamming)"
+FROM fpd a JOIN fpd b ON a.doc_id % 8 <> 7 AND b.doc_id % 8 = 7
 WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """,
     }

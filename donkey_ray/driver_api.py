@@ -1737,6 +1737,45 @@ def q_simhash_neardup(sf_dir: str) -> ray.data.Dataset:
     return dedup.simhash_neardup_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def ensure_simhash_index(sf_dir: str) -> str:
+    """Build (once; cached) the incremental SimHash ARTIFACT over the
+    corpus partition (doc_id % 8 != 7): pigeonhole band buckets with
+    fingerprints in-row (pipelines/dedup.build_simhash_index)."""
+    out = _index_dir(sf_dir) + "-simhashindex-v1"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+        def corpus_rows(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 8 != 7))
+
+        corpus = _docs(sf_dir).map_batches(
+            corpus_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        dedup.build_simhash_index(corpus, out, max_hamming=3)
+    return out
+
+
+def q_simhash_neardup_delta(sf_dir: str) -> ray.data.Dataset:
+    """Incremental SimHash near-dup: the delta shard (doc_id % 8 == 7)
+    fingerprinted and probed against the persisted corpus band buckets —
+    exact cross pairs at Hamming <= 3 without re-reading or
+    re-fingerprinting the corpus."""
+    from .pipelines.dedup import simhash_neardup_delta
+
+    def delta_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 8 == 7))
+
+    delta = _docs(sf_dir).map_batches(
+        delta_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return simhash_neardup_delta(ensure_simhash_index(sf_dir), delta)
+
+
 def q_doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return analyze.doc_fingerprints(_docs(sf_dir))
 

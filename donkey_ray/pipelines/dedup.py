@@ -764,37 +764,45 @@ def simhash_fingerprints(
     np.add.at scatter over the token->row parents."""
 
     def f(batch: pa.Table) -> pa.Table:
-        from ..functions.textstats import fp_token_hash64
+        return _fingerprint_batch(batch, text_col, id_col)
 
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat, parents, _dl = mh._TOK.tokenize_column(col)
-        n = batch.num_rows
-        acc = np.zeros((n, 64), dtype=np.int64)
-        if len(flat):
-            enc = flat.dictionary_encode()
-            uniq = enc.dictionary.to_pylist()
-            uh = np.fromiter(
-                (fp_token_hash64(t) for t in uniq), dtype=np.uint64,
-                count=len(uniq),
-            )
-            signs = (
-                2 * ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                     & np.uint64(1)).astype(np.int64) - 1
-            )
-            idx = enc.indices.to_numpy(zero_copy_only=False)
-            np.add.at(acc, parents, signs[idx])
-        fps = (
-            ((acc > 0).astype(np.uint64)
-             << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
-        )
-        return pa.table(
-            {"doc_id": batch.column(id_col).cast(pa.int64()),
-             "simhash": pa.array(fps, pa.uint64())}
-        )
-
+    f.__name__ = "simhash_fingerprint_batch"
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _fingerprint_batch(batch: pa.Table, text_col: str,
+                       id_col: str) -> pa.Table:
+    """(doc_id, simhash) for one batch — the kernel simhash_fingerprints
+    maps, shared by the delta probe which fingerprints in-process."""
+    from ..functions.textstats import fp_token_hash64
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat, parents, _dl = mh._TOK.tokenize_column(col)
+    n = batch.num_rows
+    acc = np.zeros((n, 64), dtype=np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        uh = np.fromiter(
+            (fp_token_hash64(t) for t in uniq), dtype=np.uint64,
+            count=len(uniq),
+        )
+        signs = (
+            2 * ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                 & np.uint64(1)).astype(np.int64) - 1
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        np.add.at(acc, parents, signs[idx])
+    fps = (
+        ((acc > 0).astype(np.uint64)
+         << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    )
+    return pa.table(
+        {"doc_id": batch.column(id_col).cast(pa.int64()),
+         "simhash": pa.array(fps, pa.uint64())}
+    )
 
 
 def simhash_neardup_pairs(
@@ -811,26 +819,8 @@ def simhash_neardup_pairs(
     B = smallest divisor of 64 that is >= max_hamming+1 gives GUARANTEED
     recall (not probabilistic) at the requested radius."""
     n_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
-    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col)
-
-    def explode_bands(batch: pa.Table) -> pa.Table:
-        """Vectorized mh.simhash_bands over the batch: an (n_docs x
-        n_bands) key matrix from one shift/mask broadcast, flattened."""
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        hs = batch.column("simhash").to_numpy(zero_copy_only=False)
-        width = np.uint64(64 // n_bands)
-        bands_ix = np.arange(n_bands, dtype=np.uint64)
-        mask = np.uint64((1 << int(width)) - 1)
-        keys = (bands_ix << width)[None, :] | (
-            (hs[:, None] >> (bands_ix * width)[None, :]) & mask
-        )
-        return pa.table(
-            {"band": pa.array(keys.reshape(-1), pa.uint64()),
-             "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
-             "simhash": pa.array(np.repeat(hs, n_bands), pa.uint64())}
-        )
-
-    bands = fps.map_batches(explode_bands, batch_format="pyarrow", zero_copy_batch=True)
+    bands = _simhash_band_rows(ds, text_col=text_col, id_col=id_col,
+                               n_bands=n_bands)
 
     def emit_checked_partition(part: pa.Table) -> pa.Table:
         empty = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -1472,4 +1462,224 @@ def minhash_neardup_delta(
     delta_sets = doc_shingle_sets(delta, text_col=text_col, id_col=id_col, n=n)
     return _verify_pairs_distributed(
         cand, corpus_sets, threshold, sets_b=delta_sets
+    )
+
+
+# ---- incremental simhash: delta shard vs a persisted band artifact ----
+#
+# The third near-dup method's delta flow (ngram and minhash above):
+# fingerprints + pigeonhole band buckets persisted once; a new shard
+# fingerprints only ITS docs and probes the buckets. Verification is an
+# XOR+popcount on the 64-bit fingerprints carried IN the band rows, so
+# no second join is needed anywhere — and recall at the radius stays
+# GUARANTEED (a pair within max_hamming always shares an unchanged
+# band).
+
+_SIMHASH_BCAST_MAX_BANDS = 8_000_000  # ~128 MB of (band, doc_id, fp)
+
+
+def build_simhash_index(
+    ds: ray.data.Dataset, out_dir: str, *, text_col: str = "text",
+    id_col: str = "doc_id", max_hamming: int = 3,
+) -> dict:
+    """Persist the corpus side of incremental SimHash near-dup:
+      bands/  (band, doc_id, simhash) — pigeonhole band buckets with
+                                        the fingerprint carried in-row
+      meta.json + _DONE             — pinned (max_hamming, n_bands)
+    Probes must use the SAME radius (checked by simhash_neardup_delta)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
+    _simhash_band_rows(
+        ds, text_col=text_col, id_col=id_col, n_bands=n_bands
+    ).write_parquet(os.path.join(out_dir, "bands"))
+    n_band = ray.data.read_parquet(os.path.join(out_dir, "bands")).count()
+    meta = {"max_hamming": int(max_hamming), "n_bands": int(n_bands),
+            "band_rows": int(n_band), "n_docs": int(n_band // n_bands)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(out_dir, "_DONE"), "w") as f:
+        f.write("ok")
+    return meta
+
+
+def _simhash_band_rows(
+    ds: ray.data.Dataset, *, text_col: str, id_col: str, n_bands: int
+) -> ray.data.Dataset:
+    """(band, doc_id, simhash) rows — the banded-bucket projection the
+    full-pairs path uses, shared by the artifact build and delta."""
+    fps = simhash_fingerprints(ds, text_col=text_col, id_col=id_col)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = batch.column("simhash").to_numpy(zero_copy_only=False)
+        width = np.uint64(64 // n_bands)
+        bands_ix = np.arange(n_bands, dtype=np.uint64)
+        mask = np.uint64((1 << int(width)) - 1)
+        keys = (bands_ix << width)[None, :] | (
+            (hs[:, None] >> (bands_ix * width)[None, :]) & mask
+        )
+        return pa.table(
+            {"band": pa.array(keys.reshape(-1), pa.uint64()),
+             "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+             "simhash": pa.array(np.repeat(hs, n_bands), pa.uint64())}
+        )
+
+    explode.__name__ = "simhash_band_rows"
+    return fps.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def simhash_neardup_delta(
+    index_dir: str,
+    delta: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Cross pairs with Hamming(simhash) <= the artifact's pinned radius
+    between a NEW delta shard and the corpus behind build_simhash_index
+    — the corpus is never re-read or re-fingerprinted. Returns (doc_a =
+    corpus doc, doc_b = delta doc, min(hamming)); recall at the radius
+    is pigeonhole-guaranteed, so the output is exact.
+
+    Small-corpus fast path (band_rows under the broadcast budget): the
+    artifact's band rows ship once sorted by key and each delta batch
+    matches + verifies map-side — zero exchanges. Beyond it: one
+    band-keyed cross-side exchange verifying inline (fingerprints ride
+    in the band rows), then a (doc_a, doc_b) min-hamming aggregate."""
+    import json
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    max_hamming = int(meta["max_hamming"])
+    n_bands = int(meta["n_bands"])
+
+    if meta.get("band_rows", 1 << 62) <= _SIMHASH_BCAST_MAX_BANDS:
+        bands_t = dataset_to_table(
+            ray.data.read_parquet(os.path.join(index_dir, "bands")))
+        bk = bands_t.column("band").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        bd = bands_t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bh = bands_t.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        o = np.argsort(bk, kind="stable")
+        bk, bd, bh = bk[o], bd[o], bh[o]
+        ref = ray.put((bk, bd, bh))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                              "doc_b": pa.array([], pa.int64()),
+                              "min(hamming)": pa.array([], pa.int32())})
+            if batch.num_rows == 0:
+                return empty
+            k_, d_, h_ = ray.get(ref)
+            # fingerprint + band the delta batch in-process (the same
+            # kernel simhash_fingerprints maps)
+            fps_tbl = _fingerprint_batch(batch, text_col, id_col)
+            ids = fps_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            hs = fps_tbl.column("simhash").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            width = np.uint64(64 // n_bands)
+            bands_ix = np.arange(n_bands, dtype=np.uint64)
+            mask = np.uint64((1 << int(width)) - 1)
+            keys = (bands_ix << width)[None, :] | (
+                (hs[:, None] >> (bands_ix * width)[None, :]) & mask)
+            qk = keys.reshape(-1)
+            qd = np.repeat(ids, n_bands)
+            qh = np.repeat(hs, n_bands)
+            lo = np.searchsorted(k_, qk, side="left")
+            hi = np.searchsorted(k_, qk, side="right")
+            cnt = hi - lo
+            nz = np.flatnonzero(cnt)
+            if not len(nz) or not len(k_):
+                return empty
+            pa_ = np.concatenate([d_[lo[i]:hi[i]] for i in nz])
+            ph_ = np.concatenate([h_[lo[i]:hi[i]] for i in nz])
+            pb_ = np.repeat(qd[nz], cnt[nz])
+            qh_ = np.repeat(qh[nz], cnt[nz])
+            d = _popcount64(ph_ ^ qh_)
+            keep = d <= max_hamming
+            if not keep.any():
+                return empty
+            t = pa.table({"a": pa.array(pa_[keep], pa.int64()),
+                          "b": pa.array(pb_[keep], pa.int64()),
+                          "h": pa.array(d[keep].astype(np.int32),
+                                        pa.int32())})
+            g = t.group_by(["a", "b"], use_threads=False).aggregate(
+                [("h", "min")])
+            return pa.table({
+                "doc_a": g.column("a"),
+                "doc_b": g.column("b"),
+                "min(hamming)": g.column("h_min"),
+            })
+
+        probe.__name__ = "simhash_delta_broadcast_probe"
+        return delta.map_batches(probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # exchange path: union of corpus band rows (side 0) and delta band
+    # rows (side 1), cross-side Hamming check inline per band run
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()))
+
+    def delta_side(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array(np.ones(batch.num_rows, np.int8), pa.int8()))
+
+    union = ray.data.read_parquet(
+        os.path.join(index_dir, "bands")
+    ).map_batches(corpus_side, batch_format="pyarrow",
+                  zero_copy_batch=True).union(
+        _simhash_band_rows(delta, text_col=text_col, id_col=id_col,
+                           n_bands=n_bands)
+        .map_batches(delta_side, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+    def cross_checked(part: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int32())})
+        if part.num_rows == 0:
+            return empty
+        order = pa.compute.sort_indices(
+            part, sort_keys=[("band", "ascending"), ("side", "ascending"),
+                             ("doc_id", "ascending")])
+        g = part.take(order)
+        bnp = g.column("band").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = g.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(bnp[1:] != bnp[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(ids)]))
+        a_out, b_out, h_out = [], [], []
+        for s, e in zip(starts, ends):
+            sd = side[s:e]
+            n0 = int(np.searchsorted(sd, 1))
+            if n0 == 0 or n0 == e - s:
+                continue
+            ca, ch = ids[s:s + n0], hs[s:s + n0]
+            db, dh = ids[s + n0:e], hs[s + n0:e]
+            d = _popcount64(ch[:, None] ^ dh[None, :])
+            ai, bi = np.nonzero(d <= max_hamming)
+            if len(ai):
+                a_out.append(ca[ai])
+                b_out.append(db[bi])
+                h_out.append(d[ai, bi].astype(np.int32))
+        if not a_out:
+            return empty
+        return pa.table({"doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                         "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                         "h": pa.array(np.concatenate(h_out), pa.int32())})
+
+    cross_checked.__name__ = "simhash_delta_cross"
+    pairs = keyed_partition_map(union, ["band"], cross_checked)
+    return partitioned_aggregate(
+        pairs, ["doc_a", "doc_b"], [("h", "min")],
+        rename={"h_min": "min(hamming)"},
     )

@@ -121,7 +121,7 @@ NAMES = [
     "grouped_split",
     # round-3 additions
     "minhash_neardup_delta", "graph_topk_recall", "epoch_shuffle",
-    "simhash_neardup",
+    "simhash_neardup", "simhash_neardup_delta",
 ]
 
 

@@ -2301,3 +2301,70 @@ def test_epoch_shuffle_determinism_and_layout(ray_session):
     # epochs decorrelate
     r2 = run(ray.data.from_arrow(tbl), 2)
     assert (r1 != r2).mean() > 0.99
+
+
+def test_simhash_delta_vs_full(ray_session, tmp_path):
+    """The persisted SimHash artifact probe returns EXACTLY the cross
+    pairs of the full-corpus simhash_neardup_pairs run — pigeonhole
+    banding makes both exact at the radius — on BOTH the broadcast and
+    the exchange paths."""
+    import ray.data
+
+    from donkey_ray.pipelines.dedup import (
+        build_simhash_index,
+        simhash_neardup_delta,
+        simhash_neardup_pairs,
+    )
+    from donkey_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(120)]
+    texts = []
+    for i in range(64):
+        toks = list(rng.choice(vocab, size=rng.integers(6, 24)))
+        texts.append(" ".join(toks))
+    texts[7] = texts[16]          # cross dup (corpus 16, delta 7? 7%4)
+    texts[15] = texts[26] + " x"  # near cross pair
+    tbl = pa.table({"doc_id": pa.array(np.arange(64), pa.int64()),
+                    "text": pa.array(texts)})
+    corpus = tbl.filter(pa.array(np.arange(64) % 4 != 3))
+    delta = tbl.filter(pa.array(np.arange(64) % 4 == 3))
+
+    idx = str(tmp_path / "shindex")
+    meta = build_simhash_index(ray.data.from_arrow(corpus), idx,
+                               max_hamming=3)
+    assert meta["n_docs"] == corpus.num_rows and meta["n_bands"] == 4
+
+    full = dataset_to_table(simhash_neardup_pairs(
+        ray.data.from_arrow(tbl), max_hamming=3))
+    a = full.column("doc_a").to_numpy(zero_copy_only=False)
+    b = full.column("doc_b").to_numpy(zero_copy_only=False)
+    h = full.column("min(hamming)").to_numpy(zero_copy_only=False)
+    a_d, b_d = (a % 4) == 3, (b % 4) == 3
+    cross = a_d != b_d
+    ca = np.where(a_d, b, a)[cross]
+    db = np.where(a_d, a, b)[cross]
+    want = pa.table({"doc_a": pa.array(ca, pa.int64()),
+                     "doc_b": pa.array(db, pa.int64()),
+                     "min(hamming)": pa.array(h[cross].astype(np.int32),
+                                              pa.int32())}).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    got = dataset_to_table(
+        simhash_neardup_delta(idx, ray.data.from_arrow(delta))
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    assert got.num_rows == want.num_rows and got.num_rows > 0
+    assert got.equals(want)
+
+    # exchange path (broadcast budget forced to zero) is identical
+    import donkey_ray.pipelines.dedup as dd
+
+    orig = dd._SIMHASH_BCAST_MAX_BANDS
+    dd._SIMHASH_BCAST_MAX_BANDS = 0
+    try:
+        got2 = dataset_to_table(
+            simhash_neardup_delta(idx, ray.data.from_arrow(delta))
+        ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    finally:
+        dd._SIMHASH_BCAST_MAX_BANDS = orig
+    assert got2.equals(want)
