@@ -2170,10 +2170,12 @@ def q_kmeans_centroids(sf_dir: str) -> pa.Table:
 
 
 def q_knn_label_eval(sf_dir: str) -> ray.data.Dataset:
-    """Leave-one-out 5-NN label prediction over the labeled embeddings —
-    deliberately routed through the IVF-probed large-n path (exact at
-    nprobe=n_lists) so the contract gates the beyond-broadcast plan, not
-    just the small-n ray.put fast path."""
+    """Leave-one-out 5-NN label prediction over the labeled embeddings.
+    ``index_dir`` arms the IVF-probed large-n path, but at driver scale
+    (≤100k labeled rows) the dispatcher takes the pytest-identical
+    broadcast tile instead (VERDICT r3 item 8 — no artifact I/O for a
+    table under the broadcast budget); the beyond-broadcast plan stays
+    gated by test_knn_label_eval_ivf_equals_broadcast(force_ivf=True)."""
     import hashlib as _hl
 
     from .pipelines.ann import knn_label_eval

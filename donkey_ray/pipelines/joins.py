@@ -265,6 +265,7 @@ def skew_join(
     right_on: str,
     hot_count_threshold: int = 100_000,
     num_partitions: int | None = None,
+    materialize: bool = False,
 ) -> ray.data.Dataset:
     """Skew-aware INNER join: keys whose left-side row count exceeds
     ``hot_count_threshold`` would each flood one partition of the keyed
@@ -275,6 +276,17 @@ def skew_join(
     normal hash join with the right side's hot rows filtered out of the
     exchange. Row-identical to hash_join(how='inner'); pytest-proven.
 
+    DETERMINISM CONTRACT: ``left`` feeds three consumers (key counts,
+    hot join, cold join) and ``right`` two; neither is pinned by
+    default (a fact side materialized at 100 TB is a spill storm), so
+    each consumer RE-EXECUTES the input plan. Both plans must therefore
+    be deterministic across re-reads — true for every parquet-backed
+    pipeline in this repo, but NOT for unseeded sampling or
+    time-dependent maps, which would see inconsistent key counts vs
+    join inputs (duplicated/dropped rows). For such inputs pass
+    ``materialize=True`` to pin one snapshot of each side up front
+    (object-store cost: both inputs resident).
+
     This is the join-shaped sibling of the index build's salted hot-term
     exchange (stages/extract.py): detect heavy keys, give them a
     different physical plan, never a different answer."""
@@ -283,13 +295,9 @@ def skew_join(
     from ..stages.exchange import partitioned_aggregate
     from ..util import dataset_to_table
 
-    # left feeds three consumers (key counts, hot join, cold join) and
-    # right two — deliberately NOT materialized: pinning a fact side in
-    # the object store at 100 TB is a spill storm. Each consumer
-    # re-executes the source plan instead (an extra scan, O(1) memory);
-    # only the hot RIGHT slice — bounded by construction — is pinned.
-    # Assumption: the input plans are deterministic across re-reads
-    # (true for every parquet-read pipeline in this repo).
+    if materialize:  # escape hatch for nondeterministic input plans
+        left = left.materialize()
+        right = right.materialize()
 
     def key_partials(batch: pa.Table) -> pa.Table:
         out = batch.select([left_on]).group_by([left_on], use_threads=False)\

@@ -499,7 +499,8 @@ class ServeRouter:
 
     def ping(self) -> dict:
         """Aggregate health: per-replica ok/dead plus index stats from
-        the first healthy replica."""
+        the first healthy replica. ``n_docs`` falls back to the vector
+        pool's ``n_indexed`` so VectorRouter health is never null."""
         states = []
         detail = None
         for i in range(self.n_replicas):
@@ -509,8 +510,11 @@ class ServeRouter:
                 detail = detail or p
             except Exception:
                 states.append("dead")
+        d = detail or {}
         return {"status": "ok" if "ok" in states else "down",
-                "replicas": states, "n_docs": (detail or {}).get("n_docs")}
+                "replicas": states,
+                "index_dir": self.index_dir,
+                "n_docs": d.get("n_docs", d.get("n_indexed"))}
 
     def search(self, text: str, k: int = 10, **kwargs) -> list[dict]:
         """One query to the next replica in round-robin order; a dead
@@ -584,11 +588,22 @@ def start_router(
     detached: bool = False,
 ) -> "ray.actor.ActorHandle":
     """Start (or get) the named router actor over ``n_replicas`` read
-    replicas. Ray must already be initialised by the caller."""
+    replicas. Ray must already be initialised by the caller. An ADOPTED
+    pre-existing router (same name) is verified to serve THIS index_dir
+    — mirroring ``_ensure_replica``'s identity guard — so a stale
+    (e.g. detached) router over a different index fails loudly instead
+    of silently answering from the wrong artifact."""
     try:
-        return ray.get_actor(name)
+        h = ray.get_actor(name)
     except ValueError:
-        pass
+        h = None
+    if h is not None:
+        served = ray.get(h.ping.remote()).get("index_dir")
+        if served != index_dir:
+            raise RuntimeError(
+                f"named router {name!r} serves {served!r}, not "
+                f"{index_dir!r}; pick another name or kill the old one")
+        return h
     opts = {"name": name, "num_cpus": 0.5}
     if detached:
         opts["lifetime"] = "detached"
@@ -627,7 +642,9 @@ class VectorServer:
         self.auto_compact_tombstones = auto_compact_tombstones
         self._buffer: dict[int, list[float]] = {}
         self._tombstones: set[int] = set()
-        self._indexed: "set[int] | None" = None  # lazy; ids only (8B/vec)
+        # lazy; sorted np.int64 ids only — a TRUE 8 bytes/vec (a Python
+        # set of ints would cost ~10x that), probed with searchsorted
+        self._indexed: "object | None" = None
         self._journal_path = os.path.join(index_dir, "vjournal.jsonl")
         self._recover()
 
@@ -643,19 +660,23 @@ class VectorServer:
             paths = [p for p in paths if os.path.exists(p)]
         return paths
 
-    def _indexed_ids(self) -> "set[int]":
-        """vec_ids already in the IVF artifact — loaded ONCE (ids column
-        only, 8 bytes/vec; the vectors themselves stay on disk) to
-        reject duplicate inserts that would return twice from search and
-        write duplicate rows at compact."""
+    def _indexed_ids(self):
+        """Sorted np.int64 array of vec_ids already in the IVF artifact
+        — loaded ONCE (ids column only, 8 bytes/vec; the vectors
+        themselves stay on disk) to reject duplicate inserts that would
+        return twice from search and write duplicate rows at compact.
+        Kept as a numpy array, not a Python set, so actor memory really
+        is 8 B/vec; membership is np.searchsorted (O(log n))."""
         if self._indexed is None:
+            import numpy as np
             import pyarrow.parquet as _pq
 
-            ids: set[int] = set()
+            parts = []
             for p in self._segment_paths():
                 col = _pq.read_table(p, columns=["vec_id"]).column("vec_id")
-                ids.update(col.to_pylist())
-            self._indexed = ids
+                parts.append(col.to_numpy(zero_copy_only=False))
+            self._indexed = (np.sort(np.concatenate(parts))
+                             if parts else np.empty(0, dtype=np.int64))
         return self._indexed
 
     # ---- WAL ----
@@ -699,6 +720,8 @@ class VectorServer:
         """rows: [{vec_id:int, embedding:[float,...]}, ...]. vec_ids
         must be NEW (not indexed, buffered, or tombstoned) — ids are the
         caller's keys and a duplicate would return twice from search."""
+        import numpy as np
+
         seen: set[int] = set()
         indexed = self._indexed_ids()
         for r in rows:
@@ -708,7 +731,8 @@ class VectorServer:
             if v in self._tombstones:
                 raise ValueError(
                     f"vec_id {v} is tombstoned; compact() before reuse")
-            if v in indexed:
+            j = int(np.searchsorted(indexed, v))
+            if j < len(indexed) and int(indexed[j]) == v:
                 raise ValueError(
                     f"vec_id {v} already indexed; delete() it first")
             seen.add(v)
@@ -893,11 +917,19 @@ def start_vector_router(
     detached: bool = False,
 ) -> "ray.actor.ActorHandle":
     """Start (or get) the named vector router over ``n_replicas`` read
-    replicas. Ray must already be initialised by the caller."""
+    replicas. Ray must already be initialised by the caller. Same
+    adopted-router identity guard as ``start_router``."""
     try:
-        return ray.get_actor(name)
+        h = ray.get_actor(name)
     except ValueError:
-        pass
+        h = None
+    if h is not None:
+        served = ray.get(h.ping.remote()).get("index_dir")
+        if served != index_dir:
+            raise RuntimeError(
+                f"named router {name!r} serves {served!r}, not "
+                f"{index_dir!r}; pick another name or kill the old one")
+        return h
     opts = {"name": name, "num_cpus": 0.5}
     if detached:
         opts["lifetime"] = "detached"

@@ -2261,15 +2261,24 @@ def test_knn_label_eval_ivf_equals_broadcast(ray_session, tmp_path):
     idx = str(tmp_path / "evalivf")
     got = dataset_to_table(knn_label_eval(
         ray.data.from_arrow(tbl), k=5, index_dir=idx, n_lists=8,
+        force_ivf=True,  # small input would otherwise auto-broadcast
     )).sort_by([("vec_id", "ascending")])
     assert got.equals(want)
 
     # layout invariance: a different block structure, same artifact
     relaid = ray.data.from_arrow(tbl).repartition(7)
     got2 = dataset_to_table(knn_label_eval(
-        relaid, k=5, index_dir=idx, n_lists=8,
+        relaid, k=5, index_dir=idx, n_lists=8, force_ivf=True,
     )).sort_by([("vec_id", "ascending")])
     assert got2.equals(want)
+
+    # VERDICT r3 item 8: index_dir + small input dispatches BROADCAST
+    # (identical rows, no artifact I/O); the artifact already exists and
+    # must be ignored
+    got_auto = dataset_to_table(knn_label_eval(
+        ray.data.from_arrow(tbl), k=5, index_dir=idx, n_lists=8,
+    )).sort_by([("vec_id", "ascending")])
+    assert got_auto.equals(want)
 
     # the dispatcher takes the IVF path on its own past the broadcast cap
     got3 = dataset_to_table(knn_label_eval(
