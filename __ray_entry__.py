@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_topk": api.q_prefix_topk,
         "wildcard_topk": api.q_wildcard_topk,
         "fielded_topk": api.q_fielded_topk,
+        "bm25_topk_per_lang": api.q_bm25_topk_per_lang,
         "fuzzy_topk": api.q_fuzzy_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
@@ -944,6 +945,42 @@ ranked AS (SELECT query_id, k, doc_id, score,
                                      ORDER BY score DESC, doc_id ASC) AS rank
            FROM scores)
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= k
+""",
+        # language-partitioned BM25 (api.PINNED_PER_LANG): every doc
+        # scores against ITS OWN language's collection statistics —
+        # n_docs/avgdl/df all partitioned by lang (the per-lang index
+        # family), then one global ranking (score desc, doc_id asc)
+        "bm25_topk_per_lang": f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, lang, len(toks) AS dl FROM tok),
+stats AS (SELECT lang, count(*)::DOUBLE AS n_docs,
+                 avg(dl)::DOUBLE AS avgdl
+          FROM dl GROUP BY lang),
+q(query_id, text, k) AS (VALUES (0,'table',10),(1,'spark merge',10),
+                                (2,'window sort key',10),(3,'zzzabsent',10),
+                                (4,'value value',10)),
+qt AS (SELECT DISTINCT query_id, k,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM q),
+terms AS (SELECT doc_id, lang, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, lang, term, count(*)::DOUBLE AS tf
+       FROM terms GROUP BY 1,2,3),
+df AS (SELECT lang, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1,2),
+scores AS (
+  SELECT qt.query_id, qt.k, tf.doc_id, tf.lang,
+    sum( ln((s.n_docs - df.df + 0.5)/(df.df + 0.5) + 1) *
+         tf.tf*(1.2+1)/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM qt JOIN tf ON tf.term = qt.term
+  JOIN df ON df.term = qt.term AND df.lang = tf.lang
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN stats s ON s.lang = tf.lang
+  GROUP BY 1,2,3,4),
+ranked AS (SELECT query_id, k, doc_id, lang, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id, lang,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
 """,

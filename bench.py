@@ -13,13 +13,15 @@ for N vs 4N nodes), reports files/s at both + scaling efficiency, and
 records the result in BENCH/BASELINE.md.
 
 --serving-scaling: the query half of the same protocol — the 160k-query
-mixed sweep through a ServeRouter with one replica per cpu, fresh
-processes at 8 vs 32, q/s at both + efficiency (see BENCH/BASELINE.md's
-serving section for the DRAM-bandwidth analysis that contextualizes the
-single-box number).
+mixed sweep through the multi-frontend serving shape (num_cpus//8
+stateless router frontends sharing one replica pool, each marshalling
+its own results), fresh processes at 8 vs 32, q/s at both + efficiency
+(see BENCH/BASELINE.md's serving section for the DRAM-bandwidth
+analysis that contextualizes the single-box number).
 
---serving-replicas: aggregate router q/s at 1/2/4/8/16 replicas on one
-32-cpu session (the replica-scaling curve).
+--serving-replicas: aggregate q/s at 1/2/4/8/16/32 replicas on one
+32-cpu session (the replica-scaling curve), multi-frontend past 8
+replicas.
 
 --scaling-child N / --serving-child N: internal (one fresh-process
 measurement at N cpus).
@@ -382,32 +384,47 @@ def ensure_serving_index() -> str:
 
 def serving_child(num_cpus: int) -> dict:
     """Fresh-process q/s measurement at the given parallelism through
-    the DEPLOYED serving shape: a ServeRouter over one IndexServer
-    replica per cpu, chunked fan-out (one actor call per 64 queries so
-    the driver never bottlenecks). One full warmup sweep first (replica
-    engines + term LRUs load once — the already-running-cluster
-    condition of the north rule), then the timed sweep."""
+    the DEPLOYED serving shape (round 4): num_cpus//8 stateless router
+    FRONTENDS sharing one pool of (num_cpus - n_frontends) IndexServer
+    replicas — 1 frontend + 7 replicas at 8 cpus, 4 + 28 at 32, so the
+    frontend:replica ratio is identical at both levels. The driver only
+    round-robins query slices to frontends and collects tiny digests;
+    every result batch is marshalled ON its frontend
+    (search_many_digest), so no single process deserializes the full
+    result stream — the round-3 single-router funnel is gone. One full
+    warmup sweep first (replica engines + term LRUs load once — the
+    already-running-cluster condition of the north rule), then the
+    timed sweep."""
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     idx = ensure_serving_index()
-    from donkey_ray.serve import ServeRouter
+    from donkey_ray.serve import start_frontends, stop_frontends
     from donkey_ray.synth import make_queries
 
     qs = [(r["text"], int(r["k"]))
           for r in make_queries(SERVING_SCALING_QUERIES).to_pylist()]
-    router = ServeRouter(idx, n_replicas=num_cpus,
-                         name_prefix=f"bench_scaling_rep{num_cpus}")
+    n_frontends = max(1, num_cpus // 8)
+    n_replicas = num_cpus - n_frontends
+    fronts = start_frontends(
+        idx, n_replicas=n_replicas, n_frontends=n_frontends,
+        name=f"bench_scaling_{num_cpus}")
+    slices = [qs[j::n_frontends] for j in range(n_frontends)]
     try:
-        router.search_many(qs, chunk_size=SERVING_CHUNK)  # warmup
+        ray.get([f.search_many_digest.remote(s, chunk_size=SERVING_CHUNK)
+                 for f, s in zip(fronts, slices)])  # warmup
         t0 = time.monotonic()
-        outs = router.search_many(qs, chunk_size=SERVING_CHUNK)
+        digs = ray.get([
+            f.search_many_digest.remote(s, chunk_size=SERVING_CHUNK)
+            for f, s in zip(fronts, slices)])
         wall = time.monotonic() - t0
-        assert len(outs) == len(qs)
+        assert sum(d["n_queries"] for d in digs) == len(qs)
     finally:
-        router.shutdown()
+        stop_frontends(fronts)
     ray.shutdown()
     return {"num_cpus": num_cpus, "wall_s": wall,
+            "n_frontends": n_frontends, "n_replicas": n_replicas,
+            "checksum": sum(d["checksum"] for d in digs) % (1 << 61),
             "queries_per_s": SERVING_SCALING_QUERIES / wall}
 
 
@@ -453,16 +470,21 @@ def serving_scaling_parent() -> dict:
     }
 
 
-def serving_replicas_bench(replica_counts=(1, 2, 4, 8, 16)) -> dict:
-    """Aggregate q/s through the ServeRouter at growing replica counts
-    on one node (VERDICT r2 item 2): same query stream, same index;
-    each level gets a warmup pass (replica engines load once) before
-    the timed pass."""
+def serving_replicas_bench(replica_counts=(1, 2, 4, 8, 16, 32)) -> dict:
+    """Aggregate q/s at growing replica counts on one node (VERDICT r2
+    item 2, extended round 4): same query stream, same index; past 8
+    replicas the pool is fronted by n_rep//8 stateless frontends
+    sharing it (the multi-frontend shape), each marshalling its own
+    slice's results, so the curve measures the pool — not a
+    single-router dispatch funnel. Each level gets a warmup pass
+    (replica engines load once) before the timed pass. Frontends are
+    num_cpus=0 here so the replica count keeps its meaning as the
+    CPU-parallelism level (the scaling children account fully)."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     idx = ensure_serving_index()
-    from donkey_ray.serve import ServeRouter
+    from donkey_ray.serve import start_frontends, stop_frontends
     from donkey_ray.synth import make_queries
 
     # 50x the sf0.1 sweep: at <=4 replicas each query costs ~0.7 ms of
@@ -471,18 +493,24 @@ def serving_replicas_bench(replica_counts=(1, 2, 4, 8, 16)) -> dict:
           for r in make_queries(50 * SERVING_QUERIES).to_pylist()]
     levels = {}
     for n_rep in replica_counts:
-        router = ServeRouter(idx, n_replicas=n_rep,
-                             name_prefix=f"bench_rep{n_rep}")
+        n_f = max(1, n_rep // 8)
+        fronts = start_frontends(
+            idx, n_replicas=n_rep, n_frontends=n_f,
+            name=f"bench_rep{n_rep}", frontend_cpus=0)
+        slices = [qs[j::n_f] for j in range(n_f)]
         try:
-            router.search_many(qs)  # warmup: engines + LRUs load
+            ray.get([f.search_many_digest.remote(s)
+                     for f, s in zip(fronts, slices)])  # warmup
             t0 = time.monotonic()
-            outs = router.search_many(qs)
+            digs = ray.get([f.search_many_digest.remote(s)
+                            for f, s in zip(fronts, slices)])
             wall = time.monotonic() - t0
-            assert len(outs) == len(qs)
+            assert sum(d["n_queries"] for d in digs) == len(qs)
             levels[n_rep] = {"wall_s": round(wall, 3),
+                             "n_frontends": n_f,
                              "queries_per_s": round(len(qs) / wall, 1)}
         finally:
-            router.shutdown()
+            stop_frontends(fronts)
     base = levels[replica_counts[0]]["queries_per_s"]
     ray.shutdown()
     return {

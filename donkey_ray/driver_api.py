@@ -85,7 +85,7 @@ def _index_dir(sf_dir: str) -> str:
     return os.path.join(CACHE_ROOT, f"idx-{key}")
 
 
-CURRENT_FORMAT_VERSION = 2
+CURRENT_FORMAT_VERSION = 3
 
 
 def ensure_index(sf_dir: str) -> str:
@@ -395,6 +395,74 @@ def q_fielded_topk(sf_dir: str) -> pa.Table:
             "query_id": pa.array(qids, pa.int64()),
             "rank": pa.array(ranks, pa.int32()),
             "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+    return _round_col(res, "score")
+
+
+def ensure_per_lang_indexes(sf_dir: str) -> "dict[str, str]":
+    """One index per language over the documents corpus — each lang's
+    BM25 statistics (n_docs, avgdl, df) are its own collection's
+    (SURVEY §1.2 per-lang stats; VERDICT r3 item 5). Lang discovery
+    here is a driver-side distinct over one dictionary-encoded column
+    (bounded: lang cardinality, not corpus size); at 100 TB the same
+    distinct runs as a Ray aggregate feeding the same per-lang builds."""
+    import pyarrow.parquet as _pq
+
+    from .sources.corpus import documents_as_corpus
+
+    langs = sorted(set(
+        _pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .column("lang").to_pylist()))
+    out = {}
+    for lg in langs:
+        d = _index_dir(sf_dir) + f"_lang_{lg}"
+        build_index(
+            documents_as_corpus(sf_dir, lang=lg),
+            d,
+            num_partitions=2,
+            id_col="doc_id",
+            query_lang="simple",
+            sample_mod=16,
+        )
+        out[lg] = d
+    return out
+
+
+PINNED_PER_LANG = [
+    (0, "table", 10),
+    (1, "spark merge", 10),
+    (2, "window sort key", 10),
+    (3, "zzzabsent", 10),
+    (4, "value value", 10),
+]
+
+
+def q_bm25_topk_per_lang(sf_dir: str) -> pa.Table:
+    """Language-partitioned BM25: every hit is scored against its own
+    language's collection stats (per-lang n_docs/avgdl/df — the per-lang
+    index family), merged globally (score desc, doc_id asc)."""
+    from .pipelines.query import per_lang_topk
+    from .stages.score import QueryEngine
+
+    idx = ensure_per_lang_indexes(sf_dir)
+    engines = {lg: QueryEngine(d) for lg, d in idx.items()}
+    qids, ranks, docs, langs, scores = [], [], [], [], []
+    for qid, text, k in PINNED_PER_LANG:
+        hits = per_lang_topk(idx, text, k, engines=engines)
+        for r, (lg, d, s) in enumerate(hits, start=1):
+            qids.append(qid)
+            ranks.append(r)
+            docs.append(d)
+            langs.append(lg)
+            scores.append(s)
+    res = pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "rank": pa.array(ranks, pa.int32()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
             "score": pa.array(scores, pa.float64()),
         }
     )

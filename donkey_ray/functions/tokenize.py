@@ -69,6 +69,15 @@ class SimpleTokenizer:
         dl = np.bincount(parents, minlength=len(col)).astype(np.int64)
         return flat, parents, dl
 
+    def count_column(self, col: pa.Array) -> pa.Array:
+        """Per-row token COUNT without materializing the token lists —
+        one RE2 scan (count of maximal ``[a-z0-9]+`` runs == count of
+        non-empty split tokens, the dl that ``tokenize_column`` returns).
+        Used by the docs pass for per-lang doc_len, where building the
+        full flat token array just to count it would double the cost."""
+        return pc.count_substring_regex(
+            pc.utf8_lower(col), "[a-z0-9]+").cast(pa.int64())
+
 
 class CodeTokenizer:
     """Identifier-splitting tokenizer for source code."""
@@ -131,6 +140,18 @@ class CodeTokenizer:
         parents = parents[keep.to_numpy(zero_copy_only=False)]
         dl = np.bincount(parents, minlength=len(col)).astype(np.int64)
         return flat, parents, dl
+
+    def count_column(self, col: pa.Array) -> pa.Array:
+        """Count-only twin of ``tokenize_column``: the same boundary
+        passes, then one RE2 count scan instead of list materialization."""
+        out = col
+        for pattern, replacement in self._COLUMN_RULES:
+            out = pc.replace_substring_regex(
+                out, pattern=pattern, replacement=replacement)
+        out = pc.replace_substring_regex(
+            out, pattern=r"[^\x00-\x7F]+", replacement=" ")
+        return pc.count_substring_regex(
+            pc.utf8_lower(out), "[a-z0-9]+").cast(pa.int64())
 
 
 # ---------------------------------------------------------------- stemming
@@ -233,6 +254,9 @@ class FoldTokenizer(SimpleTokenizer):
     def tokenize_column(self, col: pa.Array):
         return super().tokenize_column(fold_column(col))
 
+    def count_column(self, col: pa.Array) -> pa.Array:
+        return super().count_column(fold_column(col))
+
 
 class StemTokenizer(SimpleTokenizer):
     """SimpleTokenizer + the pinned s-stemmer on every token. Index and
@@ -284,6 +308,12 @@ class StopTokenizer(SimpleTokenizer):
         parents = parents[keep.to_numpy(zero_copy_only=False)]
         dl = np.bincount(parents, minlength=len(col)).astype(np.int64)
         return flat, parents, dl
+
+    def count_column(self, col: pa.Array) -> pa.Array:
+        """dl counts CONTENT tokens only, so the count-scan shortcut is
+        wrong here; pay the full tokenize (stopword drop included)."""
+        _flat, _parents, dl = self.tokenize_column(col)
+        return pa.array(dl, pa.int64())
 
 
 _REGISTRY: dict[str, type] = {}

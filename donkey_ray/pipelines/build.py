@@ -34,6 +34,29 @@ from ..state import manifest as mf
 
 DEFAULT_PARTITIONS = 16
 
+# Auto partition sizing (num_partitions=None): one partition per this
+# many postings (~0.5 GB of encoded segment at ~16 B/posting) — small
+# enough that a SegmentWriter group and its shuffle object fit a worker
+# heap, large enough that per-partition overheads stay amortized.
+TOKENS_PER_PARTITION = 32_000_000
+MAX_AUTO_PARTITIONS = 1 << 18  # past this, segments grow instead (a
+# shuffle with >262k partitions needs operational changes anyway)
+
+
+def auto_partition_count(est_total_tokens: int) -> int:
+    """Partition count from the hot-pass postings-volume estimate — a
+    PURE function of the data (never of cluster size), so N- and
+    4N-node builds of the same corpus choose the same partitioning and
+    a resume on any cluster continues the same layout. est<=0 (hot
+    detection disabled / empty sample) falls back to
+    DEFAULT_PARTITIONS."""
+    if est_total_tokens <= 0:
+        return DEFAULT_PARTITIONS
+    import math
+
+    return max(1, min(MAX_AUTO_PARTITIONS,
+                      math.ceil(est_total_tokens / TOKENS_PER_PARTITION)))
+
 
 def _docs_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "docs")
@@ -43,6 +66,43 @@ def _count_docs(out_dir: str) -> int:
     return pads.dataset(_docs_dir(out_dir)).count_rows()
 
 
+def compute_lang_stats(out_dir: str) -> dict:
+    """Per-lang collection stats (SURVEY §1.2 ``stats`` "+ per-lang"):
+    {lang: {n_docs, total_len, avgdl}} aggregated from the docs
+    artifact's (lang, doc_len) columns — a 2-column scan with in-batch
+    partial aggregation, then one keyed exchange over n_langs keys
+    (lang cardinality is tiny, so the exchange is a few rows). Returns
+    {} when the docs artifact predates the doc_len column (old-format
+    resume) — callers treat the field as optional."""
+    from ..stages.exchange import partitioned_aggregate
+
+    try:
+        docs = ray.data.read_parquet(
+            _docs_dir(out_dir), columns=["lang", "doc_len"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["lang"], use_threads=False).aggregate(
+                [("doc_len", "sum"), ("doc_len", "count")])
+            return g.rename_columns(["lang", "s", "c"])
+
+        rows = partitioned_aggregate(
+            docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["lang"], [("s", "sum"), ("c", "sum")],
+            rename={"s_sum": "s", "c_sum": "c"},
+        ).take_all()  # n_langs rows
+    except Exception:
+        return {}
+    return {
+        str(r["lang"]): {
+            "n_docs": int(r["c"]),
+            "total_len": int(r["s"]),
+            "avgdl": (r["s"] / r["c"]) if r["c"] else 0.0,
+        }
+        for r in sorted(rows, key=lambda r: str(r["lang"]))
+    }
+
+
 def detect_hot_terms(
     ds: ray.data.Dataset,
     *,
@@ -50,9 +110,11 @@ def detect_hot_terms(
     sample_mod: int,
     hot_df_ratio: float,
     lang_override: str | None = None,
-) -> tuple[list[str], int]:
+) -> tuple[list[str], int, int]:
     """Deterministic ~1/sample_mod sample -> per-term df -> terms whose
     sampled df exceeds hot_df_ratio of the sample size (SURVEY.md B18).
+    Returns (hot_terms, n_sample_docs, n_sample_tokens) — the token
+    total feeds auto partition sizing (``num_partitions=None``).
 
     Fully data-deterministic (hash-of-doc_id sampling), so every cluster
     size / retry sees the same hot set — a prerequisite for deterministic
@@ -98,11 +160,15 @@ def detect_hot_terms(
                 "df_part": counts.column("term_count").cast(pa.int64()),
             }
         ).filter(pc.greater_equal(counts.column("term_count"), cutoff))
-        # sentinel row carries this batch's sample size to the driver
+        # sentinel rows carry this batch's sample size + token total
+        # (sum of tf over sampled postings) to the driver
+        n_tokens = int(pc.sum(out.column("tf")).as_py() or 0)
         return pa.concat_tables([
             cand,
-            pa.table({"term": pa.array(["\x00__sampled__"], pa.string()),
-                      "df_part": pa.array([n_sampled], pa.int64())}),
+            pa.table({"term": pa.array(["\x00__sampled__",
+                                        "\x00__tokens__"], pa.string()),
+                      "df_part": pa.array([n_sampled, n_tokens],
+                                          pa.int64())}),
         ])
 
     partials = ds.map_batches(
@@ -111,13 +177,16 @@ def detect_hot_terms(
     totals: dict[str, int] = {}
     for r in partials:
         totals[r["term"]] = totals.get(r["term"], 0) + int(r["df_part"])
+    n_sample_tokens = totals.pop("\x00__tokens__", 0)
     n_sample_docs = max(totals.pop("\x00__sampled__", 0), 1)
     thresh = max(2.0, hot_df_ratio * n_sample_docs)
     hot = sorted(t for t, c in totals.items() if c >= thresh)
-    return hot, n_sample_docs
+    return hot, n_sample_docs, n_sample_tokens
 
 
-def _docs_pass_fragments(corpus_path: str, out_dir: str, id_col: str | None) -> None:
+def _docs_pass_fragments(corpus_path: str, out_dir: str,
+                         id_col: str | None,
+                         analyzer: str | None = None) -> None:
     """Fragment-parallel, fragment-RESUMABLE docs pass: the work list is
     the corpus's parquet fragments; each task reads one fragment, derives
     DOCS rows, and atomically writes ``docs/frag-<sha16>.parquet``. On
@@ -146,7 +215,7 @@ def _docs_pass_fragments(corpus_path: str, out_dir: str, id_col: str | None) -> 
         done = []
         for frag in batch.column("path").to_pylist():
             tbl = pq.read_table(frag)
-            docs = doc_meta(tbl, id_col=id_col)
+            docs = doc_meta(tbl, id_col=id_col, analyzer=analyzer)
             target = out_name(frag)
             fd, tmp = tempfile.mkstemp(dir=docs_dir, prefix=".tmp-docs-")
             os.close(fd)
@@ -170,7 +239,7 @@ def build_index(
     corpus: str | ray.data.Dataset,
     out_dir: str,
     *,
-    num_partitions: int = DEFAULT_PARTITIONS,
+    num_partitions: int | None = DEFAULT_PARTITIONS,
     id_col: str | None = None,
     salt_bits: int = 4,
     sample_mod: int = 64,
@@ -186,6 +255,12 @@ def build_index(
     analyzer_lang: str | None = None,
 ) -> dict:
     """Build (or resume) an inverted index at ``out_dir``. Returns meta.
+
+    ``num_partitions=None`` self-sizes from the hot-pass token-volume
+    estimate (``auto_partition_count``): a 100 TB corpus picks
+    thousands of partitions, a test corpus picks one — no fixed default
+    to outgrow. The choice is persisted with the hot set, so resumes
+    (on any cluster size) keep the original layout.
 
     Block sizing: per-task and per-shuffle-object overheads grow with block
     COUNT, so blocks are kept at ~2x cluster CPUs (larger data -> bigger
@@ -220,7 +295,8 @@ def build_index(
             # input fragment, finished fragments skipped on re-run — a
             # crashed 100 TB docs pass loses only in-flight fragments,
             # and NO shuffle is added (each fragment maps independently)
-            _docs_pass_fragments(corpus, out_dir, id_col)
+            _docs_pass_fragments(corpus, out_dir, id_col,
+                                 analyzer=analyzer_lang)
         else:
             # in-memory corpus (tests / deltas): all-or-nothing is fine —
             # a crashed pass leaves partial files without the marker;
@@ -230,7 +306,8 @@ def build_index(
 
                 shutil.rmtree(_docs_dir(out_dir))
             docs = ds.map_batches(
-                functools.partial(doc_meta, id_col=id_col),
+                functools.partial(doc_meta, id_col=id_col,
+                                  analyzer=analyzer_lang),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -248,11 +325,11 @@ def build_index(
         routing heuristic — correctness never depends on it — so the
         slight sample-composition change is free."""
         if not isinstance(corpus, str):
-            return ds, sample_mod
+            return ds, sample_mod, sample_mod
         files = sorted(pads.dataset(corpus).files)
         file_mod = min(8, sample_mod)
         if len(files) < 2 * file_mod:
-            return ds, sample_mod
+            return ds, sample_mod, sample_mod
         subset = files[::file_mod]
         cols = ["lang", "content"]
         cols += ([id_col] if id_col else ["repo", "path", "commit"])
@@ -261,28 +338,36 @@ def build_index(
             subset, columns=cols,
             override_num_blocks=max(8, min(len(subset), cpus)),
         )
-        return sample_ds, max(1, sample_mod // file_mod)
+        row_mod = max(1, sample_mod // file_mod)
+        return sample_ds, row_mod, file_mod * row_mod
 
-    def _run_hot_pass() -> list[str]:
+    def _run_hot_pass() -> tuple[list[str], int]:
+        """Returns (hot_terms, estimated total corpus tokens). Both are
+        persisted in hot_terms.json, so a RESUMED build reuses the
+        recorded values — the auto partition count can never drift
+        between the original run and its resume."""
         if os.path.exists(hot_file):
             import json
 
             with open(hot_file) as f:
-                return json.load(f)["hot_terms"]
+                rec = json.load(f)
+            return rec["hot_terms"], int(rec.get("est_total_tokens", 0))
         if detect_hot:
-            sample_ds, row_mod = _hot_sample_source()
-            hot_terms, n_sample = detect_hot_terms(
+            sample_ds, row_mod, eff_mod = _hot_sample_source()
+            hot_terms, n_sample, n_tokens = detect_hot_terms(
                 sample_ds, id_col=id_col, sample_mod=row_mod,
                 hot_df_ratio=hot_df_ratio, lang_override=analyzer_lang,
             )
+            est_tokens = n_tokens * eff_mod
         else:
-            hot_terms, n_sample = [], 0
+            hot_terms, n_sample, n_tokens, est_tokens = [], 0, 0, 0
         mf.atomic_write_json(
             hot_file,
             {"hot_terms": hot_terms, "n_sample_docs": n_sample,
+             "n_sample_tokens": n_tokens, "est_total_tokens": est_tokens,
              "sample_mod": sample_mod, "hot_df_ratio": hot_df_ratio},
         )
-        return hot_terms
+        return hot_terms, est_tokens
 
     # The docs pass (sha256 invariant + docs parquet) is independent of
     # the whole postings pipeline — only the tiny hot-term sample gates
@@ -295,7 +380,9 @@ def build_index(
     pool = ThreadPoolExecutor(max_workers=1)
     docs_future = pool.submit(_run_docs_pass)
     try:
-        hot_terms = _run_hot_pass()
+        hot_terms, est_tokens = _run_hot_pass()
+        if num_partitions is None:
+            num_partitions = auto_partition_count(est_tokens)
 
         # ---- postings pass + partition shuffle + segment encode ----
         done = mf.validated_done_parts(
@@ -358,12 +445,13 @@ def build_index(
     from .. import schemas
 
     meta = {
-        "format_version": 2,
+        "format_version": 3,
         "block_size": schemas.BLOCK_SIZE,
         "n_docs": int(n_docs),
         "total_len": total_len,
         "n_postings": n_postings,
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "lang_stats": compute_lang_stats(out_dir),
         "num_partitions": num_partitions,
         "parts_built": sorted(int(p) for p in all_entries),
         "parts_skipped_on_resume": skipped,

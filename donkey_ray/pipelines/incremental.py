@@ -229,11 +229,14 @@ def merge_indexes(
 
         n_docs = pads.dataset(os.path.join(out_dir, "docs")).count_rows()
         total_len = int(sum(e["sum_tf"] for e in entries.values()))
+    from .build import compute_lang_stats
+
     meta = {
-        "format_version": 2,
+        "format_version": 3,
         "block_size": schemas.BLOCK_SIZE,
         "n_docs": n_docs,
         "total_len": total_len,
+        "lang_stats": compute_lang_stats(out_dir) if wrote_docs else {},
         "n_postings": int(sum(e["n_postings"] for e in entries.values())),
         "avgdl": total_len / n_docs if n_docs else 0.0,
         "num_partitions": num_partitions,

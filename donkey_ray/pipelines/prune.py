@@ -135,7 +135,8 @@ def prune_index(
             mf.atomic_write_bytes(marker, b"")
 
     meta = {
-        "format_version": 2,
+        "format_version": 3,
+        "lang_stats": src_meta.get("lang_stats", {}),
         "block_size": schemas.BLOCK_SIZE,
         # corpus stats carried UNCHANGED: tf_weight must match the full
         # index for surviving postings (only idf shifts, via pruned df)

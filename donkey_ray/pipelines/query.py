@@ -953,6 +953,35 @@ def fielded_topk(
     return [(int(u[i]), float(tot[i])) for i in order]
 
 
+def per_lang_topk(
+    lang_indexes: "dict[str, str]",
+    text: str,
+    k: int,
+    *,
+    engines: "dict[str, QueryEngine] | None" = None,
+) -> "list[tuple[str, int, float]]":
+    """Language-partitioned BM25 (SURVEY §1.2 ``stats`` "+ per-lang"):
+    the corpus is split into ONE INDEX PER LANG, so every hit is scored
+    against its own language's collection statistics — per-lang n_docs
+    and avgdl normalize dl, and df is the term's frequency WITHIN that
+    language (a term common in English but rare in German scores high
+    on German docs). Results merge globally (score desc, doc_id asc),
+    cut to k — the global top-k is a subset of the union of per-lang
+    top-k's, so fetching k per lang is exact.
+
+    Scale shape: each per-lang index is an independent distributed
+    artifact (its build partitions by term as usual); query-time work
+    is n_langs bounded engine probes, no cross-lang exchange. Callers
+    serving many queries pass ``engines`` to reuse warm QueryEngines."""
+    hits: list[tuple[float, int, str]] = []
+    for lg, d in sorted(lang_indexes.items()):
+        eng = (engines or {}).get(lg) or QueryEngine(d)
+        for doc, s in eng.topk(text, k):
+            hits.append((float(s), int(doc), lg))
+    hits.sort(key=lambda t: (-t[0], t[1]))
+    return [(lg, doc, s) for s, doc, lg in hits[:k]]
+
+
 def rrf_fuse(
     rankings: "list[pa.Table]",
     *,

@@ -181,6 +181,7 @@ class IndexServer:
             "n_docs": self.engine.n_docs,
             "avgdl": self.engine.avgdl,
             "query_lang": self.engine.query_lang,
+            "lang_stats": self.engine.lang_stats,
             "buffered_inserts": len(self._buffer),
             "n_deleted": len(self._tombstones),
         }
@@ -415,7 +416,8 @@ class ServeRouter:
 
     def __init__(self, index_dir: str, *, n_replicas: int = 2,
                  mode: str = "auto",
-                 name_prefix: str = "donkey_replica") -> None:
+                 name_prefix: str = "donkey_replica",
+                 rr_offset: int = 0) -> None:
         if n_replicas < 1:
             raise ValueError("n_replicas must be >= 1")
         self.index_dir = index_dir
@@ -423,7 +425,10 @@ class ServeRouter:
         self.n_replicas = n_replicas
         self.name_prefix = name_prefix
         self._replicas: list = [None] * n_replicas
-        self._rr = 0
+        # rr_offset staggers the round-robin start so M FRONTENDS over
+        # one shared pool (start_frontends) don't all hit replica 0 in
+        # lockstep
+        self._rr = rr_offset % n_replicas
         for i in range(n_replicas):
             self._ensure_replica(i)
 
@@ -569,6 +574,32 @@ class ServeRouter:
                            for text, k in chunks[ci])
         return out
 
+    def search_many_digest(self, queries: "list[tuple[str, int]]", *,
+                           kind: str = "topk", window: int = 4,
+                           chunk_size: int = 64) -> dict:
+        """``search_many`` with result marshalling ON THIS FRONTEND:
+        every hit is consumed here (order-independent checksum over
+        (rank, doc_id) plus hit/query counts) and only the tiny digest
+        crosses back to the caller. This is the production shape — a
+        client-facing frontend serializes its own responses (to its own
+        network socket), so no central coordinator deserializes every
+        result batch; it is what removes the single-actor dispatch
+        funnel the round-3 serving scaling measured (VERDICT r3 item
+        1). The checksum lets a bench assert the full result stream was
+        produced and identical across frontend counts."""
+        outs = self.search_many(queries, kind=kind, window=window,
+                                chunk_size=chunk_size)
+        n_hits = 0
+        acc = 0
+        for hits in outs:
+            n_hits += len(hits)
+            for h in hits:
+                # order-independent: sum of per-hit terms, bounded
+                acc = (acc + (h["rank"] * 2654435761
+                              + (h["doc_id"] % 1000003))) % (1 << 61)
+        return {"n_queries": len(outs), "n_hits": n_hits,
+                "checksum": acc}
+
     def shutdown(self) -> None:
         for i, h in enumerate(self._replicas):
             if h is not None:
@@ -610,6 +641,80 @@ def start_router(
     return ray.remote(ServeRouter).options(**opts).remote(
         index_dir, n_replicas=n_replicas, mode=mode,
         name_prefix=f"{name}_replica")
+
+
+def start_frontends(
+    index_dir: str,
+    *,
+    n_replicas: int = 2,
+    n_frontends: int = 2,
+    name: str = "donkey_router",
+    mode: str = "auto",
+    frontend_cpus: float = 1.0,
+    detached: bool = False,
+    router_cls: type = ServeRouter,
+) -> "list[ray.actor.ActorHandle]":
+    """M STATELESS router frontends over ONE shared named-replica pool
+    — the multi-frontend serving shape (VERDICT r3 item 1). Frontend j
+    is a named router actor ``{name}_f{j}``; all M share the replica
+    name_prefix ``{name}_replica``, so whichever frontend constructs
+    first CREATES the replicas and the rest ADOPT them by name (the
+    create-race and wrong-index guards in ``_ensure_replica`` make this
+    safe), with staggered round-robin offsets so they don't sweep the
+    pool in lockstep. Clients hash or round-robin across frontends;
+    each frontend fans its queries over ALL replicas and marshals its
+    own results (``search_many_digest``), so no single actor serializes
+    the full result stream. A replica killed under one frontend is
+    respawned by either and re-adopted by the other (failover pytest).
+
+    Frontends are stateless by construction (a router holds only
+    handles), so any number can be added/removed at runtime; replicas
+    are the stateful-but-cheap side (LRU caches only). Pass
+    ``router_cls=VectorRouter`` for the vector pool."""
+    if n_frontends < 1:
+        raise ValueError("n_frontends must be >= 1")
+    out = []
+    for j in range(n_frontends):
+        fname = f"{name}_f{j}"
+        try:
+            h = ray.get_actor(fname)
+        except ValueError:
+            h = None
+        if h is not None:
+            served = ray.get(h.ping.remote()).get("index_dir")
+            if served != index_dir:
+                raise RuntimeError(
+                    f"named frontend {fname!r} serves {served!r}, not "
+                    f"{index_dir!r}; pick another name or kill it")
+        else:
+            opts = {"name": fname, "num_cpus": frontend_cpus}
+            if detached:
+                opts["lifetime"] = "detached"
+            kwargs = {"n_replicas": n_replicas,
+                      "name_prefix": f"{name}_replica", "rr_offset": j}
+            if router_cls is ServeRouter:
+                kwargs["mode"] = mode
+            h = ray.remote(router_cls).options(**opts).remote(
+                index_dir, **kwargs)
+        out.append(h)
+    return out
+
+
+def stop_frontends(handles: "list", *, kill_replicas: bool = True) -> None:
+    """Tear down a ``start_frontends`` deployment: the shared replica
+    pool is shut down through exactly ONE frontend (they all hold the
+    same named replicas — M shutdowns would race), then every frontend
+    actor is killed."""
+    if kill_replicas and handles:
+        try:
+            ray.get(handles[0].shutdown.remote())
+        except Exception:
+            pass
+    for h in handles:
+        try:
+            ray.kill(h)
+        except Exception:
+            pass
 
 
 class VectorServer:

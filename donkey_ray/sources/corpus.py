@@ -40,7 +40,8 @@ def read_corpus(
 
 
 def documents_as_corpus(
-    sf_dir: str, *, content_col: str = "text"
+    sf_dir: str, *, content_col: str = "text",
+    lang: str | None = None,
 ) -> ray.data.Dataset:
     """Adapt the driver's documents table (doc_id, text, lang, source,
     n_chars — TESTDATA.md) into the corpus shape, keeping its doc_id.
@@ -49,20 +50,26 @@ def documents_as_corpus(
     commit <- '' (ids come from the doc_id column), content <- text.
     ``content_col`` selects which column becomes the indexed content —
     per-FIELD indexes (e.g. over ``source``) reuse this adapter.
+    ``lang`` restricts to one language AT THE READ (row-group predicate
+    pushdown) — the per-lang index family's source.
     """
+    import pyarrow.dataset as pads
+
     cols = ["doc_id", "text", "lang", "source"]
     if content_col not in cols:
         cols.append(content_col)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    kwargs = {}
+    if lang is not None:
+        kwargs["filter"] = pads.field("lang") == lang
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=cols, **kwargs)
 
     def adapt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
             {
                 "repo": batch.column("source").cast(pa.string()),
-                "path": pa.array(
-                    [str(v) for v in batch.column("doc_id").to_pylist()], pa.string()
-                ),
+                "path": batch.column("doc_id").cast(pa.string()),
                 "commit": pa.array([""] * n, pa.string()),
                 "lang": batch.column("lang").cast(pa.string()),
                 "content": batch.column(content_col).cast(pa.string()),

@@ -38,11 +38,38 @@ def _doc_ids_for_batch(batch: pa.Table, id_col: str | None) -> np.ndarray:
     return out
 
 
-def doc_meta(batch: pa.Table, *, id_col: str | None = None) -> pa.Table:
+def _doc_len_column(batch: pa.Table, analyzer: str | None) -> pa.Array:
+    """Tokenized doc length per row, mirroring the extractor's analyzer
+    routing: ``analyzer`` (= build's analyzer_lang/query_lang override)
+    pins one tokenizer; None routes each row through the per-lang
+    registry exactly like PostingsExtractor. Uses the tokenizers'
+    count-scan path (no token-list materialization), so the docs pass
+    stays cheap."""
+    content = batch.column("content").combine_chunks()
+    if analyzer is not None:
+        return get_tokenizer(analyzer).count_column(content)
+    lang_arr = batch.column("lang").combine_chunks()
+    out = np.zeros(batch.num_rows, dtype=np.int64)
+    for lg in pc.unique(lang_arr).to_pylist():
+        mask = (pc.is_null(lang_arr) if lg is None
+                else pc.equal(lang_arr, lg)).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(mask)
+        cnt = get_tokenizer(lg or "simple").count_column(content.take(idx))
+        out[idx] = np.asarray(cnt.to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+    return pa.array(out, pa.int64())
+
+
+def doc_meta(batch: pa.Table, *, id_col: str | None = None,
+             analyzer: str | None = None,
+             with_doc_len: bool = True) -> pa.Table:
     """Corpus batch -> DOCS-schema batch (sha256 carried, content dropped).
 
     Embarrassingly parallel; preserves the per-row sha256(content)
-    invariant (BASELINE.json input_hint)."""
+    invariant (BASELINE.json input_hint). ``doc_len`` is the tokenized
+    length under the build's analyzer (SURVEY §1.2 per-lang stats feed);
+    ``analyzer`` mirrors build_index's analyzer_lang/query_lang
+    precedence, None = per-row registry routing."""
     doc_ids = _doc_ids_for_batch(batch, id_col)
     content = batch.column("content")
     sha = pa.array(
@@ -50,17 +77,18 @@ def doc_meta(batch: pa.Table, *, id_col: str | None = None) -> pa.Table:
          for v in content.to_pylist()],
         pa.string(),
     )
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "repo": batch.column("repo"),
-            "path": batch.column("path"),
-            "commit": batch.column("commit"),
-            "lang": batch.column("lang"),
-            "content_sha256": sha,
-            "n_chars": pc.utf8_length(content).cast(pa.int64()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "repo": batch.column("repo"),
+        "path": batch.column("path"),
+        "commit": batch.column("commit"),
+        "lang": batch.column("lang"),
+        "content_sha256": sha,
+        "n_chars": pc.utf8_length(content).cast(pa.int64()),
+    }
+    if with_doc_len:
+        cols["doc_len"] = _doc_len_column(batch, analyzer)
+    return pa.table(cols)
 
 
 # per-worker-process extractor cache: tasks get actor-like amortization of

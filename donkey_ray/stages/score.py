@@ -382,6 +382,18 @@ class QueryEngine:
         self.n_docs = int(sum(m["n_docs"] for m in metas))
         total_len = sum(m["total_len"] for m in metas)
         self.avgdl = (total_len / self.n_docs) if self.n_docs else 0.0
+        # per-lang collection stats (SURVEY §1.2 "+ per-lang"), summed
+        # across federated members; {} for pre-v3 artifacts
+        self.lang_stats: dict = {}
+        for m in metas:
+            for lg, st in (m.get("lang_stats") or {}).items():
+                cur = self.lang_stats.setdefault(
+                    lg, {"n_docs": 0, "total_len": 0})
+                cur["n_docs"] += int(st["n_docs"])
+                cur["total_len"] += int(st["total_len"])
+        for st in self.lang_stats.values():
+            st["avgdl"] = (st["total_len"] / st["n_docs"]
+                           if st["n_docs"] else 0.0)
         self.block_size = int(self.meta.get("block_size", schemas.BLOCK_SIZE))
         self.mode = mode
         self.query_lang = self.meta.get("query_lang", "simple")

@@ -1249,3 +1249,78 @@ def test_topk_exact_merge_matches_bincount_reference():
         k = int(rng.integers(1, 20))
         assert np.array_equal(scoring.topk_order(uniq, sums, k),
                               scoring.topk_order(uq, ref, k))
+
+def test_auto_partition_count_and_identical_results(ray_session, tmp_path):
+    """VERDICT r3 item 6: num_partitions=None self-sizes from the
+    hot-pass token estimate — a pure function of the DATA (pinned: same
+    corpus -> same P on any cluster), persisted for resume — and query
+    results are identical to an explicitly partitioned build."""
+    import ray.data
+
+    from donkey_ray.pipelines.build import (auto_partition_count,
+                                            build_index)
+    from donkey_ray.stages.score import QueryEngine
+    from donkey_ray.synth import make_corpus, make_queries
+
+    # the pure sizing function
+    assert auto_partition_count(0) == 16         # no estimate -> default
+    assert auto_partition_count(1) == 1
+    assert auto_partition_count(32_000_000) == 1
+    assert auto_partition_count(32_000_001) == 2
+    assert auto_partition_count(10**15) == 1 << 18   # capped
+
+    corpus = make_corpus(200, seed=31)
+    auto_dir = str(tmp_path / "auto")
+    meta = build_index(ray.data.from_arrow(corpus), auto_dir,
+                       num_partitions=None, query_lang="code",
+                       sample_mod=4)
+    assert meta["num_partitions"] >= 1
+    # estimate recorded alongside the hot set for resume stability
+    import json
+    with open(auto_dir + "/hot_terms.json") as f:
+        rec = json.load(f)
+    assert rec["est_total_tokens"] > 0
+    assert rec["n_sample_tokens"] > 0
+
+    exp_dir = str(tmp_path / "explicit")
+    build_index(ray.data.from_arrow(corpus), exp_dir,
+                num_partitions=7, query_lang="code", sample_mod=4)
+    ea, ee = QueryEngine(auto_dir), QueryEngine(exp_dir)
+    for row in make_queries(10).to_pylist():
+        assert ea.topk(row["text"], int(row["k"])) == \
+            ee.topk(row["text"], int(row["k"]))
+
+
+def test_lang_stats_in_meta_and_engine(ray_session, tmp_path):
+    """Per-lang collection stats (SURVEY §1.2): meta['lang_stats'] sums
+    exactly to the segment-derived global total_len/n_docs, matches a
+    direct docs-table recompute, and the federated engine sums member
+    stats per lang."""
+    import collections
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.stages.score import QueryEngine
+    from donkey_ray.synth import make_corpus
+
+    corpus = make_corpus(150, seed=13)
+    out = str(tmp_path / "ls")
+    meta = build_index(ray.data.from_arrow(corpus), out,
+                       num_partitions=4, query_lang="code")
+    ls = meta["lang_stats"]
+    assert ls and sum(s["n_docs"] for s in ls.values()) == meta["n_docs"]
+    assert sum(s["total_len"] for s in ls.values()) == meta["total_len"]
+
+    d = pads.dataset(out + "/docs").to_table(columns=["lang", "doc_len"])
+    agg = collections.defaultdict(lambda: [0, 0])
+    for lg, dl in zip(d.column("lang").to_pylist(),
+                      d.column("doc_len").to_pylist()):
+        agg[lg][0] += 1
+        agg[lg][1] += dl
+    for lg, (n, tot) in agg.items():
+        assert ls[lg]["n_docs"] == n and ls[lg]["total_len"] == tot
+
+    eng = QueryEngine(out)
+    assert eng.lang_stats == ls

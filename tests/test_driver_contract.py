@@ -122,6 +122,8 @@ NAMES = [
     # round-3 additions
     "minhash_neardup_delta", "graph_topk_recall", "epoch_shuffle",
     "simhash_neardup", "simhash_neardup_delta",
+    # round-4 additions
+    "bm25_topk_per_lang",
 ]
 
 

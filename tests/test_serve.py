@@ -607,3 +607,68 @@ def test_vector_router_single_vector_query(vector_server):
         assert hits[0]["vec_id"] == 7
     finally:
         router.shutdown()
+
+def test_multi_frontend_shared_pool_failover(served_index):
+    """VERDICT r3 item 1: M stateless router frontends over ONE shared
+    named-replica pool. Both frontends answer identically to a single
+    engine, their digests cover the full query stream with a stable
+    checksum, a replica killed under one frontend fails over on BOTH
+    (respawn-by-name + re-adoption), and teardown kills the pool once."""
+    import ray
+
+    from donkey_ray.serve import start_frontends, stop_frontends
+    from donkey_ray.stages.score import QueryEngine
+
+    corpus, out = served_index
+    fronts = start_frontends(out, n_replicas=2, n_frontends=2,
+                             name="t_mf")
+    engine = QueryEngine(out)
+    try:
+        # both frontends adopted/created the SAME replica pool
+        pings = ray.get([f.ping.remote() for f in fronts])
+        assert all(p["replicas"] == ["ok", "ok"] for p in pings)
+        assert {a._actor_id for a in [ray.get_actor("t_mf_replica_0"),
+                                      ray.get_actor("t_mf_replica_1")]}
+
+        qs = [(r["text"], int(r["k"])) for r in make_queries(12).to_pylist()]
+        # each frontend answers every query identically to a single engine
+        for f in fronts:
+            for (text, k), got in zip(qs, ray.get(f.search_many.remote(qs))):
+                want = engine.topk(text, k)
+                assert [(h["doc_id"], h["score"]) for h in got] == \
+                    pytest.approx(want)
+        # digest: full stream accounted for, checksum identical across
+        # frontends (order-independent marshalling on the frontend)
+        d0, d1 = ray.get([f.search_many_digest.remote(qs) for f in fronts])
+        assert d0["n_queries"] == d1["n_queries"] == len(qs)
+        assert d0["checksum"] == d1["checksum"]
+        assert d0["n_hits"] == d1["n_hits"] > 0
+
+        # kill a SHARED replica: both frontends fail over and the
+        # replica respawns under its name for whichever frontend needs it
+        ray.kill(ray.get_actor("t_mf_replica_0"))
+        for f in fronts:
+            got = ray.get(f.search.remote(qs[0][0], qs[0][1]))
+            want = engine.topk(qs[0][0], qs[0][1])
+            assert [(h["doc_id"], h["score"]) for h in got] == \
+                pytest.approx(want)
+        d0b, d1b = ray.get([f.search_many_digest.remote(qs) for f in fronts])
+        assert d0b["checksum"] == d0["checksum"]
+        assert d1b["checksum"] == d0["checksum"]
+
+        # wrong-index frontend adoption is refused
+        with pytest.raises(RuntimeError, match="serves"):
+            start_frontends("/tmp/definitely_not_this_index",
+                            n_replicas=2, n_frontends=1, name="t_mf")
+    finally:
+        stop_frontends(fronts)
+    # pool and frontends are gone (names free eventually)
+    import time
+    for _ in range(25):
+        try:
+            ray.get_actor("t_mf_f0")
+            time.sleep(0.2)
+        except ValueError:
+            break
+    with pytest.raises(ValueError):
+        ray.get_actor("t_mf_f0")

@@ -164,3 +164,37 @@ def test_stop_tokenizer_row_column_parity():
     assert rows[1] == []            # all-stopword doc -> dl 0
     assert list(dl) == [len(r) for r in rows]
     assert not (set(flat.to_pylist()) & STOPWORDS)
+
+def test_count_column_equals_tokenize_column_dl():
+    """count_column (the docs pass's count-scan shortcut) must equal the
+    dl that tokenize_column returns, for every registered tokenizer,
+    over adversarial identifiers and non-ASCII text."""
+    import pyarrow as pa
+
+    from donkey_ray.functions.tokenize import (CodeTokenizer, FoldTokenizer,
+                                               SimpleTokenizer, StemTokenizer,
+                                               StopTokenizer)
+
+    texts = [
+        "def fooBar_baz2(x): return HTTP2Server + 14foo",
+        "the quick brown fox and the lazy dog in a box",
+        "résumé naïve Äpfel ß STRASSE İstanbul",
+        "", "   ", "___", "a", "ABCDef getHTTPResponse2x",
+        "x" * 5000 + " y z", None,
+        "tab\tnewline\nmixed 123abc ABC123 a1B2c3",
+    ]
+    col = pa.array(texts, pa.string())
+    for tk in (SimpleTokenizer(), CodeTokenizer(), FoldTokenizer(),
+               StemTokenizer(), StopTokenizer()):
+        _flat, _parents, dl = tk.tokenize_column(col)
+        cnt = tk.count_column(col)
+        got = [None if v is None else int(v) for v in cnt.to_pylist()]
+        want = [0 if t is None else int(d) for t, d in zip(texts, dl)]
+        # a null row: count kernel yields null, bincount yields 0 — both
+        # mean "no tokens"; normalize
+        got = [0 if g is None else g for g in got]
+        assert got == want, (tk.name, got, want)
+        # per-row twin agrees too (non-null rows)
+        for t, d in zip(texts, dl):
+            if t is not None:
+                assert len(tk.tokenize(t)) == d or not t.isascii()
