@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_topk": api.q_wildcard_topk,
         "fielded_topk": api.q_fielded_topk,
         "bm25_topk_per_lang": api.q_bm25_topk_per_lang,
+        "media_pixel_stats": api.q_media_pixel_stats,
+        "audio_fingerprints": api.q_audio_fingerprints,
         "fuzzy_topk": api.q_fuzzy_topk,
         "bm25_topk_wand": api.q_bm25_topk_wand,
         "bm25_topk_scatter": api.q_bm25_topk_scatter,
@@ -947,6 +949,46 @@ ranked AS (SELECT query_id, k, doc_id, score,
 SELECT query_id::BIGINT AS query_id, rank::INT AS rank, doc_id,
        round(score, 6) AS score
 FROM ranked WHERE rank <= k
+""",
+        # multimodal fixture (api.MEDIA_*): the Ray side round-trips
+        # real BMP bytes through ImageDecodeStage (magic sniff ->
+        # decode_bmp); the oracle computes the same pinned integer pixel
+        # spec (doc_id*7 + y*31 + x*13 + c*97) % 256 in closed form
+        "media_pixel_stats": """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+px AS (SELECT m.doc_id,
+              (m.doc_id*7 + y.range*31 + x.range*13) % 256 AS r,
+              (m.doc_id*7 + y.range*31 + x.range*13 + 97) % 256 AS g,
+              (m.doc_id*7 + y.range*31 + x.range*13 + 194) % 256 AS b
+       FROM m CROSS JOIN range(16) y CROSS JOIN range(16) x)
+SELECT doc_id, sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+       sum(b)::BIGINT AS sum_b
+FROM px GROUP BY doc_id
+""",
+        # audio fingerprints: real WAV decode on the Ray side
+        # (AudioFingerprintStage: 8 windows x 33 band energies ->
+        # intra-window delta -> time double-delta -> 32 sign bits); the
+        # oracle mirrors the integer spec v(i) = (doc_id*31 + i*i*7) %
+        # 1449 - 724 — float32 band energies are exact at this sample
+        # amplitude, so sign bits match bit-for-bit
+        "audio_fingerprints": """
+WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+s AS (SELECT m.doc_id, i.range AS i,
+             (m.doc_id*31 + i.range*i.range*7) % 1449 - 724 AS v
+      FROM m CROSS JOIN range(2048) i),
+be AS (SELECT doc_id, (i // 256) AS w, ((i % 256) // 7) AS b,
+              sum(v*v)::BIGINT AS e
+       FROM s WHERE (i % 256) < 231 GROUP BY 1, 2, 3),
+d AS (SELECT doc_id, w, b,
+             e - lead(e) OVER (PARTITION BY doc_id, w ORDER BY b) AS d
+      FROM be QUALIFY b < 32),
+dd AS (SELECT doc_id, w, b,
+              d - lag(d) OVER (PARTITION BY doc_id, b ORDER BY w) AS dd
+       FROM d QUALIFY w >= 1),
+fp AS (SELECT doc_id, (w - 1)::INT AS win,
+              sum(CASE WHEN dd > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp
+       FROM dd GROUP BY 1, 2)
+SELECT doc_id, win, fp FROM fp
 """,
         # language-partitioned BM25 (api.PINNED_PER_LANG): every doc
         # scores against ITS OWN language's collection statistics —

@@ -219,6 +219,24 @@ def cmd_serve(args) -> int:
             detached=args.detached,
         )
     print(json.dumps(ray.get(server.ping.remote())))
+    if args.http is not None:
+        # donkey A7 network surface: block serving JSON-over-HTTP.
+        # Reads go through the router (replicas > 1) or the single
+        # actor; writes need the single-actor shape (a router fronts
+        # READ replicas only).
+        from .httpserve import make_http_frontend
+
+        srv = make_http_frontend(
+            router=server if args.replicas > 1 else None,
+            primary=None if args.replicas > 1 else server,
+            host="0.0.0.0", port=args.http, verbose=True,
+        )
+        print(json.dumps({"http_port": srv.server_address[1]}))
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     if args.ping_only:
         return 0
     for line in sys.stdin:
@@ -228,6 +246,49 @@ def cmd_serve(args) -> int:
         print(json.dumps(ray.get(server.search.remote(
             text, args.k, kind=args.kind, window=args.window
         ))))
+    return 0
+
+
+def cmd_ingest_delta(args) -> int:
+    """One shard through the full delta-ingest composition (the donkey
+    insert→sync lifecycle at batch granularity): probe the chain's
+    persisted near-dup artifacts, drop dups, index + artifact the
+    survivors, extend the chain. Idempotent/resumable per shard."""
+    _ray_init()
+    import hashlib
+
+    from .pipelines.ingest import ingest_delta
+
+    sid = args.shard_id or hashlib.sha256(
+        args.shard.encode()).hexdigest()[:16]
+    spec = None
+    if args.query_lang is not None:
+        from .pipelines.ingest import DEFAULT_SPEC
+
+        spec = {**DEFAULT_SPEC, "query_lang": args.query_lang}
+    meta = ingest_delta(args.state, args.shard, shard_id=sid,
+                        text_col=args.text_col, spec=spec)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_ingest_search(args) -> int:
+    """Query the ingest chain: federated exact BM25 over every shard's
+    index segment."""
+    _ray_init()
+    from .pipelines.ingest import chain_engine
+
+    eng = chain_engine(args.state)
+    print(json.dumps({"n_docs": eng.n_docs,
+                      "n_indexes": len(eng.index_dirs)}))
+    for line in sys.stdin:
+        text = line.strip()
+        if not text:
+            continue
+        hits = eng.topk(text, args.k)
+        print(json.dumps([
+            {"rank": r, "doc_id": d, "score": s}
+            for r, (d, s) in enumerate(hits, start=1)]))
     return 0
 
 
@@ -346,6 +407,9 @@ def main(argv=None) -> int:
     v.add_argument("--k", type=int, default=10)
     v.add_argument("--detached", action="store_true")
     v.add_argument("--ping-only", action="store_true")
+    v.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve JSON-over-HTTP on PORT instead of stdin "
+                        "(0 = ephemeral; donkey A7 RPC analogue)")
     v.set_defaults(fn=cmd_serve)
 
     vv = sub.add_parser(
@@ -359,6 +423,28 @@ def main(argv=None) -> int:
     vv.add_argument("--detached", action="store_true")
     vv.add_argument("--ping-only", action="store_true")
     vv.set_defaults(fn=cmd_vserve)
+
+    ing = sub.add_parser(
+        "ingest-delta",
+        help="dedup a new shard against the chain's persisted artifacts "
+             "(ngram/minhash/simhash), index the survivors, extend the "
+             "chain (resumable per shard)")
+    ing.add_argument("--state", required=True, help="chain state dir")
+    ing.add_argument("--shard", required=True, help="shard parquet path")
+    ing.add_argument("--shard-id", default=None,
+                     help="stable id (default: sha16 of the path)")
+    ing.add_argument("--text-col", default="content")
+    ing.add_argument("--query-lang", default=None,
+                     help="pinned by the FIRST shard")
+    ing.set_defaults(fn=cmd_ingest_delta)
+
+    ingq = sub.add_parser(
+        "ingest-search",
+        help="query the ingest chain (federated exact BM25), one query "
+             "text per stdin line")
+    ingq.add_argument("--state", required=True)
+    ingq.add_argument("--k", type=int, default=10)
+    ingq.set_defaults(fn=cmd_ingest_search)
 
     g = sub.add_parser("synth", help="generate a deterministic synthetic corpus")
     g.add_argument("--rows", type=int, required=True)

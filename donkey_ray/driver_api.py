@@ -3906,3 +3906,135 @@ def q_grouped_split(sf_dir: str) -> ray.data.Dataset:
     from .pipelines.sampling import grouped_split
 
     return grouped_split(_docs(sf_dir, columns=("doc_id", "source")))
+
+
+# ---- multimodal driver contract (VERDICT r3 item 2) ----
+#
+# A deterministic seeded media fixture generated with functions/media.py's
+# round-trip-proven encoders: every doc_id ≡ 0 (mod MEDIA_DOC_MOD) in the
+# documents table gets a 16x16 24-bit BMP whose pixel (y, x, c) is the
+# pinned integer spec (doc_id*7 + y*31 + x*13 + c*97) % 256, and a mono
+# 16-bit WAV whose sample i is ((doc_id*31 + i*i*7) % 1449) - 724. Both
+# specs are closed-form in the table columns, so the DuckDB oracle
+# computes the SAME values WITHOUT any codec — while the Ray side round-
+# trips real BMP/WAV bytes through stages/multimodal.py's REAL decode
+# paths (magic-byte sniff -> decode_bmp / stdlib wave).
+#
+# The WAV samples are clamped to [-724, 724] ON PURPOSE: band energy =
+# Σ(v/32768)² over 7 samples is then EXACT in float32 (every term is a
+# multiple of 2⁻³⁰ and the running sum spans ≤23 mantissa bits), so the
+# fingerprint's double-delta sign decisions match the oracle's integer
+# arithmetic bit-for-bit.
+
+MEDIA_DOC_MOD = 7
+MEDIA_IMG_SIDE = 16
+MEDIA_WAV_SAMPLES = 2048
+
+
+def _media_corpus(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, image:binary, audio:binary) for the sampled doc_ids —
+    encoders run distributed in map_batches; nothing driver-resident."""
+    import numpy as np
+
+    from .functions import media as mediacodec
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % MEDIA_DOC_MOD == 0]
+        side = MEDIA_IMG_SIDE
+        y, x, c = np.meshgrid(np.arange(side), np.arange(side),
+                              np.arange(3), indexing="ij")
+        i = np.arange(MEDIA_WAV_SAMPLES, dtype=np.int64)
+        imgs, wavs = [], []
+        for d in ids:
+            rgb = ((int(d) * 7 + y * 31 + x * 13 + c * 97) % 256
+                   ).astype(np.uint8)
+            imgs.append(mediacodec.encode_bmp(rgb))
+            v = ((int(d) * 31 + i * i * 7) % 1449 - 724).astype(np.int16)
+            wavs.append(mediacodec.encode_wav(v))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "image": pa.array(imgs, pa.binary()),
+            "audio": pa.array(wavs, pa.binary()),
+        })
+
+    return ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_media_pixel_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-channel integer pixel sums of the REAL-decoded BMP fixture:
+    media bytes -> stages/multimodal.ImageDecodeStage actor pool (magic
+    sniff -> functions/media.decode_bmp; native 16x16 so resize is
+    identity) -> vectorized channel sums. Hash-gates the real image
+    decode path end-to-end."""
+    import numpy as np
+
+    from .stages.multimodal import decode_images
+
+    media = _media_corpus(sf_dir).select_columns(["doc_id", "image"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "media"])
+
+    decoded = decode_images(
+        media.map_batches(rename, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        height=MEDIA_IMG_SIDE, width=MEDIA_IMG_SIDE)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        side = MEDIA_IMG_SIDE
+        flat = np.asarray(
+            batch.column("pixels").combine_chunks().flatten().to_numpy(
+                zero_copy_only=False),
+            dtype=np.int64).reshape(n, side * side, 3)
+        s = flat.sum(axis=1)  # (n, 3) channel sums
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sum_r": pa.array(s[:, 0], pa.int64()),
+            "sum_g": pa.array(s[:, 1], pa.int64()),
+            "sum_b": pa.array(s[:, 2], pa.int64()),
+        })
+
+    sums.__name__ = "media_pixel_sums"
+    return decoded.map_batches(sums, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def q_audio_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Chromaprint-style sub-fingerprints of the REAL-decoded WAV
+    fixture: media bytes -> stages/multimodal.AudioFingerprintStage
+    actor pool (RIFF sniff -> stdlib wave decode -> 33-band double-delta
+    binarization) -> one row per (doc_id, win). Bit-exact vs the
+    oracle's integer arithmetic (see the float32 note above)."""
+    from .stages.multimodal import audio_fingerprints
+
+    media = _media_corpus(sf_dir).select_columns(["doc_id", "audio"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "media"])
+
+    fps = audio_fingerprints(
+        media.map_batches(rename, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def unnest(batch: pa.Table) -> pa.Table:
+        ids, wins, vals = [], [], []
+        for did, fp in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("fp").to_pylist()):
+            for w, v in enumerate(fp):
+                ids.append(did)
+                wins.append(w)
+                vals.append(int(v))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "win": pa.array(wins, pa.int32()),
+            "fp": pa.array(vals, pa.int64()),
+        })
+
+    unnest.__name__ = "fp_unnest"
+    return fps.map_batches(unnest, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1,0 +1,165 @@
+"""HTTP/JSON serving frontend (donkey A7's network RPC analogue [PK]:
+the Thrift ``ping / insert / search / misc`` service in api/ +
+src/server.cpp — file-level, SURVEY.md section 0 / section 2A A7).
+
+Donkey exposes its engine to non-C++ clients over a wire protocol; here
+the same surface is a dependency-free stdlib ``ThreadingHTTPServer``
+wrapping the Ray serving actors, so non-Python clients reach the
+cluster through plain JSON-over-HTTP:
+
+    GET  /ping                     liveness + index stats
+    GET  /stats                    full index stats (primary only)
+    POST /search   {"text": q, "k": 10, "kind": "topk", ...}
+    POST /search_batch {"queries": [[text, k], ...], "kind": ...}
+    POST /insert   {"rows": [{repo,path,commit,lang,content}, ...]}
+    POST /delete   {"keys": [...]}       (doc_ids or key objects)
+    POST /flush    {}                    [donkey 'sync']
+    POST /compact  {"out_dir": ...}      [donkey 'misc reindex']
+
+Topology: reads go through ``router`` (a ServeRouter/frontend actor —
+round-robin + failover over the replica pool, so a replica death is
+invisible to HTTP clients); writes go through ``primary`` (the single
+designated IndexServer, same discipline as the actor surface). Either
+may be omitted: a read-only frontend routes writes to 405, a
+primary-only frontend serves reads from the primary. The process is
+stateless — run several (one per node) behind any TCP balancer; each
+wraps its own frontend actor over the shared replica pool
+(``serve.start_frontends``)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import ray
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # quiet by default: per-request stderr lines are noise under pytest
+    def log_message(self, fmt, *args):  # noqa: D102
+        if self.server.verbose:  # type: ignore[attr-defined]
+            super().log_message(fmt, *args)
+
+    # ---- plumbing ----
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        if n == 0:
+            return {}
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _read_actor(self):
+        srv = self.server  # type: ignore[assignment]
+        return srv.router if srv.router is not None else srv.primary
+
+    # ---- routes ----
+    def do_GET(self) -> None:  # noqa: N802
+        try:
+            if self.path == "/ping":
+                h = self._read_actor()
+                if h is None:
+                    self._json(503, {"error": "no serving actor attached"})
+                    return
+                self._json(200, ray.get(h.ping.remote()))
+            elif self.path == "/stats":
+                h = self.server.primary  # type: ignore[attr-defined]
+                if h is None:
+                    self._json(405, {"error": "stats needs a primary"})
+                    return
+                self._json(200, ray.get(h.stats.remote()))
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+        except Exception as ex:  # surface, never kill the server thread
+            self._json(500, {"error": repr(ex)})
+
+    def do_POST(self) -> None:  # noqa: N802
+        srv = self.server  # type: ignore[assignment]
+        try:
+            req = self._body()
+            if self.path == "/search":
+                h = self._read_actor()
+                if h is None:
+                    self._json(503, {"error": "no serving actor attached"})
+                    return
+                kwargs = {k: req[k] for k in
+                          ("kind", "window", "neg_text", "min_match")
+                          if k in req}
+                if "boosts" in req:
+                    kwargs["boosts"] = req["boosts"]
+                hits = ray.get(h.search.remote(
+                    req["text"], int(req.get("k", 10)), **kwargs))
+                self._json(200, {"hits": hits})
+            elif self.path == "/search_batch":
+                h = self._read_actor()
+                if h is None:
+                    self._json(503, {"error": "no serving actor attached"})
+                    return
+                qs = [(t, int(k)) for t, k in req["queries"]]
+                kwargs = {k: req[k] for k in ("kind", "window")
+                          if k in req}
+                outs = ray.get(h.search_many.remote(qs, **kwargs))
+                self._json(200, {"results": outs})
+            elif self.path in ("/insert", "/delete", "/flush", "/compact"):
+                h = srv.primary
+                if h is None:
+                    self._json(
+                        405, {"error": "writes need a primary IndexServer"})
+                    return
+                if self.path == "/insert":
+                    n = ray.get(h.insert.remote(req["rows"]))
+                    self._json(200, {"buffered": n})
+                elif self.path == "/delete":
+                    self._json(200, ray.get(h.delete.remote(req["keys"])))
+                elif self.path == "/flush":
+                    self._json(200, ray.get(h.flush.remote()))
+                else:
+                    self._json(200, ray.get(
+                        h.compact.remote(req["out_dir"])))
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+        except (KeyError, ValueError, TypeError) as ex:
+            self._json(400, {"error": repr(ex)})
+        except ray.exceptions.RayTaskError as ex:
+            # application error raised INSIDE the actor (bad insert row,
+            # unknown query kind): a client error, not a server fault
+            self._json(400, {"error": str(ex.cause)})
+        except Exception as ex:
+            self._json(500, {"error": repr(ex)})
+
+
+def make_http_frontend(
+    *,
+    router=None,
+    primary=None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    verbose: bool = False,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP frontend over the given actor handles.
+    ``port=0`` binds an ephemeral port (tests); read the bound port from
+    ``server.server_address``. Call ``serve_forever()`` (or
+    ``start_http_frontend`` for a daemon thread) to serve."""
+    if router is None and primary is None:
+        raise ValueError("need a router and/or a primary actor handle")
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.router = router  # type: ignore[attr-defined]
+    srv.primary = primary  # type: ignore[attr-defined]
+    srv.verbose = verbose  # type: ignore[attr-defined]
+    return srv
+
+
+def start_http_frontend(**kwargs) -> tuple[ThreadingHTTPServer, int]:
+    """make_http_frontend + serve_forever on a daemon thread; returns
+    (server, bound_port). ``server.shutdown()`` stops it."""
+    srv = make_http_frontend(**kwargs)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

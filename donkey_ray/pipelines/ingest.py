@@ -1,0 +1,254 @@
+"""End-to-end delta ingest (VERDICT r3 item 7): the production
+composition of the pieces that are individually green — the three
+PERSISTED near-dup probes (n-gram PPJoin / MinHash LSH / SimHash
+pigeonhole), the incremental index build, and federated serving — into
+one resumable per-shard flow (donkey's insert→sync lifecycle at batch
+granularity).
+
+A shard arrives; it is deduplicated against EVERY previously accepted
+shard via their persisted artifacts (corpus text is never re-read or
+re-signed — each probe streams band/prefix/set state from parquet),
+then against itself (intra-shard pairs, first-doc-wins: the higher
+doc_id of each near-dup pair is dropped — the same greedy policy as
+exact_dedup's keep-first), and only the SURVIVORS are admitted: their
+dedup artifacts and index segment are built and the shard joins the
+chain. Queries run federated over the chain's indexes (exact BM25 over
+the union corpus — pipelines/incremental.py semantics).
+
+State layout (everything atomic-marker gated, so a crash anywhere
+resumes exactly where it stopped):
+
+    state_dir/
+      manifest.json            {"shards": [sid, ...], "spec": {...}}
+      shards/<sid>/
+        survivors/             parquet snapshot of the accepted rows
+        _SURVIVORS_DONE
+        ngram/ minhash/ simhash/   dedup artifacts over the survivors
+        index/                 the shard's index (build_index, resumable)
+        meta.json  _SHARD_DONE
+
+Scale shape: per-shard work is bounded by the SHARD (probes stream the
+artifact side); the chain grows by one artifact set per shard, and probe
+cost per new shard is O(shard x chain length) keyed exchanges — the
+compaction story when the chain gets long is merge_indexes + a fresh
+single dedup artifact, both existing ops.
+
+DETERMINISM: the shard input feeds several consumers (id derivation,
+3 x chain probes, intra-shard pairs, the anti-join). Pass a parquet
+path (the CLI does) or any deterministic plan; the survivors snapshot
+then pins everything downstream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data
+
+from ..state import manifest as mf
+
+DEFAULT_SPEC = {
+    "ngram_n": 1, "ngram_threshold": 0.5,
+    "minhash_n": 3, "minhash_threshold": 0.5,
+    "simhash_max_hamming": 3,
+    "num_partitions": 4, "query_lang": "simple",
+}
+
+METHODS = ("ngram", "minhash", "simhash")
+
+
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "manifest.json")
+
+
+def load_state(state_dir: str) -> dict:
+    p = _manifest_path(state_dir)
+    if not os.path.exists(p):
+        return {"shards": [], "spec": dict(DEFAULT_SPEC)}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _shard_dir(state_dir: str, sid: str) -> str:
+    return os.path.join(state_dir, "shards", sid)
+
+
+def _with_doc_ids(ds: ray.data.Dataset, id_col: str) -> ray.data.Dataset:
+    """Ensure the shard carries ``id_col`` (derive from (repo, path,
+    commit) exactly like the index build when absent)."""
+    if id_col in ds.schema().names:
+        return ds
+
+    def add_ids(batch: pa.Table) -> pa.Table:
+        from ..stages.extract import _doc_ids_for_batch
+
+        ids = _doc_ids_for_batch(batch, None)
+        return batch.append_column(id_col, pa.array(ids, pa.int64()))
+
+    return ds.map_batches(add_ids, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def ingest_delta(
+    state_dir: str,
+    shard: "ray.data.Dataset | str",
+    *,
+    shard_id: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    spec: dict | None = None,
+) -> dict:
+    """Ingest one shard into the chain; idempotent per ``shard_id`` (a
+    fully ingested shard returns its recorded meta; a crashed one
+    resumes from its markers). ``spec`` is pinned into the manifest by
+    the FIRST shard and reused for every later one — mixed dedup specs
+    across a chain would silently change near-dup semantics, so a later
+    explicit ``spec`` that disagrees raises."""
+    from .build import build_index
+    from .dedup import (build_dedup_index, build_minhash_index,
+                        build_simhash_index, minhash_neardup_delta,
+                        minhash_neardup_pairs, ngram_jaccard_delta,
+                        ngram_jaccard_pairs, simhash_neardup_delta,
+                        simhash_neardup_pairs)
+    from .joins import hash_join
+
+    state = load_state(state_dir)
+    if state["shards"]:
+        if spec is not None and spec != state["spec"]:
+            raise ValueError(
+                f"ingest spec {spec} disagrees with the chain's pinned "
+                f"spec {state['spec']}")
+        spec = state["spec"]
+    else:
+        spec = {**DEFAULT_SPEC, **(spec or {})}
+
+    sdir = _shard_dir(state_dir, shard_id)
+    meta_path = os.path.join(sdir, "meta.json")
+    done_marker = os.path.join(sdir, "_SHARD_DONE")
+    if os.path.exists(done_marker):
+        with open(meta_path) as f:
+            return json.load(f)
+    os.makedirs(sdir, exist_ok=True)
+
+    if isinstance(shard, str):
+        shard = ray.data.read_parquet(shard)
+    shard = _with_doc_ids(shard, id_col)
+
+    # ---- 1. survivors: cross-chain + intra-shard near-dup drop ----
+    surv_dir = os.path.join(sdir, "survivors")
+    surv_marker = os.path.join(sdir, "_SURVIVORS_DONE")
+    if not os.path.exists(surv_marker):
+        dup_parts: list[ray.data.Dataset] = []
+
+        def b_ids(pairs: ray.data.Dataset) -> ray.data.Dataset:
+            def proj(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"dup_id": batch.column("doc_b").cast(pa.int64())})
+
+            return pairs.map_batches(proj, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+        for prev in state["shards"]:
+            pdir = _shard_dir(state_dir, prev)
+            dup_parts.append(b_ids(ngram_jaccard_delta(
+                os.path.join(pdir, "ngram"), shard,
+                text_col=text_col, id_col=id_col)))
+            dup_parts.append(b_ids(minhash_neardup_delta(
+                os.path.join(pdir, "minhash"), shard,
+                text_col=text_col, id_col=id_col)))
+            dup_parts.append(b_ids(simhash_neardup_delta(
+                os.path.join(pdir, "simhash"), shard,
+                text_col=text_col, id_col=id_col)))
+        # intra-shard: pairs emit doc_a < doc_b; dropping every doc_b
+        # keeps the lowest doc_id of each near-dup group (greedy
+        # first-wins, exact_dedup's policy)
+        dup_parts.append(b_ids(ngram_jaccard_pairs(
+            shard, text_col=text_col, id_col=id_col,
+            n=spec["ngram_n"], threshold=spec["ngram_threshold"])))
+        dup_parts.append(b_ids(minhash_neardup_pairs(
+            shard, text_col=text_col, id_col=id_col,
+            n=spec["minhash_n"], threshold=spec["minhash_threshold"])))
+        dup_parts.append(b_ids(simhash_neardup_pairs(
+            shard, text_col=text_col, id_col=id_col,
+            max_hamming=spec["simhash_max_hamming"])))
+
+        dups = dup_parts[0]
+        for p in dup_parts[1:]:
+            dups = dups.union(p)
+        # dup ids are a small fraction of the shard; pin them so the
+        # counts below and the anti-join share one snapshot
+        dups = dups.materialize()
+        n_dups = dups.count()
+        if n_dups == 0:
+            # an all-empty union carries no schema; the anti-join is
+            # also pure overhead with nothing to subtract
+            survivors = shard
+        else:
+            survivors = hash_join(shard, dups, left_on=id_col,
+                                  right_on="dup_id", how="anti")
+        import shutil
+
+        shutil.rmtree(surv_dir, ignore_errors=True)  # crashed partials
+        survivors.write_parquet(surv_dir)
+        # the marker carries the drop count (distinct dup ids resolve
+        # in the anti-join, so this counts matched PROBE ROWS)
+        mf.atomic_write_json(surv_marker, {"n_dup_rows": int(n_dups)})
+    # read the PINNED snapshot for everything downstream
+    surv_ds = ray.data.read_parquet(surv_dir)
+    with open(surv_marker) as f:
+        n_dup_rows = json.load(f).get("n_dup_rows", 0)
+
+    # ---- 2. dedup artifacts over the survivors (resumable: _DONE) ----
+    build_dedup_index(surv_ds, os.path.join(sdir, "ngram"),
+                      text_col=text_col, id_col=id_col,
+                      n=spec["ngram_n"], threshold=spec["ngram_threshold"])
+    build_minhash_index(surv_ds, os.path.join(sdir, "minhash"),
+                        text_col=text_col, id_col=id_col,
+                        n=spec["minhash_n"],
+                        threshold=spec["minhash_threshold"])
+    build_simhash_index(surv_ds, os.path.join(sdir, "simhash"),
+                        text_col=text_col, id_col=id_col,
+                        max_hamming=spec["simhash_max_hamming"])
+
+    # ---- 3. the shard's index segment (resumable by partition) ----
+    idx_meta = build_index(
+        surv_ds, os.path.join(sdir, "index"),
+        num_partitions=spec["num_partitions"], id_col=id_col,
+        query_lang=spec["query_lang"], detect_hot=False,
+    )
+
+    meta = {
+        "shard_id": shard_id,
+        "n_survivors": int(idx_meta["n_docs"]),
+        "n_dup_rows": int(n_dup_rows),
+        "n_prior_shards": len(state["shards"]),
+        "index_dir": os.path.join(sdir, "index"),
+    }
+    mf.atomic_write_json(meta_path, meta)
+    mf.atomic_write_bytes(done_marker, b"")
+
+    if shard_id not in state["shards"]:
+        state["shards"].append(shard_id)
+        state["spec"] = spec
+        mf.atomic_write_json(_manifest_path(state_dir), state)
+    return meta
+
+
+def chain_index_dirs(state_dir: str) -> list[str]:
+    """The federated index chain, in ingestion order."""
+    state = load_state(state_dir)
+    return [os.path.join(_shard_dir(state_dir, sid), "index")
+            for sid in state["shards"]]
+
+
+def chain_engine(state_dir: str, *, mode: str = "auto"):
+    """Exact federated BM25 over every ingested shard (the query side
+    of the chain; pipelines/incremental.py semantics)."""
+    from ..stages.score import QueryEngine
+
+    dirs = chain_index_dirs(state_dir)
+    if not dirs:
+        raise ValueError(f"no ingested shards under {state_dir}")
+    return QueryEngine(dirs, mode=mode)

@@ -123,7 +123,7 @@ NAMES = [
     "minhash_neardup_delta", "graph_topk_recall", "epoch_shuffle",
     "simhash_neardup", "simhash_neardup_delta",
     # round-4 additions
-    "bm25_topk_per_lang",
+    "bm25_topk_per_lang", "media_pixel_stats", "audio_fingerprints",
 ]
 
 

@@ -1,0 +1,173 @@
+"""End-to-end delta ingest (VERDICT r3 item 7): 3-shard arrival through
+the persisted-probe chain — cross-shard near-dups dropped via ngram /
+minhash / simhash artifacts, intra-shard dups dropped first-wins,
+survivors indexed and federated-searchable, per-shard resume."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+def _text(tag: str, extra: str = "") -> str:
+    """20 words of tag-disjoint vocabulary (cross-doc jaccard ~0) plus
+    optional distinguishing tokens."""
+    body = " ".join(f"{tag}word{j}" for j in range(20))
+    return f"{body} {extra}".strip()
+
+
+def _doc(i: int, text: str) -> dict:
+    return {"repo": "r", "path": f"f{i}.txt", "commit": "c0",
+            "lang": "en", "content": text}
+
+
+def _write_shard(path, docs):
+    cols = {k: pa.array([d[k] for d in docs], pa.string())
+            for k in ("repo", "path", "commit", "lang", "content")}
+    pq.write_table(pa.table(cols), path)
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ingest_shards")
+    # shard 1: 6 docs with pairwise-disjoint vocabularies
+    s1 = [_doc(i, _text(f"s1d{i}", f"uniqueonetoken{i}"))
+          for i in range(6)]
+    # shard 2: a near-copy of shard-1 doc 2 (one word changed), an
+    # intra-shard near-dup pair, and 3 unique docs
+    s2 = ([_doc(10, s1[2]["content"].replace("s1d2word7", "changed"))]
+          + [_doc(11, _text("twin", "twinA")),
+             _doc(12, _text("twin", "twinB"))]
+          + [_doc(13 + i, _text(f"s2d{i}", f"uniquetwotoken{i}"))
+             for i in range(3)])
+    # shard 3: a near-copy of a shard-2 survivor + 2 unique docs
+    s3 = ([_doc(20, s2[3]["content"].replace("uniquetwotoken0", "copyx"))]
+          + [_doc(21 + i, _text(f"s3d{i}", f"uniquethreetoken{i}"))
+             for i in range(2)])
+    paths = []
+    for n, docs in (("s1", s1), ("s2", s2), ("s3", s3)):
+        p = str(root / f"{n}.parquet")
+        _write_shard(p, docs)
+        paths.append(p)
+    return paths
+
+
+def test_ingest_chain_dedup_and_query(ray_session, shards, tmp_path):
+    from donkey_ray.pipelines.ingest import (chain_engine,
+                                             chain_index_dirs,
+                                             ingest_delta, load_state)
+
+    state = str(tmp_path / "chain")
+    m1 = ingest_delta(state, shards[0], shard_id="s1")
+    assert m1["n_survivors"] == 6 and m1["n_dup_rows"] == 0
+
+    m2 = ingest_delta(state, shards[1], shard_id="s2")
+    # dropped: the shard-1 near-copy (all 3 probes fire on it) and one
+    # of the intra-shard twins -> 4 survivors of 6
+    assert m2["n_survivors"] == 4
+    assert m2["n_dup_rows"] > 0
+
+    m3 = ingest_delta(state, shards[2], shard_id="s3")
+    # dropped: the near-copy of the shard-2 survivor -> 2 of 3
+    assert m3["n_survivors"] == 2
+
+    st = load_state(state)
+    assert st["shards"] == ["s1", "s2", "s3"]
+    assert len(chain_index_dirs(state)) == 3
+
+    eng = chain_engine(state)
+    assert eng.n_docs == 12  # 6 + 4 + 2, exact federated stats
+    # every surviving shard's unique token is searchable
+    for tok in ("uniqueonetoken3", "uniquetwotoken1", "uniquethreetoken1"):
+        hits = eng.topk(tok, 3)
+        assert len(hits) == 1, tok
+    # exactly one of the intra-shard twins survived
+    assert len(eng.topk("twinword3", 5)) == 1
+    # the dropped near-copies are NOT in the corpus
+    assert eng.topk("changed", 3) == []
+    assert eng.topk("copyx", 3) == []
+
+
+def test_ingest_idempotent_and_resume(ray_session, shards, tmp_path,
+                                      monkeypatch):
+    import donkey_ray.pipelines.ingest as ing
+
+    state = str(tmp_path / "chain_r")
+    ing.ingest_delta(state, shards[0], shard_id="s1")
+
+    # idempotent: a second call returns the recorded meta without work
+    before = ing.load_state(state)
+    m_again = ing.ingest_delta(state, shards[0], shard_id="s1")
+    assert m_again["n_survivors"] == 6
+    assert ing.load_state(state) == before
+
+    # crash mid-shard: survivors snapshot lands, then the index build
+    # dies; the rerun must NOT redo the dedup (snapshot mtime pinned)
+    # and must complete from the markers
+    import donkey_ray.pipelines.build as build_mod
+
+    real_build = build_mod.build_index
+    calls = {"n": 0}
+
+    def dying_build(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before indexing")
+
+    monkeypatch.setattr(build_mod, "build_index", dying_build)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ing.ingest_delta(state, shards[1], shard_id="s2")
+    assert calls["n"] == 1
+    sdir = os.path.join(state, "shards", "s2")
+    assert os.path.exists(os.path.join(sdir, "_SURVIVORS_DONE"))
+    assert not os.path.exists(os.path.join(sdir, "_SHARD_DONE"))
+    # the half-ingested shard is not in the chain yet
+    assert ing.load_state(state)["shards"] == ["s1"]
+    snap_mtime = os.path.getmtime(os.path.join(sdir, "_SURVIVORS_DONE"))
+
+    monkeypatch.setattr(build_mod, "build_index", real_build)
+    m2 = ing.ingest_delta(state, shards[1], shard_id="s2")
+    assert m2["n_survivors"] == 4
+    assert os.path.getmtime(
+        os.path.join(sdir, "_SURVIVORS_DONE")) == snap_mtime
+    assert ing.load_state(state)["shards"] == ["s1", "s2"]
+
+    # spec pinning: a conflicting explicit spec on a later shard raises
+    with pytest.raises(ValueError, match="disagrees"):
+        ing.ingest_delta(state, shards[2], shard_id="s3",
+                         spec={**ing.DEFAULT_SPEC, "minhash_threshold": 0.9})
+
+
+def test_ingest_cli_round_trip(ray_session, shards, tmp_path, capsys):
+    """The cli surface: ingest-delta twice, then ingest-search."""
+    from donkey_ray.cli import main
+
+    state = str(tmp_path / "chain_cli")
+    rc = main(["ingest-delta", "--state", state, "--shard", shards[0],
+               "--shard-id", "s1"])
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_survivors"] == 6
+
+    rc = main(["ingest-delta", "--state", state, "--shard", shards[1],
+               "--shard-id", "s2"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_survivors"] == 4
+
+    import io
+    import sys as _sys
+
+    monkey_in = io.StringIO("uniquetwotoken1\n")
+    old = _sys.stdin
+    _sys.stdin = monkey_in
+    try:
+        rc = main(["ingest-search", "--state", state, "--k", "3"])
+    finally:
+        _sys.stdin = old
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    head = json.loads(lines[0])
+    assert head["n_docs"] == 10 and head["n_indexes"] == 2
+    hits = json.loads(lines[1])
+    assert len(hits) == 1 and hits[0]["rank"] == 1

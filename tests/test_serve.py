@@ -672,3 +672,119 @@ def test_multi_frontend_shared_pool_failover(served_index):
             break
     with pytest.raises(ValueError):
         ray.get_actor("t_mf_f0")
+
+
+def _http(port, method, path, obj=None):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    data = None if obj is None else _json.dumps(obj).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data, method=method,
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, _json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, _json.loads(e.read())
+
+
+def test_http_frontend_round_trip_and_failover(served_index, tmp_path):
+    """VERDICT r3 item 4 (donkey A7 RPC analogue): full JSON-over-HTTP
+    round-trip — ping, search (identical hits to the engine), batch
+    search, insert -> flush -> the new doc is searchable over HTTP,
+    delete, error mapping — and replica failover is invisible to HTTP
+    clients (reads go through the router pool)."""
+    import shutil
+
+    import ray
+
+    from donkey_ray.httpserve import start_http_frontend
+    from donkey_ray.serve import start_router, start_server
+    from donkey_ray.stages.score import QueryEngine
+
+    corpus, out = served_index
+    # writes need their own index dir (flush mutates the artifact chain)
+    wdir = str(tmp_path / "http_idx")
+    shutil.copytree(out, wdir)
+    router = start_router(wdir, n_replicas=2, name="t_http_router")
+    primary = start_server(wdir, name="t_http_primary")
+    srv, port = start_http_frontend(router=router, primary=primary)
+    try:
+        code, ping = _http(port, "GET", "/ping")
+        assert code == 200 and ping["n_docs"] == 150
+        code, stats = _http(port, "GET", "/stats")
+        assert code == 200 and stats["index_dirs"][0] == wdir
+
+        engine = QueryEngine(wdir)
+        code, res = _http(port, "POST", "/search",
+                          {"text": "return x", "k": 5})
+        assert code == 200
+        want = engine.topk("return x", 5)
+        assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+            pytest.approx(want)
+
+        qs = [[r["text"], int(r["k"])] for r in make_queries(6).to_pylist()]
+        code, res = _http(port, "POST", "/search_batch", {"queries": qs})
+        assert code == 200 and len(res["results"]) == len(qs)
+        for (text, k), hits in zip(qs, res["results"]):
+            assert [(h["doc_id"], h["score"]) for h in hits] == \
+                pytest.approx(engine.topk(text, k))
+
+        # failover: kill one replica; HTTP clients never notice
+        ray.kill(ray.get_actor("t_http_router_replica_0"))
+        code, res = _http(port, "POST", "/search",
+                          {"text": "return x", "k": 5})
+        assert code == 200
+        assert [(h["doc_id"], h["score"]) for h in res["hits"]] == \
+            pytest.approx(want)
+
+        # writes: insert -> flush -> searchable (through the primary)
+        rows = [{"repo": "http", "path": "h.py", "commit": "c1",
+                 "lang": "py",
+                 "content": "def http_handler(): return qqhttptoken"}]
+        code, res = _http(port, "POST", "/insert", {"rows": rows})
+        assert code == 200 and res["buffered"] == 1
+        code, res = _http(port, "POST", "/flush", {})
+        assert code == 200 and res["flushed"] == 1
+        code, res = _http(port, "POST", "/search",
+                          {"text": "qqhttptoken", "k": 3})
+        # the PRIMARY sees the flushed delta (router replicas still
+        # serve the base artifact until rolled out — documented model),
+        # so assert through a primary-only frontend
+        from donkey_ray.httpserve import start_http_frontend as shf
+        srv2, port2 = shf(primary=primary)
+        try:
+            code, res = _http(port2, "POST", "/search",
+                              {"text": "qqhttptoken", "k": 3})
+            assert code == 200 and len(res["hits"]) == 1
+            code, res = _http(port2, "POST", "/delete",
+                              {"keys": [{"repo": "http", "path": "h.py",
+                                         "commit": "c1"}]})
+            assert code == 200 and res["deleted"] == 1
+            code, res = _http(port2, "POST", "/search",
+                              {"text": "qqhttptoken", "k": 3})
+            assert code == 200 and res["hits"] == []
+        finally:
+            srv2.shutdown()
+
+        # error mapping: bad request -> 400 (actor-side ValueError too)
+        code, res = _http(port, "POST", "/search", {"k": 5})
+        assert code == 400 and "error" in res
+        code, res = _http(port, "POST", "/insert", {"rows": [{"repo": "x"}]})
+        assert code == 400 and "missing columns" in res["error"]
+        code, res = _http(port, "GET", "/nope")
+        assert code == 404
+        # read-only frontend refuses writes
+        srv3, port3 = shf(router=router)
+        try:
+            code, res = _http(port3, "POST", "/insert", {"rows": rows})
+            assert code == 405
+        finally:
+            srv3.shutdown()
+    finally:
+        srv.shutdown()
+        ray.get(router.shutdown.remote())
+        ray.kill(router)
+        ray.kill(primary)
