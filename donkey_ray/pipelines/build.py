@@ -214,6 +214,9 @@ def _docs_pass_fragments(corpus_path: str, out_dir: str,
     def process(batch: pa.Table) -> pa.Table:
         done = []
         for frag in batch.column("path").to_pylist():
+            if os.path.exists(out_name(frag)):
+                done.append(frag)  # a retried task re-sees finished work
+                continue
             tbl = pq.read_table(frag)
             docs = doc_meta(tbl, id_col=id_col, analyzer=analyzer)
             target = out_name(frag)
@@ -228,8 +231,18 @@ def _docs_pass_fragments(corpus_path: str, out_dir: str,
             done.append(frag)
         return pa.table({"path": pa.array(done, pa.string())})
 
+    # MANY blocks, not one: from_arrow(one_table) is a single block and
+    # map tasks are per-block, so the whole docs pass used to run
+    # inside ONE task (measured: serial 5-6 s at bench scale; the
+    # round-4 doc_len column made that serial path the build's
+    # critical path). One block per fragment up to 8x cluster CPUs;
+    # past that, blocks hold several fragments each (still parallel,
+    # bounded task count at 10^6-fragment corpora — a retried task
+    # skips its already-written fragments via the marker files).
+    cpus = int(ray.cluster_resources().get("CPU", 4))
     (
-        ray.data.from_arrow(pa.table({"path": pa.array(todo, pa.string())}))
+        ray.data.from_items([{"path": p} for p in todo],
+                            override_num_blocks=min(len(todo), 8 * cpus))
         .map_batches(process, batch_format="pyarrow", batch_size=1)
         .materialize()
     )

@@ -198,3 +198,28 @@ def test_count_column_equals_tokenize_column_dl():
         for t, d in zip(texts, dl):
             if t is not None:
                 assert len(tk.tokenize(t)) == d or not t.isascii()
+
+
+def test_code_count_column_fuzz():
+    """The allocation-free boundary-count scans (CodeTokenizer
+    count_column) equal tokenize_column's dl over random identifier
+    soup — including digit-initial strings and non-ASCII separators
+    (regression: Arrow's count kernel re-anchors '^' at scan resume,
+    so the rule-D count must avoid '^' alternations)."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from donkey_ray.functions.tokenize import CodeTokenizer
+
+    tk = CodeTokenizer()
+    rng = random.Random(41)
+    alphabet = string.ascii_letters + string.digits + "_ .É0129"
+    texts = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(0, 60)))
+             for _ in range(4000)]
+    col = pa.array(texts, pa.string())
+    _flat, _parents, dl = tk.tokenize_column(col)
+    cnt = tk.count_column(col).to_pylist()
+    assert cnt == list(dl)
