@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stop_topk": api.q_stop_topk,
         "folded_term_df": api.q_folded_term_df,
         "phrase_topk": api.q_phrase_topk,
+        "sloppy_topk": api.q_sloppy_topk,
         "near_topk": api.q_near_topk,
         "bm25_topk_and": api.q_bm25_topk_and,
         "bm25_topk_msm": api.q_bm25_topk_msm,
@@ -419,6 +420,65 @@ def _phrase_sql() -> str:
         "                                     ORDER BY score DESC, doc_id ASC) AS rank\n"
         "           FROM all_sc)\n"
         "SELECT query_id, rank::INT AS rank, doc_id, round(score, 6) AS score\n"
+        "FROM ranked WHERE rank <= k\n"
+    )
+
+
+def _sloppy_sql() -> str:
+    """Oracle for sloppy_topk, generated from api.PINNED_SLOPPY: each
+    adjacent word pair contributes power(2, -gap) per (p, q = p+1+gap)
+    position pair with gap <= SLOPPY_SLOP — dyadic weights, so the
+    weighted frequency is exact float64 on both engines — then the
+    phrase-as-pseudo-term scoring shell (df = docs with tfw > 0). Docs
+    must contain EVERY distinct query term (the engine's candidate
+    intersection — Lucene's all-terms-present requirement), hence the
+    INTERSECT chain filter."""
+    s = api.SLOPPY_SLOP
+    blocks, unions = [], []
+    for qid, text, k in api.PINNED_SLOPPY:
+        words = text.split()
+        pair_sqls = [
+            ("SELECT a.doc_id, power(2.0, -(b.p - a.p - 1)) AS w\n"
+             "    FROM pos a JOIN pos b ON b.doc_id = a.doc_id\n"
+             f"    WHERE a.term='{wa}' AND b.term='{wb}' "
+             f"AND b.p - a.p - 1 BETWEEN 0 AND {s}")
+            for wa, wb in zip(words, words[1:])
+        ]
+        cand = "\n  INTERSECT ".join(
+            f"SELECT DISTINCT doc_id FROM pos WHERE term='{w}'"
+            for w in dict.fromkeys(words))
+        blocks.append(
+            f"cand_{qid} AS (" + cand + "),\n"
+            f"pw_{qid} AS (" + "\n  UNION ALL ".join(pair_sqls) + "),\n"
+            f"m_{qid} AS (SELECT pw.doc_id, sum(w)::DOUBLE AS tf "
+            f"FROM pw_{qid} pw JOIN cand_{qid} c ON c.doc_id = pw.doc_id "
+            "GROUP BY 1),\n"
+            f"sc_{qid} AS (SELECT {qid}::BIGINT AS query_id, {k} AS k, "
+            "m.doc_id,\n"
+            "  ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1) * "
+            "m.tf*(1.2+1)/(m.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) "
+            "AS score\n"
+            f"  FROM m_{qid} m CROSS JOIN "
+            f"(SELECT count(*)::DOUBLE AS df FROM m_{qid}) d\n"
+            "  JOIN dl ON dl.doc_id = m.doc_id CROSS JOIN stats s)"
+        )
+        unions.append(f"SELECT * FROM sc_{qid}")
+    return (
+        f"WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),\n"
+        "dl AS (SELECT doc_id, len(toks) AS dl FROM tok),\n"
+        "stats AS (SELECT count(*)::DOUBLE AS n_docs, "
+        "avg(dl)::DOUBLE AS avgdl FROM dl),\n"
+        "pos AS (SELECT doc_id, unnest(toks) AS term, "
+        "unnest(range(len(toks))) AS p FROM tok),\n"
+        + ",\n".join(blocks) + ",\n"
+        "all_sc AS (" + " UNION ALL ".join(unions) + "),\n"
+        "ranked AS (SELECT query_id, k, doc_id, score,\n"
+        "                  row_number() OVER (PARTITION BY query_id\n"
+        "                                     ORDER BY score DESC, "
+        "doc_id ASC) AS rank\n"
+        "           FROM all_sc)\n"
+        "SELECT query_id, rank::INT AS rank, doc_id, "
+        "round(score, 6) AS score\n"
         "FROM ranked WHERE rank <= k\n"
     )
 
@@ -706,6 +766,7 @@ def _oracle_sqls() -> dict[str, str]:
         "term_counts_cms": _cms_sql(),
         "phrase_topk": _phrase_sql(),
         "near_topk": _near_sql(),
+        "sloppy_topk": _sloppy_sql(),
         "bm25_topk": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS dl FROM tok),

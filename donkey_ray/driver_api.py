@@ -1025,6 +1025,36 @@ def q_phrase_topk(sf_dir: str) -> pa.Table:
     return _round_col(res, "score")
 
 
+SLOPPY_SLOP = 2
+PINNED_SLOPPY = [
+    (0, "data table", 10),
+    (1, "window key", 10),      # matches "window sort key" at gap 1
+    (2, "value a table", 10),
+    (3, "value value", 10),
+    (4, "zzzabsent table", 10),
+]
+
+
+def q_sloppy_topk(sf_dir: str) -> pa.Table:
+    """Slop-scored phrase retrieval (Lucene sloppy-PhraseQuery shape):
+    each adjacent query-term pair contributes 2^-gap per position pair
+    at gap <= SLOPPY_SLOP (dyadic weights — exact float64 on both
+    engines); the phrase scores as a pseudo-term (df = matching docs)
+    like phrase_topk."""
+    index_dir = ensure_positional_index(sf_dir)
+    queries = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in PINNED_SLOPPY], pa.int64()),
+            "text": pa.array([q[1] for q in PINNED_SLOPPY], pa.string()),
+            "k": pa.array([q[2] for q in PINNED_SLOPPY], pa.int32()),
+        }
+    )
+    res = dataset_to_table(score_queries(index_dir, queries, kind="sloppy",
+                                         window=SLOPPY_SLOP))
+    res = res.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+    return _round_col(res, "score")
+
+
 def q_near_topk(sf_dir: str) -> pa.Table:
     """Proximity top-k over the positional index (pinned near set): docs
     containing every query term with each non-anchor term within

@@ -44,6 +44,10 @@ class QueryScorerStage:
         elif kind == "near":
             eng = self.engine
             self.run = lambda text, k: eng.near_topk(text, k, window=window)
+        elif kind == "sloppy":
+            # slop-scored phrase; slop rides the window parameter
+            eng = self.engine
+            self.run = lambda text, k: eng.sloppy_topk(text, k, slop=window)
         elif kind == "and":
             self.run = self.engine.and_topk
         elif kind == "bool":

@@ -195,9 +195,10 @@ class IndexServer:
         (positive scoring excluding docs containing any ``neg_text``
         term), "prefix" (wildcard expansion over the dictionary),
         "bool" (nested AND/OR/NOT expression DSL),
-        "phrase" (exact positional phrase) or "near" (proximity within
-        ``window``); the latter two need every federated member built
-        with positions=True.
+        "phrase" (exact positional phrase), "near" (proximity within
+        ``window``) or "sloppy" (slop-scored phrase, slop = ``window``);
+        these last need every federated member built with
+        positions=True.
 
         Tombstoned docs (``delete``) are filtered out EXACTLY: the
         engine is over-fetched by the tombstone count (deleted docs can
@@ -209,6 +210,9 @@ class IndexServer:
             hits = self.engine.phrase_topk(text, fetch_k)
         elif kind == "near":
             hits = self.engine.near_topk(text, fetch_k, window=window)
+        elif kind == "sloppy":
+            # slop rides the window parameter (same "how far apart" role)
+            hits = self.engine.sloppy_topk(text, fetch_k, slop=window)
         elif kind == "and":
             hits = self.engine.and_topk(text, fetch_k)
         elif kind == "not":

@@ -603,6 +603,75 @@ class QueryEngine:
         order = scoring.topk_order(docs_m, scores, k)
         return [(int(docs_m[i]), float(scores[i])) for i in order]
 
+    def sloppy_topk(self, text: str, k: int,
+                    slop: int = 2) -> list[tuple[int, float]]:
+        """Slop-scored phrase retrieval (the Lucene sloppy-PhraseQuery
+        shape) over a positional index. PINNED SPEC: for query tokens
+        t1..tn IN ORDER, every ADJACENT pair (ti, ti+1) contributes, per
+        doc, weight 2^-gap for each position pair (p, q) with q = p + 1
+        + gap and 0 <= gap <= slop — dyadic weights, so the weighted
+        frequency is EXACT in float64 on both engines (1/(1+gap) would
+        drift in the last ulp). The phrase scores as a pseudo-term like
+        like phrase_topk: df = docs with tfw > 0 (global), score =
+        idf(df) * tf_weight(tfw, dl, avgdl), ties doc_id asc. slop=0 =
+        chained-bigram adjacency (NOT full phrase alignment — each pair
+        matches independently).
+
+        Vectorized: one (doc<<32|pos) key-set intersection per adjacent
+        pair per gap value — (n-1)(slop+1) np.isin passes over unique
+        key arrays, no per-doc Python loop."""
+        if not all(m.get("positions") for m in self.metas):
+            raise ValueError(
+                "sloppy-phrase queries require an index built with "
+                "positions=True")
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        terms = self._tok.tokenize(text)
+        if len(terms) < 2:
+            raise ValueError("sloppy phrase needs >= 2 query tokens")
+        if k <= 0:
+            return []
+        post: dict[str, _PhrasePostings] = {}
+        for t in set(terms):
+            rows = self.term_runs(t)
+            if not rows:
+                return []
+            post[t] = _PhrasePostings(rows, self.block_size)
+        ts = sorted(post, key=lambda t: post[t].docs.size)
+        cand = post[ts[0]].docs
+        for t in ts[1:]:
+            cand = cand[np.isin(cand, post[t].docs, assume_unique=True)]
+            if cand.size == 0:
+                return []
+        keys: dict[str, np.ndarray] = {}
+        for t in post:
+            p = post[t]
+            sel = np.searchsorted(p.docs, cand)
+            docs_rep, pos_flat = p.positions_for(sel)
+            di = np.searchsorted(cand, docs_rep).astype(np.int64)
+            keys[t] = (di << np.int64(32)) | pos_flat
+        tfw = np.zeros(cand.size, dtype=np.float64)
+        for a, b in zip(terms, terms[1:]):
+            ka, kb = keys[a], keys[b]
+            for gap in range(slop + 1):
+                hit = ka[np.isin(ka + np.int64(1 + gap), kb,
+                                 assume_unique=True)]
+                if hit.size:
+                    np.add.at(tfw, (hit >> np.int64(32)).astype(np.int64),
+                              2.0 ** -gap)
+        matched = tfw > 0
+        df = int(matched.sum())
+        if df == 0:
+            return []
+        p0 = post[terms[0]]
+        dl = p0.dls[np.searchsorted(p0.docs, cand)].astype(np.float64)
+        idf = float(self.scorer.idf(df, self.n_docs))
+        scores = idf * self.scorer.tf_weight(
+            tfw[matched], dl[matched], self.avgdl)
+        docs_m = cand[matched]
+        order = scoring.topk_order(docs_m, scores, k)
+        return [(int(docs_m[i]), float(scores[i])) for i in order]
+
     def near_topk(self, text: str, k: int, window: int = 4) -> list[tuple[int, float]]:
         """Proximity-filtered conjunctive BM25 over a positional index.
 

@@ -124,6 +124,7 @@ NAMES = [
     "simhash_neardup", "simhash_neardup_delta",
     # round-4 additions
     "bm25_topk_per_lang", "media_pixel_stats", "audio_fingerprints",
+    "sloppy_topk",
 ]
 
 
