@@ -408,16 +408,28 @@ def ensure_per_lang_indexes(sf_dir: str) -> "dict[str, str]":
     here is a driver-side distinct over one dictionary-encoded column
     (bounded: lang cardinality, not corpus size); at 100 TB the same
     distinct runs as a Ray aggregate feeding the same per-lang builds."""
+    import shutil
+
     import pyarrow.parquet as _pq
 
     from .sources.corpus import documents_as_corpus
+    from .state import manifest as mf
 
-    langs = sorted(set(
+    # columnar distinct: only n_langs values ever become Python objects
+    langs = sorted(pc.unique(
         _pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
-        .column("lang").to_pylist()))
+        .column("lang")).to_pylist())
     out = {}
     for lg in langs:
         d = _index_dir(sf_dir) + f"_lang_{lg}"
+        if mf.is_complete(d):
+            # same stale-format rebuild guard as every other ensure_*
+            try:
+                if mf.load_meta(d).get(
+                        "format_version") != CURRENT_FORMAT_VERSION:
+                    shutil.rmtree(d)
+            except (OSError, ValueError):
+                shutil.rmtree(d, ignore_errors=True)
         build_index(
             documents_as_corpus(sf_dir, lang=lg),
             d,

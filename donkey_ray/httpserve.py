@@ -125,12 +125,19 @@ class _Handler(BaseHTTPRequestHandler):
                         h.compact.remote(req["out_dir"])))
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
+        except ray.exceptions.RayTaskError as ex:
+            # MUST be the first clause: ray.get re-raises actor errors
+            # as a dual-inheritance class (RayTaskError AND the cause
+            # type), so a later (ValueError, ...) clause would shadow
+            # this one. Classify by the actor-side cause: a bad request
+            # (bad insert row, unknown query kind) is the client's 400
+            # with the clean message; anything else is a server 500.
+            if isinstance(ex.cause, (KeyError, ValueError, TypeError)):
+                self._json(400, {"error": str(ex.cause)})
+            else:
+                self._json(500, {"error": repr(ex.cause)})
         except (KeyError, ValueError, TypeError) as ex:
             self._json(400, {"error": repr(ex)})
-        except ray.exceptions.RayTaskError as ex:
-            # application error raised INSIDE the actor (bad insert row,
-            # unknown query kind): a client error, not a server fault
-            self._json(400, {"error": str(ex.cause)})
         except Exception as ex:
             self._json(500, {"error": repr(ex)})
 

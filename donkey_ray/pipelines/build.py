@@ -73,26 +73,32 @@ def compute_lang_stats(out_dir: str) -> dict:
     partial aggregation, then one keyed exchange over n_langs keys
     (lang cardinality is tiny, so the exchange is a few rows). Returns
     {} when the docs artifact predates the doc_len column (old-format
-    resume) — callers treat the field as optional."""
+    resume) — detected by a SCHEMA probe, not a blanket except: a
+    transient cluster failure during the stats scan must propagate, or
+    a successful build would permanently bake lang_stats={} into its
+    meta with no way to tell that apart from a pre-v3 artifact."""
     from ..stages.exchange import partitioned_aggregate
 
     try:
-        docs = ray.data.read_parquet(
-            _docs_dir(out_dir), columns=["lang", "doc_len"])
-
-        def partial(batch: pa.Table) -> pa.Table:
-            g = batch.group_by(["lang"], use_threads=False).aggregate(
-                [("doc_len", "sum"), ("doc_len", "count")])
-            return g.rename_columns(["lang", "s", "c"])
-
-        rows = partitioned_aggregate(
-            docs.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True),
-            ["lang"], [("s", "sum"), ("c", "sum")],
-            rename={"s_sum": "s", "c_sum": "c"},
-        ).take_all()  # n_langs rows
-    except Exception:
+        schema = pads.dataset(_docs_dir(out_dir)).schema
+    except (FileNotFoundError, OSError):
         return {}
+    if "lang" not in schema.names or "doc_len" not in schema.names:
+        return {}
+    docs = ray.data.read_parquet(
+        _docs_dir(out_dir), columns=["lang", "doc_len"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"], use_threads=False).aggregate(
+            [("doc_len", "sum"), ("doc_len", "count")])
+        return g.rename_columns(["lang", "s", "c"])
+
+    rows = partitioned_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["lang"], [("s", "sum"), ("c", "sum")],
+        rename={"s_sum": "s", "c_sum": "c"},
+    ).take_all()  # n_langs rows
     return {
         str(r["lang"]): {
             "n_docs": int(r["c"]),

@@ -114,8 +114,14 @@ def ingest_delta(
                         simhash_neardup_pairs)
     from .joins import hash_join
 
+    # The spec is pinned into the manifest BEFORE any shard work (not
+    # after the first shard completes): a crashed first shard resumed
+    # with a different explicit spec would otherwise skip the
+    # disagreement check and admit artifacts computed under the old
+    # spec — exactly the mixed-semantics condition being guarded.
+    man_exists = os.path.exists(_manifest_path(state_dir))
     state = load_state(state_dir)
-    if state["shards"]:
+    if man_exists:
         if spec is not None and spec != state["spec"]:
             raise ValueError(
                 f"ingest spec {spec} disagrees with the chain's pinned "
@@ -123,11 +129,20 @@ def ingest_delta(
         spec = state["spec"]
     else:
         spec = {**DEFAULT_SPEC, **(spec or {})}
+        state["spec"] = spec
+        os.makedirs(state_dir, exist_ok=True)
+        mf.atomic_write_json(_manifest_path(state_dir), state)
 
     sdir = _shard_dir(state_dir, shard_id)
     meta_path = os.path.join(sdir, "meta.json")
     done_marker = os.path.join(sdir, "_SHARD_DONE")
     if os.path.exists(done_marker):
+        # repair path: the manifest is written before the done marker,
+        # so membership here is expected — but re-assert it anyway so a
+        # hand-edited/restored manifest can't silently orphan the shard
+        if shard_id not in state["shards"]:
+            state["shards"].append(shard_id)
+            mf.atomic_write_json(_manifest_path(state_dir), state)
         with open(meta_path) as f:
             return json.load(f)
     os.makedirs(sdir, exist_ok=True)
@@ -227,12 +242,15 @@ def ingest_delta(
         "index_dir": os.path.join(sdir, "index"),
     }
     mf.atomic_write_json(meta_path, meta)
-    mf.atomic_write_bytes(done_marker, b"")
-
+    # manifest membership BEFORE the done marker: a crash between the
+    # two re-runs the (fully marker-gated, hence free) shard steps and
+    # rewrites the manifest idempotently; the reverse order would
+    # return early on resume with the shard permanently missing from
+    # the chain — indexed but unqueryable and never probed against
     if shard_id not in state["shards"]:
         state["shards"].append(shard_id)
-        state["spec"] = spec
         mf.atomic_write_json(_manifest_path(state_dir), state)
+    mf.atomic_write_bytes(done_marker, b"")
     return meta
 
 

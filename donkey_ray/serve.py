@@ -334,6 +334,12 @@ class IndexServer:
             # every federated member needs positions
             positions=bool(self.engine.meta.get("positions")),
         )
+        # validate the federated reopen BEFORE touching buffer/journal:
+        # if the new delta cannot federate with the existing members
+        # (incompatible meta), the error must leave the server state —
+        # buffered rows, WAL — fully intact, not half-flushed
+        new_dirs = self._dirs + [delta_dir]
+        new_engine = QueryEngine(new_dirs, mode=self.mode)
         n = len(self._buffer)
         self._buffer.clear()
         # tombstones outlive the flushed buffer. REWRITE the journal
@@ -351,8 +357,8 @@ class IndexServer:
             os.replace(tmp, self._journal_path)
         else:
             os.unlink(self._journal_path)
-        self._dirs.append(delta_dir)
-        self.engine = QueryEngine(self._dirs, mode=self.mode)
+        self._dirs = new_dirs
+        self.engine = new_engine
         return {"flushed": n, "delta_dir": delta_dir,
                 "n_indexes": len(self._dirs), "n_docs": self.engine.n_docs}
 

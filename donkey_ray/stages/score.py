@@ -372,9 +372,17 @@ class QueryEngine:
         self.meta = metas[0]
         # federated correctness requires ONE segment format + ONE query
         # tokenizer across all member indexes; differing members would
-        # silently mis-decode doc ids / tokenize inconsistently
+        # silently mis-decode doc ids / tokenize inconsistently.
+        # format_version compares by SEGMENT-FORMAT GENERATION: v3 only
+        # added the optional docs doc_len column + lang_stats meta (the
+        # posting encoding is byte-identical to v2), so a v2 base with a
+        # v3 delta federates fine — a hard equality here would wedge
+        # IndexServer.flush on every pre-bump artifact.
+        compat = {2: 2, 3: 2}
         for key in ("block_size", "format_version", "query_lang"):
             vals = {m.get(key) for m in metas}
+            if key == "format_version":
+                vals = {compat.get(v, v) for v in vals}
             if len(vals) > 1:
                 raise ValueError(
                     f"federated indexes disagree on {key}: {sorted(map(str, vals))}"

@@ -171,3 +171,48 @@ def test_ingest_cli_round_trip(ray_session, shards, tmp_path, capsys):
     assert head["n_docs"] == 10 and head["n_indexes"] == 2
     hits = json.loads(lines[1])
     assert len(hits) == 1 and hits[0]["rank"] == 1
+
+
+def test_ingest_manifest_before_done_marker(ray_session, shards, tmp_path):
+    """REGRESSION (review finding): a crash between meta/manifest and
+    the done marker must not orphan the shard — the manifest is written
+    first, and the done-marker early-return path re-asserts
+    membership."""
+    import donkey_ray.pipelines.ingest as ing
+
+    state = str(tmp_path / "chain_m")
+    ing.ingest_delta(state, shards[0], shard_id="s1")
+    # simulate the old failure: shard marked done but missing from the
+    # manifest (e.g. a restored manifest backup)
+    st = ing.load_state(state)
+    st["shards"] = []
+    from donkey_ray.state import manifest as mf
+    mf.atomic_write_json(os.path.join(state, "manifest.json"), st)
+    m = ing.ingest_delta(state, shards[0], shard_id="s1")
+    assert m["n_survivors"] == 6
+    assert ing.load_state(state)["shards"] == ["s1"]
+
+    # spec pinned at chain CREATION: a crashed-first-shard rerun with a
+    # different spec is refused even though no shard completed yet
+    state2 = str(tmp_path / "chain_s")
+    os.makedirs(os.path.join(state2, "shards", "sX"), exist_ok=True)
+    ing.load_state(state2)  # no manifest yet
+    # first call pins the spec up front...
+    import donkey_ray.pipelines.build as build_mod
+    import pytest as _pt
+
+    real = build_mod.build_index
+
+    def die(*a, **k):
+        raise RuntimeError("boom")
+
+    build_mod.build_index = die
+    try:
+        with _pt.raises(RuntimeError):
+            ing.ingest_delta(state2, shards[0], shard_id="s1")
+    finally:
+        build_mod.build_index = real
+    # ...so a resume with a conflicting spec fails loudly
+    with _pt.raises(ValueError, match="disagrees"):
+        ing.ingest_delta(state2, shards[0], shard_id="s1",
+                         spec={**ing.DEFAULT_SPEC, "ngram_threshold": 0.9})

@@ -788,3 +788,41 @@ def test_http_frontend_round_trip_and_failover(served_index, tmp_path):
         ray.get(router.shutdown.remote())
         ray.kill(router)
         ray.kill(primary)
+
+
+def test_flush_federates_v2_base(served_index, tmp_path):
+    """REGRESSION (review finding): the v2->v3 format bump is additive
+    (posting encoding unchanged), so a pre-bump artifact must still
+    accept flushed v3 deltas — and a genuinely incompatible delta must
+    fail BEFORE the buffer/journal are touched."""
+    import json as _json
+    import shutil
+
+    from donkey_ray.serve import IndexServer
+    from donkey_ray.state import manifest as mf
+
+    corpus, out = served_index
+    wdir = str(tmp_path / "v2_idx")
+    shutil.copytree(out, wdir)
+    meta = mf.load_meta(wdir)
+    meta["format_version"] = 2  # simulate a pre-bump artifact
+    mf.write_meta(wdir, meta)
+
+    srv = IndexServer(wdir)
+    srv.insert(_new_rows(1, start=9500))
+    res = srv.flush()
+    assert res["flushed"] == 1 and res["n_indexes"] == 2
+    assert len(srv.search("zzylivetoken", 3)) >= 1
+
+    # incompatible member: error surfaces BEFORE state mutation
+    srv.insert(_new_rows(1, start=9600))
+    delta1 = srv._dirs[1]
+    dmeta = mf.load_meta(delta1)
+    dmeta["query_lang"] = "stem"  # genuinely incompatible
+    mf.write_meta(delta1, dmeta)
+    buffered_before = list(srv._buffer)
+    import os as _os
+    with pytest.raises(ValueError, match="disagree"):
+        srv.flush()
+    assert srv._buffer == buffered_before  # nothing half-flushed
+    assert _os.path.exists(srv._journal_path)
