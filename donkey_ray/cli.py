@@ -272,6 +272,16 @@ def cmd_ingest_delta(args) -> int:
     return 0
 
 
+def cmd_ingest_compact(args) -> int:
+    """Fold the chain into one canonical shard (probing cost per new
+    shard is O(chain length) — compact when the chain gets long)."""
+    _ray_init()
+    from .pipelines.ingest import compact_chain
+
+    print(json.dumps(compact_chain(args.state)))
+    return 0
+
+
 def cmd_ingest_search(args) -> int:
     """Query the ingest chain: federated exact BM25 over every shard's
     index segment."""
@@ -437,6 +447,13 @@ def main(argv=None) -> int:
     ing.add_argument("--query-lang", default=None,
                      help="pinned by the FIRST shard")
     ing.set_defaults(fn=cmd_ingest_delta)
+
+    ingc = sub.add_parser(
+        "ingest-compact",
+        help="fold the whole ingest chain into one canonical shard "
+             "(merged index + fresh global dedup artifacts)")
+    ingc.add_argument("--state", required=True)
+    ingc.set_defaults(fn=cmd_ingest_compact)
 
     ingq = sub.add_parser(
         "ingest-search",

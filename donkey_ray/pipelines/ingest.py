@@ -137,14 +137,17 @@ def ingest_delta(
     meta_path = os.path.join(sdir, "meta.json")
     done_marker = os.path.join(sdir, "_SHARD_DONE")
     if os.path.exists(done_marker):
+        with open(meta_path) as f:
+            meta = json.load(f)
         # repair path: the manifest is written before the done marker,
-        # so membership here is expected — but re-assert it anyway so a
-        # hand-edited/restored manifest can't silently orphan the shard
-        if shard_id not in state["shards"]:
+        # so membership here is expected — re-assert it so a hand-
+        # edited/restored manifest can't silently orphan the shard.
+        # (An all-duplicate shard — index_dir None — is deliberately
+        # NOT a chain member: nothing to probe or query.)
+        if meta.get("index_dir") and shard_id not in state["shards"]:
             state["shards"].append(shard_id)
             mf.atomic_write_json(_manifest_path(state_dir), state)
-        with open(meta_path) as f:
-            return json.load(f)
+        return meta
     os.makedirs(sdir, exist_ok=True)
 
     if isinstance(shard, str):
@@ -203,10 +206,21 @@ def ingest_delta(
         else:
             survivors = hash_join(shard, dups, left_on=id_col,
                                   right_on="dup_id", how="anti")
+        import glob as _glob
         import shutil
 
         shutil.rmtree(surv_dir, ignore_errors=True)  # crashed partials
         survivors.write_parquet(surv_dir)
+        if not _glob.glob(os.path.join(surv_dir, "*.parquet")):
+            # an ALL-DUPLICATE shard has zero survivors and Ray writes
+            # no files for an empty dataset; the snapshot must still
+            # exist (downstream reads + future compaction)
+            import pyarrow.parquet as _pq
+
+            os.makedirs(surv_dir, exist_ok=True)
+            _pq.write_table(
+                shard.schema().base_schema.empty_table(),
+                os.path.join(surv_dir, "empty.parquet"))
         # the marker carries the drop count (distinct dup ids resolve
         # in the anti-join, so this counts matched PROBE ROWS)
         mf.atomic_write_json(surv_marker, {"n_dup_rows": int(n_dups)})
@@ -214,6 +228,20 @@ def ingest_delta(
     surv_ds = ray.data.read_parquet(surv_dir)
     with open(surv_marker) as f:
         n_dup_rows = json.load(f).get("n_dup_rows", 0)
+
+    import pyarrow.dataset as pads
+
+    if pads.dataset(surv_dir).count_rows() == 0:
+        # an ALL-DUPLICATE shard contributes nothing: no artifacts to
+        # build, no index, and it must NOT join the chain (there is
+        # nothing to probe or query). Record the outcome idempotently.
+        meta = {"shard_id": shard_id, "n_survivors": 0,
+                "n_dup_rows": int(n_dup_rows),
+                "n_prior_shards": len(state["shards"]),
+                "index_dir": None}
+        mf.atomic_write_json(meta_path, meta)
+        mf.atomic_write_bytes(done_marker, b"")
+        return meta
 
     # ---- 2. dedup artifacts over the survivors (resumable: _DONE) ----
     build_dedup_index(surv_ds, os.path.join(sdir, "ngram"),
@@ -270,3 +298,93 @@ def chain_engine(state_dir: str, *, mode: str = "auto"):
     if not dirs:
         raise ValueError(f"no ingested shards under {state_dir}")
     return QueryEngine(dirs, mode=mode)
+
+
+def compact_chain(state_dir: str) -> dict:
+    """Compact the whole chain into ONE canonical shard — the promised
+    long-chain story: probing cost per new shard is O(chain length), so
+    when the chain gets long, fold it. The compacted shard gets
+
+      * ONE index via merge_indexes over every member (cheaper than a
+        rebuild: segments re-encode from decoded postings, docs tables
+        travel along, stats recompute exactly — pytest-proven
+        query-identical to the federated chain), and
+      * FRESH dedup artifacts over the union survivors — strictly
+        better than the chained per-shard artifacts, because n-gram df
+        ordering and MinHash band buckets are now computed over the
+        global corpus instead of per shard.
+
+    Idempotent: the compacted shard id is derived from the member ids,
+    and every step is marker-gated; the manifest swaps to the single
+    shard LAST (atomic), so a crash mid-compact leaves the old chain
+    fully serving. Old shard directories are left on disk for the
+    caller to archive or delete."""
+    import hashlib
+
+    from .dedup import (build_dedup_index, build_minhash_index,
+                        build_simhash_index)
+    from .incremental import merge_indexes
+
+    state = load_state(state_dir)
+    if len(state["shards"]) < 2:
+        raise ValueError("nothing to compact: chain has "
+                         f"{len(state['shards'])} shard(s)")
+    spec = state["spec"]
+    sid = "compact-" + hashlib.sha256(
+        "|".join(state["shards"]).encode()).hexdigest()[:16]
+    sdir = _shard_dir(state_dir, sid)
+    meta_path = os.path.join(sdir, "meta.json")
+    done_marker = os.path.join(sdir, "_SHARD_DONE")
+    if os.path.exists(done_marker):
+        if state["shards"] != [sid]:
+            state["shards"] = [sid]
+            mf.atomic_write_json(_manifest_path(state_dir), state)
+        with open(meta_path) as f:
+            return json.load(f)
+    os.makedirs(sdir, exist_ok=True)
+
+    # union survivors snapshot (already pairwise-deduped by ingestion
+    # order — compaction folds, it never re-judges)
+    surv_dir = os.path.join(sdir, "survivors")
+    surv_marker = os.path.join(sdir, "_SURVIVORS_DONE")
+    member_dirs = [_shard_dir(state_dir, s) for s in state["shards"]]
+    if not os.path.exists(surv_marker):
+        import glob
+        import shutil
+
+        files = [f for d in member_dirs for f in sorted(
+            glob.glob(os.path.join(d, "survivors", "*.parquet")))]
+        union = ray.data.read_parquet(files)
+        shutil.rmtree(surv_dir, ignore_errors=True)
+        union.write_parquet(surv_dir)
+        mf.atomic_write_json(surv_marker, {"n_dup_rows": 0})
+    surv_ds = ray.data.read_parquet(surv_dir)
+
+    build_dedup_index(surv_ds, os.path.join(sdir, "ngram"),
+                      text_col="content", id_col="doc_id",
+                      n=spec["ngram_n"], threshold=spec["ngram_threshold"])
+    build_minhash_index(surv_ds, os.path.join(sdir, "minhash"),
+                        text_col="content", id_col="doc_id",
+                        n=spec["minhash_n"],
+                        threshold=spec["minhash_threshold"])
+    build_simhash_index(surv_ds, os.path.join(sdir, "simhash"),
+                        text_col="content", id_col="doc_id",
+                        max_hamming=spec["simhash_max_hamming"])
+
+    idx_dir = os.path.join(sdir, "index")
+    idx_meta = merge_indexes(
+        [os.path.join(d, "index") for d in member_dirs], idx_dir,
+        num_partitions=spec["num_partitions"])
+
+    meta = {
+        "shard_id": sid,
+        "n_survivors": int(idx_meta["n_docs"]),
+        "n_dup_rows": 0,
+        "compacted_from": list(state["shards"]),
+        "index_dir": idx_dir,
+    }
+    mf.atomic_write_json(meta_path, meta)
+    state["shards"] = [sid]
+    mf.atomic_write_json(_manifest_path(state_dir), state)
+    mf.atomic_write_bytes(done_marker, b"")
+    return meta

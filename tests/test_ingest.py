@@ -216,3 +216,49 @@ def test_ingest_manifest_before_done_marker(ray_session, shards, tmp_path):
     with _pt.raises(ValueError, match="disagrees"):
         ing.ingest_delta(state2, shards[0], shard_id="s1",
                          spec={**ing.DEFAULT_SPEC, "ngram_threshold": 0.9})
+
+
+def test_compact_chain(ray_session, shards, tmp_path):
+    """compact_chain folds the whole chain into one canonical shard:
+    query-identical to the federated chain, fresh GLOBAL dedup
+    artifacts (a dup of any old survivor is still caught), idempotent,
+    and refused on a single-shard chain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import donkey_ray.pipelines.ingest as ing
+
+    state = str(tmp_path / "chain_c")
+    for i, sid in enumerate(("s1", "s2", "s3")):
+        ing.ingest_delta(state, shards[i], shard_id=sid)
+    eng_before = ing.chain_engine(state)
+    probe = [("uniqueonetoken3", 3), ("uniquetwotoken1", 3),
+             ("twinword3", 5), ("s3d1word4", 5)]
+    want = {q: eng_before.topk(q, k) for q, k in probe}
+
+    m = ing.compact_chain(state)
+    st = ing.load_state(state)
+    assert st["shards"] == [m["shard_id"]]
+    assert m["compacted_from"] == ["s1", "s2", "s3"]
+    assert m["n_survivors"] == 12
+
+    eng_after = ing.chain_engine(state)
+    assert eng_after.n_docs == 12
+    for (q, k), w in zip(probe, want.values()):
+        assert eng_after.topk(q, k) == pytest.approx(w), q
+
+    # idempotent: same member set -> same sid, instant return
+    m2 = ing.compact_chain(state) if len(st["shards"]) >= 2 else None
+    assert m2 is None  # single-shard chain refuses
+    with pytest.raises(ValueError, match="nothing to compact"):
+        ing.compact_chain(state)
+
+    # the compacted GLOBAL artifacts still catch a dup of an s1-era doc
+    dup = {"repo": "r", "path": "fresh.txt", "commit": "c9", "lang": "en",
+           "content": _text("s1d4", "nearcopy")}
+    p = str(tmp_path / "s4.parquet")
+    pq.write_table(pa.table({k: pa.array([dup[k]], pa.string())
+                             for k in dup}), p)
+    m4 = ing.ingest_delta(state, p, shard_id="s4")
+    assert m4["n_survivors"] == 0  # dropped against the compacted shard
+    assert ing.chain_engine(state).n_docs == 12
