@@ -321,6 +321,20 @@ def cmd_vserve(args) -> int:
             args.index, name=args.name, detached=args.detached
         )
     print(json.dumps(ray.get(server.ping.remote())))
+    if args.http is not None:
+        from .httpserve import make_http_frontend
+
+        srv = make_http_frontend(
+            vrouter=server if args.replicas > 1 else None,
+            vprimary=None if args.replicas > 1 else server,
+            host="0.0.0.0", port=args.http, verbose=True,
+        )
+        print(json.dumps({"http_port": srv.server_address[1]}))
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     if args.ping_only:
         return 0
     for line in sys.stdin:
@@ -432,6 +446,8 @@ def main(argv=None) -> int:
     vv.add_argument("--nprobe", type=int, default=None)
     vv.add_argument("--detached", action="store_true")
     vv.add_argument("--ping-only", action="store_true")
+    vv.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve JSON-over-HTTP on PORT instead of stdin")
     vv.set_defaults(fn=cmd_vserve)
 
     ing = sub.add_parser(

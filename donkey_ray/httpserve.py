@@ -15,16 +15,22 @@ cluster through plain JSON-over-HTTP:
     POST /delete   {"keys": [...]}       (doc_ids or key objects)
     POST /flush    {}                    [donkey 'sync']
     POST /compact  {"out_dir": ...}      [donkey 'misc reindex']
+    POST /vsearch  {"vectors": [[f,...],...], "k": 10, "nprobe": N}
+    POST /vinsert  {"rows": [{"vec_id": i, "embedding": [...]}]}
+    POST /vdelete  {"vec_ids": [...]}
+    GET  /vping                    vector pool liveness
 
-Topology: reads go through ``router`` (a ServeRouter/frontend actor —
-round-robin + failover over the replica pool, so a replica death is
-invisible to HTTP clients); writes go through ``primary`` (the single
-designated IndexServer, same discipline as the actor surface). Either
-may be omitted: a read-only frontend routes writes to 405, a
-primary-only frontend serves reads from the primary. The process is
-stateless — run several (one per node) behind any TCP balancer; each
-wraps its own frontend actor over the shared replica pool
-(``serve.start_frontends``)."""
+Topology: text reads go through ``router`` (a ServeRouter/frontend
+actor — round-robin + failover over the replica pool, so a replica
+death is invisible to HTTP clients); text writes go through
+``primary`` (the single designated IndexServer, same discipline as the
+actor surface). The vector side mirrors this with ``vrouter``
+(VectorRouter/VectorServer reads) and ``vprimary`` (VectorServer
+writes) — donkey's literal insert/search core over the wire. Any
+subset may be attached: missing read actors answer 503, missing write
+actors 405. The process is stateless — run several (one per node)
+behind any TCP balancer; each wraps its own frontend actor over the
+shared replica pool (``serve.start_frontends``)."""
 
 from __future__ import annotations
 
@@ -60,6 +66,10 @@ class _Handler(BaseHTTPRequestHandler):
         srv = self.server  # type: ignore[assignment]
         return srv.router if srv.router is not None else srv.primary
 
+    def _vread_actor(self):
+        srv = self.server  # type: ignore[assignment]
+        return srv.vrouter if srv.vrouter is not None else srv.vprimary
+
     # ---- routes ----
     def do_GET(self) -> None:  # noqa: N802
         try:
@@ -75,6 +85,12 @@ class _Handler(BaseHTTPRequestHandler):
                     self._json(405, {"error": "stats needs a primary"})
                     return
                 self._json(200, ray.get(h.stats.remote()))
+            elif self.path == "/vping":
+                h = self._vread_actor()
+                if h is None:
+                    self._json(503, {"error": "no vector actor attached"})
+                    return
+                self._json(200, ray.get(h.ping.remote()))
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
         except Exception as ex:  # surface, never kill the server thread
@@ -107,6 +123,32 @@ class _Handler(BaseHTTPRequestHandler):
                           if k in req}
                 outs = ray.get(h.search_many.remote(qs, **kwargs))
                 self._json(200, {"results": outs})
+            elif self.path == "/vsearch":
+                h = self._vread_actor()
+                if h is None:
+                    self._json(503, {"error": "no vector actor attached"})
+                    return
+                k = int(req.get("k", 10))
+                nprobe = req.get("nprobe")
+                if hasattr(h, "search_many"):  # router: chunked fan-out
+                    hits = ray.get(h.search_many.remote(
+                        req["vectors"], k, nprobe=nprobe))
+                else:
+                    hits = ray.get(h.search.remote(
+                        req["vectors"], k, nprobe=nprobe))
+                self._json(200, {"hits": hits})
+            elif self.path in ("/vinsert", "/vdelete"):
+                h = srv.vprimary
+                if h is None:
+                    self._json(
+                        405, {"error": "vector writes need a vprimary"})
+                    return
+                if self.path == "/vinsert":
+                    n = ray.get(h.insert.remote(req["rows"]))
+                    self._json(200, {"buffered": n})
+                else:
+                    self._json(200, ray.get(
+                        h.delete.remote(req["vec_ids"])))
             elif self.path in ("/insert", "/delete", "/flush", "/compact"):
                 h = srv.primary
                 if h is None:
@@ -146,19 +188,25 @@ def make_http_frontend(
     *,
     router=None,
     primary=None,
+    vrouter=None,
+    vprimary=None,
     host: str = "127.0.0.1",
     port: int = 0,
     verbose: bool = False,
 ) -> ThreadingHTTPServer:
-    """Build (not start) the HTTP frontend over the given actor handles.
+    """Build (not start) the HTTP frontend over the given actor handles
+    (text: router/primary; vector: vrouter/vprimary — any subset).
     ``port=0`` binds an ephemeral port (tests); read the bound port from
     ``server.server_address``. Call ``serve_forever()`` (or
     ``start_http_frontend`` for a daemon thread) to serve."""
-    if router is None and primary is None:
-        raise ValueError("need a router and/or a primary actor handle")
+    if router is None and primary is None and vrouter is None \
+            and vprimary is None:
+        raise ValueError("need at least one serving actor handle")
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.router = router  # type: ignore[attr-defined]
     srv.primary = primary  # type: ignore[attr-defined]
+    srv.vrouter = vrouter  # type: ignore[attr-defined]
+    srv.vprimary = vprimary  # type: ignore[attr-defined]
     srv.verbose = verbose  # type: ignore[attr-defined]
     return srv
 

@@ -826,3 +826,49 @@ def test_flush_federates_v2_base(served_index, tmp_path):
         srv.flush()
     assert srv._buffer == buffered_before  # nothing half-flushed
     assert _os.path.exists(srv._journal_path)
+
+
+def test_http_vector_endpoints(vector_server):
+    """Vector-side HTTP surface (donkey's literal insert/search core
+    over the wire): vping, vsearch through a VectorRouter (failover
+    included), vinsert/vdelete through the primary, write refusal on a
+    read-only frontend."""
+    import ray
+
+    from donkey_ray.httpserve import start_http_frontend
+    from donkey_ray.serve import VectorRouter
+
+    srv_obj, vecs, _ = vector_server
+    vrouter = (ray.remote(VectorRouter)
+               .options(name="t_http_vr", num_cpus=0)
+               .remote(srv_obj.index_dir, n_replicas=2,
+                       name_prefix="t_http_vr_rep"))
+    http_srv, port = start_http_frontend(vrouter=vrouter)
+    try:
+        code, ping = _http(port, "GET", "/vping")
+        # router-level aggregate ping: n_docs falls back to n_indexed
+        assert code == 200 and ping["n_docs"] == 60
+        want = srv_obj.search(vecs[:4], k=3)
+        code, res = _http(port, "POST", "/vsearch",
+                          {"vectors": [list(map(float, v)) for v in vecs[:4]],
+                           "k": 3})
+        assert code == 200
+        key = lambda r: (r["query_id"], r["rank"])
+        got = sorted(res["hits"], key=key)
+        assert [(h["query_id"], h["rank"], h["vec_id"]) for h in got] == \
+            [(h["query_id"], h["rank"], h["vec_id"])
+             for h in sorted(want, key=key)]
+        # failover: kill one replica mid-serving
+        ray.kill(ray.get_actor("t_http_vr_rep_0"))
+        code, res2 = _http(port, "POST", "/vsearch",
+                           {"vectors": [list(map(float, vecs[0]))], "k": 3})
+        assert code == 200 and len(res2["hits"]) == 3
+        # writes refused without a vprimary
+        code, res3 = _http(port, "POST", "/vinsert",
+                           {"rows": [{"vec_id": 990,
+                                      "embedding": [0.0] * len(vecs[0])}]})
+        assert code == 405
+    finally:
+        http_srv.shutdown()
+        ray.get(vrouter.shutdown.remote())
+        ray.kill(vrouter)
