@@ -886,6 +886,33 @@ def simhash_neardup_pairs(
 # order (unseen shingles df=0 = rarest) and candidate generation stays
 # complete for J >= threshold cross pairs.
 
+def _resume_or_clear_artifact(out_dir: str, pinned: dict) -> "dict | None":
+    """Shared idempotency gate for the three dedup-artifact builders
+    (review finding: they wrote _DONE but never CHECKED it, so a resumed
+    build appended a second copy of every row into the partitioned
+    artifact dirs). A complete artifact whose pinned spec matches the
+    request early-returns its recorded meta; a spec MISMATCH raises (a
+    silent wrong-spec reuse would change near-dup semantics); anything
+    else — a crashed partial — is cleared for a clean rebuild."""
+    import json as _json
+    import shutil as _shutil
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        with open(os.path.join(out_dir, "meta.json")) as f:
+            meta = _json.load(f)
+        mismatch = {k: (meta.get(k), v) for k, v in pinned.items()
+                    if meta.get(k) != v}
+        if mismatch:
+            raise ValueError(
+                f"artifact at {out_dir} was built with a different "
+                f"pinned spec: {mismatch}; build to a fresh directory")
+        return meta
+    if os.path.exists(out_dir):
+        _shutil.rmtree(out_dir)  # crashed partial: rebuild clean
+    return None
+
+
 def build_dedup_index(
     ds: ray.data.Dataset, out_dir: str, *, text_col: str = "text",
     id_col: str = "doc_id", n: int = 1, threshold: float = 0.5,
@@ -904,6 +931,10 @@ def build_dedup_index(
 
     import pyarrow.parquet as pq
 
+    done = _resume_or_clear_artifact(
+        out_dir, {"n": n, "threshold": threshold})
+    if done is not None:
+        return done
     os.makedirs(out_dir, exist_ok=True)
     exploded = ds.map_batches(
         lambda b: _explode_shingle_hashes(b, text_col, id_col, n),
@@ -1207,6 +1238,10 @@ def build_minhash_index(
     Probes must use the SAME spec (checked by minhash_neardup_delta)."""
     import json
 
+    done = _resume_or_clear_artifact(
+        out_dir, {"n": n, "threshold": threshold})
+    if done is not None:
+        return done
     os.makedirs(out_dir, exist_ok=True)
 
     def sigs(batch: pa.Table) -> pa.Table:
@@ -1489,6 +1524,10 @@ def build_simhash_index(
     Probes must use the SAME radius (checked by simhash_neardup_delta)."""
     import json
 
+    done = _resume_or_clear_artifact(
+        out_dir, {"max_hamming": int(max_hamming)})
+    if done is not None:
+        return done
     os.makedirs(out_dir, exist_ok=True)
     n_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
     _simhash_band_rows(

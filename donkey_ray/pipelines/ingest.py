@@ -54,6 +54,9 @@ DEFAULT_SPEC = {
     "minhash_n": 3, "minhash_threshold": 0.5,
     "simhash_max_hamming": 3,
     "num_partitions": 4, "query_lang": "simple",
+    # column bindings are part of the pinned spec too: artifacts built
+    # over one text column must never be probed with another
+    "text_col": "content", "id_col": "doc_id",
 }
 
 METHODS = ("ngram", "minhash", "simhash")
@@ -119,35 +122,44 @@ def ingest_delta(
     # with a different explicit spec would otherwise skip the
     # disagreement check and admit artifacts computed under the old
     # spec — exactly the mixed-semantics condition being guarded.
+    # The comparison is DEFAULT-MERGED on both sides (a partial spec
+    # that merges to the pinned one is the SAME request — resuming a
+    # crashed first shard with the identical partial dict must not
+    # spuriously 'disagree'), and the column bindings ride along.
     man_exists = os.path.exists(_manifest_path(state_dir))
     state = load_state(state_dir)
+    requested = None
+    if (spec is not None or text_col != DEFAULT_SPEC["text_col"]
+            or id_col != DEFAULT_SPEC["id_col"]):
+        requested = {**DEFAULT_SPEC, **(spec or {}),
+                     "text_col": text_col, "id_col": id_col}
     if man_exists:
-        if spec is not None and spec != state["spec"]:
+        pinned = {**DEFAULT_SPEC, **state["spec"]}  # old manifests may
+        # predate the column-binding keys; merging normalizes them
+        if requested is not None and requested != pinned:
             raise ValueError(
-                f"ingest spec {spec} disagrees with the chain's pinned "
-                f"spec {state['spec']}")
-        spec = state["spec"]
+                f"ingest spec {requested} disagrees with the chain's "
+                f"pinned spec {pinned}")
+        spec = pinned
     else:
-        spec = {**DEFAULT_SPEC, **(spec or {})}
+        spec = requested or dict(DEFAULT_SPEC)
         state["spec"] = spec
         os.makedirs(state_dir, exist_ok=True)
         mf.atomic_write_json(_manifest_path(state_dir), state)
+    text_col = spec["text_col"]
+    id_col = spec["id_col"]
 
     sdir = _shard_dir(state_dir, shard_id)
     meta_path = os.path.join(sdir, "meta.json")
     done_marker = os.path.join(sdir, "_SHARD_DONE")
     if os.path.exists(done_marker):
+        # NO manifest "repair" here: the manifest is written before the
+        # done marker, so a completed shard missing from it is not an
+        # orphaned crash — it is a shard that compact_chain legitimately
+        # folded away (re-appending it would double-count its docs in
+        # the federation — review finding). Just return the record.
         with open(meta_path) as f:
-            meta = json.load(f)
-        # repair path: the manifest is written before the done marker,
-        # so membership here is expected — re-assert it so a hand-
-        # edited/restored manifest can't silently orphan the shard.
-        # (An all-duplicate shard — index_dir None — is deliberately
-        # NOT a chain member: nothing to probe or query.)
-        if meta.get("index_dir") and shard_id not in state["shards"]:
-            state["shards"].append(shard_id)
-            mf.atomic_write_json(_manifest_path(state_dir), state)
-        return meta
+            return json.load(f)
     os.makedirs(sdir, exist_ok=True)
 
     if isinstance(shard, str):
@@ -360,15 +372,19 @@ def compact_chain(state_dir: str) -> dict:
         mf.atomic_write_json(surv_marker, {"n_dup_rows": 0})
     surv_ds = ray.data.read_parquet(surv_dir)
 
+    # column bindings come from the PINNED spec (a chain ingested with
+    # --text-col body must compact over body, not a hardcoded default)
+    tcol = spec.get("text_col", "content")
+    icol = spec.get("id_col", "doc_id")
     build_dedup_index(surv_ds, os.path.join(sdir, "ngram"),
-                      text_col="content", id_col="doc_id",
+                      text_col=tcol, id_col=icol,
                       n=spec["ngram_n"], threshold=spec["ngram_threshold"])
     build_minhash_index(surv_ds, os.path.join(sdir, "minhash"),
-                        text_col="content", id_col="doc_id",
+                        text_col=tcol, id_col=icol,
                         n=spec["minhash_n"],
                         threshold=spec["minhash_threshold"])
     build_simhash_index(surv_ds, os.path.join(sdir, "simhash"),
-                        text_col="content", id_col="doc_id",
+                        text_col=tcol, id_col=icol,
                         max_hamming=spec["simhash_max_hamming"])
 
     idx_dir = os.path.join(sdir, "index")
@@ -384,7 +400,14 @@ def compact_chain(state_dir: str) -> dict:
         "index_dir": idx_dir,
     }
     mf.atomic_write_json(meta_path, meta)
+    # done marker BEFORE the manifest swap (the swap really is last, as
+    # the docstring promises): a crash between the two leaves the OLD
+    # chain serving, and the next compact_chain call — same member
+    # list, hence the same derived sid — hits the marker early-return
+    # and completes the swap. The reverse order would strand a
+    # single-member manifest behind the "nothing to compact" guard with
+    # the marker never written (review finding).
+    mf.atomic_write_bytes(done_marker, b"")
     state["shards"] = [sid]
     mf.atomic_write_json(_manifest_path(state_dir), state)
-    mf.atomic_write_bytes(done_marker, b"")
     return meta

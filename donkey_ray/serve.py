@@ -314,11 +314,16 @@ class IndexServer:
             for c in self.CORPUS_COLS
         }
         delta_dir = f"{self.base_dir}_delta_{len(self._dirs) - 1}"
-        if os.path.exists(delta_dir) and not mf.is_complete(delta_dir):
-            # a crashed earlier flush left a partial build here; its
-            # resume markers (_DOCS_SUCCESS, finished partitions) were
-            # cut from a DIFFERENT buffer snapshot — resuming over them
-            # would silently drop rows inserted since. Start clean.
+        if os.path.exists(delta_dir):
+            # ANY pre-existing dir at this name — partial OR complete —
+            # was cut from a DIFFERENT buffer snapshot (a dir here is by
+            # construction not a federated member: a successful flush
+            # appends to _dirs, bumping the next delta's name). A
+            # crashed build's resume markers would silently drop rows
+            # inserted since; a COMPLETE leftover (an earlier flush
+            # whose federated-reopen validation failed) would make
+            # build_index no-op and this flush silently lose every row
+            # inserted after it (review finding). Start clean.
             import shutil
 
             shutil.rmtree(delta_dir)

@@ -174,23 +174,37 @@ def test_ingest_cli_round_trip(ray_session, shards, tmp_path, capsys):
 
 
 def test_ingest_manifest_before_done_marker(ray_session, shards, tmp_path):
-    """REGRESSION (review finding): a crash between meta/manifest and
-    the done marker must not orphan the shard — the manifest is written
-    first, and the done-marker early-return path re-asserts
-    membership."""
+    """REGRESSION (review findings, both directions): the manifest is
+    written BEFORE the done marker, so a crash between the two re-runs
+    the marker-gated steps and keeps membership (no orphan); and a
+    completed shard deliberately ABSENT from the manifest (folded away
+    by compact_chain) is NOT re-appended by a replayed ingest call —
+    re-adding it would double-count its docs in the federation."""
     import donkey_ray.pipelines.ingest as ing
+    from donkey_ray.state import manifest as mf
 
     state = str(tmp_path / "chain_m")
     ing.ingest_delta(state, shards[0], shard_id="s1")
-    # simulate the old failure: shard marked done but missing from the
-    # manifest (e.g. a restored manifest backup)
-    st = ing.load_state(state)
-    st["shards"] = []
-    from donkey_ray.state import manifest as mf
-    mf.atomic_write_json(os.path.join(state, "manifest.json"), st)
+    assert ing.load_state(state)["shards"] == ["s1"]
+
+    # crash window: done marker missing but manifest already updated —
+    # the rerun completes from markers and membership is unchanged
+    os.remove(os.path.join(state, "shards", "s1", "_SHARD_DONE"))
     m = ing.ingest_delta(state, shards[0], shard_id="s1")
     assert m["n_survivors"] == 6
     assert ing.load_state(state)["shards"] == ["s1"]
+
+    # compaction respect: a done shard removed from the manifest stays
+    # out when its ingest call is replayed
+    st = ing.load_state(state)
+    st["shards"] = []
+    mf.atomic_write_json(os.path.join(state, "manifest.json"), st)
+    m = ing.ingest_delta(state, shards[0], shard_id="s1")
+    assert m["n_survivors"] == 6
+    assert ing.load_state(state)["shards"] == []
+    # restore for the remainder of the test
+    st["shards"] = ["s1"]
+    mf.atomic_write_json(os.path.join(state, "manifest.json"), st)
 
     # spec pinned at chain CREATION: a crashed-first-shard rerun with a
     # different spec is refused even though no shard completed yet

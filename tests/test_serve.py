@@ -827,6 +827,18 @@ def test_flush_federates_v2_base(served_index, tmp_path):
     assert srv._buffer == buffered_before  # nothing half-flushed
     assert _os.path.exists(srv._journal_path)
 
+    # REGRESSION (review finding): the failed flush left a COMPLETE
+    # orphan delta on disk under the next flush's name; a later flush
+    # with MORE buffered rows must rebuild it from the current buffer,
+    # not silently reuse the stale snapshot (which would drop the newer
+    # rows from the index forever)
+    dmeta["query_lang"] = meta["query_lang"]  # repair the member
+    mf.write_meta(delta1, dmeta)
+    srv.insert(_new_rows(1, start=9700))
+    res2 = srv.flush()
+    assert res2["flushed"] == 2  # BOTH buffered rows made it
+    assert len(srv.search("zzylivetoken", 10)) >= 3
+
 
 def test_http_vector_endpoints(vector_server):
     """Vector-side HTTP surface (donkey's literal insert/search core
