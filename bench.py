@@ -47,7 +47,10 @@ CACHE = "/tmp/donkey_ray_cache"
 # bench corpus size by sf of the input dir (synthetic, input_hint shape;
 # generated once with Ray, cached as parquet)
 BENCH_DOCS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
-SCALING_DOCS = 400_000
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "400000"))
+# larger corpora amortize the fixed per-build cost (scheduling, the
+# partition exchange setup, actor startup) that bounds the 8->32 ratio
+# at 400k docs — the 100 TB direction; see the scale-sweep rows
 
 
 def _sf_name(sf_dir: str) -> str:
