@@ -465,22 +465,45 @@ def embedding_neardup_pairs(
     bd = ds.map_batches(buckets, batch_format="pyarrow", zero_copy_batch=True)
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        # degenerate-bucket guard (see dedup.PAIR_ENUM_CAP): sub-cap
+        # buckets take the original full m@m.T path bit-identically;
+        # oversized buckets enumerate capped pairs and compute sims ONLY
+        # for those pairs (one cap x cap tile + one tail matvec), so
+        # per-task memory is O(cap^2 + q*d), never O(q^2)
+        from .dedup import PAIR_ENUM_CAP, _capped_pair_indices
+
         ids = group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) < 2:
             return pa.table({"vec_a": pa.array([], pa.int64()),
                              "vec_b": pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.float64())})
-        m = _normalize(_batch_matrix(group, "vec"))
-        sims = m @ m.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        mask = (sims[ai, bi] >= threshold) & (ids[ai] != ids[bi])
+        # deterministic ranks (ascending vec_id) so N- and 4N-CPU runs
+        # cap identically; sub-cap output is order-insensitive (all
+        # pairs enumerated, lo/hi normalized below)
+        o = np.argsort(ids, kind="stable")
+        ids = ids[o]
+        m = _normalize(_batch_matrix(group, "vec"))[o]
+        q = len(ids)
+        if q <= PAIR_ENUM_CAP:
+            sims = m @ m.T
+            ai, bi = np.triu_indices(q, k=1)
+            sv = sims[ai, bi]
+        else:
+            ai, bi = _capped_pair_indices(q)
+            n_tri = PAIR_ENUM_CAP * (PAIR_ENUM_CAP - 1) // 2
+            head = m[:PAIR_ENUM_CAP]
+            sims_head = head @ head.T
+            sv = np.empty(len(ai), dtype=np.float64)
+            sv[:n_tri] = sims_head[ai[:n_tri], bi[:n_tri]]
+            sv[n_tri:] = m[PAIR_ENUM_CAP:] @ m[0]
+        mask = (sv >= threshold) & (ids[ai] != ids[bi])
         a, b = ids[ai[mask]], ids[bi[mask]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {
                 "vec_a": pa.array(lo, pa.int64()),
                 "vec_b": pa.array(hi, pa.int64()),
-                "cos_sim": pa.array(sims[ai, bi][mask], pa.float64()),
+                "cos_sim": pa.array(sv[mask], pa.float64()),
             }
         )
 

@@ -343,6 +343,79 @@ _EMPTY_PAIR_TABLE = pa.table({
 # qualify and prefix filtering cannot prune); W = vocab/64 words per doc
 DENSE_VOCAB_MAX = 4096
 
+# ---- degenerate-bucket guard (SCALE.md; VERDICT r4 item 1) -----------
+#
+# A boilerplate-heavy corpus (license headers, generated files, crawl
+# mirrors) can put q near-identical docs into ONE band / shingle bucket
+# in every band; full np.triu enumeration is then O(q^2) pairs inside a
+# single partition task (q = 1e5 -> ~5e9 pairs, x32 bands). Every
+# pair-emitting run loop therefore routes through
+# _capped_pair_indices(m):
+#   m <= cap : full upper-triangle pairs — bit-identical to the uncapped
+#              enumeration, so existing oracles (sf <= 0.1 buckets are
+#              orders of magnitude below the cap) never move;
+#   m >  cap : full pairs among the cap lowest-ranked members PLUS star
+#              edges rank-0 -> rank-i for the tail. Run members are
+#              ranked by ascending doc_id (already the partition sort
+#              key), so N-CPU and 4N-CPU runs emit IDENTICAL pairs.
+# The star keeps an oversized bucket CONNECTED, which is the property
+# the transitive-closure consumers (dedup_clusters / dedup_survivors /
+# canonical mapping) rely on; emitted pair VALUES stay exact wherever a
+# downstream verifier re-scores candidates (exact Jaccard cogroup join,
+# per-pair hamming check, cosine). What is sacrificed above the cap is
+# recall of individual tail-tail pairs — bounded per-task work is the
+# point, and for the dominant degenerate case (exact/near-exact clones)
+# the star edges verify at Jaccard ~1.0 so the closure is unchanged.
+# The one value-level caveat: _ngram_jaccard_bruteforce accumulates
+# per-shingle partial intersection counts across runs, so above the cap
+# its non-star pair counts are UNDER-counted (threshold filter only gets
+# stricter — no false positives); the scale path (PPJoin prefix) and the
+# LSH families verify exactly and carry no such caveat.
+PAIR_ENUM_CAP = 1024
+
+# inside an oversized run, members sharing an identical signature
+# (minhash sig64 / simhash fingerprint) are pre-collapsed to their
+# lowest-doc_id representative before enumeration: clones enter the
+# capped enumeration ONCE, star edges (rep -> clone) keep them in the
+# closure, and the cap budget is spent on DISTINCT signatures instead of
+# 1024 copies of the same license header. Applied only when m > cap so
+# sub-cap output stays bit-identical.
+_SIG_COLLAPSE_DOC = "sig64"
+
+
+def _capped_pair_indices(m: int, cap: int = PAIR_ENUM_CAP):
+    """(ai, bi) local-rank index pairs for a run of m members (see the
+    PAIR_ENUM_CAP contract above). int64 arrays; ai < bi everywhere for
+    the triu part, ai == 0 for the star tail."""
+    if m <= cap:
+        return np.triu_indices(m, k=1)
+    ai, bi = np.triu_indices(cap, k=1)
+    tail = np.arange(cap, m, dtype=np.int64)
+    return (
+        np.concatenate([ai.astype(np.int64), np.zeros(len(tail), np.int64)]),
+        np.concatenate([bi.astype(np.int64), tail]),
+    )
+
+
+def _collapse_run_by_sig(ids: np.ndarray, sigs: np.ndarray):
+    """Pre-collapse an OVERSIZED run's members by identical signature.
+
+    Returns (rep_ids, rep_sigs, star_a, star_b): one representative
+    (min doc_id) per distinct signature with its signature, plus
+    rep->clone star edges for the collapsed members. Deterministic:
+    ranks come from (sig, id) lexsort. A sig64 collision between
+    non-identical docs merely mis-groups them into one star — every
+    star edge is still re-verified downstream, so correctness is
+    unaffected (only candidate recall for the collided doc, at 2^-64
+    probability)."""
+    o = np.lexsort((ids, sigs))
+    sid, ssig = ids[o], sigs[o]
+    first = np.concatenate(([True], ssig[1:] != ssig[:-1]))
+    reps, rsigs = sid[first], ssig[first]
+    group_of = np.cumsum(first) - 1
+    clones = ~first
+    return reps, rsigs, reps[group_of[clones]], sid[clones]
+
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POPCOUNT8[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
@@ -496,8 +569,8 @@ def _ngram_jaccard_bruteforce(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            run = ids[s:e]
-            ai, bi = np.triu_indices(e - s, k=1)
+            run = ids[s:e]  # ascending (partition sort key) -> rank-0 = min id
+            ai, bi = _capped_pair_indices(e - s)
             a_out.append(run[ai])
             b_out.append(run[bi])
         if not a_out:
@@ -647,8 +720,8 @@ def _ngram_jaccard_prefix(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            run = ids[s:e]
-            ai, bi = np.triu_indices(e - s, k=1)
+            run = ids[s:e]  # ascending (partition sort key) -> rank-0 = min id
+            ai, bi = _capped_pair_indices(e - s)
             a_out.append(run[ai])
             b_out.append(run[bi])
         if not a_out:
@@ -667,12 +740,17 @@ def _ngram_jaccard_prefix(
 
 
 def _minhash_band_table(batch: pa.Table, text_col: str, id_col: str,
-                        n: int) -> pa.Table:
+                        n: int, *, with_sig: bool = False) -> pa.Table:
     """(band, doc_id) LSH band-bucket rows for one batch, fully
     vectorized: batch shingle sets (shingle_hash_column) -> batched
     signatures (one product + minimum.reduceat) -> banded keys
     (band_keys_matrix; band index salted into the key). Docs with no
-    shingles emit no bands."""
+    shingles emit no bands.
+
+    with_sig=True appends a ``sig64`` column (a deterministic 64-bit
+    fold of the full 128-perm signature) used by the oversized-bucket
+    clone pre-collapse in minhash_neardup_pairs; OFF for the persisted
+    artifact builders so their on-disk schemas are unchanged."""
     from ..functions.textstats import shingle_hash_column
 
     col = batch.column(text_col)
@@ -682,19 +760,27 @@ def _minhash_band_table(batch: pa.Table, text_col: str, id_col: str,
     lens = np.diff(offsets)
     nz = np.flatnonzero(lens > 0)
     if len(nz) == 0:
-        return pa.table(
-            {"band": pa.array([], pa.uint64()),
-             "doc_id": pa.array([], pa.int64())}
-        )
+        cols = {"band": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.int64())}
+        if with_sig:
+            cols["sig64"] = pa.array([], pa.uint64())
+        return pa.table(cols)
     sig = mh.minhash_signature_matrix(values, offsets)[nz]
     keys = mh.band_keys_matrix(sig)  # (nz, NUM_BANDS)
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)[nz]
-    return pa.table(
-        {
-            "band": pa.array(keys.ravel(), pa.uint64()),
-            "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
-        }
-    )
+    cols = {
+        "band": pa.array(keys.ravel(), pa.uint64()),
+        "doc_id": pa.array(np.repeat(ids, mh.NUM_BANDS), pa.int64()),
+    }
+    if with_sig:
+        # position-weighted wraparound fold: identical signatures fold
+        # identically; a cross-doc collision only widens one star group
+        # (candidates are re-verified downstream) at ~2^-64 probability
+        mult = (np.arange(1, sig.shape[1] + 1, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15))
+        sig64 = (sig.astype(np.uint64) * mult).sum(axis=1, dtype=np.uint64)
+        cols["sig64"] = pa.array(np.repeat(sig64, mh.NUM_BANDS), pa.uint64())
+    return pa.table(cols)
 
 
 def minhash_neardup_pairs(
@@ -712,7 +798,7 @@ def minhash_neardup_pairs(
     cogroup join (pairs x per-doc shingle sets; nothing driver-side)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
-        return _minhash_band_table(batch, text_col, id_col, n)
+        return _minhash_band_table(batch, text_col, id_col, n, with_sig=True)
 
     sigs.__name__ = "minhash_bands"
     bands = ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True)
@@ -728,16 +814,27 @@ def minhash_neardup_pairs(
         g = part.take(order)
         bands_np = g.column("band").to_numpy(zero_copy_only=False)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sig64 = g.column("sig64").to_numpy(zero_copy_only=False).astype(np.uint64)
         starts = np.concatenate(([0], np.flatnonzero(bands_np[1:] != bands_np[:-1]) + 1))
         ends = np.concatenate((starts[1:], [len(ids)]))
         a_out, b_out = [], []
         for s, e in zip(starts, ends):
-            run = np.unique(ids[s:e])
+            run, ri = np.unique(ids[s:e], return_index=True)
             if len(run) < 2:
                 continue
-            ai, bi = np.triu_indices(len(run), k=1)
-            a_out.append(run[ai])
-            b_out.append(run[bi])
+            if len(run) <= PAIR_ENUM_CAP:  # sub-cap: bit-identical to triu
+                ai, bi = np.triu_indices(len(run), k=1)
+                a_out.append(run[ai])
+                b_out.append(run[bi])
+                continue
+            # oversized bucket: collapse identical signatures to one
+            # representative (star edges keep clones in the closure),
+            # then cap the representative enumeration
+            reps, _rs, sa, sb = _collapse_run_by_sig(run, sig64[s:e][ri])
+            reps = np.sort(reps)  # rank by ascending id -> a < b below
+            ai, bi = _capped_pair_indices(len(reps))
+            a_out.append(np.concatenate([reps[ai], sa]))
+            b_out.append(np.concatenate([reps[bi], sb]))
         if not a_out:
             return empty
         t = pa.table({"a": pa.array(np.concatenate(a_out), pa.int64()),
@@ -851,13 +948,29 @@ def simhash_neardup_pairs(
             m = len(rid)
             if m < 2:
                 continue
-            ai, bi = np.triu_indices(m, k=1)
-            d = _popcount64(rh[ai] ^ rh[bi])
+            if m <= PAIR_ENUM_CAP:  # sub-cap: bit-identical to triu
+                ai, bi = np.triu_indices(m, k=1)
+                d = _popcount64(rh[ai] ^ rh[bi])
+                keep = d <= max_hamming
+                if keep.any():
+                    a_out.append(rid[ai[keep]])
+                    b_out.append(rid[bi[keep]])
+                    d_out.append(d[keep])
+                continue
+            # oversized bucket: collapse identical fingerprints (their
+            # star edges are hamming-0 by construction), then cap the
+            # distinct-fingerprint enumeration with an exact per-pair
+            # hamming check — emitted values stay exact
+            reps, rsig, sa, sb = _collapse_run_by_sig(rid, rh)
+            o2 = np.argsort(reps)
+            reps, rsig = reps[o2], rsig[o2]
+            ai, bi = _capped_pair_indices(len(reps))
+            d = _popcount64(rsig[ai] ^ rsig[bi])
             keep = d <= max_hamming
-            if keep.any():
-                a_out.append(rid[ai[keep]])
-                b_out.append(rid[bi[keep]])
-                d_out.append(d[keep])
+            a_out.append(np.concatenate([reps[ai[keep]], sa]))
+            b_out.append(np.concatenate([reps[bi[keep]], sb]))
+            d_out.append(np.concatenate(
+                [d[keep], np.zeros(len(sa), dtype=d.dtype)]))
         if not a_out:
             return empty
         return pa.table(
