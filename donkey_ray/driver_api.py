@@ -3990,13 +3990,16 @@ def _media_corpus(sf_dir: str) -> ray.data.Dataset:
         y, x, c = np.meshgrid(np.arange(side), np.arange(side),
                               np.arange(3), indexing="ij")
         i = np.arange(MEDIA_WAV_SAMPLES, dtype=np.int64)
-        imgs, wavs = [], []
-        for d in ids:
-            rgb = ((int(d) * 7 + y * 31 + x * 13 + c * 97) % 256
-                   ).astype(np.uint8)
-            imgs.append(mediacodec.encode_bmp(rgb))
-            v = ((int(d) * 31 + i * i * 7) % 1449 - 724).astype(np.int16)
-            wavs.append(mediacodec.encode_wav(v))
+        # pixel / sample synthesis vectorized across the whole batch
+        # (one broadcast per batch, int64-exact: ids are dense small
+        # ints); only the byte-container encode remains per doc
+        ids64 = ids.astype(np.int64)
+        rgb_all = ((ids64[:, None, None, None] * 7 + y * 31 + x * 13
+                    + c * 97) % 256).astype(np.uint8)
+        wav_all = ((ids64[:, None] * 31 + i * i * 7) % 1449 - 724
+                   ).astype(np.int16)
+        imgs = [mediacodec.encode_bmp(r) for r in rgb_all]
+        wavs = [mediacodec.encode_wav(v) for v in wav_all]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "image": pa.array(imgs, pa.binary()),
@@ -4064,17 +4067,26 @@ def q_audio_fingerprints(sf_dir: str) -> ray.data.Dataset:
                           zero_copy_batch=True))
 
     def unnest(batch: pa.Table) -> pa.Table:
-        ids, wins, vals = [], [], []
-        for did, fp in zip(batch.column("doc_id").to_pylist(),
-                           batch.column("fp").to_pylist()):
-            for w, v in enumerate(fp):
-                ids.append(did)
-                wins.append(w)
-                vals.append(int(v))
+        # list-column explode via Arrow kernels (no to_pylist row loop):
+        # flatten + repeat-by-length, win = global slot - list start
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch.column("fp")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        total = int(lens.sum())
+        ids64 = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "win": pa.array(wins, pa.int32()),
-            "fp": pa.array(vals, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids64, lens), pa.int64()),
+            "win": pa.array(
+                (np.arange(total, dtype=np.int64)
+                 - np.repeat(starts, lens)).astype(np.int32), pa.int32()),
+            "fp": col.flatten().cast(pa.int64()),
         })
 
     unnest.__name__ = "fp_unnest"
