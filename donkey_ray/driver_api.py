@@ -3998,7 +3998,12 @@ def _media_corpus(sf_dir: str) -> ray.data.Dataset:
                     + c * 97) % 256).astype(np.uint8)
         wav_all = ((ids64[:, None] * 31 + i * i * 7) % 1449 - 724
                    ).astype(np.int16)
-        imgs = [mediacodec.encode_bmp(r) for r in rgb_all]
+        # alternate REAL containers (BMP / stdlib-zlib PNG) so the same
+        # pixel-sum oracle hash-gates BOTH decode paths end-to-end; the
+        # pixel formula (and hence the oracle) is container-independent
+        imgs = [mediacodec.encode_png(r) if (d // MEDIA_DOC_MOD) % 2
+                else mediacodec.encode_bmp(r)
+                for d, r in zip(ids64, rgb_all)]
         wavs = [mediacodec.encode_wav(v) for v in wav_all]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),

@@ -10,6 +10,10 @@ formats that are parseable with the standard library + numpy alone:
   header (comments supported) + numpy reshape.
 - **WAV** (RIFF PCM, 8/16-bit, any channel count) — stdlib ``wave``;
   multi-channel is mono-mixed.
+- **PNG** (8-bit gray / RGB / gray+alpha / RGBA, non-interlaced, all
+  five scanline filters) — chunk walk + stdlib ``zlib`` inflate +
+  vectorized un-filtering (Sub/Up via wraparound cumsum; Average/Paeth
+  per-pixel within a row, as their left-neighbor dependency demands).
 
 Encoders for the same formats exist so tests and the synthetic corpus
 can round-trip REAL bytes (encode → decode == identity), proving the
@@ -25,6 +29,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -34,10 +39,12 @@ import numpy as np
 def sniff(buf: bytes) -> str | None:
     """Identify a supported container by magic bytes.
 
-    Returns 'bmp' | 'ppm' | 'pgm' | 'wav' | None.
+    Returns 'bmp' | 'ppm' | 'pgm' | 'wav' | 'png' | None.
     """
     if len(buf) < 12:
         return None
+    if buf[:8] == _PNG_SIG:
+        return "png"
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:2] == b"P6":
@@ -171,6 +178,146 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     return np.ascontiguousarray(pix)
 
 
+# ------------------------------------------------------------------ PNG
+#
+# Pure-stdlib implementation of the subset a data pipeline meets in
+# practice: 8-bit-depth, non-interlaced, color types 0 (gray),
+# 2 (truecolor), 4 (gray+alpha), 6 (RGBA); every ancillary chunk is
+# skipped; IDAT may span multiple chunks. The wire format is the public
+# PNG spec (RFC 2083): signature, then length-type-data-crc chunks;
+# scanlines are zlib-deflated with a per-row filter byte.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per supported color type (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor non-interlaced PNG bytes
+    (filter 0 rows, one IDAT). Round-trips through decode_png."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got {rgb.shape}")
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(data: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Inflated scanline stream -> (h, w*c) uint8 recon rows.
+
+    Filters 0 (None) and 2 (Up) are whole-row numpy ops; 1 (Sub) is a
+    per-channel wraparound cumsum (uint8 addition is associative mod
+    256); 3 (Average) and 4 (Paeth) depend on the just-reconstructed
+    left neighbor, so they walk the row pixel-wise — the encoders this
+    repo and the fixtures use emit filter 0, and a decode-heavy corpus
+    runs inside the actor-pool stage where the row walk is per-image,
+    not per-corpus."""
+    stride = w * c
+    if len(data) < h * (1 + stride):
+        raise ValueError(f"truncated PNG scanlines "
+                         f"({len(data)} < {h * (1 + stride)} B)")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = data[pos]
+        row = np.frombuffer(data, dtype=np.uint8, count=stride,
+                            offset=pos + 1).copy()
+        pos += 1 + stride
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x - c]
+            rec = np.cumsum(
+                row.reshape(w, c).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            rec = row + prev
+        elif f == 3:  # Average: + floor((left + up) / 2)
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - c]) if x >= c else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth predictor
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                if pa_ <= pb_ and pa_ <= pc_:
+                    pred = a
+                elif pb_ <= pc_:
+                    pred = b
+                else:
+                    pred = cc
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {y}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG bytes -> (h, w, 3) uint8 RGB.
+
+    Gray replicates across channels; alpha is dropped (the pipeline's
+    feature extractors are RGB-only, matching the other decoders)."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError(f"truncated PNG chunk {typ!r}")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color type={color})")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG (compression/filter/interlace)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    c = _PNG_CHANNELS[color]
+    rows = _png_unfilter(zlib.decompress(bytes(idat)), h, w, c)
+    pix = rows.reshape(h, w, c)
+    if color == 0:
+        pix = np.repeat(pix, 3, axis=2)
+    elif color == 4:
+        pix = np.repeat(pix[:, :, :1], 3, axis=2)
+    elif color == 6:
+        pix = pix[:, :, :3]
+    return np.ascontiguousarray(pix)
+
+
 # ------------------------------------------------------------------ WAV
 
 
@@ -234,4 +381,6 @@ def decode_image(buf: bytes) -> np.ndarray | None:
         return decode_bmp(buf)
     if kind in ("ppm", "pgm"):
         return decode_ppm(buf)
+    if kind == "png":
+        return decode_png(buf)
     return None

@@ -227,3 +227,177 @@ def test_sniffed_but_undecodable_bytes_fall_back(ray_session):
     })
     fp = AudioFingerprintStage()(fp_batch)
     assert fp.num_rows == 1
+
+
+# ------------------------------------------------------------- PNG
+
+
+def _png_manual(pix2d, filters, color, channels):
+    """Forward-filter a (h, w*channels) uint8 raster with the given
+    per-row filter choices and wrap it in PNG chunks — an independent
+    re-implementation of the wire format so decode_png is proven against
+    the spec, not against encode_png."""
+    import struct
+    import zlib
+
+    h, stride = pix2d.shape
+    w = stride // channels
+    rows = []
+    prev = np.zeros(stride, np.int64)
+    for y, f in enumerate(filters):
+        r = pix2d[y].astype(np.int64)
+        if f == 0:
+            fl = r
+        elif f == 1:  # Sub
+            fl = r.copy()
+            fl[channels:] = (r[channels:] - r[:-channels]) % 256
+        elif f == 2:  # Up
+            fl = (r - prev) % 256
+        elif f == 3:  # Average
+            fl = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = int(r[x - channels]) if x >= channels else 0
+                fl[x] = (r[x] - (left + int(prev[x])) // 2) % 256
+        else:  # Paeth
+            fl = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = int(r[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                    b if pb_ <= pc_ else c)
+                fl[x] = (r[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(fl.astype(np.uint8)))
+        prev = r
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (media._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip():
+    for h, w in [(1, 1), (5, 7), (16, 16), (3, 2)]:
+        img = _rgb(h, w, seed=h * 31 + w)
+        buf = media.encode_png(img)
+        assert media.sniff(buf) == "png"
+        np.testing.assert_array_equal(media.decode_png(buf), img)
+        np.testing.assert_array_equal(media.decode_image(buf), img)
+
+
+def test_png_all_filters_rgb_and_gray():
+    rng = np.random.default_rng(11)
+    # 5 rows, one per filter type, proven against the independent
+    # forward-filter in _png_manual
+    rgb = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    buf = _png_manual(rgb.reshape(5, 18), [0, 1, 2, 3, 4], color=2,
+                      channels=3)
+    np.testing.assert_array_equal(media.decode_png(buf), rgb)
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    buf = _png_manual(gray, [4, 3, 2, 1, 0], color=0, channels=1)
+    np.testing.assert_array_equal(
+        media.decode_png(buf), np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_png_alpha_color_types():
+    rng = np.random.default_rng(12)
+    rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
+    buf = _png_manual(rgba.reshape(4, 12), [0, 1, 2, 4], color=6,
+                      channels=4)
+    np.testing.assert_array_equal(media.decode_png(buf), rgba[:, :, :3])
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    buf = _png_manual(ga.reshape(3, 8), [0, 2, 1], color=4, channels=2)
+    np.testing.assert_array_equal(
+        media.decode_png(buf), np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_png_multi_idat_and_ancillary_chunks():
+    import struct
+    import zlib
+
+    img = _rgb(6, 5, seed=21)
+    raw = np.zeros((6, 1 + 15), np.uint8)
+    raw[:, 1:] = img.reshape(6, 15)
+    z = zlib.compress(raw.tobytes())
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0)
+    mid = len(z) // 2
+    buf = (media._PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"tEXt", b"Comment\x00ancillary chunks are skipped")
+           + chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
+           + chunk(b"IEND", b""))
+    np.testing.assert_array_equal(media.decode_png(buf), img)
+
+
+def test_png_rejects_unsupported_and_truncated():
+    img = _rgb(4, 4, seed=5)
+    buf = media.encode_png(img)
+    with pytest.raises(ValueError):
+        media.decode_png(b"\x89PNX" + buf[4:])  # bad signature
+    with pytest.raises(ValueError):
+        media.decode_png(buf[:20])  # missing IHDR/IDAT
+    # 16-bit depth and interlace are out of scope -> clean ValueError
+    import struct
+
+    bad_depth = bytearray(buf)
+    bad_depth[8 + 8 + 8] = 16  # IHDR depth byte
+    with pytest.raises(ValueError):
+        media.decode_png(bytes(bad_depth))
+    bad_il = bytearray(buf)
+    bad_il[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError):
+        media.decode_png(bytes(bad_il))
+    # truncated scanline stream
+    raw = np.zeros((4, 13), np.uint8)
+    import zlib
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    short = zlib.compress(raw.tobytes()[:-5])
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError):
+        media.decode_png(media._PNG_SIG + chunk(b"IHDR", ihdr)
+                         + chunk(b"IDAT", short) + chunk(b"IEND", b""))
+    # unknown filter byte
+    raw = np.zeros((4, 13), np.uint8)
+    raw[2, 0] = 9
+    with pytest.raises(ValueError):
+        media.decode_png(media._PNG_SIG + chunk(b"IHDR", ihdr)
+                         + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+                         + chunk(b"IEND", b""))
+
+
+def test_image_decode_stage_real_png_mixed(ray_session):
+    """BMP and PNG rows through the SAME actor-pool stage: the sniff
+    dispatch must route each container to its real decoder."""
+    import ray.data
+
+    from donkey_ray.stages.multimodal import decode_images
+
+    imgs = [_rgb(16, 16, seed=40 + i) for i in range(4)]
+    media_bytes = [
+        media.encode_png(imgs[0]), media.encode_bmp(imgs[1]),
+        media.encode_png(imgs[2]), media.encode_bmp(imgs[3]),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "media": pa.array(media_bytes, pa.binary()),
+    }))
+    out = decode_images(ds, height=16, width=16, concurrency=(1, 2),
+                        batch_size=2).take_all()
+    got = {r["doc_id"]: np.asarray(r["pixels"], dtype=np.uint8
+                                   ).reshape(16, 16, 3) for r in out}
+    for i in range(4):
+        np.testing.assert_array_equal(got[i], imgs[i])
