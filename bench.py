@@ -107,9 +107,30 @@ def run_query_bench(index_dir: str, n_queries: int = 400) -> dict:
     return {"wall_s": wall, "queries_per_s": n_queries / wall, "rows": n_rows}
 
 
+QUIET_LOAD_BAR = 2.0  # 1-min load above this = co-tenant-throttled run
+
+
+def _load_fields(start_load: float) -> dict:
+    """Ambient-load annotation (VERDICT r4 item 6): record the 1-min
+    load at start/end so round-over-round regressions are attributable
+    to the machine, not the code. load_note appears only on runs that
+    began over the quiet bar."""
+    out = {
+        "load_1m_start": round(start_load, 2),
+        "load_1m_end": round(os.getloadavg()[0], 2),
+    }
+    if start_load > QUIET_LOAD_BAR:
+        out["load_note"] = (
+            f"ambient 1-min load {start_load:.1f} > {QUIET_LOAD_BAR} at "
+            "start: timings likely co-tenant-throttled; compare against "
+            "quiet-window rows in BENCH/BASELINE.md, not round-over-round")
+    return out
+
+
 def default_bench() -> dict:
     import ray
 
+    start_load = os.getloadavg()[0]
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     timings: dict[str, float] = {}
 
@@ -163,6 +184,7 @@ def default_bench() -> dict:
         "sf": _sf_name(SF_DIR),
         "bench_corpus_docs": b["n_docs"],
         "num_cpus": NUM_CPUS,
+        **_load_fields(start_load),
     }
     ray.shutdown()
     return result
@@ -178,6 +200,7 @@ def scaling_child(num_cpus: int) -> dict:
     """One warmed, timed build at the given parallelism (fresh process)."""
     import ray
 
+    start_load = os.getloadavg()[0]
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
 
     # Warm the worker pool before timing: the north rule measures indexing
@@ -221,6 +244,7 @@ def scaling_child(num_cpus: int) -> dict:
     out = f"/tmp/bench_index_scaling_{num_cpus}"
     b = run_build(corpus_path, out, num_cpus, override_num_blocks=SCALING_BLOCKS)
     b["num_cpus"] = num_cpus
+    b.update(_load_fields(start_load))
     ray.shutdown()
     return b
 
@@ -413,6 +437,7 @@ def serving_child(num_cpus: int) -> dict:
     timed sweep."""
     import ray
 
+    start_load = os.getloadavg()[0]
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     idx = ensure_serving_index()
     from donkey_ray.serve import start_frontends, stop_frontends
@@ -441,7 +466,8 @@ def serving_child(num_cpus: int) -> dict:
     return {"num_cpus": num_cpus, "wall_s": wall,
             "n_frontends": n_frontends, "n_replicas": n_replicas,
             "checksum": sum(d["checksum"] for d in digs) % (1 << 61),
-            "queries_per_s": SERVING_SCALING_QUERIES / wall}
+            "queries_per_s": SERVING_SCALING_QUERIES / wall,
+            **_load_fields(start_load)}
 
 
 def serving_scaling_parent() -> dict:
