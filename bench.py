@@ -572,6 +572,140 @@ def serving_replicas_bench(replica_counts=(1, 2, 4, 8, 16, 32)) -> dict:
     }
 
 
+INSERT_BENCH_CLIENTS = 8       # concurrent writers (frontend stand-ins)
+INSERT_BENCH_ROWS_PER = 25_000  # rows per client
+INSERT_BENCH_BATCH = 400
+
+
+def _insert_client_rows(cid: int, n: int) -> list[dict]:
+    """Deterministic per-client row stream (fresh keys, ~0.6 KB docs)."""
+    body = "\n".join(
+        f"    acc_{j} = merge(acc_{j - 1}, step_{j}, benchlivetoken)"
+        for j in range(1, 16))
+    return [
+        {"repo": f"bench-ingest-{cid}", "path": f"src/live/f_{i}.py",
+         "commit": f"b{cid:02d}{i:07d}", "lang": "py",
+         "content": (f"def ingest_handler_{cid}_{i}(acc_0):\n{body}\n"
+                     f"    return acc_15 + {i}\n")}
+        for i in range(n)
+    ]
+
+
+def insert_scaling_bench() -> dict:
+    """Write-path scaling (VERDICT r4 item 3): the SAME aggregate row
+    stream from INSERT_BENCH_CLIENTS concurrent client tasks into a
+    1-shard vs 4-shard primary deployment. Clients route rows by the
+    deployment's key hash and pipeline per-shard batches straight to
+    the named primaries (exactly what M stateless write frontends do),
+    so the wall measures the PRIMARIES' aggregate absorption rate —
+    journal serialization + fsync — not one driver's task-submission
+    loop. Reported efficiency is (rows_per_s@4 / rows_per_s@1) / 4;
+    the flush walls show the K concurrent delta builds."""
+    import shutil
+
+    import ray
+
+    start_load = os.getloadavg()[0]
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    import ray.data as rd
+
+    from donkey_ray.functions.hashing import doc_id_from_key
+    from donkey_ray.pipelines.build import build_index
+    from donkey_ray.serve import ShardedWriter
+    from donkey_ray.synth import make_corpus
+
+    @ray.remote(num_cpus=1)
+    def prep(cid: int, k: int) -> list:
+        """UNTIMED: synthesize + route one client's stream (corpus
+        synthesis and key hashing are not write-path work)."""
+        from donkey_ray.functions.hashing import doc_id_from_key as did
+
+        rows = _insert_client_rows(cid, INSERT_BENCH_ROWS_PER)
+        groups: list[list[dict]] = [[] for _ in range(k)]
+        for r in rows:
+            groups[did(r["repo"], r["path"], r["commit"]) % k].append(r)
+        return groups
+
+    @ray.remote(num_cpus=1)
+    def fire(groups: list, primary_names: list, batch: int) -> int:
+        """TIMED: pipeline the pre-routed per-shard batches into the
+        named primaries and wait for durability."""
+        import ray as _ray
+
+        handles = [_ray.get_actor(nm) for nm in primary_names]
+        refs = []
+        for i, g in enumerate(groups):
+            for j in range(0, len(g), batch):
+                refs.append(handles[i].insert.remote(g[j:j + batch]))
+        _ray.get(refs)
+        return sum(len(g) for g in groups)
+
+    corpus = make_corpus(400, seed=7)
+    base_ids = [doc_id_from_key(r, p, c) for r, p, c in zip(
+        corpus.column("repo").to_pylist(),
+        corpus.column("path").to_pylist(),
+        corpus.column("commit").to_pylist())]
+    total_rows = INSERT_BENCH_CLIENTS * INSERT_BENCH_ROWS_PER
+    levels = {}
+    for k_shards in (1, 4):
+        import pyarrow as _pa
+
+        dirs = []
+        for s in range(k_shards):
+            d = f"/tmp/bench_shardw_{k_shards}_{s}"
+            for stale in (d, f"{d}_delta_0", f"{d}_delta_1"):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            mask = _pa.array([i % k_shards == s for i in base_ids])
+            build_index(rd.from_arrow(corpus.filter(mask)), d,
+                        num_partitions=2, query_lang="code",
+                        detect_hot=False)
+            dirs.append(d)
+        prefix = f"bench_shardw_{k_shards}"
+        writer = ShardedWriter(dirs, name_prefix=prefix)
+        names = [f"{prefix}_{i}" for i in range(k_shards)]
+        try:
+            ray.get(writer._primaries[0].ping.remote())  # actors live
+            grouped = ray.get([prep.remote(c, k_shards)
+                               for c in range(INSERT_BENCH_CLIENTS)])
+            group_refs = [ray.put(g) for g in grouped]
+            t0 = time.monotonic()
+            done = ray.get([
+                fire.remote(gr, names, INSERT_BENCH_BATCH)
+                for gr in group_refs])
+            insert_wall = time.monotonic() - t0
+            assert sum(done) == total_rows
+            t0 = time.monotonic()
+            out = writer.flush(num_partitions=4)
+            flush_wall = time.monotonic() - t0
+            assert out["flushed"] == total_rows
+        finally:
+            writer.shutdown()
+        levels[k_shards] = {
+            "insert_wall_s": round(insert_wall, 3),
+            "insert_rows_per_s": round(total_rows / insert_wall, 1),
+            "flush_wall_s": round(flush_wall, 3),
+        }
+    eff = (levels[4]["insert_rows_per_s"]
+           / levels[1]["insert_rows_per_s"]) / 4.0
+    result = {
+        "metric": "insert_rows_per_s_4shard",
+        "value": levels[4]["insert_rows_per_s"],
+        "unit": "rows/sec",
+        "levels": {str(k): v for k, v in levels.items()},
+        "insert_scaling_efficiency_1_to_4": round(eff, 3),
+        "flush_speedup_4shard": round(
+            levels[1]["flush_wall_s"] / levels[4]["flush_wall_s"], 2),
+        "n_rows": total_rows,
+        "n_clients": INSERT_BENCH_CLIENTS,
+        "batch": INSERT_BENCH_BATCH,
+        "num_cpus": NUM_CPUS,
+        **_load_fields(start_load),
+    }
+    ray.shutdown()
+    return result
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -579,6 +713,7 @@ def main() -> None:
     ap.add_argument("--serving-scaling", action="store_true")
     ap.add_argument("--serving-child", type=int, default=None)
     ap.add_argument("--serving-replicas", action="store_true")
+    ap.add_argument("--insert-scaling", action="store_true")
     args = ap.parse_args()
     if args.scaling_child is not None:
         print(json.dumps(scaling_child(args.scaling_child)))
@@ -590,6 +725,8 @@ def main() -> None:
         print(json.dumps(serving_scaling_parent()))
     elif args.serving_replicas:
         print(json.dumps(serving_replicas_bench()))
+    elif args.insert_scaling:
+        print(json.dumps(insert_scaling_bench()))
     else:
         print(json.dumps(default_bench()))
 

@@ -299,6 +299,11 @@ class IndexServer:
         self._maybe_auto_compact()
         return {"deleted": len(ids), "n_tombstones": len(self._tombstones)}
 
+    def tombstone_ids(self) -> list[int]:
+        """Live tombstones, for federated / sharded readers that must
+        filter exactly like this primary's own search path does."""
+        return sorted(self._tombstones)
+
     # ---- donkey A8: sync -> delta index build + federated reopen ----
     def flush(self, *, num_partitions: int = 4) -> dict:
         from .pipelines.build import build_index
@@ -730,6 +735,186 @@ def stop_frontends(handles: "list", *, kill_replicas: bool = True) -> None:
             ray.kill(h)
         except Exception:
             pass
+
+
+class ShardedWriter:
+    """K hash-partitioned primary ``IndexServer``s behind ONE write
+    surface (VERDICT r4 item 3). Every text write previously funnelled
+    through a single designated primary — read throughput scaled with
+    replicas/frontends, insert throughput did not scale past one actor
+    (donkey had the same single-DB limit). Here each shard is a full
+    primary (journal, buffer, tombstones, flush -> delta chain) over
+    its OWN base index dir, and K journal fsyncs + K delta builds run
+    in parallel.
+
+    Routing is ``doc_id_from_key(repo, path, commit) % K`` — the same
+    deterministic content-independent key hash that names doc_ids
+    everywhere — so a row lands on the same primary no matter which
+    client or frontend accepted it, inserts and deletes of the same key
+    always meet the same journal, and N- vs 4N-node deployments route
+    identically. Shard count is a deployment constant (change it via
+    compact-and-reshard, like a partition count).
+
+    Read side: ``all_dirs()`` flattens every shard's federated members
+    (base + deltas); open a QueryEngine / ServeRouter /
+    ``start_frontends`` over that list. Federated BM25 statistics are
+    GLOBAL across members (pinned by the incremental-federation
+    oracles), so results over a K-shard deployment equal a
+    single-primary deployment holding the same docs — asserted by the
+    sharded-vs-single pytest. The ``search`` convenience here mirrors
+    ``IndexServer.search`` exactly, including tombstone over-fetch.
+
+    Primaries are named actors (get-or-create with the same
+    identity-checked adopt-by-name discipline as the router pool;
+    SPREAD-scheduled so a real cluster puts each on its own node), so
+    any number of writer facades can be constructed against the same
+    deployment from different drivers/frontends."""
+
+    def __init__(self, shard_dirs: "list[str]", *,
+                 name_prefix: str = "donkey_primary",
+                 mode: str = "auto") -> None:
+        if not shard_dirs:
+            raise ValueError("need at least one shard dir")
+        self.shard_dirs = list(shard_dirs)
+        self.mode = mode
+        self.name_prefix = name_prefix
+        self._primaries: list = []
+        self._engine = None
+        self._engine_dirs: tuple = ()
+        for i, d in enumerate(self.shard_dirs):
+            name = f"{name_prefix}_{i}"
+            try:
+                h = ray.get_actor(name)
+            except ValueError:
+                h = None
+            if h is not None:
+                # adopted primary must serve THIS shard (compact() moves
+                # the base dir, so match against the live base_dir)
+                served = ray.get(h.stats.remote())["index_dirs"][0]
+                if served != d:
+                    raise RuntimeError(
+                        f"named primary {name!r} serves {served!r}, not "
+                        f"shard {d!r}; pick another name_prefix or shut "
+                        "the old deployment down")
+            else:
+                h = (
+                    ray.remote(IndexServer)
+                    .options(name=name, num_cpus=1,
+                             scheduling_strategy="SPREAD")
+                    .remote(d, mode=mode)
+                )
+            self._primaries.append(h)
+
+    @property
+    def n_shards(self) -> int:
+        return len(self._primaries)
+
+    def shard_of(self, doc_id: int) -> int:
+        return int(doc_id) % self.n_shards
+
+    def _key_shard(self, r: dict) -> int:
+        from .functions.hashing import doc_id_from_key
+
+        return self.shard_of(doc_id_from_key(r["repo"], r["path"],
+                                             r["commit"]))
+
+    def insert(self, rows: list[dict], *, wait: bool = True) -> dict:
+        """Route one row batch across the shards; the per-shard
+        sub-batches insert CONCURRENTLY (K parallel journal fsyncs).
+
+        ``wait=False`` returns the in-flight refs instead of the
+        buffered counts so a streaming client can pipeline batches
+        (per-shard ordering is still the actor task queue); gather the
+        refs (ray.get) before relying on durability."""
+        groups: list[list[dict]] = [[] for _ in range(self.n_shards)]
+        for r in rows:
+            groups[self._key_shard(r)].append(r)
+        refs, idx = [], []
+        for i, g in enumerate(groups):
+            if g:
+                refs.append(self._primaries[i].insert.remote(g))
+                idx.append(i)
+        if not wait:
+            return {"inserted": len(rows), "refs": refs}
+        buffered = ray.get(refs)
+        return {"inserted": len(rows),
+                "buffered_per_shard": dict(zip(idx, buffered))}
+
+    def delete(self, keys: "list[dict] | list[int]") -> dict:
+        from .functions.hashing import doc_id_from_key
+
+        groups: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for kk in keys:
+            did = (int(kk) if isinstance(kk, int)
+                   else doc_id_from_key(kk["repo"], kk["path"],
+                                        kk["commit"]))
+            groups[self.shard_of(did)].append(did)
+        refs = [self._primaries[i].delete.remote(g)
+                for i, g in enumerate(groups) if g]
+        outs = ray.get(refs)
+        return {"deleted": sum(o["deleted"] for o in outs),
+                "n_tombstones": sum(o["n_tombstones"] for o in outs)}
+
+    def flush(self, *, num_partitions: int = 4) -> dict:
+        """All shards flush CONCURRENTLY; each cuts its own delta, so
+        per-shard flush cost is bounded by that shard's buffer."""
+        outs = ray.get([p.flush.remote(num_partitions=num_partitions)
+                        for p in self._primaries])
+        return {"flushed": sum(o.get("flushed", 0) for o in outs),
+                "per_shard": outs}
+
+    def all_dirs(self) -> list[str]:
+        """Flat federated membership across shards (base + deltas each),
+        in shard order — the read-deployment input."""
+        stats = ray.get([p.stats.remote() for p in self._primaries])
+        return [d for s in stats for d in s["index_dirs"]]
+
+    def ping(self) -> dict:
+        pings = []
+        for p in self._primaries:
+            try:
+                pings.append(ray.get(p.ping.remote()))
+            except Exception:
+                pings.append({"status": "dead"})
+        ok = all(p.get("status") == "ok" for p in pings)
+        return {"status": "ok" if ok else "down",
+                "n_shards": self.n_shards,
+                "n_docs": sum(p.get("n_docs") or 0 for p in pings),
+                "buffered_inserts": sum(
+                    p.get("buffered_inserts") or 0 for p in pings),
+                "n_deleted": sum(p.get("n_deleted") or 0 for p in pings),
+                "shards": pings}
+
+    def search(self, text: str, k: int = 10, **kwargs) -> list[dict]:
+        """Exact federated read over the current membership: global
+        BM25 stats (one QueryEngine over all member dirs), tombstones
+        filtered by over-fetch exactly as ``IndexServer.search`` does.
+        Production serving should deploy ``start_frontends`` over
+        ``all_dirs()`` instead; this inline path exists for parity
+        checks and small deployments."""
+        from .stages.score import QueryEngine
+
+        dirs = tuple(self.all_dirs())
+        if dirs != self._engine_dirs:
+            self._engine = QueryEngine(list(dirs), mode=self.mode)
+            self._engine_dirs = dirs
+        tombs: set[int] = set()
+        for t in ray.get([p.tombstone_ids.remote()
+                          for p in self._primaries]):
+            tombs.update(t)
+        hits = self._engine.topk(text, k + len(tombs))
+        if tombs:
+            hits = [(d, s) for d, s in hits if d not in tombs][:k]
+        return [{"rank": r, "doc_id": d, "score": s}
+                for r, (d, s) in enumerate(hits, start=1)]
+
+    def shutdown(self) -> None:
+        for p in self._primaries:
+            try:
+                ray.kill(p)
+            except Exception:
+                pass
+        self._primaries = []
 
 
 class VectorServer:
