@@ -261,11 +261,16 @@ def cmd_ingest_delta(args) -> int:
 
     sid = args.shard_id or hashlib.sha256(
         args.shard.encode()).hexdigest()[:16]
-    spec = None
+    overrides = {}
     if args.query_lang is not None:
+        overrides["query_lang"] = args.query_lang
+    if getattr(args, "auto_compact_shards", None) is not None:
+        overrides["auto_compact_shards"] = args.auto_compact_shards
+    spec = None
+    if overrides:
         from .pipelines.ingest import DEFAULT_SPEC
 
-        spec = {**DEFAULT_SPEC, "query_lang": args.query_lang}
+        spec = {**DEFAULT_SPEC, **overrides}
     meta = ingest_delta(args.state, args.shard, shard_id=sid,
                         text_col=args.text_col, spec=spec)
     print(json.dumps(meta))
@@ -462,6 +467,9 @@ def main(argv=None) -> int:
     ing.add_argument("--text-col", default="content")
     ing.add_argument("--query-lang", default=None,
                      help="pinned by the FIRST shard")
+    ing.add_argument("--auto-compact-shards", type=int, default=None,
+                     help="fold the chain automatically once it reaches "
+                          "this many shards (pinned by the FIRST shard)")
     ing.set_defaults(fn=cmd_ingest_delta)
 
     ingc = sub.add_parser(

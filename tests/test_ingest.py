@@ -276,3 +276,79 @@ def test_compact_chain(ray_session, shards, tmp_path):
     m4 = ing.ingest_delta(state, p, shard_id="s4")
     assert m4["n_survivors"] == 0  # dropped against the compacted shard
     assert ing.chain_engine(state).n_docs == 12
+
+
+def test_auto_compact_chain(ray_session, shards, tmp_path):
+    """auto_compact_shards (VERDICT r4 item 4): the third ingest folds
+    the chain as part of ingest_delta itself; queries AND subsequent
+    probes are identical to an unfolded reference chain, and the policy
+    is pinned like every other spec key."""
+    import donkey_ray.pipelines.ingest as ing
+
+    ref = str(tmp_path / "chain_ref")
+    auto = str(tmp_path / "chain_auto")
+    spec = {"auto_compact_shards": 3}
+    metas = []
+    for sid, p in zip(("s1", "s2", "s3"), shards):
+        ing.ingest_delta(ref, p, shard_id=sid)
+        metas.append(ing.ingest_delta(auto, p, shard_id=sid, spec=spec))
+    # below the threshold nothing folds; at it, the ingest call does
+    assert "auto_compacted_to" not in metas[0]
+    assert "auto_compacted_to" not in metas[1]
+    assert metas[2]["auto_compacted_to"].startswith("compact-")
+    st = ing.load_state(auto)
+    assert st["shards"] == [metas[2]["auto_compacted_to"]]
+
+    # query parity vs the unfolded reference chain
+    eng_ref, eng_auto = ing.chain_engine(ref), ing.chain_engine(auto)
+    assert eng_auto.n_docs == eng_ref.n_docs == 12
+    for q, k in (("uniqueonetoken3", 3), ("uniquetwotoken1", 3),
+                 ("twinword3", 5), ("s3d1word4", 5)):
+        assert eng_auto.topk(q, k) == pytest.approx(eng_ref.topk(q, k)), q
+
+    # subsequent-probe parity: a 4th shard with a near-copy of an
+    # s1-era doc plus one fresh doc resolves identically on both chains
+    s4 = [_doc(40, _text("s1d4", "nearcopy")),
+          _doc(41, _text("s4fresh", "uniquefourtoken"))]
+    p4 = str(tmp_path / "s4.parquet")
+    _write_shard(p4, s4)
+    m_ref = ing.ingest_delta(ref, p4, shard_id="s4")
+    m_auto = ing.ingest_delta(auto, p4, shard_id="s4", spec=spec)
+    assert m_ref["n_survivors"] == m_auto["n_survivors"] == 1
+    assert ing.chain_engine(auto).n_docs == ing.chain_engine(ref).n_docs
+    got = ing.chain_engine(auto).topk("uniquefourtoken", 3)
+    assert got and got == pytest.approx(
+        ing.chain_engine(ref).topk("uniquefourtoken", 3))
+
+    # a later client that disagrees with the pinned policy fails loudly
+    with pytest.raises(ValueError, match="disagrees"):
+        ing.ingest_delta(auto, p4, shard_id="s5",
+                         spec={"auto_compact_shards": 7})
+
+
+def test_auto_compact_resumes_after_crashed_fold(ray_session, shards,
+                                                 tmp_path):
+    """A fold that crashed between the done marker and the manifest
+    swap (old chain still serving) is completed by the NEXT ingest call
+    — including an idempotent replay of an already-done shard."""
+    import hashlib
+
+    import donkey_ray.pipelines.ingest as ing
+
+    state = str(tmp_path / "chain_crash")
+    spec = {"auto_compact_shards": 3}
+    for sid, p in zip(("s1", "s2", "s3"), shards):
+        m = ing.ingest_delta(state, p, shard_id=sid, spec=spec)
+    csid = m["auto_compacted_to"]
+    # simulate the crash window: marker written, manifest swap lost
+    st = ing.load_state(state)
+    assert st["shards"] == [csid]
+    st["shards"] = ["s1", "s2", "s3"]
+    from donkey_ray.state import manifest as mf
+
+    mf.atomic_write_json(os.path.join(state, "manifest.json"), st)
+    # replaying a done shard resumes the fold (same members, same sid)
+    m2 = ing.ingest_delta(state, shards[2], shard_id="s3", spec=spec)
+    assert m2["auto_compacted_to"] == csid
+    assert ing.load_state(state)["shards"] == [csid]
+    assert ing.chain_engine(state).n_docs == 12
