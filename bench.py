@@ -572,6 +572,63 @@ def serving_replicas_bench(replica_counts=(1, 2, 4, 8, 16, 32)) -> dict:
     }
 
 
+def frontend_sweep_bench(frontend_counts=(1, 2, 4),
+                         n_replicas: int = 28) -> dict:
+    """Frontend-count sweep at a FIXED replica pool (VERDICT r4 item
+    7): isolates the result-marshalling share of the residual 8->32
+    serving gap from the DRAM share. The replica pool (28, the
+    32-cpu deployment's) is held constant while 1 / 2 / 4 stateless
+    frontends split the same query stream; if q/s rises materially
+    with frontend count, marshalling was still a bottleneck at fewer
+    frontends — if the curve is flat, the frontends are already off the
+    critical path and the residual gap is the shared memory bus."""
+    import ray
+
+    start_load = os.getloadavg()[0]
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    idx = ensure_serving_index()
+    from donkey_ray.serve import start_frontends, stop_frontends
+    from donkey_ray.synth import make_queries
+
+    qs = [(r["text"], int(r["k"]))
+          for r in make_queries(SERVING_SCALING_QUERIES).to_pylist()]
+    levels = {}
+    for n_f in frontend_counts:
+        fronts = start_frontends(
+            idx, n_replicas=n_replicas, n_frontends=n_f,
+            name=f"bench_fsweep{n_f}", frontend_cpus=1)
+        slices = [qs[j::n_f] for j in range(n_f)]
+        try:
+            ray.get([f.search_many_digest.remote(s, chunk_size=SERVING_CHUNK)
+                     for f, s in zip(fronts, slices)])  # warmup
+            t0 = time.monotonic()
+            digs = ray.get([
+                f.search_many_digest.remote(s, chunk_size=SERVING_CHUNK)
+                for f, s in zip(fronts, slices)])
+            wall = time.monotonic() - t0
+            assert sum(d["n_queries"] for d in digs) == len(qs)
+            levels[n_f] = {"wall_s": round(wall, 3),
+                           "queries_per_s": round(len(qs) / wall, 1)}
+        finally:
+            stop_frontends(fronts)
+    base = levels[frontend_counts[0]]["queries_per_s"]
+    result = {
+        "metric": "router_qps_by_frontends_28rep",
+        "value": levels[frontend_counts[-1]]["queries_per_s"],
+        "unit": "queries/sec",
+        "levels": {str(k): v for k, v in levels.items()},
+        "speedup_vs_1_frontend": {
+            str(k): round(v["queries_per_s"] / base, 2)
+            for k, v in levels.items()},
+        "n_replicas": n_replicas,
+        "n_queries": SERVING_SCALING_QUERIES,
+        "num_cpus": NUM_CPUS,
+        **_load_fields(start_load),
+    }
+    ray.shutdown()
+    return result
+
+
 INSERT_BENCH_CLIENTS = 8       # concurrent writers (frontend stand-ins)
 INSERT_BENCH_ROWS_PER = 25_000  # rows per client
 INSERT_BENCH_BATCH = 400
@@ -714,6 +771,7 @@ def main() -> None:
     ap.add_argument("--serving-child", type=int, default=None)
     ap.add_argument("--serving-replicas", action="store_true")
     ap.add_argument("--insert-scaling", action="store_true")
+    ap.add_argument("--frontend-sweep", action="store_true")
     args = ap.parse_args()
     if args.scaling_child is not None:
         print(json.dumps(scaling_child(args.scaling_child)))
@@ -727,6 +785,8 @@ def main() -> None:
         print(json.dumps(serving_replicas_bench()))
     elif args.insert_scaling:
         print(json.dumps(insert_scaling_bench()))
+    elif args.frontend_sweep:
+        print(json.dumps(frontend_sweep_bench()))
     else:
         print(json.dumps(default_bench()))
 
