@@ -4077,6 +4077,11 @@ def q_audio_fingerprints(sf_dir: str) -> ray.data.Dataset:
         import numpy as np
         import pyarrow.compute as pc
 
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "win": pa.array([], pa.int32()),
+                          "fp": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty  # np.repeat((1,), (0,)) would raise below
         col = batch.column("fp")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()

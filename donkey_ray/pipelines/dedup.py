@@ -373,14 +373,14 @@ DENSE_VOCAB_MAX = 4096
 # LSH families verify exactly and carry no such caveat.
 PAIR_ENUM_CAP = 1024
 
-# inside an oversized run, members sharing an identical signature
-# (minhash sig64 / simhash fingerprint) are pre-collapsed to their
-# lowest-doc_id representative before enumeration: clones enter the
-# capped enumeration ONCE, star edges (rep -> clone) keep them in the
-# closure, and the cap budget is spent on DISTINCT signatures instead of
-# 1024 copies of the same license header. Applied only when m > cap so
+# Inside an oversized run, members sharing an identical signature (the
+# minhash 'sig64' column / the simhash fingerprint itself) are
+# pre-collapsed to their lowest-doc_id representative before
+# enumeration (_collapse_run_by_sig): clones enter the capped
+# enumeration ONCE, star edges (rep -> clone) keep them in the closure,
+# and the cap budget is spent on DISTINCT signatures instead of 1024
+# copies of the same license header. Applied only when m > cap so
 # sub-cap output stays bit-identical.
-_SIG_COLLAPSE_DOC = "sig64"
 
 
 def _capped_pair_indices(m: int, cap: int = PAIR_ENUM_CAP):

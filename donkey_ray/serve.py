@@ -63,6 +63,71 @@ def _next_compact_dir(base: str) -> str:
     return f"{base}_compact_{i}"
 
 
+def _engine_topk(engine, text: str, fetch_k: int, *, kind: str = "topk",
+                 window: int = 4, neg_text: str = "", min_match: int = 1,
+                 boosts: "dict[str, float] | None" = None):
+    """The one kind->QueryEngine dispatch, shared by every serving
+    surface (IndexServer.search, ShardedWriter.search) so a new query
+    kind lands everywhere at once. Returns raw (doc_id, score) hits;
+    tombstone filtering/ranking stays with the caller."""
+    if kind == "phrase":
+        return engine.phrase_topk(text, fetch_k)
+    if kind == "near":
+        return engine.near_topk(text, fetch_k, window=window)
+    if kind == "sloppy":
+        # slop rides the window parameter (same "how far apart" role)
+        return engine.sloppy_topk(text, fetch_k, slop=window)
+    if kind == "and":
+        return engine.and_topk(text, fetch_k)
+    if kind == "not":
+        return engine.not_topk(text, neg_text, fetch_k)
+    if kind == "prefix":
+        return engine.prefix_topk(text, fetch_k)
+    if kind == "msm":
+        return engine.msm_topk(text, fetch_k, min_match)
+    if kind == "bool":
+        # nested boolean DSL: text IS the expression
+        return engine.bool_topk(text, fetch_k)
+    if kind == "topk":
+        return (engine.boosted_topk(text, fetch_k, boosts)
+                if boosts else engine.topk(text, fetch_k))
+    raise ValueError(f"unknown query kind: {kind!r}")
+
+
+def _adopt_or_spawn(name: str, expect_dir: str, identity_of, spawn,
+                    *, role: str = "actor"):
+    """Get-or-create a named actor with the create-race + dead-actor
+    retry discipline of ``ServeRouter._ensure_replica``: a name that is
+    registered but dying is waited out, a lost create race adopts the
+    winner, and an adopted actor is identity-checked against
+    ``expect_dir`` so a name collision fails loudly instead of silently
+    serving (or journaling into) the wrong index."""
+    import time as _time
+
+    for _ in range(10):
+        try:
+            cand = ray.get_actor(name)
+        except ValueError:
+            cand = None
+        if cand is not None:
+            try:
+                served = identity_of(cand)
+            except ray.exceptions.RayActorError:
+                _time.sleep(0.2)  # registered but dead: wait it out
+                continue
+            if served != expect_dir:
+                raise RuntimeError(
+                    f"named {role} {name!r} serves {served!r}, not "
+                    f"{expect_dir!r}; pick another name prefix or shut "
+                    "the old deployment down")
+            return cand
+        try:
+            return spawn(name)
+        except ValueError:  # lost a create race: adopt next round
+            continue
+    raise ReplicaUnavailable(f"could not (re)create {role} {name!r}")
+
+
 class IndexServer:
     """Serving state for one index (plus its delta chain). Wrap with
     ``ray.remote`` (see ``start_server``) or use in-process for tests.
@@ -206,29 +271,9 @@ class IndexServer:
         always the true top-k of the live corpus. Serving cost grows
         with the tombstone count until ``compact`` resolves them."""
         fetch_k = k + len(self._tombstones)
-        if kind == "phrase":
-            hits = self.engine.phrase_topk(text, fetch_k)
-        elif kind == "near":
-            hits = self.engine.near_topk(text, fetch_k, window=window)
-        elif kind == "sloppy":
-            # slop rides the window parameter (same "how far apart" role)
-            hits = self.engine.sloppy_topk(text, fetch_k, slop=window)
-        elif kind == "and":
-            hits = self.engine.and_topk(text, fetch_k)
-        elif kind == "not":
-            hits = self.engine.not_topk(text, neg_text, fetch_k)
-        elif kind == "prefix":
-            hits = self.engine.prefix_topk(text, fetch_k)
-        elif kind == "msm":
-            hits = self.engine.msm_topk(text, fetch_k, min_match)
-        elif kind == "bool":
-            # nested boolean DSL: text IS the expression
-            hits = self.engine.bool_topk(text, fetch_k)
-        elif kind == "topk":
-            hits = (self.engine.boosted_topk(text, fetch_k, boosts)
-                    if boosts else self.engine.topk(text, fetch_k))
-        else:
-            raise ValueError(f"unknown query kind: {kind!r}")
+        hits = _engine_topk(self.engine, text, fetch_k, kind=kind,
+                            window=window, neg_text=neg_text,
+                            min_match=min_match, boosts=boosts)
         if self._tombstones:
             hits = [(d, s) for d, s in hits if d not in self._tombstones][:k]
         return [
@@ -782,28 +827,20 @@ class ShardedWriter:
         self._engine = None
         self._engine_dirs: tuple = ()
         for i, d in enumerate(self.shard_dirs):
-            name = f"{name_prefix}_{i}"
-            try:
-                h = ray.get_actor(name)
-            except ValueError:
-                h = None
-            if h is not None:
-                # adopted primary must serve THIS shard (compact() moves
-                # the base dir, so match against the live base_dir)
-                served = ray.get(h.stats.remote())["index_dirs"][0]
-                if served != d:
-                    raise RuntimeError(
-                        f"named primary {name!r} serves {served!r}, not "
-                        f"shard {d!r}; pick another name_prefix or shut "
-                        "the old deployment down")
-            else:
-                h = (
+            # the shared adopt-or-spawn discipline: create-race losers
+            # adopt the winner, dying names are waited out, and an
+            # adopted primary must serve THIS shard (compact() moves the
+            # base dir, so the identity is the live index_dirs[0])
+            self._primaries.append(_adopt_or_spawn(
+                f"{name_prefix}_{i}", d,
+                lambda h: ray.get(h.stats.remote())["index_dirs"][0],
+                lambda nm, d=d: (
                     ray.remote(IndexServer)
-                    .options(name=name, num_cpus=1,
+                    .options(name=nm, num_cpus=1,
                              scheduling_strategy="SPREAD")
                     .remote(d, mode=mode)
-                )
-            self._primaries.append(h)
+                ),
+                role="primary"))
 
     @property
     def n_shards(self) -> int:
@@ -887,11 +924,12 @@ class ShardedWriter:
 
     def search(self, text: str, k: int = 10, **kwargs) -> list[dict]:
         """Exact federated read over the current membership: global
-        BM25 stats (one QueryEngine over all member dirs), tombstones
-        filtered by over-fetch exactly as ``IndexServer.search`` does.
-        Production serving should deploy ``start_frontends`` over
-        ``all_dirs()`` instead; this inline path exists for parity
-        checks and small deployments."""
+        BM25 stats (one QueryEngine over all member dirs), every query
+        ``kind`` dispatched through the same ``_engine_topk`` table as
+        ``IndexServer.search``, tombstones filtered by over-fetch
+        exactly as it does. Production serving should deploy
+        ``start_frontends`` over ``all_dirs()`` instead; this inline
+        path exists for parity checks and small deployments."""
         from .stages.score import QueryEngine
 
         dirs = tuple(self.all_dirs())
@@ -902,7 +940,7 @@ class ShardedWriter:
         for t in ray.get([p.tombstone_ids.remote()
                           for p in self._primaries]):
             tombs.update(t)
-        hits = self._engine.topk(text, k + len(tombs))
+        hits = _engine_topk(self._engine, text, k + len(tombs), **kwargs)
         if tombs:
             hits = [(d, s) for d, s in hits if d not in tombs][:k]
         return [{"rank": r, "doc_id": d, "score": s}

@@ -93,6 +93,16 @@ def test_sharded_equals_single_after_concurrent_inserts(sharded_env):
                 [h["score"] for h in want])
         # the inserted token is actually being served
         assert len(writer.search("zzyshardtoken", 10)) == 10
+        # query kinds forward through the shared dispatch (not silently
+        # degraded to bag-of-words): "and" parity vs the single primary
+        for q in make_queries(6, seed=13).to_pylist():
+            got = writer.search(q["text"], int(q["k"]), kind="and")
+            want = single.search(q["text"], int(q["k"]), kind="and")
+            assert [h["doc_id"] for h in got] == [h["doc_id"] for h in want]
+            assert [h["score"] for h in got] == pytest.approx(
+                [h["score"] for h in want])
+        with pytest.raises(ValueError, match="unknown query kind"):
+            writer.search("x", 3, kind="nope")
     finally:
         writer.shutdown()
 
