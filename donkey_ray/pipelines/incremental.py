@@ -119,15 +119,21 @@ def merge_indexes(
     *,
     num_partitions: int = 16,
     exclude_doc_ids: "set[int] | frozenset[int] | None" = None,
+    keep_shard: "tuple[int, int] | None" = None,
 ) -> dict:
     """Compact several indexes into one fresh index at out_dir.
 
     ``exclude_doc_ids`` drops those docs' postings and docs-table rows
     during the re-encode (tombstone resolution — serve.IndexServer's
-    delete path). Global stats are recomputed exactly: total_len from
-    the surviving partitions' sum_tf (Σ tf over a doc's postings = its
-    dl, so Σ tf over all surviving postings = surviving total_len) and
-    n_docs from the filtered docs table's row count — no extra shuffle."""
+    delete path). ``keep_shard=(s, K)`` keeps ONLY docs with
+    doc_id % K == s — the reshard primitive (serve.reshard): the same
+    modulo routing rule ShardedWriter uses, applied at the postings
+    level, so K calls produce a disjoint exact cover of the input.
+    Global stats are recomputed exactly when any filter is active:
+    total_len from the surviving partitions' sum_tf (Σ tf over a doc's
+    postings = its dl, so Σ tf over all surviving postings = surviving
+    total_len) and n_docs from the filtered docs table's row count — no
+    extra shuffle."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -162,15 +168,23 @@ def merge_indexes(
         if exclude_doc_ids
         else None
     )
-    if excl is not None:
-        def drop_deleted(batch: pa.Table) -> pa.Table:
-            keep = pc.invert(
-                pc.is_in(batch.column("doc_id"), value_set=excl)
-            )
+    row_filter = None
+    if excl is not None or keep_shard is not None:
+        def row_filter(batch: pa.Table) -> pa.Table:  # noqa: F811
+            keep = None
+            if excl is not None:
+                keep = pc.invert(
+                    pc.is_in(batch.column("doc_id"), value_set=excl))
+            if keep_shard is not None:
+                s, k = keep_shard
+                ids = batch.column("doc_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                m = pa.array(ids % k == s)
+                keep = m if keep is None else pc.and_(keep, m)
             return batch.filter(keep)
 
         union = union.map_batches(
-            drop_deleted, batch_format="pyarrow", zero_copy_batch=True
+            row_filter, batch_format="pyarrow", zero_copy_batch=True
         )
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -202,28 +216,25 @@ def merge_indexes(
     wrote_docs = False
     if docs_paths:
         docs_ds = ray.data.read_parquet(docs_paths)
-        if excl is not None:
-            def drop_deleted_docs(batch: pa.Table) -> pa.Table:
-                keep = pc.invert(
-                    pc.is_in(batch.column("doc_id"), value_set=excl)
-                )
-                return batch.filter(keep)
-
+        if row_filter is not None:
+            # the SAME keep rule as the postings pass (tombstones and/or
+            # the reshard modulo), so docs and postings stay aligned
             docs_ds = docs_ds.map_batches(
-                drop_deleted_docs, batch_format="pyarrow", zero_copy_batch=True
+                row_filter, batch_format="pyarrow", zero_copy_batch=True
             )
         os.makedirs(out_dir, exist_ok=True)
         docs_ds.write_parquet(os.path.join(out_dir, "docs"))
         mf.atomic_write_bytes(os.path.join(out_dir, "_DOCS_SUCCESS"), b"")
         wrote_docs = True
 
-    if excl is None:
+    if row_filter is None:
         n_docs = sum(m["n_docs"] for m in metas)
         total_len = sum(m["total_len"] for m in metas)
     else:
         if not wrote_docs:
             raise ValueError(
-                "exclude_doc_ids requires docs tables to recompute n_docs"
+                "exclude_doc_ids / keep_shard requires docs tables to "
+                "recompute n_docs"
             )
         import pyarrow.dataset as pads
 

@@ -955,6 +955,42 @@ class ShardedWriter:
         self._primaries = []
 
 
+def reshard(shard_dirs: "list[str]", new_k: int, out_base: str, *,
+            num_partitions: int = 8,
+            exclude_doc_ids: "set[int] | None" = None) -> "list[str]":
+    """Offline compact-and-reshard for a sharded-writer deployment:
+    fold every input shard's federated chain (base + deltas, discovered
+    exactly as IndexServer does) into ``new_k`` fresh shard bases at
+    ``{out_base}_shard{i}``, partitioned by doc_id % new_k — the same
+    routing rule ShardedWriter uses, so a new deployment over the
+    returned dirs serves the identical corpus under the new shard
+    count. ``exclude_doc_ids`` resolves tombstones in the same pass
+    (pass the union of the old primaries' ``tombstone_ids``).
+
+    QUIESCE FIRST: flush every primary (buffered rows live only in
+    journals, which do not travel) and stop routing writes to the old
+    deployment before calling this. Cost: new_k filtered merge passes
+    over the union postings — a rare administrative operation, each
+    pass resumable (a completed output shard is skipped by marker).
+    Every output shard must end up non-empty (true for any real corpus
+    with new_k << n_docs); empty shards would serve zero-doc indexes."""
+    from .pipelines.incremental import merge_indexes
+
+    member_dirs: list[str] = []
+    for d in shard_dirs:
+        member_dirs.append(d)
+        member_dirs.extend(IndexServer._existing_deltas(d))
+    out_dirs = []
+    for s in range(new_k):
+        od = f"{out_base}_shard{s}"
+        if not mf.is_complete(od):
+            merge_indexes(member_dirs, od, num_partitions=num_partitions,
+                          exclude_doc_ids=exclude_doc_ids,
+                          keep_shard=(s, new_k))
+        out_dirs.append(od)
+    return out_dirs
+
+
 class VectorServer:
     """Donkey's literal serving core on the VECTOR side [PK: A2/A3/A5/
     A7/A8 — insert(key, object) -> journal -> index -> search(object)]:

@@ -5,6 +5,8 @@ queries IDENTICALLY (global federated BM25 stats + tombstone filtering),
 while inserts/deletes/flushes fan out concurrently across the shards.
 """
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -155,3 +157,114 @@ def test_sharded_writer_adoption_and_identity_guard(sharded_env, tmp_path):
             ShardedWriter([other] * N_SHARDS, name_prefix="t_shardw_c")
     finally:
         w1.shutdown()
+
+
+def test_reshard_two_to_three(sharded_env, tmp_path):
+    """Compact-and-reshard: the 2-shard deployment (with per-shard
+    deltas and tombstones) folds into 3 fresh shard bases partitioned
+    by doc_id % 3; a new deployment over them serves identically."""
+    import shutil
+
+    corpus, single_dir, shard_dirs = sharded_env
+    # work on COPIES: other tests in this module share sharded_env
+    work = []
+    for i, d in enumerate(shard_dirs):
+        c = str(tmp_path / f"src{i}")
+        shutil.copytree(d, c)
+        work.append(c)
+    from donkey_ray.serve import reshard
+
+    import time
+
+    import ray
+
+    queries = make_queries(10, seed=21).to_pylist()
+    # phase 1 — drive the OLD deployment, capture expectations, then
+    # shut it down BEFORE the new one starts: the 4-cpu test session
+    # cannot host 2 old + 3 new num_cpus=1 primaries at once (pending
+    # actors would deadlock every ray.get)
+    w_old = ShardedWriter(work, name_prefix="t_reshard_old")
+    try:
+        rows = _rows(20, start=9500)
+        w_old.insert(rows)
+        w_old.flush()  # per-shard deltas now exist
+        victims = [
+            {"repo": corpus.column("repo")[i].as_py(),
+             "path": corpus.column("path")[i].as_py(),
+             "commit": corpus.column("commit")[i].as_py()}
+            for i in range(4)
+        ]
+        w_old.delete(victims)
+        tombs = set()
+        for t in ray.get([p.tombstone_ids.remote()
+                          for p in w_old._primaries]):
+            tombs.update(t)
+        assert tombs
+        # rank expectations from the live (tombstone-filtered) old
+        # deployment; its SCORES still include tombstoned docs in the
+        # collection stats (the documented trade-off), so exact score
+        # parity is asserted against a compacted single reference below
+        want_ranks = {q["text"]: [h["doc_id"] for h in
+                                  w_old.search(q["text"], int(q["k"]))]
+                      for q in queries}
+    finally:
+        w_old.shutdown()
+    time.sleep(0.5)  # killed actors free their CPUs asynchronously
+
+    # single compacted reference: same members, same excludes, ONE index
+    from donkey_ray.pipelines.incremental import merge_indexes
+    from donkey_ray.serve import IndexServer as _IS
+    from donkey_ray.stages.score import QueryEngine
+
+    member_dirs = []
+    for d in work:
+        member_dirs.append(d)
+        member_dirs.extend(_IS._existing_deltas(d))
+    ref_dir = str(tmp_path / "ref_compact")
+    merge_indexes(member_dirs, ref_dir, num_partitions=4,
+                  exclude_doc_ids=tombs)
+    ref = QueryEngine(ref_dir)
+
+    new_dirs = reshard(work, 3, str(tmp_path / "resharded"),
+                       exclude_doc_ids=tombs)
+    assert len(new_dirs) == 3
+    # membership: disjoint exact cover of the live corpus by % 3
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    per_shard_ids = []
+    for s, d in enumerate(new_dirs):
+        ids = set()
+        for f in glob.glob(os.path.join(d, "docs", "*.parquet")):
+            ids.update(pq_.read_table(
+                f, columns=["doc_id"]).column("doc_id").to_pylist())
+        assert ids, f"empty reshard output {d}"
+        assert all(i % 3 == s for i in ids)
+        per_shard_ids.append(ids)
+    union = set().union(*per_shard_ids)
+    assert len(union) == sum(len(x) for x in per_shard_ids)  # disjoint
+    assert len(union) == corpus.num_rows + 20 - len(victims)
+
+    # phase 2 — the NEW deployment ranks like the old one and scores
+    # exactly like the compacted single reference
+    w_new = ShardedWriter(new_dirs, name_prefix="t_reshard_new")
+    try:
+        for q in queries:
+            got = w_new.search(q["text"], int(q["k"]))
+            assert [h["doc_id"] for h in got] == want_ranks[q["text"]]
+            exp = ref.topk(q["text"], int(q["k"]))
+            assert [(h["doc_id"], h["score"]) for h in got] == (
+                pytest.approx(exp))
+        # tombstones are RESOLVED in the new deployment (no over-fetch
+        # needed), not carried
+        assert all(not ray.get(p.tombstone_ids.remote())
+                   for p in w_new._primaries)
+        # resharded deployment accepts further routed writes
+        w_new.insert(_rows(6, start=9900))
+        out = w_new.flush()
+        assert out["flushed"] == 6
+        assert len(w_new.search("zzyshardtoken", 5)) == 5
+    finally:
+        w_new.shutdown()
+
