@@ -287,6 +287,18 @@ def cmd_ingest_compact(args) -> int:
     return 0
 
 
+def cmd_reshard(args) -> int:
+    """Compact-and-reshard a (quiesced, flushed) sharded-writer
+    deployment into a new shard count; prints the new shard dirs."""
+    _ray_init()
+    from .serve import reshard
+
+    out = reshard(args.shards.split(","), args.new_k, args.out,
+                  num_partitions=args.partitions)
+    print(json.dumps({"shard_dirs": out, "n_shards": len(out)}))
+    return 0
+
+
 def cmd_ingest_search(args) -> int:
     """Query the ingest chain: federated exact BM25 over every shard's
     index segment."""
@@ -478,6 +490,19 @@ def main(argv=None) -> int:
              "(merged index + fresh global dedup artifacts)")
     ingc.add_argument("--state", required=True)
     ingc.set_defaults(fn=cmd_ingest_compact)
+
+    rsh = sub.add_parser(
+        "reshard",
+        help="compact-and-reshard a quiesced sharded-writer deployment "
+             "(bases + deltas, by doc_id mod new-k) into fresh shard "
+             "bases; flush primaries first")
+    rsh.add_argument("--shards", required=True,
+                     help="comma-separated current shard base dirs")
+    rsh.add_argument("--new-k", type=int, required=True)
+    rsh.add_argument("--out", required=True,
+                     help="output base (dirs become {out}_shard{i})")
+    rsh.add_argument("--partitions", type=int, default=8)
+    rsh.set_defaults(fn=cmd_reshard)
 
     ingq = sub.add_parser(
         "ingest-search",
