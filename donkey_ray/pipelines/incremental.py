@@ -19,6 +19,7 @@ docs would double-count their postings. Two consumption paths:
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import pyarrow as pa
@@ -223,6 +224,12 @@ def merge_indexes(
                 row_filter, batch_format="pyarrow", zero_copy_batch=True
             )
         os.makedirs(out_dir, exist_ok=True)
+        # write_parquet APPENDS uuid-named files: a crashed merge
+        # re-run into the same out_dir would otherwise double every
+        # docs row (n_docs up, avgdl down — silently wrong scores)
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(out_dir, "docs"), ignore_errors=True)
         docs_ds.write_parquet(os.path.join(out_dir, "docs"))
         mf.atomic_write_bytes(os.path.join(out_dir, "_DOCS_SUCCESS"), b"")
         wrote_docs = True
@@ -260,6 +267,12 @@ def merge_indexes(
         "id_col": metas[0].get("id_col"),
         "positions": positional,
         "merged_from": [os.path.abspath(d) for d in index_dirs],
+        # job identity for filtered merges (serve.reshard resume check):
+        # a completed dir is only adoptable by the SAME job
+        "keep_shard": list(keep_shard) if keep_shard else None,
+        "exclude_sha": hashlib.sha256(
+            ",".join(map(str, sorted(exclude_doc_ids or []))).encode()
+        ).hexdigest()[:16],
     }
     mf.write_meta(out_dir, meta)
     mf.mark_complete(out_dir)

@@ -955,6 +955,33 @@ class ShardedWriter:
         self._primaries = []
 
 
+def _journal_tombstones(shard_dirs: "list[str]") -> set:
+    """Union of tombstoned doc_ids recorded in the shard bases'
+    journals. A QUIESCED (flushed) deployment's journals contain ONLY
+    delete records — any other row is an unflushed buffered insert that
+    resharding would silently drop, so that raises instead."""
+    tombs: set[int] = set()
+    for d in shard_dirs:
+        jp = os.path.join(d, "journal.jsonl")
+        if not os.path.exists(jp):
+            continue
+        with open(jp) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if obj.get("_op") == "delete":
+                    tombs.update(int(i) for i in obj["doc_ids"])
+                else:
+                    raise ValueError(
+                        f"shard {d!r} has unflushed buffered inserts in "
+                        "its journal — flush every primary before "
+                        "resharding (those rows exist only in the "
+                        "journal and would be dropped)")
+    return tombs
+
+
 def reshard(shard_dirs: "list[str]", new_k: int, out_base: str, *,
             num_partitions: int = 8,
             exclude_doc_ids: "set[int] | None" = None) -> "list[str]":
@@ -964,29 +991,59 @@ def reshard(shard_dirs: "list[str]", new_k: int, out_base: str, *,
     ``{out_base}_shard{i}``, partitioned by doc_id % new_k — the same
     routing rule ShardedWriter uses, so a new deployment over the
     returned dirs serves the identical corpus under the new shard
-    count. ``exclude_doc_ids`` resolves tombstones in the same pass
-    (pass the union of the old primaries' ``tombstone_ids``).
+    count. Tombstones resolve in the same pass: the shard journals'
+    delete records are collected automatically (they do not travel to
+    the new bases), unioned with any ``exclude_doc_ids`` the caller
+    adds (e.g. live ``tombstone_ids`` not yet fsynced).
 
-    QUIESCE FIRST: flush every primary (buffered rows live only in
-    journals, which do not travel) and stop routing writes to the old
-    deployment before calling this. Cost: new_k filtered merge passes
-    over the union postings — a rare administrative operation, each
-    pass resumable (a completed output shard is skipped by marker).
-    Every output shard must end up non-empty (true for any real corpus
-    with new_k << n_docs); empty shards would serve zero-doc indexes."""
+    QUIESCE FIRST: flush every primary and stop routing writes to the
+    old deployment before calling this — a journal that still holds
+    buffered inserts raises. Cost: new_k filtered merge passes over
+    the union postings — a rare administrative operation, each pass
+    resumable: a completed output shard is skipped ONLY if its
+    recorded meta matches THIS job (same members, same (s, new_k),
+    same exclude set) — a stale leftover from a different reshard at
+    the same out_base raises instead of silently mis-covering. Every
+    output shard must end up non-empty (enforced; true for any real
+    corpus with new_k << n_docs)."""
+    import hashlib
+
     from .pipelines.incremental import merge_indexes
 
+    if new_k < 1:
+        raise ValueError(f"new_k must be >= 1, got {new_k}")
+    tombs = _journal_tombstones(shard_dirs)
+    if exclude_doc_ids:
+        tombs |= {int(i) for i in exclude_doc_ids}
     member_dirs: list[str] = []
     for d in shard_dirs:
         member_dirs.append(d)
         member_dirs.extend(IndexServer._existing_deltas(d))
+    members_abs = [os.path.abspath(d) for d in member_dirs]
+    excl_sha = hashlib.sha256(
+        ",".join(map(str, sorted(tombs))).encode()).hexdigest()[:16]
     out_dirs = []
     for s in range(new_k):
         od = f"{out_base}_shard{s}"
-        if not mf.is_complete(od):
-            merge_indexes(member_dirs, od, num_partitions=num_partitions,
-                          exclude_doc_ids=exclude_doc_ids,
-                          keep_shard=(s, new_k))
+        if mf.is_complete(od):
+            meta = mf.load_meta(od)
+            if (meta.get("merged_from") != members_abs
+                    or meta.get("keep_shard") != [s, new_k]
+                    or meta.get("exclude_sha") != excl_sha):
+                raise ValueError(
+                    f"completed dir {od!r} was produced by a DIFFERENT "
+                    "reshard job (members / shard rule / exclude set "
+                    "differ) — choose a fresh out_base or remove it")
+        else:
+            meta = merge_indexes(member_dirs, od,
+                                 num_partitions=num_partitions,
+                                 exclude_doc_ids=tombs or None,
+                                 keep_shard=(s, new_k))
+        if not meta.get("n_docs"):
+            raise ValueError(
+                f"reshard produced an EMPTY shard {od!r} (no doc_id "
+                f"falls in residue class {s} mod {new_k}) — lower "
+                "new_k; a zero-doc shard would serve nothing")
         out_dirs.append(od)
     return out_dirs
 

@@ -166,11 +166,17 @@ def test_reshard_two_to_three(sharded_env, tmp_path):
     import shutil
 
     corpus, single_dir, shard_dirs = sharded_env
-    # work on COPIES: other tests in this module share sharded_env
+    # work on COPIES: other tests in this module share sharded_env.
+    # Drop any copied journal — earlier tests' live state (buffered
+    # inserts, tombstones) is THEIR deployment's, not this one's; a
+    # stale journal would replay into w_old and skew every count below
     work = []
     for i, d in enumerate(shard_dirs):
         c = str(tmp_path / f"src{i}")
         shutil.copytree(d, c)
+        jp = os.path.join(c, "journal.jsonl")
+        if os.path.exists(jp):
+            os.unlink(jp)
         work.append(c)
     from donkey_ray.serve import reshard
 
@@ -268,3 +274,62 @@ def test_reshard_two_to_three(sharded_env, tmp_path):
     finally:
         w_new.shutdown()
 
+
+
+def test_reshard_guards(sharded_env, tmp_path):
+    """The review-hardened reshard edges: unflushed journals raise,
+    new_k < 1 raises, and a completed leftover from a DIFFERENT job at
+    the same out_base raises instead of silently mis-covering."""
+    import json
+    import shutil
+
+    from donkey_ray.serve import reshard
+
+    corpus, single_dir, shard_dirs = sharded_env
+    work = []
+    for i, d in enumerate(shard_dirs):
+        c = str(tmp_path / f"g{i}")
+        shutil.copytree(d, c)
+        jp = os.path.join(c, "journal.jsonl")
+        if os.path.exists(jp):
+            os.unlink(jp)
+        work.append(c)
+
+    with pytest.raises(ValueError, match="new_k"):
+        reshard(work, 0, str(tmp_path / "zero"))
+
+    # an unflushed buffered insert in a journal must refuse (the row
+    # exists only there and would be silently dropped)
+    with open(os.path.join(work[0], "journal.jsonl"), "w") as f:
+        f.write(json.dumps({"repo": "r", "path": "p", "commit": "c",
+                            "lang": "py", "content": "x"}) + "\n")
+    with pytest.raises(ValueError, match="unflushed"):
+        reshard(work, 2, str(tmp_path / "unflushed"))
+    os.unlink(os.path.join(work[0], "journal.jsonl"))
+
+    # journal-recorded deletes are collected automatically (no
+    # exclude_doc_ids argument needed)
+    victim = doc_id_from_key(corpus.column("repo")[0].as_py(),
+                             corpus.column("path")[0].as_py(),
+                             corpus.column("commit")[0].as_py())
+    with open(os.path.join(work[0], "journal.jsonl"), "w") as f:
+        f.write(json.dumps({"_op": "delete", "doc_ids": [victim]}) + "\n")
+    out1 = reshard(work, 2, str(tmp_path / "auto_tombs"))
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    all_ids = set()
+    for d in out1:
+        for fpath in glob.glob(os.path.join(d, "docs", "*.parquet")):
+            all_ids.update(pq_.read_table(
+                fpath, columns=["doc_id"]).column("doc_id").to_pylist())
+    assert victim not in all_ids
+    assert len(all_ids) == corpus.num_rows - 1
+
+    # a completed output of THAT job cannot be adopted by a different
+    # one (different members here: only one input shard)
+    with pytest.raises(ValueError, match="DIFFERENT reshard job"):
+        reshard(work[:1], 2, str(tmp_path / "auto_tombs"))
+    # same job, same out_base: idempotent resume, instant return
+    assert reshard(work, 2, str(tmp_path / "auto_tombs")) == out1
