@@ -23,8 +23,11 @@ cluster through plain JSON-over-HTTP:
 Topology: text reads go through ``router`` (a ServeRouter/frontend
 actor — round-robin + failover over the replica pool, so a replica
 death is invisible to HTTP clients); text writes go through
-``primary`` (the single designated IndexServer, same discipline as the
-actor surface). The vector side mirrors this with ``vrouter``
+``primary`` — either a single IndexServer actor or a
+``serve.ShardedWriter`` facade (K hash-partitioned primaries; inserts/
+deletes route by key hash over the wire, flush cuts K deltas; the
+single-primary-only routes /stats and /compact answer 405 — reshard a
+sharded deployment offline). The vector side mirrors this with ``vrouter``
 (VectorRouter/VectorServer reads) and ``vprimary`` (VectorServer
 writes) — donkey's literal insert/search core over the wire. Any
 subset may be attached: missing read actors answer 503, missing write
@@ -39,6 +42,19 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import ray
+
+
+def _call(handle, method, *args, **kwargs):
+    """Dispatch to an actor handle (``.remote`` + ray.get) OR a
+    driver-side facade (plain call) — the text ``primary`` slot accepts
+    either a single IndexServer actor or a ``serve.ShardedWriter``
+    (K hash-partitioned primaries behind one facade), so the HTTP write
+    surface covers both deployment shapes with one route table."""
+    m = getattr(handle, method)
+    remote = getattr(m, "remote", None)
+    if remote is not None:
+        return ray.get(remote(*args, **kwargs))
+    return m(*args, **kwargs)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -78,13 +94,14 @@ class _Handler(BaseHTTPRequestHandler):
                 if h is None:
                     self._json(503, {"error": "no serving actor attached"})
                     return
-                self._json(200, ray.get(h.ping.remote()))
+                self._json(200, _call(h, "ping"))
             elif self.path == "/stats":
                 h = self.server.primary  # type: ignore[attr-defined]
-                if h is None:
-                    self._json(405, {"error": "stats needs a primary"})
+                if h is None or not hasattr(h, "stats"):
+                    self._json(405, {"error": "stats needs a (single) "
+                                     "primary IndexServer"})
                     return
-                self._json(200, ray.get(h.stats.remote()))
+                self._json(200, _call(h, "stats"))
             elif self.path == "/vping":
                 h = self._vread_actor()
                 if h is None:
@@ -110,8 +127,8 @@ class _Handler(BaseHTTPRequestHandler):
                           if k in req}
                 if "boosts" in req:
                     kwargs["boosts"] = req["boosts"]
-                hits = ray.get(h.search.remote(
-                    req["text"], int(req.get("k", 10)), **kwargs))
+                hits = _call(h, "search",
+                             req["text"], int(req.get("k", 10)), **kwargs)
                 self._json(200, {"hits": hits})
             elif self.path == "/search_batch":
                 h = self._read_actor()
@@ -121,7 +138,10 @@ class _Handler(BaseHTTPRequestHandler):
                 qs = [(t, int(k)) for t, k in req["queries"]]
                 kwargs = {k: req[k] for k in ("kind", "window")
                           if k in req}
-                outs = ray.get(h.search_many.remote(qs, **kwargs))
+                outs = (_call(h, "search_many", qs, **kwargs)
+                        if hasattr(h, "search_many")
+                        else [_call(h, "search", t, k, **kwargs)
+                              for t, k in qs])
                 self._json(200, {"results": outs})
             elif self.path == "/vsearch":
                 h = self._vread_actor()
@@ -156,15 +176,18 @@ class _Handler(BaseHTTPRequestHandler):
                         405, {"error": "writes need a primary IndexServer"})
                     return
                 if self.path == "/insert":
-                    n = ray.get(h.insert.remote(req["rows"]))
-                    self._json(200, {"buffered": n})
+                    self._json(200, {"buffered": _call(
+                        h, "insert", req["rows"])})
                 elif self.path == "/delete":
-                    self._json(200, ray.get(h.delete.remote(req["keys"])))
+                    self._json(200, _call(h, "delete", req["keys"]))
                 elif self.path == "/flush":
-                    self._json(200, ray.get(h.flush.remote()))
+                    self._json(200, _call(h, "flush"))
+                elif not hasattr(h, "compact"):
+                    self._json(405, {"error": "compact needs a (single) "
+                                     "primary IndexServer; reshard a "
+                                     "sharded deployment offline"})
                 else:
-                    self._json(200, ray.get(
-                        h.compact.remote(req["out_dir"])))
+                    self._json(200, _call(h, "compact", req["out_dir"]))
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
         except ray.exceptions.RayTaskError as ex:

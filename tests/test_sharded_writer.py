@@ -333,3 +333,63 @@ def test_reshard_guards(sharded_env, tmp_path):
         reshard(work[:1], 2, str(tmp_path / "auto_tombs"))
     # same job, same out_base: idempotent resume, instant return
     assert reshard(work, 2, str(tmp_path / "auto_tombs")) == out1
+
+
+def test_http_frontend_over_sharded_writer(sharded_env):
+    """The HTTP write surface accepts a ShardedWriter facade in the
+    ``primary`` slot: inserts route across K primaries over the wire,
+    flush cuts K deltas, search serves the federated membership; the
+    single-primary-only routes (/stats, /compact) answer 405."""
+    import http.client
+    import json as _json
+
+    from donkey_ray.httpserve import start_http_frontend
+
+    corpus, single_dir, shard_dirs = sharded_env
+
+    def _http(port, method, path, body=None):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request(method, path,
+                     _json.dumps(body) if body is not None else None,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        out = _json.loads(r.read() or b"{}")
+        conn.close()
+        return r.status, out
+
+    writer = ShardedWriter(shard_dirs, name_prefix="t_shardw_http")
+    srv, port = start_http_frontend(primary=writer)
+    try:
+        code, ping = _http(port, "GET", "/ping")
+        assert code == 200 and ping["n_shards"] == N_SHARDS
+
+        rows = _rows(12, start=9100)
+        code, res = _http(port, "POST", "/insert", {"rows": rows})
+        assert code == 200
+        per_shard = res["buffered"]["buffered_per_shard"]
+        assert len(per_shard) == N_SHARDS  # routed across BOTH primaries
+
+        code, res = _http(port, "POST", "/flush", {})
+        assert code == 200 and res["flushed"] == 12
+
+        code, res = _http(port, "POST", "/search",
+                          {"text": "zzyshardtoken", "k": 5})
+        assert code == 200 and len(res["hits"]) == 5
+
+        qs = [[r["text"], int(r["k"])]
+              for r in make_queries(4, seed=3).to_pylist()]
+        code, res = _http(port, "POST", "/search_batch", {"queries": qs})
+        assert code == 200 and len(res["results"]) == len(qs)
+
+        code, _ = _http(port, "GET", "/stats")
+        assert code == 405  # single-primary-only surface
+        code, _ = _http(port, "POST", "/compact", {"out_dir": "/tmp/x"})
+        assert code == 405
+
+        victim = {"repo": rows[0]["repo"], "path": rows[0]["path"],
+                  "commit": rows[0]["commit"]}
+        code, res = _http(port, "POST", "/delete", {"keys": [victim]})
+        assert code == 200 and res["deleted"] == 1
+    finally:
+        srv.shutdown()
+        writer.shutdown()
