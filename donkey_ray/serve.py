@@ -349,12 +349,39 @@ class IndexServer:
         filter exactly like this primary's own search path does."""
         return sorted(self._tombstones)
 
+    def _rewrite_journal_tombstones_only(self) -> None:
+        """Rewrite the journal to exactly the live tombstone set (the
+        buffer is empty / just flushed). ATOMIC (temp + rename) instead
+        of unlink-then-append: a crash between those two steps would
+        permanently lose deletes."""
+        if self._tombstones:
+            tmp = self._journal_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(
+                    {"_op": "delete",
+                     "doc_ids": sorted(self._tombstones)},
+                    sort_keys=True) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._journal_path)
+        elif os.path.exists(self._journal_path):
+            os.unlink(self._journal_path)
+
     # ---- donkey A8: sync -> delta index build + federated reopen ----
     def flush(self, *, num_partitions: int = 4) -> dict:
         from .pipelines.build import build_index
         from .stages.score import QueryEngine
 
         if not self._buffer:
+            # an empty buffer can still leave STALE insert lines in the
+            # journal (insert-then-delete before any flush; the
+            # _recover crash window where replayed rows were already in
+            # a delta): rewrite it to the live state so offline journal
+            # readers — reshard's unflushed-insert guard — see the
+            # truth, and "flush every primary" actually clears the
+            # condition instead of wedging it (review finding)
+            if os.path.exists(self._journal_path):
+                self._rewrite_journal_tombstones_only()
             return {"flushed": 0, "n_indexes": len(self._dirs)}
         import pyarrow as pa
         import ray.data
@@ -397,21 +424,8 @@ class IndexServer:
         new_engine = QueryEngine(new_dirs, mode=self.mode)
         n = len(self._buffer)
         self._buffer.clear()
-        # tombstones outlive the flushed buffer. REWRITE the journal
-        # atomically (temp + rename) instead of unlink-then-append: a
-        # crash between those two steps would permanently lose deletes
-        if self._tombstones:
-            tmp = self._journal_path + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(json.dumps(
-                    {"_op": "delete",
-                     "doc_ids": sorted(self._tombstones)},
-                    sort_keys=True) + "\n")
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._journal_path)
-        else:
-            os.unlink(self._journal_path)
+        # tombstones outlive the flushed buffer
+        self._rewrite_journal_tombstones_only()
         self._dirs = new_dirs
         self.engine = new_engine
         return {"flushed": n, "delta_dir": delta_dir,
@@ -820,12 +834,20 @@ class ShardedWriter:
                  mode: str = "auto") -> None:
         if not shard_dirs:
             raise ValueError("need at least one shard dir")
+        import threading
+
         self.shard_dirs = list(shard_dirs)
         self.mode = mode
         self.name_prefix = name_prefix
         self._primaries: list = []
         self._engine = None
         self._engine_dirs: tuple = ()
+        # the engine cache is mutated on membership change; the HTTP
+        # frontend drives this facade from ThreadingHTTPServer threads,
+        # so snapshot + rebuild are serialized (review finding: a
+        # racing rebuild could pair _engine with the wrong _engine_dirs
+        # and serve a stale membership forever)
+        self._lock = threading.Lock()
         for i, d in enumerate(self.shard_dirs):
             # the shared adopt-or-spawn discipline: create-race losers
             # adopt the winner, dying names are waited out, and an
@@ -859,13 +881,42 @@ class ShardedWriter:
         """Route one row batch across the shards; the per-shard
         sub-batches insert CONCURRENTLY (K parallel journal fsyncs).
 
+        Everything that can REJECT is checked before any shard journals
+        (review finding): per-shard sub-batches commit independently,
+        so a rejection after partial commit would make the client's
+        natural whole-batch retry double-insert the committed rows.
+        Structural checks run driver-side; the tombstone-reinsert check
+        pre-flights the shards' live tombstone sets (one parallel RPC
+        round). A delete racing in through ANOTHER facade between the
+        pre-flight and the journal write remains unordered — exactly as
+        two clients racing insert/delete on a single primary are.
+
         ``wait=False`` returns the in-flight refs instead of the
         buffered counts so a streaming client can pipeline batches
         (per-shard ordering is still the actor task queue); gather the
         refs (ray.get) before relying on durability."""
-        groups: list[list[dict]] = [[] for _ in range(self.n_shards)]
+        from .functions.hashing import doc_id_from_key
+
+        ids = []
         for r in rows:
-            groups[self._key_shard(r)].append(r)
+            missing = [c for c in IndexServer.CORPUS_COLS if c not in r]
+            if missing:
+                raise ValueError(f"insert row missing columns {missing}")
+            if "_op" in r:
+                raise ValueError("insert rows must not carry the "
+                                 "reserved '_op' key")
+            ids.append(doc_id_from_key(r["repo"], r["path"], r["commit"]))
+        tombs: set[int] = set()
+        for t in ray.get([p.tombstone_ids.remote()
+                          for p in self._primaries]):
+            tombs.update(t)
+        if tombs and not tombs.isdisjoint(ids):
+            raise ValueError(
+                "cannot re-insert a deleted (repo, path, commit) key "
+                "before compact() resolves its tombstone")
+        groups: list[list[dict]] = [[] for _ in range(self.n_shards)]
+        for r, did in zip(rows, ids):
+            groups[self.shard_of(did)].append(r)
         refs, idx = [], []
         for i, g in enumerate(groups):
             if g:
@@ -922,14 +973,10 @@ class ShardedWriter:
                 "n_deleted": sum(p.get("n_deleted") or 0 for p in pings),
                 "shards": pings}
 
-    def search(self, text: str, k: int = 10, **kwargs) -> list[dict]:
-        """Exact federated read over the current membership: global
-        BM25 stats (one QueryEngine over all member dirs), every query
-        ``kind`` dispatched through the same ``_engine_topk`` table as
-        ``IndexServer.search``, tombstones filtered by over-fetch
-        exactly as it does. Production serving should deploy
-        ``start_frontends`` over ``all_dirs()`` instead; this inline
-        path exists for parity checks and small deployments."""
+    def _snapshot_engine(self):
+        """(engine, live tombstone union) for the CURRENT membership —
+        one stats round + one tombstone round, engine rebuilt only when
+        the member list changed. Callers must hold ``self._lock``."""
         from .stages.score import QueryEngine
 
         dirs = tuple(self.all_dirs())
@@ -940,11 +987,41 @@ class ShardedWriter:
         for t in ray.get([p.tombstone_ids.remote()
                           for p in self._primaries]):
             tombs.update(t)
-        hits = _engine_topk(self._engine, text, k + len(tombs), **kwargs)
+        return self._engine, tombs
+
+    @staticmethod
+    def _rank(hits, tombs, k):
         if tombs:
             hits = [(d, s) for d, s in hits if d not in tombs][:k]
         return [{"rank": r, "doc_id": d, "score": s}
                 for r, (d, s) in enumerate(hits, start=1)]
+
+    def search(self, text: str, k: int = 10, **kwargs) -> list[dict]:
+        """Exact federated read over the current membership: global
+        BM25 stats (one QueryEngine over all member dirs), every query
+        ``kind`` dispatched through the same ``_engine_topk`` table as
+        ``IndexServer.search``, tombstones filtered by over-fetch
+        exactly as it does. Production serving should deploy
+        ``start_frontends`` over ``all_dirs()`` instead; this inline
+        path exists for parity checks and small deployments."""
+        with self._lock:
+            engine, tombs = self._snapshot_engine()
+            hits = _engine_topk(engine, text, k + len(tombs), **kwargs)
+        return self._rank(hits, tombs, k)
+
+    def search_many(self, queries: "list[tuple[str, int]]", *,
+                    kind: str = "topk", window: int = 4) -> list:
+        """Batch reads against ONE membership/tombstone snapshot —
+        the per-query federated overhead (K stats + K tombstone RPCs)
+        is paid once per batch, not once per query (review finding)."""
+        with self._lock:
+            engine, tombs = self._snapshot_engine()
+            out = []
+            for text, k in queries:
+                hits = _engine_topk(engine, text, k + len(tombs),
+                                    kind=kind, window=window)
+                out.append(self._rank(hits, tombs, k))
+        return out
 
     def shutdown(self) -> None:
         for p in self._primaries:

@@ -362,6 +362,10 @@ def test_http_frontend_over_sharded_writer(sharded_env):
     try:
         code, ping = _http(port, "GET", "/ping")
         assert code == 200 and ping["n_shards"] == N_SHARDS
+        # earlier tests in this module may have left journaled-but-
+        # unflushed rows in the SHARED fixture dirs; fresh primaries
+        # recover them by design, so count relative to that baseline
+        pre = ping["buffered_inserts"]
 
         rows = _rows(12, start=9100)
         code, res = _http(port, "POST", "/insert", {"rows": rows})
@@ -370,7 +374,7 @@ def test_http_frontend_over_sharded_writer(sharded_env):
         assert len(per_shard) == N_SHARDS  # routed across BOTH primaries
 
         code, res = _http(port, "POST", "/flush", {})
-        assert code == 200 and res["flushed"] == 12
+        assert code == 200 and res["flushed"] == pre + 12
 
         code, res = _http(port, "POST", "/search",
                           {"text": "zzyshardtoken", "k": 5})
@@ -393,3 +397,65 @@ def test_http_frontend_over_sharded_writer(sharded_env):
     finally:
         srv.shutdown()
         writer.shutdown()
+
+
+def test_sharded_insert_atomic_rejection(sharded_env):
+    """A batch with one invalid row must reject BEFORE any shard
+    journals its sub-batch — a partial commit would make the client's
+    whole-batch retry double-insert the committed rows."""
+    corpus, single_dir, shard_dirs = sharded_env
+    writer = ShardedWriter(shard_dirs, name_prefix="t_shardw_atomic")
+    try:
+        bad = _rows(8, start=9700)
+        bad[5] = {"repo": "r", "path": "p", "commit": "c"}  # missing cols
+        with pytest.raises(ValueError, match="missing columns"):
+            writer.insert(bad)
+        assert writer.ping()["buffered_inserts"] == 0  # nothing committed
+        bad = _rows(8, start=9700)
+        bad[3]["_op"] = "delete"
+        with pytest.raises(ValueError, match="reserved"):
+            writer.insert(bad)
+        assert writer.ping()["buffered_inserts"] == 0
+        # tombstone-reinsert pre-flights the shards' live tombstones
+        rows = _rows(4, start=9700)
+        writer.insert(rows)
+        writer.flush()
+        writer.delete([{k: rows[0][k] for k in ("repo", "path", "commit")}])
+        with pytest.raises(ValueError, match="re-insert a deleted"):
+            writer.insert([rows[0]] + _rows(2, start=9800))
+        assert writer.ping()["buffered_inserts"] == 0
+    finally:
+        writer.shutdown()
+
+
+def test_flush_clears_stale_journal_for_reshard(sharded_env, tmp_path):
+    """Insert-then-delete before any flush leaves the insert lines in
+    the journal with an empty buffer; flush() must rewrite the journal
+    (not early-return past it) so reshard's unflushed-insert guard
+    clears exactly as its error message prescribes."""
+    import shutil
+
+    from donkey_ray.serve import reshard
+
+    corpus, single_dir, shard_dirs = sharded_env
+    work = []
+    for i, d in enumerate(shard_dirs):
+        c = str(tmp_path / f"w{i}")
+        shutil.copytree(d, c)
+        jp = os.path.join(c, "journal.jsonl")
+        if os.path.exists(jp):
+            os.unlink(jp)
+        work.append(c)
+    srv = IndexServer(work[0])
+    rows = _rows(3, start=9950)
+    srv.insert(rows)
+    srv.delete([{k: r[k] for k in ("repo", "path", "commit")}
+                for r in rows])
+    assert not srv._buffer  # deletes dropped the buffered inserts
+    # journal still holds the insert lines -> reshard refuses
+    with pytest.raises(ValueError, match="unflushed"):
+        reshard(work, 2, str(tmp_path / "wedge"))
+    out = srv.flush()
+    assert out["flushed"] == 0  # nothing to flush, but journal rewritten
+    dirs = reshard(work, 2, str(tmp_path / "wedge"))  # now succeeds
+    assert len(dirs) == 2
