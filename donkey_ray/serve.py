@@ -1229,10 +1229,10 @@ class VectorServer:
                 "n_deleted": len(self._tombstones),
                 "needs_compact": len(self._tombstones) >= bound}
 
-    def insert(self, rows: list[dict]) -> int:
-        """rows: [{vec_id:int, embedding:[float,...]}, ...]. vec_ids
-        must be NEW (not indexed, buffered, or tombstoned) — ids are the
-        caller's keys and a duplicate would return twice from search."""
+    def validate_new(self, rows: list[dict]) -> bool:
+        """The insert-time checks WITHOUT journaling — the sharded
+        vector writer's pre-flight, so a cross-shard batch rejects
+        atomically (before ANY shard journals its sub-batch)."""
         import numpy as np
 
         seen: set[int] = set()
@@ -1249,6 +1249,13 @@ class VectorServer:
                 raise ValueError(
                     f"vec_id {v} already indexed; delete() it first")
             seen.add(v)
+        return True
+
+    def insert(self, rows: list[dict]) -> int:
+        """rows: [{vec_id:int, embedding:[float,...]}, ...]. vec_ids
+        must be NEW (not indexed, buffered, or tombstoned) — ids are the
+        caller's keys and a duplicate would return twice from search."""
+        self.validate_new(rows)
         self._journal_append(
             [{"vec_id": int(r["vec_id"]),
               "embedding": [float(x) for x in r["embedding"]]}
@@ -1449,3 +1456,141 @@ def start_vector_router(
     return ray.remote(VectorRouter).options(**opts).remote(
         index_dir, n_replicas=n_replicas,
         name_prefix=f"{name}_replica")
+
+
+class ShardedVectorWriter:
+    """K hash-partitioned ``VectorServer`` primaries behind one write
+    surface — the vector-side twin of ``ShardedWriter`` (the same
+    single-writer limit applied to vector inserts). Routing is
+    ``vec_id % K``: vec_ids are the caller's keys, so every client and
+    frontend routes a given vector to the same primary, and K journal
+    fsyncs (plus K independent compacts) run in parallel.
+
+    Search fans the query batch to every shard and merges per query by
+    (-cos_sim, vec_id): cosine needs NO cross-shard statistics (unlike
+    BM25's df/avgdl), so the union of per-shard top-k's contains the
+    global top-k exactly — at ``nprobe=None`` (= every list probed,
+    exact brute force) a K-shard deployment answers IDENTICALLY to a
+    single primary holding the same vectors, which the parity pytest
+    pins. Each shard applies its own tombstone over-fetch internally.
+
+    Insert is two-phase for cross-shard atomicity: every shard
+    pre-flights its sub-batch (``validate_new`` — duplicate / indexed /
+    tombstoned checks, no journaling) and only when ALL accept do the
+    journaled inserts fan out, so a rejected batch leaves nothing
+    half-committed for a client retry to double-insert. A concurrent
+    writer racing the window is unordered, exactly as two clients
+    racing a single primary are.
+
+    Primaries are named actors with the shared adopt-or-spawn
+    discipline (identity = the served index dir; SPREAD-scheduled)."""
+
+    def __init__(self, shard_dirs: "list[str]", *,
+                 name_prefix: str = "donkey_vprimary") -> None:
+        if not shard_dirs:
+            raise ValueError("need at least one shard dir")
+        self.shard_dirs = list(shard_dirs)
+        self.name_prefix = name_prefix
+        self._primaries: list = []
+        for i, d in enumerate(self.shard_dirs):
+            self._primaries.append(_adopt_or_spawn(
+                f"{name_prefix}_{i}", d,
+                lambda h: ray.get(h.ping.remote())["index_dir"],
+                lambda nm, d=d: (
+                    ray.remote(VectorServer)
+                    .options(name=nm, num_cpus=1,
+                             scheduling_strategy="SPREAD")
+                    .remote(d)
+                ),
+                role="vector primary"))
+
+    @property
+    def n_shards(self) -> int:
+        return len(self._primaries)
+
+    def _route(self, rows: list[dict]) -> "list[list[dict]]":
+        groups: list[list[dict]] = [[] for _ in range(self.n_shards)]
+        for r in rows:
+            if "vec_id" not in r or "embedding" not in r:
+                raise ValueError(
+                    "vector insert rows need vec_id and embedding")
+            groups[int(r["vec_id"]) % self.n_shards].append(r)
+        return groups
+
+    def insert(self, rows: list[dict], *, wait: bool = True) -> dict:
+        groups = self._route(rows)
+        live = [(i, g) for i, g in enumerate(groups) if g]
+        # phase 1: every shard validates BEFORE any shard journals
+        ray.get([self._primaries[i].validate_new.remote(g)
+                 for i, g in live])
+        refs = [self._primaries[i].insert.remote(g) for i, g in live]
+        if not wait:
+            return {"inserted": len(rows), "refs": refs}
+        buffered = ray.get(refs)
+        return {"inserted": len(rows),
+                "buffered_per_shard": {i: b for (i, _), b
+                                       in zip(live, buffered)}}
+
+    def delete(self, vec_ids: list[int]) -> dict:
+        groups: list[list[int]] = [[] for _ in range(self.n_shards)]
+        for v in vec_ids:
+            groups[int(v) % self.n_shards].append(int(v))
+        outs = ray.get([self._primaries[i].delete.remote(g)
+                        for i, g in enumerate(groups) if g])
+        return {"n_deleted": sum(o["n_deleted"] for o in outs)}
+
+    def search(self, query_vectors, k: int = 10,
+               *, nprobe: "int | None" = None) -> list[dict]:
+        """Fan-out + exact merge (see class docstring). Output rows
+        mirror ``VectorServer.search``: one dict per (query_id, rank)."""
+        import numpy as np
+
+        q = np.asarray(query_vectors, dtype=np.float64)
+        nq = 1 if q.ndim == 1 else len(q)
+        outs = ray.get([p.search.remote(query_vectors, k, nprobe=nprobe)
+                        for p in self._primaries])
+        cand: dict[int, list] = {qi: [] for qi in range(nq)}
+        for shard_hits in outs:
+            for r in shard_hits:
+                cand[r["query_id"]].append((r["cos_sim"], r["vec_id"]))
+        merged = []
+        for qi in range(nq):
+            best = sorted(cand[qi], key=lambda t: (-t[0], t[1]))[:k]
+            merged.extend(
+                {"query_id": qi, "rank": rk, "vec_id": v, "cos_sim": s}
+                for rk, (s, v) in enumerate(best, start=1))
+        return merged
+
+    def compact_all(self, out_base: str, *, n_lists: "int | None" = None,
+                    num_partitions: int = 4) -> "list[dict]":
+        """All shards compact CONCURRENTLY, each into its own fresh
+        ``{out_base}_shard{i}`` dir (per-shard buffer + tombstones
+        resolve independently — no cross-shard coordination needed)."""
+        kwargs = {} if n_lists is None else {"n_lists": n_lists}
+        return ray.get([
+            p.compact.remote(f"{out_base}_shard{i}",
+                             num_partitions=num_partitions, **kwargs)
+            for i, p in enumerate(self._primaries)])
+
+    def ping(self) -> dict:
+        pings = []
+        for p in self._primaries:
+            try:
+                pings.append(ray.get(p.ping.remote()))
+            except Exception:
+                pings.append({"status": "dead"})
+        ok = all(p.get("status") == "ok" for p in pings)
+        return {"status": "ok" if ok else "down", "kind": "vector",
+                "n_shards": self.n_shards,
+                "n_indexed": sum(p.get("n_indexed") or 0 for p in pings),
+                "n_buffered": sum(p.get("n_buffered") or 0 for p in pings),
+                "n_deleted": sum(p.get("n_deleted") or 0 for p in pings),
+                "shards": pings}
+
+    def shutdown(self) -> None:
+        for p in self._primaries:
+            try:
+                ray.kill(p)
+            except Exception:
+                pass
+        self._primaries = []

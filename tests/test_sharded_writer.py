@@ -459,3 +459,91 @@ def test_flush_clears_stale_journal_for_reshard(sharded_env, tmp_path):
     assert out["flushed"] == 0  # nothing to flush, but journal rewritten
     dirs = reshard(work, 2, str(tmp_path / "wedge"))  # now succeeds
     assert len(dirs) == 2
+
+
+# ---------------- vector-side twin: ShardedVectorWriter ----------------
+
+
+def test_sharded_vector_writer_parity_and_atomicity(ray_session, tmp_path):
+    """K vector primaries routed by vec_id % K answer IDENTICALLY to a
+    single VectorServer holding the same vectors (cosine needs no
+    cross-shard stats; nprobe=None probes every list = exact), inserts
+    are two-phase atomic, deletes route, and compact_all folds each
+    shard independently without breaking parity."""
+    import numpy as np
+    import ray.data
+
+    from donkey_ray.pipelines.ivf import build_ivf_index
+    from donkey_ray.serve import ShardedVectorWriter, VectorServer
+
+    rng = np.random.default_rng(17)
+    n, dim = 120, 8
+    vecs = rng.standard_normal((n, dim))
+
+    def _tbl(ids):
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([vecs[i % n].tolist() for i in ids],
+                                  pa.list_(pa.float64())),
+        })
+
+    single_dir = str(tmp_path / "vsingle")
+    build_ivf_index(ray.data.from_arrow(_tbl(list(range(n)))), single_dir,
+                    num_partitions=2, n_lists=8)
+    shard_dirs = []
+    for s in range(2):
+        d = str(tmp_path / f"vshard{s}")
+        build_ivf_index(
+            ray.data.from_arrow(_tbl([i for i in range(n) if i % 2 == s])),
+            d, num_partitions=2, n_lists=8)
+        shard_dirs.append(d)
+
+    single = VectorServer(single_dir)
+    w = ShardedVectorWriter(shard_dirs, name_prefix="t_vshard")
+    try:
+        # routed insert of fresh vectors (both sides get the same rows)
+        new_ids = list(range(200, 230))
+        rows = [{"vec_id": i, "embedding": vecs[i % n].tolist()}
+                for i in new_ids]
+        res = w.insert(rows)
+        assert len(res["buffered_per_shard"]) == 2
+        single.insert(rows)
+
+        queries = rng.standard_normal((5, dim))
+        got = w.search(queries, k=10)
+        want = single.search(queries, k=10)
+        assert [(r["query_id"], r["rank"], r["vec_id"]) for r in got] == \
+            [(r["query_id"], r["rank"], r["vec_id"]) for r in want]
+        assert [r["cos_sim"] for r in got] == pytest.approx(
+            [r["cos_sim"] for r in want])
+
+        # two-phase atomicity: one already-indexed id rejects the WHOLE
+        # batch before any shard journals
+        bad = [{"vec_id": 300, "embedding": vecs[0].tolist()},
+               {"vec_id": 5, "embedding": vecs[5].tolist()}]  # 5 indexed
+        with pytest.raises(Exception, match="already indexed"):
+            w.insert(bad)
+        assert w.ping()["n_buffered"] == len(new_ids)  # nothing added
+
+        # routed delete, then parity again
+        w.delete([0, 1, 200, 201])
+        single.delete([0, 1, 200, 201])
+        got = w.search(queries, k=10)
+        want = single.search(queries, k=10)
+        assert [(r["query_id"], r["rank"], r["vec_id"]) for r in got] == \
+            [(r["query_id"], r["rank"], r["vec_id"]) for r in want]
+
+        # independent per-shard compaction keeps serving + parity
+        outs = w.compact_all(str(tmp_path / "vcompact"))
+        assert len(outs) == 2 and all(o["n_vecs"] > 0 for o in outs)
+        p = w.ping()
+        assert p["n_buffered"] == 0 and p["n_deleted"] == 0
+        single.compact(str(tmp_path / "vsingle_compact"))
+        got = w.search(queries, k=10)
+        want = single.search(queries, k=10)
+        assert [(r["query_id"], r["rank"], r["vec_id"]) for r in got] == \
+            [(r["query_id"], r["rank"], r["vec_id"]) for r in want]
+        assert [r["cos_sim"] for r in got] == pytest.approx(
+            [r["cos_sim"] for r in want])
+    finally:
+        w.shutdown()
