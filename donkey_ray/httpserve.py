@@ -28,8 +28,8 @@ death is invisible to HTTP clients); text writes go through
 deletes route by key hash over the wire, flush cuts K deltas; the
 single-primary-only routes /stats and /compact answer 405 — reshard a
 sharded deployment offline). The vector side mirrors this with ``vrouter``
-(VectorRouter/VectorServer reads) and ``vprimary`` (VectorServer
-writes) — donkey's literal insert/search core over the wire. Any
+(VectorRouter/VectorServer reads) and ``vprimary`` (VectorServer —
+or a ``serve.ShardedVectorWriter`` facade — writes) — donkey's literal insert/search core over the wire. Any
 subset may be attached: missing read actors answer 503, missing write
 actors 405. The process is stateless — run several (one per node)
 behind any TCP balancer; each wraps its own frontend actor over the
@@ -107,7 +107,7 @@ class _Handler(BaseHTTPRequestHandler):
                 if h is None:
                     self._json(503, {"error": "no vector actor attached"})
                     return
-                self._json(200, ray.get(h.ping.remote()))
+                self._json(200, _call(h, "ping"))
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
         except Exception as ex:  # surface, never kill the server thread
@@ -151,11 +151,11 @@ class _Handler(BaseHTTPRequestHandler):
                 k = int(req.get("k", 10))
                 nprobe = req.get("nprobe")
                 if hasattr(h, "search_many"):  # router: chunked fan-out
-                    hits = ray.get(h.search_many.remote(
-                        req["vectors"], k, nprobe=nprobe))
+                    hits = _call(h, "search_many",
+                                 req["vectors"], k, nprobe=nprobe)
                 else:
-                    hits = ray.get(h.search.remote(
-                        req["vectors"], k, nprobe=nprobe))
+                    hits = _call(h, "search",
+                                 req["vectors"], k, nprobe=nprobe)
                 self._json(200, {"hits": hits})
             elif self.path in ("/vinsert", "/vdelete"):
                 h = srv.vprimary
@@ -164,11 +164,10 @@ class _Handler(BaseHTTPRequestHandler):
                         405, {"error": "vector writes need a vprimary"})
                     return
                 if self.path == "/vinsert":
-                    n = ray.get(h.insert.remote(req["rows"]))
-                    self._json(200, {"buffered": n})
+                    self._json(200, {"buffered": _call(
+                        h, "insert", req["rows"])})
                 else:
-                    self._json(200, ray.get(
-                        h.delete.remote(req["vec_ids"])))
+                    self._json(200, _call(h, "delete", req["vec_ids"]))
             elif self.path in ("/insert", "/delete", "/flush", "/compact"):
                 h = srv.primary
                 if h is None:

@@ -547,3 +547,64 @@ def test_sharded_vector_writer_parity_and_atomicity(ray_session, tmp_path):
             [r["cos_sim"] for r in want])
     finally:
         w.shutdown()
+
+
+def test_http_frontend_over_sharded_vector_writer(ray_session, tmp_path):
+    """The HTTP vector write slot also accepts the sharded facade:
+    vinsert routes across K vector primaries over the wire, vsearch
+    merges the fan-out, vping aggregates."""
+    import http.client
+    import json as _json
+
+    import numpy as np
+    import ray.data
+
+    from donkey_ray.httpserve import start_http_frontend
+    from donkey_ray.pipelines.ivf import build_ivf_index
+    from donkey_ray.serve import ShardedVectorWriter
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((60, 8))
+    shard_dirs = []
+    for s in range(2):
+        d = str(tmp_path / f"hv{s}")
+        ids = [i for i in range(60) if i % 2 == s]
+        build_ivf_index(ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([vecs[i].tolist() for i in ids],
+                                  pa.list_(pa.float64())),
+        })), d, num_partitions=1, n_lists=4)
+        shard_dirs.append(d)
+
+    def _http(port, method, path, body=None):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request(method, path,
+                     _json.dumps(body) if body is not None else None,
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        out = _json.loads(r.read() or b"{}")
+        conn.close()
+        return r.status, out
+
+    w = ShardedVectorWriter(shard_dirs, name_prefix="t_vshard_http")
+    srv, port = start_http_frontend(vprimary=w)
+    try:
+        code, ping = _http(port, "GET", "/vping")
+        assert code == 200 and ping["n_shards"] == 2
+
+        rows = [{"vec_id": 100 + i, "embedding": vecs[i].tolist()}
+                for i in range(6)]
+        code, res = _http(port, "POST", "/vinsert", {"rows": rows})
+        assert code == 200
+        assert len(res["buffered"]["buffered_per_shard"]) == 2
+
+        code, res = _http(port, "POST", "/vsearch",
+                          {"vectors": [vecs[3].tolist()], "k": 5})
+        assert code == 200 and len(res["hits"]) == 5
+        assert res["hits"][0]["vec_id"] in (3, 103)  # exact self-match
+
+        code, res = _http(port, "POST", "/vdelete", {"vec_ids": [100]})
+        assert code == 200 and res["n_deleted"] == 1
+    finally:
+        srv.shutdown()
+        w.shutdown()
