@@ -94,6 +94,20 @@ def _engine_topk(engine, text: str, fetch_k: int, *, kind: str = "topk",
     raise ValueError(f"unknown query kind: {kind!r}")
 
 
+def _gather_pings(primaries: "list") -> "list[dict]":
+    """Parallel ping fan-out with per-shard dead markers — shared by
+    both sharded facades (fire all refs first, then collect, so a
+    K-shard health check costs one round-trip, not K serial ones)."""
+    refs = [p.ping.remote() for p in primaries]
+    out = []
+    for r in refs:
+        try:
+            out.append(ray.get(r))
+        except Exception:
+            out.append({"status": "dead"})
+    return out
+
+
 def _adopt_or_spawn(name: str, expect_dir: str, identity_of, spawn,
                     *, role: str = "actor"):
     """Get-or-create a named actor with the create-race + dead-actor
@@ -958,12 +972,7 @@ class ShardedWriter:
         return [d for s in stats for d in s["index_dirs"]]
 
     def ping(self) -> dict:
-        pings = []
-        for p in self._primaries:
-            try:
-                pings.append(ray.get(p.ping.remote()))
-            except Exception:
-                pings.append({"status": "dead"})
+        pings = _gather_pings(self._primaries)
         ok = all(p.get("status") == "ok" for p in pings)
         return {"status": "ok" if ok else "down",
                 "n_shards": self.n_shards,
@@ -1230,9 +1239,12 @@ class VectorServer:
                 "needs_compact": len(self._tombstones) >= bound}
 
     def validate_new(self, rows: list[dict]) -> bool:
-        """The insert-time checks WITHOUT journaling — the sharded
+        """EVERY insert-time check WITHOUT journaling — the sharded
         vector writer's pre-flight, so a cross-shard batch rejects
-        atomically (before ANY shard journals its sub-batch)."""
+        atomically (before ANY shard journals its sub-batch). That
+        contract means the embedding payloads must be validated here
+        too (review finding): a float()-unconvertible value surfacing
+        only at journal time would half-commit the batch."""
         import numpy as np
 
         seen: set[int] = set()
@@ -1248,6 +1260,15 @@ class VectorServer:
             if j < len(indexed) and int(indexed[j]) == v:
                 raise ValueError(
                     f"vec_id {v} already indexed; delete() it first")
+            emb = r.get("embedding")
+            if not emb:
+                raise ValueError(f"vec_id {v} has no embedding")
+            try:
+                for x in emb:
+                    float(x)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"vec_id {v} embedding has non-numeric values")
             seen.add(v)
         return True
 
@@ -1476,11 +1497,11 @@ class ShardedVectorWriter:
 
     Insert is two-phase for cross-shard atomicity: every shard
     pre-flights its sub-batch (``validate_new`` — duplicate / indexed /
-    tombstoned checks, no journaling) and only when ALL accept do the
-    journaled inserts fan out, so a rejected batch leaves nothing
-    half-committed for a client retry to double-insert. A concurrent
-    writer racing the window is unordered, exactly as two clients
-    racing a single primary are.
+    tombstoned / payload checks, no journaling) and only when ALL
+    accept do the journaled inserts fan out, so a rejected batch
+    leaves nothing half-committed for a client retry to double-insert.
+    The facade lock serializes ITS OWN concurrent callers; writers
+    going through separate facades are uncoordinated (see insert).
 
     Primaries are named actors with the shared adopt-or-spawn
     discipline (identity = the served index dir; SPREAD-scheduled)."""
@@ -1489,9 +1510,15 @@ class ShardedVectorWriter:
                  name_prefix: str = "donkey_vprimary") -> None:
         if not shard_dirs:
             raise ValueError("need at least one shard dir")
+        import threading
+
         self.shard_dirs = list(shard_dirs)
         self.name_prefix = name_prefix
         self._primaries: list = []
+        # one facade's concurrent writers (the HTTP frontend's threads)
+        # are serialized so the two-phase insert really is atomic for
+        # them; SEPARATE facades still race (see insert docstring)
+        self._lock = threading.Lock()
         for i, d in enumerate(self.shard_dirs):
             self._primaries.append(_adopt_or_spawn(
                 f"{name_prefix}_{i}", d,
@@ -1518,26 +1545,43 @@ class ShardedVectorWriter:
         return groups
 
     def insert(self, rows: list[dict], *, wait: bool = True) -> dict:
-        groups = self._route(rows)
-        live = [(i, g) for i, g in enumerate(groups) if g]
-        # phase 1: every shard validates BEFORE any shard journals
-        ray.get([self._primaries[i].validate_new.remote(g)
-                 for i, g in live])
-        refs = [self._primaries[i].insert.remote(g) for i, g in live]
-        if not wait:
-            return {"inserted": len(rows), "refs": refs}
-        buffered = ray.get(refs)
+        """Two-phase atomic within THIS facade: all touched shards
+        validate (no journaling) before any shard journals, and the
+        facade lock serializes its own concurrent callers (the HTTP
+        frontend's threads). Batches that touch ONE shard skip the
+        pre-flight round — the actor's own insert validation is already
+        whole-batch atomic there. Writers going through SEPARATE
+        facades can still interleave between the phases; route all
+        writes for a deployment through one facade (or accept that a
+        cross-facade race can half-commit, like any two uncoordinated
+        writers without a transaction layer)."""
+        with self._lock:
+            groups = self._route(rows)
+            live = [(i, g) for i, g in enumerate(groups) if g]
+            if len(live) > 1:
+                # phase 1: validate everywhere BEFORE any shard journals
+                ray.get([self._primaries[i].validate_new.remote(g)
+                         for i, g in live])
+            refs = [self._primaries[i].insert.remote(g) for i, g in live]
+            if not wait:
+                return {"inserted": len(rows), "refs": refs}
+            buffered = ray.get(refs)
         return {"inserted": len(rows),
                 "buffered_per_shard": {i: b for (i, _), b
                                        in zip(live, buffered)}}
 
     def delete(self, vec_ids: list[int]) -> dict:
+        """Routed deletes; ``n_deleted`` mirrors VectorServer semantics
+        (the CUMULATIVE live tombstone count of the whole deployment,
+        not just the shards this call touched — review finding)."""
         groups: list[list[int]] = [[] for _ in range(self.n_shards)]
         for v in vec_ids:
             groups[int(v) % self.n_shards].append(int(v))
-        outs = ray.get([self._primaries[i].delete.remote(g)
-                        for i, g in enumerate(groups) if g])
-        return {"n_deleted": sum(o["n_deleted"] for o in outs)}
+        ray.get([self._primaries[i].delete.remote(g)
+                 for i, g in enumerate(groups) if g])
+        return {"n_deleted": sum(
+            p.get("n_deleted") or 0 for p in
+            _gather_pings(self._primaries))}
 
     def search(self, query_vectors, k: int = 10,
                *, nprobe: "int | None" = None) -> list[dict]:
@@ -1547,7 +1591,9 @@ class ShardedVectorWriter:
 
         q = np.asarray(query_vectors, dtype=np.float64)
         nq = 1 if q.ndim == 1 else len(q)
-        outs = ray.get([p.search.remote(query_vectors, k, nprobe=nprobe)
+        # ship the converted array (shards asarray it again for free)
+        # instead of converting here only to throw the copy away
+        outs = ray.get([p.search.remote(q, k, nprobe=nprobe)
                         for p in self._primaries])
         cand: dict[int, list] = {qi: [] for qi in range(nq)}
         for shard_hits in outs:
@@ -1573,12 +1619,7 @@ class ShardedVectorWriter:
             for i, p in enumerate(self._primaries)])
 
     def ping(self) -> dict:
-        pings = []
-        for p in self._primaries:
-            try:
-                pings.append(ray.get(p.ping.remote()))
-            except Exception:
-                pings.append({"status": "dead"})
+        pings = _gather_pings(self._primaries)
         ok = all(p.get("status") == "ok" for p in pings)
         return {"status": "ok" if ok else "down", "kind": "vector",
                 "n_shards": self.n_shards,

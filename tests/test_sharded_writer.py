@@ -525,9 +525,11 @@ def test_sharded_vector_writer_parity_and_atomicity(ray_session, tmp_path):
             w.insert(bad)
         assert w.ping()["n_buffered"] == len(new_ids)  # nothing added
 
-        # routed delete, then parity again
-        w.delete([0, 1, 200, 201])
-        single.delete([0, 1, 200, 201])
+        # routed delete, then parity again; n_deleted mirrors the
+        # single primary's CUMULATIVE tombstone count
+        got_del = w.delete([0, 1, 200, 201])
+        want_del = single.delete([0, 1, 200, 201])
+        assert got_del["n_deleted"] == want_del["n_deleted"] == 4
         got = w.search(queries, k=10)
         want = single.search(queries, k=10)
         assert [(r["query_id"], r["rank"], r["vec_id"]) for r in got] == \
