@@ -162,3 +162,75 @@ def test_embedding_clone_flood_bounded(ray_session):
     assert ids_seen == set(range(n))  # star keeps every clone reachable
     assert all(s == pytest.approx(1.0) for s in
                tbl.column("cos_sim").to_pylist()[:100])
+
+
+# ---------------- property level (hypothesis, no Ray) ----------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(m=st.integers(2, 400), cap=st.integers(2, 64))
+def test_capped_pairs_connectivity_and_bound(m, cap):
+    """For ANY run size and cap: the emitted pair set (a) stays within
+    the documented bound cap*(cap-1)/2 + max(0, m-cap), (b) connects
+    ALL m members into one component (the property the
+    transitive-closure consumers rely on), and (c) equals the full
+    upper triangle exactly when m <= cap."""
+    from donkey_ray.pipelines.dedup import _capped_pair_indices
+
+    ai, bi = _capped_pair_indices(m, cap=cap)
+    n_tri = cap * (cap - 1) // 2
+    assert len(ai) == len(bi) <= n_tri + max(0, m - cap)
+    assert (ai < bi).all()  # a < b everywhere (rank order)
+    if m <= cap:
+        ei, ej = np.triu_indices(m, k=1)
+        assert np.array_equal(ai, ei) and np.array_equal(bi, ej)
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ai.tolist(), bi.tolist()):
+        parent[find(a)] = find(b)
+    assert len({find(x) for x in range(m)}) == 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 7)),
+                min_size=1, max_size=200, unique_by=lambda t: t[0]))
+def test_collapse_run_by_sig_properties(pairs):
+    """For ANY (id, sig) run: reps are the min id per distinct sig,
+    star edges cover exactly the clones (rep < clone), the output is
+    invariant under input permutation (determinism), and
+    reps + clones partition the input ids."""
+    from donkey_ray.pipelines.dedup import _collapse_run_by_sig
+
+    ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    sigs = np.array([p[1] for p in pairs], dtype=np.uint64)
+    reps, rsigs, sa, sb = _collapse_run_by_sig(ids, sigs)
+
+    want_rep = {}
+    for i, g in zip(ids.tolist(), sigs.tolist()):
+        want_rep[g] = min(want_rep.get(g, i), i)
+    assert dict(zip(rsigs.tolist(), reps.tolist())) == want_rep
+    assert (sa < sb).all() if len(sa) else True
+    assert set(reps.tolist()) | set(sb.tolist()) == set(ids.tolist())
+    assert set(reps.tolist()).isdisjoint(sb.tolist())
+    for a, b, g in zip(sa.tolist(), sb.tolist(),
+                       [dict(zip(ids.tolist(), sigs.tolist()))[b]
+                        for b in sb.tolist()]):
+        assert a == want_rep[g]  # every clone stars to ITS group's rep
+
+    # permutation invariance
+    perm = np.random.default_rng(0).permutation(len(ids))
+    r2, g2, a2, b2 = _collapse_run_by_sig(ids[perm], sigs[perm])
+    assert sorted(zip(r2.tolist(), g2.tolist())) == sorted(
+        zip(reps.tolist(), rsigs.tolist()))
+    assert sorted(zip(a2.tolist(), b2.tolist())) == sorted(
+        zip(sa.tolist(), sb.tolist()))
