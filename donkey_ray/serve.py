@@ -1260,15 +1260,13 @@ class VectorServer:
             if j < len(indexed) and int(indexed[j]) == v:
                 raise ValueError(
                     f"vec_id {v} already indexed; delete() it first")
-            emb = r.get("embedding")
-            if not emb:
-                raise ValueError(f"vec_id {v} has no embedding")
             try:
-                for x in emb:
-                    float(x)
+                arr = np.asarray(r.get("embedding"), dtype=np.float64)
             except (TypeError, ValueError):
                 raise ValueError(
                     f"vec_id {v} embedding has non-numeric values")
+            if arr.ndim != 1 or arr.size == 0:
+                raise ValueError(f"vec_id {v} has no embedding")
             seen.add(v)
         return True
 
@@ -1558,8 +1556,14 @@ class ShardedVectorWriter:
         with self._lock:
             groups = self._route(rows)
             live = [(i, g) for i, g in enumerate(groups) if g]
-            if len(live) > 1:
-                # phase 1: validate everywhere BEFORE any shard journals
+            if len(live) > 1 or not wait:
+                # phase 1: validate everywhere BEFORE any shard
+                # journals. Single-shard batches skip this only on the
+                # wait=True path (the actor's own insert validation is
+                # whole-batch atomic there and the caller sees its
+                # error); a wait=False caller needs the SYNCHRONOUS
+                # rejection, or an invalid batch would return
+                # success-shaped refs it may never gather.
                 ray.get([self._primaries[i].validate_new.remote(g)
                          for i, g in live])
             refs = [self._primaries[i].insert.remote(g) for i, g in live]
@@ -1571,17 +1575,35 @@ class ShardedVectorWriter:
                                        in zip(live, buffered)}}
 
     def delete(self, vec_ids: list[int]) -> dict:
-        """Routed deletes; ``n_deleted`` mirrors VectorServer semantics
-        (the CUMULATIVE live tombstone count of the whole deployment,
-        not just the shards this call touched — review finding)."""
-        groups: list[list[int]] = [[] for _ in range(self.n_shards)]
-        for v in vec_ids:
-            groups[int(v) % self.n_shards].append(int(v))
-        ray.get([self._primaries[i].delete.remote(g)
-                 for i, g in enumerate(groups) if g])
-        return {"n_deleted": sum(
-            p.get("n_deleted") or 0 for p in
-            _gather_pings(self._primaries))}
+        """Routed deletes under the facade lock (an unlocked delete
+        could journal a tombstone between another caller's insert
+        phases — the half-commit the lock exists to prevent).
+        ``n_deleted`` mirrors VectorServer semantics: the CUMULATIVE
+        live tombstone count of the whole deployment — the touched
+        shards' counts come from the delete round itself, only the
+        untouched shards are pinged. A dead shard's count is unknown,
+        so it is surfaced as ``shards_unreachable`` instead of being
+        silently summed as zero."""
+        with self._lock:
+            groups: list[list[int]] = [[] for _ in range(self.n_shards)]
+            for v in vec_ids:
+                groups[int(v) % self.n_shards].append(int(v))
+            touched = [(i, g) for i, g in enumerate(groups) if g]
+            outs = ray.get([self._primaries[i].delete.remote(g)
+                            for i, g in touched])
+        counts = {i: o["n_deleted"] for (i, _), o in zip(touched, outs)}
+        refs = [(i, self._primaries[i].ping.remote())
+                for i in range(self.n_shards) if i not in counts]
+        unreachable = 0
+        for i, ref in refs:
+            try:
+                counts[i] = ray.get(ref).get("n_deleted") or 0
+            except Exception:
+                unreachable += 1
+        out = {"n_deleted": sum(counts.values())}
+        if unreachable:
+            out["shards_unreachable"] = unreachable
+        return out
 
     def search(self, query_vectors, k: int = 10,
                *, nprobe: "int | None" = None) -> list[dict]:
@@ -1613,10 +1635,11 @@ class ShardedVectorWriter:
         ``{out_base}_shard{i}`` dir (per-shard buffer + tombstones
         resolve independently — no cross-shard coordination needed)."""
         kwargs = {} if n_lists is None else {"n_lists": n_lists}
-        return ray.get([
-            p.compact.remote(f"{out_base}_shard{i}",
-                             num_partitions=num_partitions, **kwargs)
-            for i, p in enumerate(self._primaries)])
+        with self._lock:  # never interleave with an in-flight insert
+            return ray.get([
+                p.compact.remote(f"{out_base}_shard{i}",
+                                 num_partitions=num_partitions, **kwargs)
+                for i, p in enumerate(self._primaries)])
 
     def ping(self) -> dict:
         pings = _gather_pings(self._primaries)

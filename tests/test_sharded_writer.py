@@ -524,12 +524,28 @@ def test_sharded_vector_writer_parity_and_atomicity(ray_session, tmp_path):
         with pytest.raises(Exception, match="already indexed"):
             w.insert(bad)
         assert w.ping()["n_buffered"] == len(new_ids)  # nothing added
+        # malformed payloads reject in phase 1 too (no half-commit)
+        bad = [{"vec_id": 301, "embedding": vecs[0].tolist()},
+               {"vec_id": 302, "embedding": ["x"] * 8}]
+        with pytest.raises(Exception, match="non-numeric"):
+            w.insert(bad)
+        assert w.ping()["n_buffered"] == len(new_ids)
+        # wait=False still rejects SYNCHRONOUSLY, even single-shard
+        with pytest.raises(Exception, match="already buffered"):
+            w.insert([{"vec_id": new_ids[0],
+                       "embedding": vecs[0].tolist()}], wait=False)
+        # numpy-array embeddings are accepted (insert always took them)
+        res_np = w.insert([{"vec_id": 400, "embedding": vecs[7]}])
+        assert sum(res_np["buffered_per_shard"].values()) >= 1
+        single.insert([{"vec_id": 400, "embedding": vecs[7]}])
+        w.delete([400])
+        single.delete([400])
 
         # routed delete, then parity again; n_deleted mirrors the
         # single primary's CUMULATIVE tombstone count
         got_del = w.delete([0, 1, 200, 201])
         want_del = single.delete([0, 1, 200, 201])
-        assert got_del["n_deleted"] == want_del["n_deleted"] == 4
+        assert got_del["n_deleted"] == want_del["n_deleted"] == 5
         got = w.search(queries, k=10)
         want = single.search(queries, k=10)
         assert [(r["query_id"], r["rank"], r["vec_id"]) for r in got] == \
