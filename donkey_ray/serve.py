@@ -1266,21 +1266,37 @@ class VectorServer:
                 raise ValueError(
                     f"vec_id {v} embedding has non-numeric values")
             if arr.ndim != 1 or arr.size == 0:
-                raise ValueError(f"vec_id {v} has no embedding")
+                raise ValueError(
+                    f"vec_id {v} embedding must be a non-empty 1-D "
+                    f"vector (got shape {arr.shape})")
+            if not np.isfinite(arr).all():
+                # numpy coerces None -> nan, so without this check the
+                # pre-flight would be LAXER than it looks and a nan
+                # vector would poison every cosine it ever meets
+                raise ValueError(
+                    f"vec_id {v} embedding has non-finite values")
             seen.add(v)
         return True
 
     def insert(self, rows: list[dict]) -> int:
         """rows: [{vec_id:int, embedding:[float,...]}, ...]. vec_ids
         must be NEW (not indexed, buffered, or tombstoned) — ids are the
-        caller's keys and a duplicate would return twice from search."""
+        caller's keys and a duplicate would return twice from search.
+        The journaled payload is EXACTLY the conversion validate_new
+        checks (one np.asarray), so the sharded writer's phase-1
+        pre-flight can never pass a row that phase 2 then rejects."""
+        import numpy as np
+
         self.validate_new(rows)
-        self._journal_append(
-            [{"vec_id": int(r["vec_id"]),
-              "embedding": [float(x) for x in r["embedding"]]}
-             for r in rows])
-        for r in rows:
-            self._buffer[int(r["vec_id"])] = [float(x) for x in r["embedding"]]
+        clean = [
+            {"vec_id": int(r["vec_id"]),
+             "embedding": np.asarray(r["embedding"],
+                                     dtype=np.float64).tolist()}
+            for r in rows
+        ]
+        self._journal_append(clean)
+        for c in clean:
+            self._buffer[c["vec_id"]] = c["embedding"]
         return len(self._buffer)
 
     def delete(self, vec_ids: list[int]) -> dict:
@@ -1592,14 +1608,14 @@ class ShardedVectorWriter:
             outs = ray.get([self._primaries[i].delete.remote(g)
                             for i, g in touched])
         counts = {i: o["n_deleted"] for (i, _), o in zip(touched, outs)}
-        refs = [(i, self._primaries[i].ping.remote())
-                for i in range(self.n_shards) if i not in counts]
+        untouched = [i for i in range(self.n_shards) if i not in counts]
         unreachable = 0
-        for i, ref in refs:
-            try:
-                counts[i] = ray.get(ref).get("n_deleted") or 0
-            except Exception:
+        for i, p in zip(untouched, _gather_pings(
+                [self._primaries[i] for i in untouched])):
+            if p.get("status") == "dead":
                 unreachable += 1
+            else:
+                counts[i] = p.get("n_deleted") or 0
         out = {"n_deleted": sum(counts.values())}
         if unreachable:
             out["shards_unreachable"] = unreachable

@@ -530,6 +530,15 @@ def test_sharded_vector_writer_parity_and_atomicity(ray_session, tmp_path):
         with pytest.raises(Exception, match="non-numeric"):
             w.insert(bad)
         assert w.ping()["n_buffered"] == len(new_ids)
+        # None elements coerce to nan under np.asarray — phase 1 must
+        # reject them too (a nan vector would pass pre-flight but
+        # poison cosines), with nothing half-committed
+        bad = [{"vec_id": 303, "embedding": vecs[0].tolist()},
+               {"vec_id": 304,
+                "embedding": [1.0, None] + [0.0] * 6}]
+        with pytest.raises(Exception, match="non-finite"):
+            w.insert(bad)
+        assert w.ping()["n_buffered"] == len(new_ids)
         # wait=False still rejects SYNCHRONOUSLY, even single-shard
         with pytest.raises(Exception, match="already buffered"):
             w.insert([{"vec_id": new_ids[0],
